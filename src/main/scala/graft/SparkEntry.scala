@@ -1,13 +1,158 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TimeMode, TsAgg, TsAggSpec}
+import graft.functions.RowKeys
+
+/**
+ * Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Every `queries` entry is one operator from SURVEY §2 (or a beyond-reference
+ * scale op) run over the driver's Parquet testdata; `oracleSql` carries the
+ * DuckDB-equivalent SQL. Column names and arithmetic are kept byte-identical
+ * between the two (FIXTURES.md §3): bucket math is exact integer epoch-millis
+ * on both sides, and double-valued aggregations run on exact integer cents so
+ * partial-aggregation order can never produce a floating-point hash mismatch —
+ * the property that also makes the results reproducible run-to-run on a real
+ * cluster, where partition order is nondeterministic.
+ */
 object SparkEntry {
+
+  // ---- shared constants (UTC) -------------------------------------------------
+  private val MS = 1000L
+  private val T0_EVENTS = 1704067200000L // 2024-01-01T00:00:00Z
+  private val DAY = 86400L * MS
+  private val T0_ODD = T0_EVENTS + 4 * DAY + (2 * 3600L + 15 * 60) * MS // 2024-01-05T02:15:00Z
+  private val T0_LINEITEM = 788918400000L // 1995-01-01T00:00:00Z
+  private val T1_LINEITEM = 1009843200000L // 2002-01-01T00:00:00Z
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(s, dir)
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.lineitem(s, dir)
+
+  /** events.value (2-decimal double) as exact integer cents. */
+  private def centsCol = expr("CAST(round(value * 100) AS BIGINT)")
+
+  // ---- oracle SQL builders (DuckDB dialect) -----------------------------------
+  /** Exact integer bucket arithmetic, identical to TsAgg.bucketStartExpr. */
+  private def bucketSql(t0: Long, ivMs: Long, tsExpr: String): String =
+    s"$t0 + (($tsExpr - $t0) - ($tsExpr - $t0) % $ivMs)"
+
+  private def tsAggSql(aggSelect: String, t0: Long, endMs: Long, ivMs: Long,
+                       table: String = "events", tsExpr: String = "epoch_ms(ts)",
+                       extraKey: String = ""): String = {
+    val b = bucketSql(t0, ivMs, tsExpr)
+    val keySel = if (extraKey.isEmpty) "" else s"$extraKey, "
+    val keyGrp = if (extraKey.isEmpty) "1" else s"1, 2"
+    s"SELECT $keySel$b AS bucket_start, $aggSelect FROM $table " +
+      s"WHERE $tsExpr >= $t0 AND $tsExpr < $endMs GROUP BY $keyGrp ORDER BY $keyGrp"
+  }
+
+  // ---- specs ------------------------------------------------------------------
+  private val spec900 = TsAggSpec(900, TimeMode.CellTs(T0_EVENTS, T0_EVENTS + 7 * DAY))
+  private val specTrailing = TsAggSpec(900, TimeMode.KeyEmbedded(T0_ODD, T0_ODD + 7200 * MS))
+  private val spec8h = TsAggSpec(28800, TimeMode.CellTs(T0_EVENTS, T0_EVENTS + 30 * DAY))
+  private val specDaily = TsAggSpec(86400, TimeMode.CellTs(T0_EVENTS, T0_EVENTS + 30 * DAY))
+  private val specLineDaily = TsAggSpec(86400, TimeMode.CellTs(T0_LINEITEM, T1_LINEITEM),
+    tsCol = "l_shipdate", valueCol = "price_cents")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("ts_avg_900")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/M1 — tumbling MAX, cell-ts mode (SURVEY §2.1 A1)
+    "ts_max_900" -> ((s, d) => TsAgg.max(events(s, d), spec900)),
+    // A2/M2 — tumbling MIN
+    "ts_min_900" -> ((s, d) => TsAgg.min(events(s, d), spec900)),
+    // A4 — tumbling COUNT of cells (closes the reference's missing-client-API gap)
+    "ts_count_900" -> ((s, d) => TsAgg.count(events(s, d), spec900)),
+    // A3/M3 — tumbling SUM on exact cents
+    "ts_sum_900" -> ((s, d) =>
+      TsAgg.sum(events(s, d).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"))),
+    // A5/M4/M5 — AVG = global sum / global count (SURVEY §2.3 #6), cents-exact
+    "ts_avg_900" -> ((s, d) =>
+      TsAgg.aggregate(events(s, d).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"),
+        Seq((sum(col("value_cents")).cast("double") / count(lit(1)) / lit(100.0))
+          .as("avg_value")))),
+    // W1 key-mode trailing bucket + odd alignment (SURVEY §2.3 #2-3): 9 buckets
+    "ts_max_trailing_900" -> ((s, d) => TsAgg.max(events(s, d), specTrailing)),
+    // 8h buckets over the full month
+    "ts_avg_28800" -> ((s, d) =>
+      TsAgg.aggregate(events(s, d).withColumn("value_cents", centsCol),
+        spec8h.copy(valueCol = "value_cents"),
+        Seq((sum(col("value_cents")).cast("double") / count(lit(1)) / lit(100.0))
+          .as("avg_value")))),
+    // series-grouped variant (strict superset of the reference's whole-scan agg)
+    "ts_count_by_type_900" -> ((s, d) =>
+      TsAgg.count(events(s, d), spec900.copy(seriesCols = Seq("event_type")))),
+    // README.md:31-32 planned weighted-average, on lineitem daily buckets
+    "ts_wavg_daily_lineitem" -> ((s, d) =>
+      TsAgg.aggregate(
+        lineitem(s, d)
+          .withColumn("price_cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .withColumn("qty", expr("CAST(round(l_quantity) AS BIGINT)")),
+        specLineDaily,
+        Seq((sum(col("price_cents") * col("qty")).cast("double") / sum(col("qty")) / lit(100.0))
+          .as("wavg_value")))),
+    // README.md:33-34 planned diff: daily sum delta vs previous bucket
+    "ts_diff_daily" -> ((s, d) =>
+      TsAgg.diff(events(s, d).withColumn("value_cents", centsCol),
+        specDaily.copy(valueCol = "value_cents"))
+        .withColumnRenamed("sum_value", "sum_value")
+    ),
+    // P1/P2 key-embedded mode end-to-end: synthesize the reference's rowkey
+    // layout ("testRow" + int32-BE epoch-seconds, qualifier offset 0) from ts,
+    // then extract it back through the mask and aggregate (SURVEY §1.2 mode 1)
+    "rowkey_max_900" -> { (s, d) =>
+      val mask = "00000001111"
+      val ev = events(s, d)
+      val secMs = unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(1000L))
+      val keyed = ev
+        .withColumn("key",
+          concat(lit("testRow".getBytes("UTF-8")), RowKeys.int32BE((secMs / 1000L).cast("long"))))
+        .withColumn("ts_ms", RowKeys.keyMillis(col("key"), mask, lit(0)))
+      TsAgg.max(keyed, spec900.copy(tsCol = "ts_ms"))
+    }
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = {
+    val cents = "CAST(round(value * 100) AS BIGINT)"
+    val e900 = T0_EVENTS + 7 * DAY
+    Map(
+      "ts_max_900" -> tsAggSql("max(value) AS max_value", T0_EVENTS, e900, 900 * MS),
+      "ts_min_900" -> tsAggSql("min(value) AS min_value", T0_EVENTS, e900, 900 * MS),
+      "ts_count_900" -> tsAggSql("count(*) AS count_value", T0_EVENTS, e900, 900 * MS),
+      "ts_sum_900" -> tsAggSql(s"sum($cents) AS sum_value", T0_EVENTS, e900, 900 * MS),
+      "ts_avg_900" -> tsAggSql(
+        s"CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
+        T0_EVENTS, e900, 900 * MS),
+      "ts_max_trailing_900" -> tsAggSql("max(value) AS max_value",
+        T0_ODD, specTrailing.scanEndMs, 900 * MS),
+      "ts_avg_28800" -> tsAggSql(
+        s"CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
+        T0_EVENTS, T0_EVENTS + 30 * DAY, 28800 * MS),
+      "ts_count_by_type_900" -> tsAggSql("count(*) AS count_value",
+        T0_EVENTS, e900, 900 * MS, extraKey = "event_type"),
+      "ts_wavg_daily_lineitem" -> tsAggSql(
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)" +
+          " / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS wavg_value",
+        T0_LINEITEM, T1_LINEITEM, DAY, table = "lineitem", tsExpr = "epoch_ms(l_shipdate)"),
+      "ts_diff_daily" -> {
+        val inner = tsAggSql(s"sum($cents) AS sum_value", T0_EVENTS, T0_EVENTS + 30 * DAY, DAY)
+        s"SELECT bucket_start, sum_value, sum_value - lag(sum_value) OVER (ORDER BY bucket_start) AS diff_value " +
+          s"FROM ($inner) ORDER BY bucket_start"
+      },
+      "rowkey_max_900" -> tsAggSql("max(value) AS max_value", T0_EVENTS, e900, 900 * MS,
+        tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)")
+    )
+  }
 }

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/**
+ * Time-derivation mode for a tumbling-bucket aggregation.
+ *
+ * The reference engine (juwi/HBase-TAggregator) selects between two mutually
+ * exclusive timestamp sources per request (SURVEY §1.2; reference
+ * `AggregationBuilder.java:82-86`, `TimeseriesAggregateImplementation.java:147-152`):
+ *
+ *  - [[TimeMode.KeyEmbedded]] — the logical time is embedded in the rowkey
+ *    (big-endian epoch-seconds int) plus a per-sample qualifier offset. The
+ *    reference pre-generates the bucket list with a do/while that adds a bucket
+ *    and *then* tests the bound (`TimeseriesAggregateImplementation.java:107-110`),
+ *    so one trailing bucket starting exactly at `t1` is included and aggregates
+ *    data past `t1` (SURVEY §2.3 #3).
+ *  - [[TimeMode.CellTs]] — the cell version timestamp is the logical time and the
+ *    scan's TimeRange cuts hard at `t1` (exclusive).
+ *
+ * All bounds are epoch **milliseconds** (the reference's native unit:
+ * `AggregationBuilder.java:97-100`).
+ */
+sealed trait TimeMode {
+  def t0Ms: Long
+  def t1Ms: Long
+}
+object TimeMode {
+  /** Cell-timestamp mode: half-open scan range `[t0, t1)`. */
+  final case class CellTs(t0Ms: Long, t1Ms: Long) extends TimeMode
+
+  /**
+   * Key-embedded mode: buckets are generated from `t0` until the bucket *start*
+   * exceeds `t1`, so the effective data range is `[t0, bucketStart(t1) + interval)`.
+   */
+  final case class KeyEmbedded(t0Ms: Long, t1Ms: Long) extends TimeMode
+}
+
+/**
+ * Specification of one tumbling-bucket aggregation, mirroring the reference's
+ * request proto (interval + time range + mode; `TimeseriesAggregate.proto:24-42`)
+ * re-expressed over a columnar DataFrame (SURVEY §1.5 mapping).
+ *
+ * @param intervalSec bucket width in seconds (`time_interval_seconds`, proto:34)
+ * @param mode        timestamp source + range (SURVEY §1.2)
+ * @param tsCol       event-time column: TimestampType, or LongType epoch millis
+ * @param valueCol    value column (already decoded; see [[graft.functions.Decoders]]
+ *                    for the ColumnInterpreter-equivalent plug point)
+ * @param seriesCols  optional extra grouping keys (strict superset of the
+ *                    reference, which always aggregates the whole scan)
+ *
+ * Validation is eager and hard (SURVEY §2.3 #8 — the reference throws
+ * IOException on `start >= stop` and we make its silent mask-mismatch path a
+ * hard error too, in [[graft.functions.RowKeys]]).
+ */
+final case class TsAggSpec(
+    intervalSec: Long,
+    mode: TimeMode,
+    tsCol: String = "ts",
+    valueCol: String = "value",
+    seriesCols: Seq[String] = Nil) {
+  require(intervalSec > 0, s"intervalSec must be positive, got $intervalSec")
+  require(
+    mode.t0Ms < mode.t1Ms,
+    s"time range start (${mode.t0Ms}) must be < end (${mode.t1Ms})") // ref client :575-581
+
+  def intervalMs: Long = intervalSec * 1000L
+
+  /** Start of the bucket containing `tMs` (alignment to `t0`, not epoch — SURVEY §2.3 #2). */
+  def bucketStartOf(tMs: Long): Long = {
+    val d = tMs - mode.t0Ms
+    mode.t0Ms + (d - Math.floorMod(d, intervalMs))
+  }
+
+  /**
+   * Exclusive upper bound of the data actually aggregated.
+   * Key mode includes the trailing bucket that *starts* at `t1`
+   * (`TimeseriesAggregateImplementation.java:107-110`); cell-ts mode cuts at `t1`.
+   */
+  def scanEndMs: Long = mode match {
+    case TimeMode.CellTs(_, t1)      => t1
+    case TimeMode.KeyEmbedded(_, t1) => bucketStartOf(t1) + intervalMs
+  }
+}
+
+/**
+ * Tumbling-interval time-bucket aggregation — the reference engine's entire
+ * query surface (`max`/`min`/`sum`/`avg` client methods at
+ * `TimeseriesAggregationClient.java:129,229,329,522` plus the server-only
+ * `GetCount` RPC, `TimeseriesAggregate.proto:73`), re-expressed as one
+ * declarative Spark plan per query:
+ *
+ * {{{ scan → filter(ts bounds) → project(bucket_start) → groupBy(bucket).agg → orderBy }}}
+ *
+ * Catalyst turns this into exactly the reference's physical shape at any scale:
+ * Parquet scan with the ts-range predicate pushed into row-group pruning, a
+ * partial `HashAggregateExec` per partition (≈ per-RegionServer coprocessor agg),
+ * one shuffle keyed by bucket (≈ the RPC gather), and a final `HashAggregateExec`
+ * (≈ the client-side merge callbacks, `TimeseriesAggregationClient.java:160-508`).
+ * With W buckets the shuffle carries O(partitions × W) pre-aggregated rows, never
+ * raw cells, so the plan survives a 100 TB scan unchanged. Empty buckets are
+ * naturally omitted (SURVEY §2.3 #4) because bucket keys only exist where cells do.
+ */
+object TsAgg {
+
+  /** `tsCol` normalized to epoch-millis Long regardless of column type. */
+  private def tsMillis(df: DataFrame, spec: TsAggSpec): Column =
+    df.schema(spec.tsCol).dataType match {
+      case TimestampType => unix_millis(col(spec.tsCol))
+      case LongType      => col(spec.tsCol)
+      case other =>
+        throw new IllegalArgumentException(
+          s"tsCol '${spec.tsCol}' must be TimestampType or LongType epoch millis, got $other")
+    }
+
+  /**
+   * Bucket-start expression: `t0 + (d - d mod iv)` with `d = tsMs - t0`.
+   * Pure long arithmetic (no floating-point division) so the result is exact at
+   * any epoch value — `floor(x / iv)` via doubles can be off by one ulp.
+   */
+  def bucketStartExpr(tsMs: Column, t0Ms: Long, intervalMs: Long): Column = {
+    val d = tsMs - lit(t0Ms)
+    (lit(t0Ms) + (d - pmod(d, lit(intervalMs)))).as("bucket_start")
+  }
+
+  /** Filter + bucket projection shared by every aggregate. */
+  def withBuckets(df: DataFrame, spec: TsAggSpec): DataFrame = {
+    val ts = tsMillis(df, spec)
+    df.filter(ts >= lit(spec.mode.t0Ms) && ts < lit(spec.scanEndMs))
+      .withColumn("bucket_start", bucketStartExpr(ts, spec.mode.t0Ms, spec.intervalMs))
+  }
+
+  /**
+   * Generic entry: apply any aggregate expressions per (series, bucket).
+   * This is the engine's UDAF extension surface (reference `Aggregator`
+   * interface, `common/aggregation/Aggregator.java:16-23`): callers pass
+   * Catalyst aggregate Columns, so plug-in aggregations stay codegen'd instead
+   * of reflectively instantiated.
+   */
+  def aggregate(df: DataFrame, spec: TsAggSpec, aggExprs: Seq[Column]): DataFrame = {
+    val keys = (spec.seriesCols :+ "bucket_start").map(col)
+    withBuckets(df, spec)
+      .groupBy(keys: _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .orderBy(keys: _*) // sorted output, ref ConcurrentSkipListMap (O1)
+  }
+
+  private def v(spec: TsAggSpec): Column = col(spec.valueCol)
+
+  /** Per-bucket MAX (A1+M1). Null values never win: Spark `max` skips nulls, matching `Max.java:33`. */
+  def max(df: DataFrame, spec: TsAggSpec): DataFrame =
+    aggregate(df, spec, Seq(functions.max(v(spec)).as("max_value")))
+
+  /** Per-bucket MIN (A2+M2). */
+  def min(df: DataFrame, spec: TsAggSpec): DataFrame =
+    aggregate(df, spec, Seq(functions.min(v(spec)).as("min_value")))
+
+  /** Per-bucket SUM (A3+M3). Nulls skipped (`Sum.java:35`); empty buckets absent, not 0. */
+  def sum(df: DataFrame, spec: TsAggSpec): DataFrame =
+    aggregate(df, spec, Seq(functions.sum(v(spec)).as("sum_value")))
+
+  /**
+   * Per-bucket COUNT of cells (A4): the reference counts every in-range cell,
+   * null value or not (`Count.java:29-33` never decodes the value), and counts
+   * samples, not rows (SURVEY §2.3 #5) — hence `count(*)`, not `count(value)`.
+   */
+  def count(df: DataFrame, spec: TsAggSpec): DataFrame =
+    aggregate(df, spec, Seq(functions.count(lit(1)).as("count_value")))
+
+  /**
+   * Per-bucket AVG (A5+M4+M5): always Double, computed as global sum / global
+   * count across partitions — not avg-of-partial-avgs
+   * (`TimeseriesAggregationClient.java:428-434,547-557`). Spark's `avg` keeps
+   * exactly the reference's (sum, count) partial pair.
+   */
+  def avg(df: DataFrame, spec: TsAggSpec): DataFrame =
+    aggregate(df, spec, Seq(functions.avg(v(spec)).as("avg_value")))
+
+  /**
+   * Per-bucket weighted average — README's planned-but-unimplemented operator
+   * (`README.md:31-32`): `sum(value*weight) / sum(weight)`, one pass, one shuffle.
+   */
+  def weightedAvg(df: DataFrame, spec: TsAggSpec, weightCol: String): DataFrame =
+    aggregate(
+      df,
+      spec,
+      Seq((functions.sum(v(spec) * col(weightCol)) / functions.sum(col(weightCol)))
+        .as("wavg_value")))
+
+  /**
+   * Per-bucket difference vs the previous bucket — README's planned `diff`
+   * operator (`README.md:33-34`): SUM per bucket, then `value - lag(value)`
+   * over bucket order. The window runs on post-aggregate rows (O(#buckets),
+   * not O(cells)), partitioned by series so no single-partition bottleneck
+   * when series keys are present.
+   */
+  def diff(df: DataFrame, spec: TsAggSpec): DataFrame = {
+    val summed = aggregate(df, spec, Seq(functions.sum(v(spec)).as("sum_value")))
+    val w =
+      if (spec.seriesCols.isEmpty) Window.orderBy(col("bucket_start"))
+      else Window.partitionBy(spec.seriesCols.map(col): _*).orderBy(col("bucket_start"))
+    summed
+      .withColumn("diff_value", col("sum_value") - lag(col("sum_value"), 1).over(w))
+      .orderBy((spec.seriesCols :+ "bucket_start").map(col): _*)
+  }
+
+  /**
+   * Collect a single-series result to the reference's client return shape,
+   * `SortedMap[bucketStartMillis, value]` (`TimeseriesAggregationClient.java:129-131`).
+   * API-edge only — never used inside a plan.
+   */
+  def toSortedMap[V](result: DataFrame): scala.collection.SortedMap[Long, V] = {
+    val rows = result.collect()
+    scala.collection.immutable.TreeMap.from(rows.map(r => r.getLong(0) -> r.get(1).asInstanceOf[V]))
+  }
+}

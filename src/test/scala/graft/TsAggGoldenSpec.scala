@@ -1,0 +1,203 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RowKeys
+import graft.operators.{TimeMode, TsAgg, TsAggSpec}
+
+/** Shared local session for all suites. */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/**
+ * Port of the reference's golden fixture + expectations
+ * (`TestTimeseriesAggregateProtocol.java` — the repo's only test file, SURVEY §5):
+ * 100 rows, one per hour from 2014-11-10T00:00Z; rowkey = "testRow" + int32-BE
+ * epoch-seconds (mask "00000001111"); 100 qualifiers per row at offset-seconds
+ * {0,36,…,3564} with values 0..99; cell ts mirrors rowkey+offset (:84-86,110-128).
+ * Every 900 s bucket therefore holds 25 samples: max cycles 24/49/74/99,
+ * min 0/25/50/75, sum 300/925/1550/2175, avg 12/37/62/87 (:149-161 etc.).
+ */
+object RefFixture {
+  val Mask = "00000001111"
+  val BaseSec: Long = Instant.parse("2014-11-10T00:00:00Z").getEpochSecond // 1415577600
+  val BaseMs: Long = BaseSec * 1000L
+
+  case class Cell(key: Array[Byte], offset_s: Int, ts: Long, value: Long)
+
+  private def int32BE(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val prefix = "testRow".getBytes("UTF-8")
+    val cells = for {
+      row <- 0 until 100
+      q <- 0 until 100
+    } yield {
+      val rowSec = BaseSec + row * 3600L
+      val off = q * 36
+      Cell(prefix ++ int32BE(rowSec.toInt), off, (rowSec + off) * 1000L, q.toLong)
+    }
+    // ≥3 partitions to genuinely exercise partial/final merge like the
+    // reference's 3-region split (TestTimeseriesAggregateProtocol.java:73-75)
+    cells.toDF().repartition(5)
+  }
+}
+
+class TsAggGoldenSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  lazy val fixture: DataFrame = RefFixture.df(spark).cache()
+
+  import RefFixture.{BaseMs, Mask}
+  private val H = 3600000L
+
+  private def collectMap(df: DataFrame): Map[Long, Any] =
+    df.collect().map(r => r.getLong(r.fieldIndex("bucket_start")) -> r.get(1)).toMap
+
+  // --- reference test: 2h range, 900s interval, key-embedded mode → 9 buckets
+  // (TestTimeseriesAggregateProtocol.java:149-161; trailing bucket SURVEY §2.3 #3)
+  test("key mode 2h/900s MAX: 9 buckets, trailing inclusive, cycle 24/49/74/99") {
+    val spec = TsAggSpec(900, TimeMode.KeyEmbedded(BaseMs, BaseMs + 2 * H))
+    val got = collectMap(TsAgg.max(fixture, spec))
+    val exp = (0 until 9).map { k =>
+      (BaseMs + k * 900000L) -> (24L + (k % 4) * 25L)
+    }.toMap
+    assert(got == exp)
+  }
+
+  // --- same range, cell-ts (scanner) mode → 8 buckets, cut at t1
+  // (TestTimeseriesAggregateProtocol.java:285-307)
+  test("cell-ts mode 2h/900s MAX: 8 buckets, hard cut at t1") {
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 2 * H))
+    val got = collectMap(TsAgg.max(fixture, spec))
+    assert(got.size == 8)
+    assert(got.keySet == (0 until 8).map(k => BaseMs + k * 900000L).toSet)
+  }
+
+  // --- alignment to time_min, not epoch: 02:15 start → buckets at :15/:30/:45/:00
+  // (TestTimeseriesAggregateProtocol.java:199-224; SURVEY §2.3 #2)
+  test("odd 02:15 start aligns buckets to t0: cycle 49/74/99/24") {
+    val t0 = BaseMs + 2 * H + 15 * 60000L
+    val spec = TsAggSpec(900, TimeMode.KeyEmbedded(t0, t0 + 2 * H))
+    val got = collectMap(TsAgg.max(fixture, spec))
+    val cycle = Seq(49L, 74L, 99L, 24L)
+    val exp = (0 until 9).map(k => (t0 + k * 900000L) -> cycle(k % 4)).toMap
+    assert(got == exp)
+  }
+
+  // --- range starting before the data: empty leading buckets omitted
+  // (TestTimeseriesAggregateProtocol.java:226-252; SURVEY §2.3 #4)
+  test("range starting 23:00 prior day emits no empty leading buckets") {
+    val t0 = BaseMs - H
+    val spec = TsAggSpec(900, TimeMode.KeyEmbedded(t0, t0 + 3 * H))
+    val got = collectMap(TsAgg.max(fixture, spec))
+    assert(got.keys.min == BaseMs) // first emitted bucket = first with data
+    assert(!got.keySet.exists(_ < BaseMs))
+  }
+
+  // --- MIN / SUM / COUNT / AVG goldens over one hour of 900s buckets
+  // (TestTimeseriesAggregateProtocol.java:328-341,483-496,638-651; SURVEY §2.3 #5-6)
+  test("min/sum/count/avg goldens: 625q+300 sums, 25-cell counts, exact avgs") {
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + H))
+    assert(collectMap(TsAgg.min(fixture, spec)) ==
+      Map(BaseMs -> 0L, (BaseMs + 900000L) -> 25L, (BaseMs + 1800000L) -> 50L, (BaseMs + 2700000L) -> 75L))
+    assert(collectMap(TsAgg.sum(fixture, spec)) ==
+      Map(BaseMs -> 300L, (BaseMs + 900000L) -> 925L, (BaseMs + 1800000L) -> 1550L, (BaseMs + 2700000L) -> 2175L))
+    assert(collectMap(TsAgg.count(fixture, spec)).values.toSeq == Seq.fill(4)(25L))
+    assert(collectMap(TsAgg.avg(fixture, spec)) ==
+      Map(BaseMs -> 12.0, (BaseMs + 900000L) -> 37.0, (BaseMs + 1800000L) -> 62.0, (BaseMs + 2700000L) -> 87.0))
+  }
+
+  // --- 28800s buckets over 4 days (TestTimeseriesAggregateProtocol.java:176-188)
+  test("28800s buckets: max 99, min 0, sum 39600, avg 49.5") {
+    // key mode so the trailing bucket (start == t1) captures hours 96..99,
+    // mirroring the reference's range-larger-than-table golden (:600-613)
+    val spec = TsAggSpec(28800, TimeMode.KeyEmbedded(BaseMs, BaseMs + 4 * 24 * H))
+    val sums = collectMap(TsAgg.sum(fixture, spec))
+    // 100 hourly rows → buckets 0..11 full (8h × 4950 = 39600), trailing bucket
+    // at t1 holds hours 96..99 only
+    assert(sums(BaseMs) == 39600L)
+    assert(collectMap(TsAgg.max(fixture, spec))(BaseMs) == 99L)
+    assert(collectMap(TsAgg.min(fixture, spec))(BaseMs) == 0L)
+    assert(collectMap(TsAgg.avg(fixture, spec))(BaseMs) == 49.5)
+    assert(sums(BaseMs + 12 * 28800000L) == 4 * 4950L) // partial trailing data
+  }
+
+  // --- key-embedded extraction roundtrip (P1/P2, AggregationBuilder.java:84-115)
+  test("rowkey mask extraction reproduces the cell timestamp exactly") {
+    val extracted = fixture
+      .withColumn("ts_ms", RowKeys.keyMillis(col("key"), Mask, col("offset_s")))
+      .filter(col("ts_ms") =!= col("ts"))
+    assert(extracted.count() == 0)
+    val series = fixture.select(RowKeys.seriesPrefix(col("key"), Mask).cast("string")).distinct().collect()
+    assert(series.map(_.getString(0)).toSeq == Seq("testRow"))
+  }
+
+  // --- hard validation errors (SURVEY §2.3 #8)
+  test("malformed specs and masks fail eagerly") {
+    intercept[IllegalArgumentException](TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs)))
+    intercept[IllegalArgumentException](TsAggSpec(0, TimeMode.CellTs(0, 1)))
+    intercept[IllegalArgumentException](RowKeys.parseMask("0000"))      // no 1s
+    intercept[IllegalArgumentException](RowKeys.parseMask("0101"))      // non-contiguous
+    intercept[IllegalArgumentException](RowKeys.parseMask("0111"))      // not 4 bytes
+    intercept[IllegalArgumentException](RowKeys.parseMask("002100"))    // bad chars
+  }
+
+  // --- key length mismatch is a hard runtime error, not silent ts=0
+  // (reference logs + buckets at 0: AggregationBuilder.java:104-108)
+  test("rowkey length mismatch raises instead of mis-bucketing") {
+    import spark.implicits._
+    val bad = Seq(("short".getBytes("UTF-8"), 0)).toDF("key", "offset_s")
+    val ex = intercept[Exception] {
+      bad.select(RowKeys.keyMillis(col("key"), Mask, col("offset_s"))).collect()
+    }
+    assert(ex.getMessage.contains("rowkey length"))
+  }
+
+  // --- null semantics (SURVEY §2.3 #7): SUM skips nulls, COUNT counts cells
+  test("null handling: sum skips nulls, count counts all cells, max ignores nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (BaseMs + 100L, Some(5L)), (BaseMs + 200L, None), (BaseMs + 300L, Some(7L)),
+      (BaseMs + 900300L, None) // all-null bucket
+    ).toDF("ts", "value")
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 1800000L))
+    assert(collectMap(TsAgg.sum(df, spec))(BaseMs) == 12L)
+    assert(collectMap(TsAgg.count(df, spec)) == Map(BaseMs -> 3L, (BaseMs + 900000L) -> 1L))
+    assert(collectMap(TsAgg.max(df, spec))(BaseMs) == 7L)
+    // all-null bucket: aggregate value is null (defined behavior; the reference
+    // would NPE in wrapForTransport — untested/undefined there)
+    assert(collectMap(TsAgg.sum(df, spec))(BaseMs + 900000L) == null)
+  }
+
+  // --- weighted avg + diff (README.md:31-34 planned ops)
+  test("weightedAvg and diff") {
+    import spark.implicits._
+    val df = Seq(
+      (BaseMs + 1L, 10.0, 1.0), (BaseMs + 2L, 20.0, 3.0),
+      (BaseMs + 900001L, 50.0, 2.0)
+    ).toDF("ts", "value", "w")
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 1800000L))
+    val wavg = collectMap(TsAgg.weightedAvg(df, spec, "w"))
+    assert(wavg(BaseMs) == (10.0 + 60.0) / 4.0)
+    assert(wavg(BaseMs + 900000L) == 50.0)
+    val diffRows = TsAgg.diff(df.withColumn("value", col("value").cast("long")), spec).collect()
+    assert(diffRows.map(r => Option(r.get(r.fieldIndex("diff_value")))).toSeq == Seq(None, Some(20L)))
+  }
+}
