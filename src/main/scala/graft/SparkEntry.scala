@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TimeMode, TsAgg, TsAggSpec}
+import graft.operators.{Dedup, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
 import graft.functions.RowKeys
 
 /**
@@ -32,6 +32,10 @@ object SparkEntry {
     graft.sources.Tables.events(s, dir)
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.lineitem(s, dir)
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(s, dir)
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.embeddings(s, dir)
 
   /** events.value (2-decimal double) as exact integer cents. */
   private def centsCol = expr("CAST(round(value * 100) AS BIGINT)")
@@ -119,6 +123,34 @@ object SparkEntry {
           concat(lit("testRow".getBytes("UTF-8")), RowKeys.int32BE((secMs / 1000L).cast("long"))))
         .withColumn("ts_ms", RowKeys.keyMillis(col("key"), mask, lit(0)))
       TsAgg.max(keyed, spec900.copy(tsCol = "ts_ms"))
+    },
+
+    // ---- scale ops: text analysis over `documents` --------------------------
+    "text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(documents(s, d)).orderBy("doc_id")),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityMetrics(documents(s, d)).orderBy("doc_id")),
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.languageId(documents(s, d)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) => // rows-only: xxhash64 not expressible in DuckDB
+      TextAnalysis.fingerprints(documents(s, d)).orderBy("doc_id")),
+
+    // ---- scale ops: deduplication -------------------------------------------
+    "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d)).orderBy("text_hash")),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    "dedup_minhash" -> ((s, d) => // rows-only: seeded permutations not portable
+      Dedup.minhashNearDup(documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(documents(s, d))),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(embeddings(s, d))),
+
+    // ---- scale ops: similarity search over `embeddings` ---------------------
+    "ann_topk_dot" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.topKDot(e, e.filter(col("vec_id") < 10), k = 5)
+    },
+    "ann_topk_cosine_lsh" -> { (s, d) => // rows-only: approximate by design
+      val e = embeddings(s, d)
+      Similarity.annCosineLsh(e, e.filter(col("vec_id") < 10), k = 5, dim = 64)
     }
   )
 
@@ -152,7 +184,74 @@ object SparkEntry {
           s"FROM ($inner) ORDER BY bucket_start"
       },
       "rowkey_max_900" -> tsAggSql("max(value) AS max_value", T0_EVENTS, e900, 900 * MS,
-        tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)")
+        tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)"),
+
+      // ---- text analysis ----
+      "text_tokens" ->
+        ("SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_ws_tokens, " +
+          "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe_tokens " +
+          "FROM documents ORDER BY doc_id"),
+      "text_quality" ->
+        ("SELECT doc_id, length(text) AS n_chars, " +
+          "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens, " +
+          "length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct, " +
+          "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, " +
+          "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, " +
+          s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN (${sqlList(graft.functions.TextFunctions.StopEn)}))) AS n_stopwords " +
+          "FROM documents ORDER BY doc_id"),
+      "text_langid" -> {
+        import graft.functions.TextFunctions._
+        s"""WITH c AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+           |v AS (SELECT doc_id, text,
+           |  len(list_filter(toks, x -> x IN (${sqlList(StopEn)}))) AS en,
+           |  len(list_filter(toks, x -> x IN (${sqlList(StopFr)}))) AS fr,
+           |  len(list_filter(toks, x -> x IN (${sqlList(StopEs)}))) AS es,
+           |  len(list_filter(toks, x -> x IN (${sqlList(StopDe)}))) AS de FROM c)
+           |SELECT doc_id, CASE
+           |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |  WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+           |  WHEN fr >= es AND fr >= de THEN 'fr'
+           |  WHEN es >= de THEN 'es'
+           |  ELSE 'de' END AS pred_lang
+           |FROM v ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
+
+      // ---- dedup ----
+      "dedup_exact" ->
+        ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups " +
+          "FROM documents GROUP BY 1 ORDER BY 1"),
+      "dedup_ngram_jaccard" ->
+        """WITH t AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents) WHERE len(toks) >= 3),
+          |e AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM t)
+          |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter, a.n + b.n - count(*) AS n_union
+          |FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+          |GROUP BY a.id, b.id, a.n, b.n
+          |HAVING count(*) * 2 >= 1 * (a.n + b.n - count(*))
+          |ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+      "dedup_embedding" ->
+        """WITH n AS (SELECT vec_id AS id, qv, list_sum(list_transform(qv, x -> x*x)) AS n2
+          |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings))
+          |SELECT id_a, id_b, dot FROM (
+          |  SELECT a.id AS id_a, b.id AS id_b,
+          |    list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS dot,
+          |    a.n2 AS n2a, b.n2 AS n2b
+          |  FROM n a JOIN n b ON a.id < b.id)
+          |WHERE dot > 0 AND dot*dot*400 >= 81 * n2a * n2b ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+      // ---- similarity search ----
+      "ann_topk_dot" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q FROM embeddings),
+          |qs AS (SELECT vec_id AS qid, q AS qv FROM v WHERE vec_id < 10),
+          |scored AS (SELECT qid, v.vec_id AS nid, list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v.q[i])) AS dot_q
+          |  FROM qs, v WHERE v.vec_id <> qid)
+          |SELECT qid, nid, dot_q, rank FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
+          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin.replace("\n", " ")
     )
   }
+
+  /** Render a stopword list as a SQL IN-list. */
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
 }

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for large-scale corpus processing (the
+ * training-data-pipeline surface layered on top of the reference's engine —
+ * BASELINE.json north star). Everything is built from codegen-able built-ins
+ * and Catalyst higher-order functions: no Scala UDFs, so the plan stays
+ * serializable, null-safe, and executor-local at any scale.
+ *
+ * Conventions shared with the DuckDB oracle (tools/oracle_check.py):
+ * tokens = `split(lower(trim(text)), "\s+")`; shingles are distinct
+ * space-joined 3-grams; all derived counts are exact integers.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** BPE-ish subword proxy: alpha runs, single digits, and punctuation marks. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Distinct word n-gram shingles; caller must filter size(tokens) >= n. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  /**
+   * 31-bit token hash for MinHash permutation input. ANSI mode (Spark 4
+   * default) makes Long overflow an error rather than a wrap, so permutations
+   * `(a*x + b) mod P` keep `x < 2^31` and `a,b < P`: products stay < 2^62.
+   */
+  val MersenneP = 2147483647L // 2^31 - 1
+  def hash31(c: Column): Column = pmod(xxhash64(c), lit(MersenneP))
+
+  /** Deterministic permutation parameters for MinHash (seeded, plan-time). */
+  def permutations(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numHashes)((r.nextLong(MersenneP - 1) + 1, r.nextLong(MersenneP)))
+  }
+
+  /**
+   * MinHash signature: for each permutation i, `min over shingles of
+   * (a_i * h31(shingle) + b_i) mod P`. One array column, no shuffle.
+   */
+  def minhashSignature(shingleCol: Column, perms: Seq[(Long, Long)]): Column = {
+    val hashes = transform(shingleCol, s => hash31(s))
+    array(perms.map { case (a, b) =>
+      array_min(transform(hashes, x => pmod(x * lit(a) + lit(b), lit(MersenneP))))
+    }: _*)
+  }
+
+  /** Estimated Jaccard = fraction of equal signature positions. */
+  def minhashSimilarity(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
+
+  /**
+   * 64-bit SimHash represented as a 64-length 0/1 array (bit b of each token's
+   * xxhash64 votes ±1; bit set iff the vote sum is non-negative). The array
+   * form keeps banding (16-bit chunks) and Hamming distance in exact, overflow-
+   * free integer arithmetic under ANSI mode.
+   */
+  def simhashBits(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    transform(sequence(lit(0), lit(63)), b =>
+      when(
+        aggregate(hashes, lit(0L), (acc, h) => acc + getbit(h, b) * 2L - 1L) >= 0L,
+        1L).otherwise(0L))
+  }
+
+  /** Pack 16 bits of a SimHash into one integer chunk key for banding. */
+  def simhashChunk(bits: Column, chunk: Int): Column =
+    aggregate(slice(bits, chunk * 16 + 1, 16), lit(0L), (acc, b) => acc * 2L + b)
+
+  /** Hamming distance between two bit-array SimHashes. */
+  def hammingDistance(bitsA: Column, bitsB: Column): Column =
+    aggregate(zip_with(bitsA, bitsB, (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v)
+
+  /**
+   * Content-defined fingerprints: a whole-document hash plus the minimum
+   * 3-gram shingle hash (winnowing-style witness — stable under reordering of
+   * surrounding content, unlike the whole-document hash).
+   */
+  def docFingerprint(text: Column): Column = xxhash64(concat_ws(" ", tokens(text)))
+  def minShingleFingerprint(toks: Column): Column =
+    array_min(transform(shingles(toks, 3), s => xxhash64(s)))
+
+  // ---- language-ID heuristic --------------------------------------------------
+  // Stopword vote + CJK-codepoint presence. Tiny fixed lists so the identical
+  // CASE expression is writable in the DuckDB oracle.
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val StopFr = Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans")
+  val StopEs = Seq("el", "los", "las", "de", "y", "que", "en", "un", "una", "por")
+  val StopDe = Seq("der", "die", "das", "und", "von", "zu", "ein", "eine", "ist", "mit")
+
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  val CjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Deterministic precedence on ties: zh (charset) > en > fr > es > de. */
+  def langIdExpr(text: Column): Column = {
+    val toks = tokens(text)
+    val (en, fr, es, de) = (
+      stopwordCount(toks, StopEn), stopwordCount(toks, StopFr),
+      stopwordCount(toks, StopEs), stopwordCount(toks, StopDe))
+    when(length(regexp_replace(text, CjkPattern, "")) < length(text), "zh")
+      .when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Corpus deduplication — exact and near-dup — designed around one invariant:
+ * **never materialize the O(n²) pair space.** Every variant generates
+ * candidates through an equality key (hash group, LSH band, SimHash chunk) so
+ * the only wide operation is a hash shuffle on that key; exact verification
+ * runs only on candidates. That is the shape that survives 100 TB: the
+ * shuffle volume is O(n × bands), not O(n²), and hot buckets (boilerplate
+ * docs) are capped explicitly rather than discovered as stragglers.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup by content hash: one hash-aggregate (single shuffle on the
+   * 128-bit digest — collision-safe grouping key at any corpus size).
+   * Output: one row per distinct content with the kept (minimum) id and the
+   * duplicate count.
+   */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /**
+   * Exact n-gram Jaccard on shingle-blocked candidates: docs sharing at least
+   * one distinct n-gram meet in the explode-join; intersection counts come
+   * from the join's group sizes and union = |A| + |B| − |A∩B|. Emitted pairs
+   * have jaccard ≥ `threshold` (exact rational compare: i * den ≥ num * union,
+   * so no float boundary ambiguity).
+   *
+   * Scale note: this is the *verifier*. On a 100 TB corpus the shingle join is
+   * only run on MinHash candidates (see [[minhashNearDup]]); standalone it is
+   * quadratic in per-shingle frequency — hence the `maxShingleFreq` cap, which
+   * drops degenerate shingles (stop-phrase boilerplate) the same way Jaccard
+   * banding literature prunes high-frequency bands.
+   */
+  def ngramJaccard(
+      df: DataFrame,
+      n: Int = 3,
+      thresholdNum: Long = 1,
+      thresholdDen: Long = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withSh = df
+      .filter(size(toks) >= n)
+      .select(col(idCol).as("id"), shingles(toks, n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = withSh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val pruned = maxShingleFreq match {
+      case None => exploded
+      case Some(cap) =>
+        // drop shingles appearing in more than `cap` docs (boilerplate guard)
+        val freq = exploded.groupBy("s").agg(count(lit(1)).as("f")).filter(col("f") <= cap)
+        exploded.join(freq.select("s"), "s")
+    }
+    val a = pruned.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s"))
+    val b = pruned.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(
+        col("n_inter") * lit(thresholdDen) >=
+          lit(thresholdNum) * (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * MinHash + LSH near-dup detection (the 100 TB scale path):
+   * shingle → 64-hash signature (map-side, one pass) → 16 bands × 4 rows →
+   * candidates = pairs equal on at least one band key → estimated Jaccard =
+   * matching signature fraction. Probability a pair with Jaccard j becomes a
+   * candidate: 1 − (1 − j⁴)¹⁶ (≈ .99+ at j = 0.7).
+   *
+   * Shuffle cost: one explode of 16 band rows per doc + one equality join on
+   * the band key. `maxBandBucket` caps degenerate buckets before the join so a
+   * single viral band key cannot quadratically explode one reducer — the
+   * salting-free skew guard for this workload.
+   */
+  def minhashNearDup(
+      df: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      estThreshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBandBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val perms = permutations(numHashes)
+    val toks = tokens(col(textCol))
+
+    val sigs = df
+      .filter(size(toks) >= 3)
+      .select(col(idCol).as("id"),
+        minhashSignature(shingles(toks, 3), perms).as("sig"))
+
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), xxhash64(lit(j), slice(col("sig"), j * rows + 1, rows)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
+
+    // skew guard: drop band buckets larger than maxBandBucket
+    val sized = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bucket_n") <= maxBandBucket)
+
+    val a = sized.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct() // a pair may collide in several bands
+      .withColumn("est_jaccard", minhashSimilarity(col("sig_a"), col("sig_b"), numHashes))
+      .filter(col("est_jaccard") >= lit(estThreshold))
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * SimHash near-dup: 64-bit charge-accumulation hash per doc (map-side),
+   * candidates via 4 × 16-bit chunk equality (any pair within Hamming
+   * distance 3 must agree on ≥1 chunk — pigeonhole), exact Hamming verify on
+   * candidates only.
+   */
+  def simhashNearDup(
+      df: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val hashed = df
+      .filter(size(toks) >= 1)
+      .select(col(idCol).as("id"), simhashBits(toks).as("bits"))
+
+    val chunked = hashed.select(
+      col("id"), col("bits"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), simhashChunk(col("bits"), c).as("ckey"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("bits"), col("ck.chunk"), col("ck.ckey"))
+
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("bits").as("bits_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("bits").as("bits_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "bits_a", "bits_b").distinct()
+      .withColumn("hamming", hammingDistance(col("bits_a"), col("bits_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * Embedding near-dup by cosine, decided in exact integer arithmetic:
+   * vectors quantized to round(x·1000), pair kept iff
+   * `den² · dot² ≥ num² · |a|² · |b|²` and `dot > 0` — i.e. cosine ≥ num/den
+   * with zero float-boundary ambiguity (quantities stay < 2^62 for unit-norm
+   * embeddings, ANSI-safe). Small-corpus exact form: all-pairs via self-join.
+   * The 100 TB path blocks candidates with hyperplane LSH first
+   * (see [[Similarity.cosineLshCandidates]]) and verifies with this predicate.
+   */
+  def embeddingNearDup(
+      df: DataFrame,
+      thresholdNum: Long = 9,
+      thresholdDen: Long = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = transform(col(vecCol), x => round(x.cast("double") * lit(1000)).cast("long"))
+    val quant = df.select(col(idCol).as("id"), q.as("q"))
+      .withColumn("norm2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val a = quant.select(col("id").as("id_a"), col("q").as("q_a"), col("norm2").as("n2_a"))
+    val b = quant.select(col("id").as("id_b"), col("q").as("q_b"), col("norm2").as("n2_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("q_a"), col("q_b"), (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(thresholdDen * thresholdDen) >=
+          lit(thresholdNum * thresholdNum) * col("n2_a") * col("n2_b"))
+      .select("id_a", "id_b", "dot")
+      .orderBy("id_a", "id_b")
+  }
+}

