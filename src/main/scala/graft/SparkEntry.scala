@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
 import graft.functions.RowKeys
 
 /**
@@ -151,7 +151,11 @@ object SparkEntry {
     "ann_topk_cosine_lsh" -> { (s, d) => // rows-only: approximate by design
       val e = embeddings(s, d)
       Similarity.annCosineLsh(e, e.filter(col("vec_id") < 10), k = 5, dim = 64)
-    }
+    },
+
+    // ---- scale ops: multimodal binary-column pipeline (rows-only: synthetic
+    // media payloads; decode is a documented stub — see Multimodal.MediaCodec)
+    "multimodal_features" -> ((s, _) => Multimodal.mediaPipeline(s, 1000))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
