@@ -30,6 +30,25 @@ object TextFunctions {
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
+  /** Full-width per-token hashes; materialize as a column before fanning out. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /**
+   * Distinct *hashed* n-gram shingles from a materialized token-hash array —
+   * the allocation-free fast path for dedup pipelines: building shingle
+   * strings (`concat_ws` per window position) costs ~1 ms/doc interpreted,
+   * while combining precomputed token hashes through shifted-slice `zip_with`s
+   * is pure long arithmetic. 64-bit combination keeps collisions negligible at
+   * corpus scale (birthday bound ~n²/2⁶⁵), so intersection counts agree with
+   * the string-shingle oracle.
+   */
+  def hashedShingles(th: Column, n: Int): Column = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    val width = size(th) - (n - 1)
+    val parts = (0 until n).map(j => slice(th, lit(j + 1), width))
+    array_distinct(parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y))))
+  }
+
   /**
    * 31-bit token hash for MinHash permutation input. ANSI mode (Spark 4
    * default) makes Long overflow an error rather than a wrap, so permutations

@@ -48,11 +48,20 @@ object Dedup {
       textCol: String = "text",
       maxShingleFreq: Option[Int] = None): DataFrame = {
     val toks = tokens(col(textCol))
+    // Hashed-shingle pipeline (see TextFunctions.hashedShingles): token hashes
+    // materialized once, shingles combined as 64-bit longs — the exchange
+    // carries 8-byte keys instead of ~20-char strings, the equality compare is
+    // a long compare, and no shingle strings are ever allocated. The DuckDB
+    // oracle joins the raw strings; intersection counts agree because 64-bit
+    // combination collisions are negligible (~n²/2⁶⁵).
     val withSh = df
       .filter(size(toks) >= n)
-      .select(col(idCol).as("id"), shingles(toks, n).as("sh"))
+      .select(col(idCol).as("id"), tokenHashes(toks).as("th"))
+      .select(col("id"), hashedShingles(col("th"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val exploded = withSh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val exploded = withSh
+      .select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides read it
     val pruned = maxShingleFreq match {
       case None => exploded
       case Some(cap) =>
@@ -99,29 +108,57 @@ object Dedup {
     val perms = permutations(numHashes)
     val toks = tokens(col(textCol))
 
-    val sigs = df
+    // Signature via explode + 64 partial-aggregable `min`s rather than nested
+    // higher-order functions: each shingle is hashed exactly once and the
+    // permutation arithmetic runs in whole-stage codegen. Shingles of a doc
+    // live in its partition, so map-side combine collapses the shuffle to one
+    // 64-long row per doc — the HOF formulation was 20× slower because the
+    // tokenize→shingle→hash subtree re-evaluated per permutation.
+    val shingleHashes = df
       .filter(size(toks) >= 3)
-      .select(col(idCol).as("id"),
-        minhashSignature(shingles(toks, 3), perms).as("sig"))
+      .select(col(idCol).as("id"), tokenHashes(toks).as("th"))
+      .select(col("id"), explode(hashedShingles(col("th"), 3)).as("s64"))
+      .select(col("id"), pmod(col("s64"), lit(MersenneP)).as("h")) // 31-bit for perm arithmetic
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
+    }
+    // persisted: the plan references sigs three times (banding + both
+    // candidate rejoins) and signature computation is the dominant map cost;
+    // MEMORY_AND_DISK spills gracefully at corpus scale (docs × ~0.5 KB)
+    val sigs = shingleHashes
+      .groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // The banding exchange carries only (id, band, bkey) — 24 bytes/row —
+    // never the 64-long signature; signatures rejoin only for the (few)
+    // surviving candidate pairs. At corpus scale this is the difference
+    // between shuffling 0.5 KB and 24 B per banded row.
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"), xxhash64(lit(j), slice(col("sig"), j * rows + 1, rows)).as("bkey"))
       }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
 
-    // skew guard: drop band buckets larger than maxBandBucket
-    val sized = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+    // skew guard: drop band buckets larger than maxBandBucket (groupBy+join
+    // instead of a window: no sort, and AQE can broadcast the count side)
+    val okBuckets = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBandBucket)
+      .select("band", "bkey")
+    val sized = banded.join(okBuckets, Seq("band", "bkey"))
 
-    val a = sized.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sized.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+    val a = sized.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val candidatePairs = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct() // a pair may collide in several bands
+      .select("id_a", "id_b").distinct() // a pair may collide in several bands
+
+    candidatePairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", minhashSimilarity(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= lit(estThreshold))
       .select("id_a", "id_b", "est_jaccard")
@@ -140,23 +177,43 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    val hashed = df
+    // Same explode + codegen'd aggregation shape as minhashNearDup: one
+    // xxhash64 per token, 64 partial-aggregable bit-vote sums per doc.
+    val tokenHashes = df
       .filter(size(toks) >= 1)
-      .select(col(idCol).as("id"), simhashBits(toks).as("bits"))
+      .select(col(idCol).as("id"), explode(toks).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val voteCols = (0 until 64).map(b => sum(getbit(col("h"), lit(b)) * 2L - 1L).as(s"v$b"))
+    val hashed0 = tokenHashes
+      .groupBy("id")
+      .agg(voteCols.head, voteCols.tail: _*)
 
-    val chunked = hashed.select(
-      col("id"), col("bits"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"), simhashChunk(col("bits"), c).as("ckey"))
-      }: _*)).as("ck"))
-      .select(col("id"), col("bits"), col("ck.chunk"), col("ck.ckey"))
+    // Pack the 64 bits into two 32-bit words (ANSI-safe: each < 2^32) so the
+    // per-pair Hamming distance is two codegen'd bit_count(xor) ops instead of
+    // an interpreted 64-element array fold.
+    val lo = (0 until 32).map(b => when(col(s"v$b") >= 0L, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val hi = (32 until 64).map(b => when(col(s"v$b") >= 0L, lit(1L << (b - 32))).otherwise(lit(0L))).reduce(_ + _)
+    val packed = hashed0.select(col("id"), lo.as("w_lo"), hi.as("w_hi"))
 
-    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("bits").as("bits_a"))
-    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("bits").as("bits_b"))
+    val chunked = packed.select(
+      col("id"), col("w_lo"), col("w_hi"),
+      explode(array(
+        struct(lit(0).as("chunk"), col("w_lo").bitwiseAND(lit(0xFFFFL)).as("ckey")),
+        struct(lit(1).as("chunk"), shiftright(col("w_lo"), 16).as("ckey")),
+        struct(lit(2).as("chunk"), col("w_hi").bitwiseAND(lit(0xFFFFL)).as("ckey")),
+        struct(lit(3).as("chunk"), shiftright(col("w_hi"), 16).as("ckey")))).as("ck"))
+      .select(col("id"), col("w_lo"), col("w_hi"), col("ck.chunk"), col("ck.ckey"))
+
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"),
+      col("w_lo").as("lo_a"), col("w_hi").as("hi_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"),
+      col("w_lo").as("lo_b"), col("w_hi").as("hi_b"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "bits_a", "bits_b").distinct()
-      .withColumn("hamming", hammingDistance(col("bits_a"), col("bits_b")))
+      .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
@@ -179,14 +236,14 @@ object Dedup {
       vecCol: String = "embedding"): DataFrame = {
     val q = transform(col(vecCol), x => round(x.cast("double") * lit(1000)).cast("long"))
     val quant = df.select(col(idCol).as("id"), q.as("q"))
-      .withColumn("norm2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("norm2", graft.functions.expressions.ArrayDotProduct(col("q"), col("q")))
     val a = quant.select(col("id").as("id_a"), col("q").as("q_a"), col("norm2").as("n2_a"))
     val b = quant.select(col("id").as("id_b"), col("q").as("q_b"), col("norm2").as("n2_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot",
-        aggregate(zip_with(col("q_a"), col("q_b"), (x, y) => x * y), lit(0L), (acc, v) => acc + v))
-      .filter(col("dot") > 0 &&
+        graft.functions.expressions.ArrayDotProduct(col("q_a"), col("q_b")))
+      .filter(col("dot") > lit(0L) &&
         col("dot") * col("dot") * lit(thresholdDen * thresholdDen) >=
           lit(thresholdNum * thresholdNum) * col("n2_a") * col("n2_b"))
       .select("id_a", "id_b", "dot")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.expressions.ArrayDotProduct
+
 /**
  * Similarity search over an embedding column (`Array[Float]`).
  *
@@ -19,10 +21,8 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Exact dot product in double precision via zip_with/aggregate (no UDF). */
-  def dotExpr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Exact dot product in double precision (codegen'd custom expression). */
+  def dotExpr(a: Column, b: Column): Column = ArrayDotProduct(a, b)
 
   def cosineExpr(a: Column, b: Column): Column =
     dotExpr(a, b) / (sqrt(dotExpr(a, a)) * sqrt(dotExpr(b, b)))
@@ -33,11 +33,11 @@ object Similarity {
    * arithmetic is the identical IEEE sequence the oracle runs.
    */
   def dotQExpr(a: Column, b: Column, scale: Int): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * lit(scale)).cast("long") *
-          round(y.cast("double") * lit(scale)).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    ArrayDotProduct(quantize(a, scale), quantize(b, scale))
+
+  /** Float/double array → exact integer array at `scale` (identical IEEE path to the oracle). */
+  def quantize(a: Column, scale: Int): Column =
+    transform(a, x => round(x.cast("double") * lit(scale)).cast("long"))
 
   private def topK(scored: DataFrame, k: Int, orderCols: Seq[Column]): DataFrame =
     scored
@@ -55,11 +55,13 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       scale: Int = 10000): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    // quantize each side ONCE map-side; the per-pair work is a single
+    // codegen'd integer loop
+    val c = corpus.select(col(idCol).as("nid"), quantize(col(vecCol), scale).as("cq"))
+    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol), scale).as("qq"))
     val scored = c
       .join(broadcast(q), col("qid") =!= col("nid")) // broadcast: corpus never shuffles
-      .withColumn("dot_q", dotQExpr(col("qvec"), col("cvec"), scale))
+      .withColumn("dot_q", ArrayDotProduct(col("qq"), col("cq")))
       .select("qid", "nid", "dot_q")
     topK(scored, k, Seq(col("dot_q").desc, col("nid").asc))
   }
@@ -68,11 +70,15 @@ object Similarity {
   def topKCosine(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    // norms precomputed per side so the per-pair work is one dot + one divide
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
     val scored = c
       .join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cosine", cosineExpr(col("qvec"), col("cvec")))
+      .withColumn("cosine",
+        ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select("qid", "nid", "cosine")
     topK(scored, k, Seq(col("cosine").desc, col("nid").asc))
   }
@@ -86,9 +92,7 @@ object Similarity {
     // method-size limit and fall back to interpretation).
     val rnd = new scala.util.Random(plane * 1315423911L + 7)
     val signs = array((0 until dim).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
-    val s = aggregate(zip_with(vec, signs, (x, r) => x.cast("double") * r),
-      lit(0.0), (acc, v) => acc + v)
-    when(s >= 0, 1L).otherwise(0L)
+    when(ArrayDotProduct(vec, signs) >= 0, 1L).otherwise(0L)
   }
 
   /**
