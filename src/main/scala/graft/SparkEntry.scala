@@ -30,8 +30,10 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.events(s, dir)
-  private def lineitem(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Tables.lineitem(s, dir)
+  /** events pre-filtered to the spec's scan range ON THE RAW COLUMN so the
+    * bound reaches Parquet row-group pruning (see Tables.events). */
+  private def events(s: SparkSession, dir: String, spec: TsAggSpec): DataFrame =
+    graft.sources.Tables.events(s, dir, Some((spec.mode.t0Ms, spec.scanEndMs)))
   private def documents(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.documents(s, dir)
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -70,36 +72,36 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/M1 — tumbling MAX, cell-ts mode (SURVEY §2.1 A1)
-    "ts_max_900" -> ((s, d) => TsAgg.max(events(s, d), spec900)),
+    "ts_max_900" -> ((s, d) => TsAgg.max(events(s, d, spec900), spec900)),
     // A2/M2 — tumbling MIN
-    "ts_min_900" -> ((s, d) => TsAgg.min(events(s, d), spec900)),
+    "ts_min_900" -> ((s, d) => TsAgg.min(events(s, d, spec900), spec900)),
     // A4 — tumbling COUNT of cells (closes the reference's missing-client-API gap)
-    "ts_count_900" -> ((s, d) => TsAgg.count(events(s, d), spec900)),
+    "ts_count_900" -> ((s, d) => TsAgg.count(events(s, d, spec900), spec900)),
     // A3/M3 — tumbling SUM on exact cents
     "ts_sum_900" -> ((s, d) =>
-      TsAgg.sum(events(s, d).withColumn("value_cents", centsCol),
+      TsAgg.sum(events(s, d, spec900).withColumn("value_cents", centsCol),
         spec900.copy(valueCol = "value_cents"))),
     // A5/M4/M5 — AVG = global sum / global count (SURVEY §2.3 #6), cents-exact
     "ts_avg_900" -> ((s, d) =>
-      TsAgg.aggregate(events(s, d).withColumn("value_cents", centsCol),
+      TsAgg.aggregate(events(s, d, spec900).withColumn("value_cents", centsCol),
         spec900.copy(valueCol = "value_cents"),
         Seq((sum(col("value_cents")).cast("double") / count(lit(1)) / lit(100.0))
           .as("avg_value")))),
     // W1 key-mode trailing bucket + odd alignment (SURVEY §2.3 #2-3): 9 buckets
-    "ts_max_trailing_900" -> ((s, d) => TsAgg.max(events(s, d), specTrailing)),
+    "ts_max_trailing_900" -> ((s, d) => TsAgg.max(events(s, d, specTrailing), specTrailing)),
     // 8h buckets over the full month
     "ts_avg_28800" -> ((s, d) =>
-      TsAgg.aggregate(events(s, d).withColumn("value_cents", centsCol),
+      TsAgg.aggregate(events(s, d, spec8h).withColumn("value_cents", centsCol),
         spec8h.copy(valueCol = "value_cents"),
         Seq((sum(col("value_cents")).cast("double") / count(lit(1)) / lit(100.0))
           .as("avg_value")))),
     // series-grouped variant (strict superset of the reference's whole-scan agg)
     "ts_count_by_type_900" -> ((s, d) =>
-      TsAgg.count(events(s, d), spec900.copy(seriesCols = Seq("event_type")))),
+      TsAgg.count(events(s, d, spec900), spec900.copy(seriesCols = Seq("event_type")))),
     // README.md:31-32 planned weighted-average, on lineitem daily buckets
     "ts_wavg_daily_lineitem" -> ((s, d) =>
       TsAgg.aggregate(
-        lineitem(s, d)
+        graft.sources.Tables.lineitemShipRange(s, d, T0_LINEITEM, T1_LINEITEM)
           .withColumn("price_cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
           .withColumn("qty", expr("CAST(round(l_quantity) AS BIGINT)")),
         specLineDaily,
@@ -107,16 +109,14 @@ object SparkEntry {
           .as("wavg_value")))),
     // README.md:33-34 planned diff: daily sum delta vs previous bucket
     "ts_diff_daily" -> ((s, d) =>
-      TsAgg.diff(events(s, d).withColumn("value_cents", centsCol),
-        specDaily.copy(valueCol = "value_cents"))
-        .withColumnRenamed("sum_value", "sum_value")
-    ),
+      TsAgg.diff(events(s, d, specDaily).withColumn("value_cents", centsCol),
+        specDaily.copy(valueCol = "value_cents"))),
     // P1/P2 key-embedded mode end-to-end: synthesize the reference's rowkey
     // layout ("testRow" + int32-BE epoch-seconds, qualifier offset 0) from ts,
     // then extract it back through the mask and aggregate (SURVEY §1.2 mode 1)
     "rowkey_max_900" -> { (s, d) =>
       val mask = "00000001111"
-      val ev = events(s, d)
+      val ev = events(s, d, spec900)
       val secMs = unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(1000L))
       val keyed = ev
         .withColumn("key",

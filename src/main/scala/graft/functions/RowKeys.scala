@@ -78,4 +78,32 @@ object RowKeys {
     val m = parseMask(mask)
     substring(key, 1, m.offset)
   }
+
+  /**
+   * Rowkey range predicate `startRow ≤ key < stopRow` (F1 — the reference's
+   * `Scan.setStartRow/setStopRow` pass-through, validated eagerly like
+   * `TimeseriesAggregationClient.java:575-581`'s `start < stop` IOException).
+   * Binary comparison follows HBase's unsigned lexicographic order; Spark
+   * compares BinaryType the same way, and the predicate pushes to Parquet
+   * min/max pruning on the key column.
+   */
+  def keyRangeFilter(key: Column, startRow: Array[Byte], stopRow: Array[Byte]): Column = {
+    require(unsignedCompare(startRow, stopRow) < 0,
+      s"startRow must sort strictly before stopRow (got ${hexStr(startRow)} >= ${hexStr(stopRow)})")
+    key >= lit(startRow) && key < lit(stopRow)
+  }
+
+  private def hexStr(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  /** HBase `Bytes.compareTo` semantics: unsigned byte-wise lexicographic. */
+  def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val cmp = (a(i) & 0xff) - (b(i) & 0xff)
+      if (cmp != 0) return cmp
+      i += 1
+    }
+    a.length - b.length
+  }
 }

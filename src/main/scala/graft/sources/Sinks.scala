@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Result sinks (SURVEY §2.1 S2). The reference's only sink is the protobuf RPC
+ * response; ours are (a) the API-edge `TsAgg.toSortedMap` collect for the
+ * client-map shape and (b) durable columnar output below.
+ */
+object Sinks {
+
+  /**
+   * Write a bucketed-aggregation result partitioned by day-of-bucket so
+   * downstream range reads prune at the directory level — the layout that lets
+   * a 100 TB result set serve "one day of 15-minute averages" (the reference
+   * README's motivating query) from a single partition directory.
+   */
+  def writePartitionedByDay(result: DataFrame, path: String): Unit =
+    result
+      .withColumn("bucket_date", to_date(timestamp_millis(col("bucket_start"))))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
+  /** Plain single-directory parquet sink (small results / oracle dumps). */
+  def writeParquet(result: DataFrame, path: String, coalesceTo: Int = 0): Unit = {
+    val df = if (coalesceTo > 0) result.coalesce(coalesceTo) else result
+    df.write.mode("overwrite").parquet(path)
+  }
+}

@@ -32,14 +32,60 @@ object Tables {
   }
 
   /** `events`: ts arrives as Long nanos under nanosAsLong — convert to TimestampType. */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame = events(s, dir, None)
+
+  /**
+   * `events` with an optional epoch-millis scan range `[t0, end)`.
+   *
+   * The range predicate is applied to the RAW parquet column *before* the
+   * ns→µs conversion: a filter phrased on the converted expression
+   * (`unix_millis(timestamp_micros(ts div 1000)) >= t0`) never reaches the
+   * scan (`PushedFilters: [IsNotNull(ts)]` only), which at 100 TB forfeits all
+   * row-group/min-max pruning. On the raw nanos long the bound is exact
+   * (`tMs·10⁶`) and shows up in `PushedFilters`, so Parquet skips every
+   * row group outside the window before decoding a single page.
+   */
+  def events(s: SparkSession, dir: String, boundsMs: Option[(Long, Long)]): DataFrame = {
     val df = readNormalized(s, s"$dir/events.parquet")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long path
+        val bounded = boundsMs match {
+          case Some((t0, end)) =>
+            df.filter(col("ts") >= lit(t0 * 1000000L) && col("ts") < lit(end * 1000000L))
+          case None => df
+        }
+        bounded.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        boundsMs match {
+          case Some((t0, end)) =>
+            df.filter(col("ts") >= timestamp_millis(lit(t0)) && col("ts") < timestamp_millis(lit(end)))
+          case None => df
+        }
+    }
   }
 
   def lineitem(s: SparkSession, dir: String): DataFrame = readNormalized(s, s"$dir/lineitem.parquet")
+
+  /** `lineitem` with an epoch-millis ship-date range pushed down on the raw
+    * NTZ column (a filter on the post-cast LTZ column would not prune). */
+  def lineitemShipRange(s: SparkSession, dir: String, t0Ms: Long, endMs: Long): DataFrame = {
+    val raw = s.read.parquet(s"$dir/lineitem.parquet")
+    val bounded = raw.schema("l_shipdate").dataType match {
+      case TimestampNTZType =>
+        def ntz(ms: Long) = typedLit(
+          java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC))
+        raw.filter(col("l_shipdate") >= ntz(t0Ms) && col("l_shipdate") < ntz(endMs))
+      case _ =>
+        raw.filter(col("l_shipdate") >= timestamp_millis(lit(t0Ms)) &&
+          col("l_shipdate") < timestamp_millis(lit(endMs)))
+    }
+    bounded.schema.fields.foldLeft(bounded) { (df, f) =>
+      f.dataType match {
+        case TimestampNTZType => df.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => df
+      }
+    }
+  }
   def orders(s: SparkSession, dir: String): DataFrame = readNormalized(s, s"$dir/orders.parquet")
   def customer(s: SparkSession, dir: String): DataFrame = readNormalized(s, s"$dir/customer.parquet")
   def supplier(s: SparkSession, dir: String): DataFrame = readNormalized(s, s"$dir/supplier.parquet")

@@ -170,6 +170,31 @@ class TsAggGoldenSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("rowkey length"))
   }
 
+  // --- F1 rowkey range filter: start ≤ key < stop, unsigned order, start<stop enforced
+  test("rowkey range filter selects the half-open key range and validates bounds") {
+    val prefix = "testRow".getBytes("UTF-8")
+    def keyOf(rowIdx: Int): Array[Byte] = {
+      val sec = (RefFixture.BaseSec + rowIdx * 3600L).toInt
+      prefix ++ Array(((sec >> 24) & 0xff).toByte, ((sec >> 16) & 0xff).toByte,
+        ((sec >> 8) & 0xff).toByte, (sec & 0xff).toByte)
+    }
+    val filtered = fixture.filter(RowKeys.keyRangeFilter(col("key"), keyOf(10), keyOf(12)))
+    assert(filtered.count() == 200) // rows 10,11 × 100 qualifiers
+    intercept[IllegalArgumentException](RowKeys.keyRangeFilter(col("key"), keyOf(12), keyOf(12)))
+    intercept[IllegalArgumentException](RowKeys.keyRangeFilter(col("key"), keyOf(12), keyOf(3)))
+  }
+
+  // --- S2 sink: day-partitioned parquet layout
+  test("day-partitioned sink lays out bucket_date directories") {
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 48 * H))
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    graft.sources.Sinks.writePartitionedByDay(TsAgg.sum(fixture, spec), out)
+    val dirs = new java.io.File(out).list().filter(_.startsWith("bucket_date="))
+    assert(dirs.sorted.toSeq == Seq("bucket_date=2014-11-10", "bucket_date=2014-11-11"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2 * 96) // 96 buckets/day
+  }
+
   // --- null semantics (SURVEY §2.3 #7): SUM skips nulls, COUNT counts cells
   test("null handling: sum skips nulls, count counts all cells, max ignores nulls") {
     import spark.implicits._
