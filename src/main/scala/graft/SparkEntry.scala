@@ -87,6 +87,18 @@ object SparkEntry {
         spec900.copy(valueCol = "value_cents"),
         Seq((sum(col("value_cents")).cast("double") / count(lit(1)) / lit(100.0))
           .as("avg_value")))),
+    // all five aggregates in ONE scan + one shuffle (the reference needs one
+    // coprocessor round-trip per metric — SURVEY §3; this is the Spark win)
+    "ts_summary_900" -> ((s, d) =>
+      TsAgg.aggregate(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"),
+        Seq(
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"),
+          sum(col("value_cents")).as("sum_value"),
+          count(lit(1)).as("count_value"),
+          (sum(col("value_cents")).cast("double") / count(lit(1)) / lit(100.0))
+            .as("avg_value")))),
     // W1 key-mode trailing bucket + odd alignment (SURVEY §2.3 #2-3): 9 buckets
     "ts_max_trailing_900" -> ((s, d) => TsAgg.max(events(s, d, specTrailing), specTrailing)),
     // 8h buckets over the full month
@@ -170,6 +182,10 @@ object SparkEntry {
       "ts_sum_900" -> tsAggSql(s"sum($cents) AS sum_value", T0_EVENTS, e900, 900 * MS),
       "ts_avg_900" -> tsAggSql(
         s"CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
+        T0_EVENTS, e900, 900 * MS),
+      "ts_summary_900" -> tsAggSql(
+        s"max(value) AS max_value, min(value) AS min_value, sum($cents) AS sum_value, " +
+          s"count(*) AS count_value, CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
         T0_EVENTS, e900, 900 * MS),
       "ts_max_trailing_900" -> tsAggSql("max(value) AS max_value",
         T0_ODD, specTrailing.scanEndMs, 900 * MS),

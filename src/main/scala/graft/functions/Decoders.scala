@@ -22,18 +22,23 @@ object Decoders {
   /** Identity — value already typed (the common Parquet case). */
   val typed: Decoder = identity
 
+  /** Unsigned 32-bit value → signed two's complement, without a wrapping cast
+    * (ANSI mode makes overflow-casts throw rather than wrap). */
+  private def signed32(u: Column): Column =
+    when(u >= lit(1L << 31), u - lit(1L << 32)).otherwise(u)
+
   /**
    * `LongColumnInterpreter` equivalent: 8-byte big-endian two's-complement
    * binary → Long (the only interpreter the reference's tests exercise,
    * `TestTimeseriesAggregateProtocol.java:147-148`).
    *
-   * Split at the sign byte so the unsigned `conv` path stays exact: for
-   * negatives, decode (value - 2^64) via the identity
-   * `long = hi32 * 2^32 + lo32` on unsigned halves with hi32 cast back through
-   * Int to restore the sign.
+   * Decoded as `signed(hi32) << 32 | lo32` on unsigned halves from the `conv`
+   * path — the shift is a bit operation (never overflow-checked) and the sum
+   * stays within Long for every input, so the decode is ANSI-safe for the full
+   * two's-complement range.
    */
   val longBE: Decoder = bin => {
-    val hi = conv(hex(substring(bin, 1, 4)), 16, 10).cast("long").cast("int").cast("long")
+    val hi = signed32(conv(hex(substring(bin, 1, 4)), 16, 10).cast("long"))
     val lo = conv(hex(substring(bin, 5, 4)), 16, 10).cast("long")
     when(length(bin) =!= lit(8),
       raise_error(concat(lit("longBE: expected 8 bytes, got "), hex(bin))))
@@ -44,7 +49,7 @@ object Decoders {
   val intBE: Decoder = bin =>
     when(length(bin) =!= lit(4),
       raise_error(concat(lit("intBE: expected 4 bytes, got "), hex(bin))))
-      .otherwise(conv(hex(bin), 16, 10).cast("long").cast("int").cast("long"))
+      .otherwise(signed32(conv(hex(bin), 16, 10).cast("long")))
 
   /** UTF-8 bytes of a decimal string → Double. */
   val utf8Double: Decoder = bin => bin.cast("string").cast("double")

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions}
+import org.apache.spark.sql.functions._
+
+import scala.collection.SortedMap
+
+/**
+ * Drop-in façade mirroring the reference's client surface
+ * (`TimeseriesAggregationClient.max/min/sum/avg`,
+ * `TimeseriesAggregationClient.java:129,229,329,522`, plus the server-only
+ * count RPC): each method runs the distributed aggregation and collects the
+ * result to the reference's return shape, a sorted `Map[bucketStartMillis →
+ * value]` (`ConcurrentSkipListMap`, :129-131). Collect happens only at this
+ * API edge — the heavy lifting stays in the cluster plan.
+ *
+ * A user of the reference can switch: `client.max(table, ci, scan)` becomes
+ * `TsAggClient.max(df, spec)` where the decoded value column replaces the
+ * `ColumnInterpreter` (see [[graft.functions.Decoders]]) and `TsAggSpec`
+ * replaces the request proto.
+ */
+object TsAggClient {
+
+  def max(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] =
+    collectLong(TsAgg.max(df, spec))
+
+  def min(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] =
+    collectLong(TsAgg.min(df, spec))
+
+  def sum(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] =
+    collectLong(TsAgg.sum(df, spec))
+
+  /** Exposed as a first-class query — the reference declares the RPC but ships
+    * no client method (SURVEY §2.1 "API surface asymmetry"). */
+  def count(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] =
+    collectLong(TsAgg.count(df, spec))
+
+  /** Always Double, global-sum/global-count (SURVEY §2.3 #6). */
+  def avg(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Double] =
+    SortedMap.from(TsAgg.avg(df, spec).collect().map(r => r.getLong(0) -> r.getDouble(1)))
+
+  /**
+   * All five aggregates in ONE scan + one shuffle — the capability the
+   * reference fundamentally lacks (one RPC per aggregate = 5 scans for a
+   * 5-metric dashboard; `README.md:5` celebrates 1 scan per *single* metric).
+   */
+  def summary(df: DataFrame, spec: TsAggSpec): DataFrame =
+    TsAgg.aggregate(df, spec, Seq(
+      functions.max(col(spec.valueCol)).as("max_value"),
+      functions.min(col(spec.valueCol)).as("min_value"),
+      functions.sum(col(spec.valueCol)).as("sum_value"),
+      functions.count(lit(1)).as("count_value"),
+      functions.avg(col(spec.valueCol)).as("avg_value")))
+
+  private def collectLong(result: DataFrame): SortedMap[Long, Long] =
+    SortedMap.from(result.collect().map { r =>
+      r.getLong(0) -> (r.get(1) match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case d: java.lang.Double => d.longValue()
+        case null => 0L
+        case other => throw new IllegalArgumentException(s"unsupported value $other")
+      })
+    })
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Decoders
+import graft.operators.{TimeMode, TsAggClient, TsAggSpec}
+
+class DecodersClientSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def be(width: Int, v: Long): Array[Byte] =
+    Array.tabulate(width)(i => ((v >> (8 * (width - 1 - i))) & 0xff).toByte)
+
+  test("longBE decodes the reference's LongColumnInterpreter encoding incl. negatives") {
+    val vals = Seq(0L, 1L, 99L, Long.MaxValue, -1L, -99L, Long.MinValue, 1234567890123L)
+    val df = vals.map(v => Tuple1(be(8, v))).toDF("raw")
+    val got = df.select(Decoders.longBE(col("raw"))).collect().map(_.getLong(0)).toSeq
+    assert(got == vals)
+  }
+
+  test("intBE decodes 4-byte values incl. negatives") {
+    val vals = Seq(0, 1, Int.MaxValue, -1, Int.MinValue, 1415577600)
+    val df = vals.map(v => Tuple1(be(4, v.toLong & 0xffffffffL))).toDF("raw")
+    val got = df.select(Decoders.intBE(col("raw"))).collect().map(_.getLong(0)).toSeq
+    assert(got == vals.map(_.toLong))
+  }
+
+  test("wrong-width binary raises instead of mis-decoding") {
+    val df = Seq(Tuple1(be(3, 7L))).toDF("raw")
+    val ex = intercept[Exception](df.select(Decoders.longBE(col("raw"))).collect())
+    assert(ex.getMessage.contains("expected 8 bytes"))
+  }
+
+  test("utf8Double decodes decimal-string payloads") {
+    val df = Seq(Tuple1("12.5".getBytes("UTF-8"))).toDF("raw")
+    assert(df.select(Decoders.utf8Double(col("raw"))).collect().head.getDouble(0) == 12.5)
+  }
+
+  test("TsAggClient mirrors the reference client: sorted maps, count exposed, one-pass summary") {
+    val fixture = RefFixture.df(spark)
+    val spec = TsAggSpec(900, TimeMode.CellTs(RefFixture.BaseMs, RefFixture.BaseMs + 3600000L))
+    val mx = TsAggClient.max(fixture, spec)
+    assert(mx.keys.toSeq == mx.keys.toSeq.sorted) // SortedMap like ConcurrentSkipListMap
+    assert(mx.values.toSeq == Seq(24L, 49L, 74L, 99L))
+    assert(TsAggClient.count(fixture, spec).values.forall(_ == 25L))
+    assert(TsAggClient.avg(fixture, spec).values.toSeq == Seq(12.0, 37.0, 62.0, 87.0))
+    val summary = TsAggClient.summary(fixture, spec).collect()
+    assert(summary.length == 4)
+    val r = summary.head
+    assert(r.getLong(r.fieldIndex("max_value")) == 24L &&
+      r.getLong(r.fieldIndex("min_value")) == 0L &&
+      r.getLong(r.fieldIndex("sum_value")) == 300L &&
+      r.getLong(r.fieldIndex("count_value")) == 25L &&
+      r.getDouble(r.fieldIndex("avg_value")) == 12.0)
+  }
+}
