@@ -125,15 +125,25 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       tables: Int = 8, planesPerTable: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = withLshKeys(corpus, dim, tables, planesPerTable, vecCol)
-      .select(col("ltable"), col("lkey"), col(idCol).as("nid"), col(vecCol).as("cvec"))
-    val q = withLshKeys(queries, dim, tables, planesPerTable, vecCol)
-      .select(col("ltable"), col("lkey"), col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val candidates = c.join(broadcast(q), Seq("ltable", "lkey"))
+    // The candidate dedup shuffles only (qid, nid) id pairs — vectors and
+    // norms rejoin afterwards, so no float array ever rides the distinct.
+    val cKeys = withLshKeys(corpus, dim, tables, planesPerTable, vecCol)
+      .select(col("ltable"), col("lkey"), col(idCol).as("nid"))
+    val qKeys = withLshKeys(queries, dim, tables, planesPerTable, vecCol)
+      .select(col("ltable"), col("lkey"), col(idCol).as("qid"))
+    val candidates = cKeys.join(broadcast(qKeys), Seq("ltable", "lkey"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid", "qvec", "cvec").distinct()
-      .withColumn("cosine", cosineExpr(col("qvec"), col("cvec")))
+      .select("qid", "nid").distinct()
+    val cSide = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+    val qSide = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
+    val scored = candidates
+      .join(cSide, Seq("nid"))
+      .join(broadcast(qSide), Seq("qid"))
+      .withColumn("cosine",
+        ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select("qid", "nid", "cosine")
-    topK(candidates, k, Seq(col("cosine").desc, col("nid").asc))
+    topK(scored, k, Seq(col("cosine").desc, col("nid").asc))
   }
 }

@@ -69,6 +69,21 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("SQL surface: ts_bucket and array_dot_product usable from spark.sql") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1704067201234L, 5L), (1704068000000L, 7L), (1704068100000L, 9L))
+      .toDF("ts_ms", "v").createOrReplaceTempView("sql_events")
+    val rows = spark.sql(
+      "SELECT ts_bucket(ts_ms, 1704067200000, 900000) AS b, max(v) AS m FROM sql_events GROUP BY b ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // first two rows fall in bucket 0 (offsets 1234 ms and 800 s < 900 s)
+    assert(rows.toSeq == Seq((1704067200000L, 7L), (1704067200000L + 900000, 9L)))
+    Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b").createOrReplaceTempView("sql_vecs")
+    assert(spark.sql("SELECT array_dot_product(a, b) AS d FROM sql_vecs")
+      .collect().head.getLong(0) == 32L)
+  }
+
   test("typed Aggregators match built-ins and register for SQL") {
     import spark.implicits._
     Aggregators.registerAll(spark)
