@@ -54,6 +54,9 @@ object Decoders {
   /** UTF-8 bytes of a decimal string → Double. */
   val utf8Double: Decoder = bin => bin.cast("string").cast("double")
 
-  /** 8-byte big-endian IEEE-754 bits → Double. */
-  val doubleBE: Decoder = bin => java_method(lit("java.lang.Double"), lit("longBitsToDouble"), longBE(bin))
+  /** 8-byte big-endian IEEE-754 bits → Double. `reflect` returns the string
+    * rendering (Double.toString — shortest round-trip form), so the cast back
+    * to double is exact for every value. */
+  val doubleBE: Decoder = bin =>
+    java_method(lit("java.lang.Double"), lit("longBitsToDouble"), longBE(bin)).cast("double")
 }

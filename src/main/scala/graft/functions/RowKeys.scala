@@ -69,9 +69,12 @@ object RowKeys {
   def keyMillis(key: Column, mask: String, offsetSec: Column): Column =
     (keySeconds(key, mask) + offsetSec.cast("long")) * lit(1000L)
 
-  /** Encode epoch-seconds into a 4-byte big-endian binary (test/fixture helper). */
+  /** Encode epoch-seconds into a 4-byte big-endian binary (test/fixture helper).
+    * The value is reduced to its low 32 bits first: `hex` of a negative widens
+    * to 16 chars and `lpad(..., 8)` would keep the HIGH word, corrupting every
+    * negative input. */
   def int32BE(seconds: Column): Column =
-    unhex(lpad(hex(seconds.cast("int")), 8, "0"))
+    unhex(lpad(hex(pmod(seconds.cast("long"), lit(4294967296L))), 8, "0"))
 
   /** The non-masked prefix of the key — the series identity (SURVEY §1.5). */
   def seriesPrefix(key: Column, mask: String): Column = {

@@ -63,44 +63,11 @@ object TextFunctions {
     Seq.fill(numHashes)((r.nextLong(MersenneP - 1) + 1, r.nextLong(MersenneP)))
   }
 
-  /**
-   * MinHash signature: for each permutation i, `min over shingles of
-   * (a_i * h31(shingle) + b_i) mod P`. One array column, no shuffle.
-   */
-  def minhashSignature(shingleCol: Column, perms: Seq[(Long, Long)]): Column = {
-    val hashes = transform(shingleCol, s => hash31(s))
-    array(perms.map { case (a, b) =>
-      array_min(transform(hashes, x => pmod(x * lit(a) + lit(b), lit(MersenneP))))
-    }: _*)
-  }
-
   /** Estimated Jaccard = fraction of equal signature positions. */
   def minhashSimilarity(sigA: Column, sigB: Column, numHashes: Int): Column =
     aggregate(
       zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
-
-  /**
-   * 64-bit SimHash represented as a 64-length 0/1 array (bit b of each token's
-   * xxhash64 votes ±1; bit set iff the vote sum is non-negative). The array
-   * form keeps banding (16-bit chunks) and Hamming distance in exact, overflow-
-   * free integer arithmetic under ANSI mode.
-   */
-  def simhashBits(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    transform(sequence(lit(0), lit(63)), b =>
-      when(
-        aggregate(hashes, lit(0L), (acc, h) => acc + getbit(h, b) * 2L - 1L) >= 0L,
-        1L).otherwise(0L))
-  }
-
-  /** Pack 16 bits of a SimHash into one integer chunk key for banding. */
-  def simhashChunk(bits: Column, chunk: Int): Column =
-    aggregate(slice(bits, chunk * 16 + 1, 16), lit(0L), (acc, b) => acc * 2L + b)
-
-  /** Hamming distance between two bit-array SimHashes. */
-  def hammingDistance(bitsA: Column, bitsB: Column): Column =
-    aggregate(zip_with(bitsA, bitsB, (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v)
 
   /**
    * Content-defined fingerprints: a whole-document hash plus the minimum

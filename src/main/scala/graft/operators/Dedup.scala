@@ -17,6 +17,21 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /**
+   * Operator-internal caches, bounded to the most recent invocation: each new
+   * persist evicts the previous operator's intermediates (unpersisting a
+   * lineage dependency is safe — Spark just recomputes), so repeated dedup
+   * calls in a long-lived session cannot accumulate block-manager storage.
+   */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def persistScoped(df: DataFrame): DataFrame = {
+    var prev = liveCaches.poll()
+    while (prev != null) { prev.unpersist(blocking = false); prev = liveCaches.poll() }
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(p)
+    p
+  }
+
+  /**
    * Exact dedup by content hash: one hash-aggregate (single shuffle on the
    * 128-bit digest — collision-safe grouping key at any corpus size).
    * Output: one row per distinct content with the kept (minimum) id and the
@@ -59,9 +74,8 @@ object Dedup {
       .select(col(idCol).as("id"), tokenHashes(toks).as("th"))
       .select(col("id"), hashedShingles(col("th"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val exploded = withSh
-      .select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides read it
+    val exploded = persistScoped( // both join sides read it
+      withSh.select(col("id"), col("n_sh"), explode(col("sh")).as("s")))
     val pruned = maxShingleFreq match {
       case None => exploded
       case Some(cap) =>
@@ -122,14 +136,14 @@ object Dedup {
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
     }
-    // persisted: the plan references sigs three times (banding + both
+    // persisted (scoped): the plan references sigs three times (banding + both
     // candidate rejoins) and signature computation is the dominant map cost;
     // MEMORY_AND_DISK spills gracefully at corpus scale (docs × ~0.5 KB)
-    val sigs = shingleHashes
-      .groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = persistScoped(
+      shingleHashes
+        .groupBy("id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")))
 
     // The banding exchange carries only (id, band, bkey) — 24 bytes/row —
     // never the 64-long signature; signatures rejoin only for the (few)

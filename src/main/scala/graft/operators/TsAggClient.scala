@@ -52,14 +52,17 @@ object TsAggClient {
       functions.count(lit(1)).as("count_value"),
       functions.avg(col(spec.valueCol)).as("avg_value")))
 
+  /** All-null buckets (aggregate value null) are OMITTED from the map — the
+    * reference never emits a bucket without a defined value (SURVEY §2.3 #4/#7),
+    * and mapping null to 0 would fabricate a sum of zero. */
   private def collectLong(result: DataFrame): SortedMap[Long, Long] =
-    SortedMap.from(result.collect().map { r =>
-      r.getLong(0) -> (r.get(1) match {
-        case l: java.lang.Long => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-        case d: java.lang.Double => d.longValue()
-        case null => 0L
-        case other => throw new IllegalArgumentException(s"unsupported value $other")
-      })
+    SortedMap.from(result.collect().flatMap { r =>
+      r.get(1) match {
+        case l: java.lang.Long => Some(r.getLong(0) -> l.longValue())
+        case i: java.lang.Integer => Some(r.getLong(0) -> i.longValue())
+        case null => None
+        case other => throw new IllegalArgumentException(
+          s"integral aggregate expected, got $other (use avg for Double results)")
+      }
     })
 }

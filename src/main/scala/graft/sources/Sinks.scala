@@ -18,7 +18,9 @@ object Sinks {
    */
   def writePartitionedByDay(result: DataFrame, path: String): Unit =
     result
-      .withColumn("bucket_date", to_date(timestamp_millis(col("bucket_start"))))
+      // date_from_unix_date is timezone-free (days since epoch), unlike
+      // to_date(timestamp) which shifts with the session time zone
+      .withColumn("bucket_date", date_from_unix_date((col("bucket_start") / lit(86400000L)).cast("int")))
       .write
       .mode("overwrite")
       .partitionBy("bucket_date")

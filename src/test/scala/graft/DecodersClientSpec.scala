@@ -34,6 +34,31 @@ class DecodersClientSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("expected 8 bytes"))
   }
 
+  test("doubleBE round-trips IEEE-754 bit patterns as DoubleType") {
+    val vals = Seq(0.0, 1.5, -2.25, math.Pi, Double.MinPositiveValue, Double.MaxValue, -0.0)
+    val df = vals.map(v => Tuple1(be(8, java.lang.Double.doubleToLongBits(v)))).toDF("raw")
+    val decoded = df.select(Decoders.doubleBE(col("raw")).as("d"))
+    assert(decoded.schema("d").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(decoded.collect().map(_.getDouble(0)).toSeq == vals)
+  }
+
+  test("int32BE encodes negative epoch-seconds without high-word truncation") {
+    import graft.functions.RowKeys
+    val secs = Seq(-2L, -1L, 0L, 1L, Int.MaxValue.toLong, Int.MinValue.toLong)
+    val df = secs.map(Tuple1(_)).toDF("sec")
+    val got = df.select(Decoders.intBE(RowKeys.int32BE(col("sec")))).collect().map(_.getLong(0)).toSeq
+    assert(got == secs)
+  }
+
+  test("TsAggClient omits all-null buckets instead of fabricating zeros") {
+    import graft.operators.TsAgg
+    val t0 = RefFixture.BaseMs
+    val df = Seq((t0 + 1L, Some(5L)), (t0 + 900001L, None)).toDF("ts", "value")
+    val spec = TsAggSpec(900, TimeMode.CellTs(t0, t0 + 1800000L))
+    assert(TsAgg.sum(df, spec).count() == 2) // engine-level: null row present
+    assert(TsAggClient.sum(df, spec) == scala.collection.SortedMap(t0 -> 5L)) // client: omitted
+  }
+
   test("utf8Double decodes decimal-string payloads") {
     val df = Seq(Tuple1("12.5".getBytes("UTF-8"))).toDF("raw")
     assert(df.select(Decoders.utf8Double(col("raw"))).collect().head.getDouble(0) == 12.5)
