@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TimeMode, TsAgg, TsAggSpec, TsAggClient}
+
+/**
+ * Scale stress (not part of the driver contract): generates an N-row synthetic
+ * time series in-memory (`spark.range` — no disk, so the measurement isolates
+ * the aggregation pipeline) and times the tumbling-bucket operators on it.
+ * Defaults to 100M rows ≈ 10,000× the reference's 10k-cell fixture.
+ *
+ *   sbt "runMain graft.ScaleBench [rows]"
+ *
+ * The point being demonstrated: the plan is the same one `Explain` shows at
+ * sf0.01 — partial agg → one exchange of (partitions × buckets) rows → final
+ * agg — so wall-clock grows linearly with rows/core and the shuffle stays tiny
+ * (672 buckets regardless of N).
+ */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 100000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0Ms = 1704067200000L
+    val spanMs = 7L * 86400000L
+    val spec = TsAggSpec(900, TimeMode.CellTs(t0Ms, t0Ms + spanMs))
+
+    // deterministic synthetic series: ts spread uniformly over 7 days, long values
+    val df = spark.range(rows)
+      .withColumn("ts", lit(t0Ms) + pmod(col("id") * lit(2654435761L), lit(spanMs)))
+      .withColumn("value", pmod(col("id") * lit(40503L), lit(100000L)))
+      .select("ts", "value")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t = System.nanoTime(); f
+      println(f"[scale] $name: ${(System.nanoTime() - t) / 1e9}%.2f s ($rows%,d rows)")
+    }
+
+    time("warmup (count)")(df.count())
+    time("summary (5 aggs, 1 pass)") {
+      val m = TsAggClient.summary(df, spec).collect()
+      assert(m.length == 672, s"expected 672 buckets, got ${m.length}")
+    }
+    time("max")(TsAgg.max(df, spec).collect())
+    time("avg")(TsAgg.avg(df, spec).collect())
+    time("grouped count (100 series)") {
+      TsAgg.count(df.withColumn("series", pmod(col("value"), lit(100L))),
+        spec.copy(seriesCols = Seq("series"))).collect()
+    }
+    spark.stop()
+  }
+}
