@@ -137,6 +137,28 @@ object SparkEntry {
       TsAgg.max(keyed, spec900.copy(tsCol = "ts_ms"))
     },
 
+    // P1 + series identity: 12-byte rowkey = 8-byte BE series id (user_id) +
+    // int32-BE epoch-seconds; BOTH the series and the timestamp are recovered
+    // from the key bytes (seriesPrefix/longBE + keyMillis), then aggregated
+    // per (series, bucket) — the reference's one-series-per-scan model
+    // generalized to all series in one scan
+    "rowkey_series_sum_900" -> { (s, d) =>
+      val mask = "000000001111"
+      val ev = events(s, d, spec900)
+      val secMs = unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(1000L))
+      val keyed = ev
+        .withColumn("key",
+          concat(
+            unhex(lpad(hex(col("user_id")), 16, "0")), // 8-byte BE series id
+            RowKeys.int32BE((secMs / 1000L).cast("long"))))
+        .drop("user_id", "ts")
+        .withColumn("ts_ms", RowKeys.keyMillis(col("key"), mask, lit(0)))
+        .withColumn("series_id", graft.functions.Decoders.longBE(RowKeys.seriesPrefix(col("key"), mask)))
+        .withColumn("value_cents", centsCol)
+      TsAgg.sum(keyed,
+        spec900.copy(tsCol = "ts_ms", valueCol = "value_cents", seriesCols = Seq("series_id")))
+    },
+
     // ---- scale ops: text analysis over `documents` --------------------------
     "text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(documents(s, d)).orderBy("doc_id")),
@@ -205,6 +227,11 @@ object SparkEntry {
       },
       "rowkey_max_900" -> tsAggSql("max(value) AS max_value", T0_EVENTS, e900, 900 * MS,
         tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)"),
+      "rowkey_series_sum_900" -> tsAggSql(
+        s"sum(CAST(round(value * 100) AS BIGINT)) AS sum_value",
+        T0_EVENTS, e900, 900 * MS,
+        tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)",
+        extraKey = "user_id AS series_id"),
 
       // ---- text analysis ----
       "text_tokens" ->
