@@ -184,7 +184,10 @@ object SparkEntry {
     },
     "ann_topk_cosine_lsh" -> { (s, d) => // rows-only: approximate by design
       val e = embeddings(s, d)
-      Similarity.annCosineLsh(e, e.filter(col("vec_id") < 10), k = 5, dim = 64)
+      // 16 tables × 4 planes: tuned for unclustered (random) vectors where
+      // true neighbors sit near 66° — see ScaleOpsSpec recall test
+      Similarity.annCosineLsh(e, e.filter(col("vec_id") < 10), k = 5, dim = 64,
+        tables = 16, planesPerTable = 4)
     },
 
     // ---- scale ops: multimodal binary-column pipeline (rows-only: synthetic

@@ -40,6 +40,16 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(df.filter(size(col("features")) =!= Multimodal.MediaCodec.FeatureDim).count() == 0)
   }
 
+  test("media features compose with similarity search end-to-end") {
+    // the multimodal pipeline's output is ANN-ready: featurize → top-k search
+    val feats = Multimodal.featurize(Multimodal.syntheticMedia(spark, 200))
+      .toDF().withColumnRenamed("media_id", "vec_id").withColumnRenamed("features", "embedding")
+    val queries = feats.filter(col("vec_id") < 3)
+    val topk = graft.operators.Similarity.topKCosine(feats, queries, 5)
+    val byQ = topk.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L) && byQ.values.forall(_.length == 5))
+  }
+
   test("streaming tumbling agg matches batch TsAgg on the same data") {
     import spark.implicits._
     val t0 = RefFixture.BaseMs
