@@ -119,31 +119,20 @@ object Dedup {
       maxBandBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
-    val perms = permutations(numHashes)
     val toks = tokens(col(textCol))
 
-    // Signature via explode + 64 partial-aggregable `min`s rather than nested
-    // higher-order functions: each shingle is hashed exactly once and the
-    // permutation arithmetic runs in whole-stage codegen. Shingles of a doc
-    // live in its partition, so map-side combine collapses the shuffle to one
-    // 64-long row per doc — the HOF formulation was 20× slower because the
-    // tokenize→shingle→hash subtree re-evaluated per permutation.
-    val shingleHashes = df
-      .filter(size(toks) >= 3)
-      .select(col(idCol).as("id"), tokenHashes(toks).as("th"))
-      .select(col("id"), explode(hashedShingles(col("th"), 3)).as("s64"))
-      .select(col("id"), pmod(col("s64"), lit(MersenneP)).as("h")) // 31-bit for perm arithmetic
-    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersenneP))).as(s"m$i")
-    }
-    // persisted (scoped): the plan references sigs three times (banding + both
-    // candidate rejoins) and signature computation is the dominant map cost;
-    // MEMORY_AND_DISK spills gracefully at corpus scale (docs × ~0.5 KB)
+    // Signature = one codegen'd map-side pass per document (MinHashSignature
+    // expression) over the hashed-shingle array: no explode, no shuffle — the
+    // signature step is a narrow projection.
+    // Persisted (scoped): the plan references sigs three times (banding + both
+    // candidate rejoins); MEMORY_AND_DISK spills gracefully at corpus scale
+    // (docs × ~0.5 KB).
     val sigs = persistScoped(
-      shingleHashes
-        .groupBy("id")
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig")))
+      df.filter(size(toks) >= 3)
+        .select(col(idCol).as("id"), tokenHashes(toks).as("th"))
+        .select(col("id"),
+          graft.functions.expressions.MinHashSignature(
+            hashedShingles(col("th"), 3), numHashes).as("sig")))
 
     // The banding exchange carries only (id, band, bkey) — 24 bytes/row —
     // never the 64-long signature; signatures rejoin only for the (few)
@@ -191,23 +180,16 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    // Same explode + codegen'd aggregation shape as minhashNearDup: one
-    // xxhash64 per token, 64 partial-aggregable bit-vote sums per doc.
-    val tokenHashes = df
+    // One codegen'd map-side pass per document (SimHashPacked expression):
+    // bit votes accumulate in a tight loop, packed into two 32-bit words so
+    // the per-pair Hamming distance is two codegen'd bit_count(xor) ops.
+    val packed = df
       .filter(size(toks) >= 1)
-      .select(col(idCol).as("id"), explode(toks).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val voteCols = (0 until 64).map(b => sum(getbit(col("h"), lit(b)) * 2L - 1L).as(s"v$b"))
-    val hashed0 = tokenHashes
-      .groupBy("id")
-      .agg(voteCols.head, voteCols.tail: _*)
-
-    // Pack the 64 bits into two 32-bit words (ANSI-safe: each < 2^32) so the
-    // per-pair Hamming distance is two codegen'd bit_count(xor) ops instead of
-    // an interpreted 64-element array fold.
-    val lo = (0 until 32).map(b => when(col(s"v$b") >= 0L, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val hi = (32 until 64).map(b => when(col(s"v$b") >= 0L, lit(1L << (b - 32))).otherwise(lit(0L))).reduce(_ + _)
-    val packed = hashed0.select(col("id"), lo.as("w_lo"), hi.as("w_hi"))
+      .select(col(idCol).as("id"),
+        graft.functions.expressions.SimHashPacked(
+          graft.functions.TextFunctions.tokenHashes(toks)).as("sh"))
+      .select(col("id"),
+        element_at(col("sh"), 1).as("w_lo"), element_at(col("sh"), 2).as("w_hi"))
 
     val chunked = packed.select(
       col("id"), col("w_lo"), col("w_hi"),
