@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.{ArrayDotProduct, MinHashSignature, SimHashPacked}
+
+/**
+ * Custom-expression correctness: the interpreted (`nullSafeEval`) and
+ * whole-stage-codegen (`doGenCode`) paths must produce identical results —
+ * Spark silently falls back to interpretation in some plan shapes, so a
+ * divergence would be a data-dependent heisenbug.
+ */
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withCodegenOff[A](f: => A): A = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    try f finally {
+      conf.set("spark.sql.codegen.factoryMode", prev)
+      conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case a: scala.collection.Seq[_] => a.toList
+      case x => x
+    })
+
+  test("ArrayDotProduct: interpreted == codegen, long and double typing, null elements") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(-7L, 0L, 9L), Array(2L, 100L, -3L))
+    ).toDF("a", "b")
+    val q = df.select(ArrayDotProduct(col("a"), col("b")).as("d"))
+    assert(rows(q) == withCodegenOff(rows(q)))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(32L, -41L))
+    // float arrays → double result
+    val fdf = Seq((Array(0.5f, 1.5f), Array(2.0f, 4.0f))).toDF("a", "b")
+    val fq = fdf.select(ArrayDotProduct(col("a"), col("b")).as("d"))
+    assert(fq.schema("d").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(fq.collect().head.getDouble(0) == 7.0)
+    // null elements are skipped (treated as 0)
+    val ndf = Seq((Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](5L, 7L, null)))
+      .toDF("a", "b")
+    assert(ndf.select(ArrayDotProduct(col("a"), col("b"))).collect().head.getLong(0) == 5L)
+    // unequal lengths dot over the common prefix
+    val udf2 = Seq((Array(2L, 3L, 99L), Array(10L, 10L))).toDF("a", "b")
+    assert(udf2.select(ArrayDotProduct(col("a"), col("b"))).collect().head.getLong(0) == 50L)
+  }
+
+  test("MinHashSignature: interpreted == codegen == hand-computed model") {
+    val df = Seq(Tuple1(Array(123456789L, -987654321L, 42L)), Tuple1(Array(7L))).toDF("h")
+    val q = df.select(MinHashSignature(col("h"), 64).as("sig"))
+    assert(rows(q) == withCodegenOff(rows(q)))
+    // hand-computed model for row 0
+    val perms = TextFunctions.permutations(64)
+    val p = TextFunctions.MersenneP
+    val expected = perms.map { case (a, b) =>
+      Seq(123456789L, -987654321L, 42L)
+        .map(x => Math.floorMod(a * Math.floorMod(x, p) + b, p)).min
+    }
+    val got = q.collect().head.getSeq[Long](0)
+    assert(got == expected)
+  }
+
+  test("SimHashPacked: interpreted == codegen; near-identical docs give close words") {
+    val df = Seq(Tuple1(Array(1L, 2L, 3L, 4L, 5L)), Tuple1(Array(1L, 2L, 3L, 4L, 6L))).toDF("h")
+    val q = df.select(SimHashPacked(col("h")).as("s"))
+    assert(rows(q) == withCodegenOff(rows(q)))
+    val Seq(s1, s2) = q.collect().toSeq.map(_.getSeq[Long](0))
+    val hamming = java.lang.Long.bitCount(s1(0) ^ s2(0)) + java.lang.Long.bitCount(s1(1) ^ s2(1))
+    assert(hamming < 32, s"hamming $hamming") // one token changed of five
+    assert(s1.forall(w => w >= 0 && w <= 0xFFFFFFFFL)) // packed 32-bit words
+  }
+
+  test("type mismatches fail analysis, not execution") {
+    val df = Seq(Tuple1(Array("a", "b"))).toDF("s")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(MinHashSignature(col("s"), 64)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ArrayDotProduct(col("s"), col("s"))).collect()
+    }
+  }
+
+  test("Tables.events microsecond-timestamp branch applies pushable bounds") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-events-us").toString
+    val t0 = 1704067200000L
+    (0 until 100).map(i => (new java.sql.Timestamp(t0 + i * 60000L), i.toDouble))
+      .toDF("ts", "value").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // TimestampType branch (testdata uses nanos; this exercises the µs path)
+    val bounded = graft.sources.Tables.events(spark, dir, Some((t0, t0 + 600000L)))
+    assert(bounded.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(bounded.count() == 10)
+    assert(graft.sources.Tables.events(spark, dir, None).count() == 100)
+  }
+}
