@@ -57,6 +57,28 @@ object ScaleBench {
       TsAgg.count(df.withColumn("series", pmod(col("value"), lit(100L))),
         spec.copy(seriesCols = Seq("series"))).collect()
     }
+
+    // ---- corpus-scale dedup: synthetic docs with planted near-duplicates ----
+    // 30 tokens over a 100k-word vocab; every id ≡ 1 (mod 50) clones id-1 with
+    // its last token replaced → expected pair set = {(50k, 50k+1)}.
+    val nDocs = rows / 1000 // e.g. 100k docs for the default 100M run
+    val docs = spark.range(nDocs)
+      .withColumn("seed",
+        when(pmod(col("id"), lit(50L)) === 1L, col("id") - 1L).otherwise(col("id")))
+      .withColumn("text",
+        concat_ws(" ",
+          concat_ws(" ", (0 until 29).map(j =>
+            concat(lit("w"), pmod(xxhash64(col("seed") * lit(31L) + lit(j.toLong)), lit(100000L)))): _*),
+          when(pmod(col("id"), lit(50L)) === 1L, lit("zz"))
+            .otherwise(concat(lit("w"), pmod(xxhash64(col("seed") * lit(31L) + lit(29L)), lit(100000L))))))
+      .select(col("id").as("doc_id"), col("text"))
+    time(s"minhash near-dup over ${nDocs} synthetic docs") {
+      val pairs = graft.operators.Dedup.minhashNearDup(docs).collect()
+      val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 50 == 0)
+      val expected = ((nDocs - 2) / 50 + 1).toInt // ids 1, 51, 101, ... < nDocs
+      println(f"[scale] minhash recall: $planted/$expected planted pairs, ${pairs.length} total")
+      assert(planted >= (expected * 0.95).toInt, s"recall too low: $planted/$expected")
+    }
     spark.stop()
   }
 }
