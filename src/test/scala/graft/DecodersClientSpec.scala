@@ -64,6 +64,21 @@ class DecodersClientSpec extends AnyFunSuite {
     assert(df.select(Decoders.utf8Double(col("raw"))).collect().head.getDouble(0) == 12.5)
   }
 
+  test("X3 end-to-end: binary cell values decode through longBE into TsAgg (LongColumnInterpreter flow)") {
+    import graft.operators.TsAgg
+    // re-encode the golden fixture's values as 8-byte BE binaries — the exact
+    // wire form LongColumnInterpreter reads — then decode inside the plan
+    val fixture = RefFixture.df(spark)
+    val encoded = fixture
+      .withColumn("raw", expr("unhex(lpad(hex(value), 16, '0'))"))
+      .drop("value")
+      .withColumn("value", Decoders.longBE(col("raw")))
+    val spec = TsAggSpec(900, TimeMode.CellTs(RefFixture.BaseMs, RefFixture.BaseMs + 3600000L))
+    val viaBinary = TsAggClient.max(encoded, spec)
+    val direct = TsAggClient.max(fixture, spec)
+    assert(viaBinary == direct && direct.values.toSeq == Seq(24L, 49L, 74L, 99L))
+  }
+
   test("TsAggClient mirrors the reference client: sorted maps, count exposed, one-pass summary") {
     val fixture = RefFixture.df(spark)
     val spec = TsAggSpec(900, TimeMode.CellTs(RefFixture.BaseMs, RefFixture.BaseMs + 3600000L))
