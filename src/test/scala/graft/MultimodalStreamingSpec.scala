@@ -94,6 +94,43 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 32L)
   }
 
+  test("streaming exact dedup keeps first occurrence within the watermark") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sdedup").toFile.getAbsolutePath
+    val t0 = RefFixture.BaseMs
+    Seq(
+      (new java.sql.Timestamp(t0), "alpha"), (new java.sql.Timestamp(t0 + 1000), "beta"),
+      (new java.sql.Timestamp(t0 + 2000), "alpha"), (new java.sql.Timestamp(t0 + 3000), "gamma"),
+      (new java.sql.Timestamp(t0 + 4000), "beta")
+    ).toDF("ts", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = graft.streaming.StreamingOps.dedupExact(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sdedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val texts = spark.table("sdedup_out").select("text").collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("flatMapGroupsWithState running sum per series") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-srun").toFile.getAbsolutePath
+    Seq(
+      StreamingOps.SeriesEvent("a", 1000L, 5L), StreamingOps.SeriesEvent("a", 2000L, 7L),
+      StreamingOps.SeriesEvent("b", 1500L, 10L), StreamingOps.SeriesEvent("a", 3000L, 1L)
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[StreamingOps.SeriesEvent]
+    val q = StreamingOps.runningSumPerSeries(stream)
+      .writeStream.outputMode("append").format("memory").queryName("srun_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("srun_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set(("a", 1000L, 5L), ("a", 2000L, 12L), ("a", 3000L, 13L), ("b", 1500L, 10L)))
+  }
+
   test("typed Aggregators match built-ins and register for SQL") {
     import spark.implicits._
     Aggregators.registerAll(spark)
