@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis, TimeMode, TsAgg, TsAggClient, TsAggSpec}
+
+/** Degenerate-input behavior: empty frames, sub-shingle docs, unicode. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val t0 = RefFixture.BaseMs
+  private val spec = TsAggSpec(900, TimeMode.CellTs(t0, t0 + 3600000L))
+
+  test("aggregation over a range with no data yields an empty result, not an error") {
+    val df = Seq((t0 - 5000L, 1L)).toDF("ts", "value") // all data before range
+    assert(TsAgg.max(df, spec).count() == 0)
+    assert(TsAggClient.max(df, spec).isEmpty)
+  }
+
+  test("empty input frames flow through every dedup variant") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(docs).count() == 0)
+    assert(Dedup.ngramJaccard(docs).count() == 0)
+    assert(Dedup.minhashNearDup(docs).count() == 0)
+    assert(Dedup.simhashNearDup(docs).count() == 0)
+    val vecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDup(vecs).count() == 0)
+  }
+
+  test("documents shorter than the shingle width are excluded, not errors") {
+    val docs = Seq((1L, "one two"), (2L, "a b c d e"), (3L, "")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(docs).count() == 0) // only doc 2 shingles; no pair
+    assert(Dedup.minhashNearDup(docs).count() == 0)
+    assert(TextAnalysis.fingerprints(docs).count() == 1)
+  }
+
+  test("unicode text survives tokenization and metrics") {
+    val docs = Seq((1L, "héllo wörld 你好 мир"), (2L, "  ")).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(docs).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1L) == 4) // four tokens
+    val langs = TextAnalysis.languageId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "zh") // CJK presence dominates
+  }
+
+  test("single-bucket range and interval larger than range") {
+    val df = Seq((t0 + 1L, 5L), (t0 + 2L, 9L)).toDF("ts", "value")
+    val wide = TsAggSpec(86400, TimeMode.CellTs(t0, t0 + 60000L)) // 1-day bucket, 1-min range
+    assert(TsAggClient.max(df, wide) == scala.collection.SortedMap(t0 -> 9L))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan contracts: the scale properties README promises are asserted
+ * here so a regression (a filter that stops pushing down, an extra exchange,
+ * a broadcast that becomes a shuffle join) fails the build instead of
+ * silently costing 100× at scale. Plans are inspected pre-AQE (the static
+ * plan is what ships to a cluster; AQE then only improves it).
+ */
+class PlanContractSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("ts aggregations: range predicate reaches the Parquet scan") {
+    val p = plan("ts_max_900")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(ts"),
+      s"time bound not pushed:\n$p")
+    assert(p.contains("LessThan(ts"), "upper bound not pushed")
+  }
+
+  test("ts aggregations: column pruning reads only ts and value") {
+    val p = plan("ts_max_900")
+    assert(p.contains("ReadSchema: struct<ts:bigint,value:double>"), s"over-read:\n$p")
+  }
+
+  test("ts aggregations: exactly one aggregation exchange (partial/final split)") {
+    val p = plan("ts_max_900")
+    // one hashpartitioning exchange for the agg + one rangepartitioning for the
+    // final orderBy — the reference-matching single-shuffle shape
+    assert(count(p, "Exchange hashpartitioning") == 1, s"agg shuffle count:\n$p")
+    assert(count(p, "Exchange rangepartitioning") == 1, s"sort shuffle count:\n$p")
+    assert(count(p, "HashAggregate") == 2, "expected partial+final hash aggregate")
+  }
+
+  test("one-pass summary keeps the single-scan single-shuffle shape with 5 aggregates") {
+    val p = plan("ts_summary_900")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Exchange hashpartitioning") == 1)
+  }
+
+  test("ANN top-k broadcasts the query side — corpus never shuffles before scoring") {
+    val p = plan("ann_topk_dot")
+    assert(p.contains("Broadcast"), s"expected broadcast join:\n$p")
+    assert(count(p, "Scan parquet") == 2) // corpus + queries, each scanned once
+  }
+
+  test("text analysis is a pure projection: no exchange at all") {
+    val p = plan("text_tokens")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("embedding near-dup is the only intended cross join") {
+    assert(plan("dedup_embedding").contains("CartesianProduct") ||
+      plan("dedup_embedding").contains("BroadcastNestedLoopJoin"))
+    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join:\n$p")
+    }
+  }
+}
