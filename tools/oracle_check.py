@@ -8,7 +8,7 @@ in DuckDB with each sf table registered as a view, sorts columns by name and
 rows by value, and compares cell-by-cell (exact; floats must match to 1e-12
 relative — the queries are designed for bit-exact parity).
 """
-import json, sys, glob, os
+import json, struct, sys, glob, os
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -23,12 +23,10 @@ def cmp_cell(a, b):
         return a is b
     if isinstance(a, float) or isinstance(b, float):
         try:
-            fa, fb = float(a), float(b)
+            # BIT-EXACT: the driver hashes values, so sub-ulp drift fails there
+            return struct.pack("<d", float(a)) == struct.pack("<d", float(b))
         except (TypeError, ValueError):
             return False
-        if fa == fb:
-            return True
-        return abs(fa - fb) <= 1e-12 * max(abs(fa), abs(fb))
     return a == b or str(a) == str(b)
 
 def main(outdir, sfdir):
