@@ -119,6 +119,15 @@ object SparkEntry {
         specLineDaily,
         Seq((sum(col("price_cents") * col("qty")).cast("double") / sum(col("qty")) / lit(100.0))
           .as("wavg_value")))),
+    // weekly order totals in cents over the orders table (second relational
+    // time-series source; 604800s buckets)
+    "ts_orders_weekly" -> ((s, d) =>
+      TsAgg.aggregate(
+        graft.sources.Tables.orders(s, d)
+          .withColumn("price_cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        TsAggSpec(604800, TimeMode.CellTs(T0_LINEITEM, T1_LINEITEM),
+          tsCol = "o_orderdate", valueCol = "price_cents"),
+        Seq(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents")))),
     // README.md:33-34 planned diff: daily sum delta vs previous bucket
     "ts_diff_daily" -> ((s, d) =>
       TsAgg.diff(events(s, d, specDaily).withColumn("value_cents", centsCol),
@@ -223,6 +232,10 @@ object SparkEntry {
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)" +
           " / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS wavg_value",
         T0_LINEITEM, T1_LINEITEM, DAY, table = "lineitem", tsExpr = "epoch_ms(l_shipdate)"),
+      "ts_orders_weekly" -> tsAggSql(
+        "count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents",
+        T0_LINEITEM, T1_LINEITEM, 604800 * MS,
+        table = "orders", tsExpr = "epoch_ms(o_orderdate)"),
       "ts_diff_daily" -> {
         val inner = tsAggSql(s"sum($cents) AS sum_value", T0_EVENTS, T0_EVENTS + 30 * DAY, DAY)
         s"SELECT bucket_start, sum_value, sum_value - lag(sum_value) OVER (ORDER BY bucket_start) AS diff_value " +
