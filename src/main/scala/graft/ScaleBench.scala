@@ -49,7 +49,9 @@ object ScaleBench {
     time("warmup (count)")(df.count())
     time("summary (5 aggs, 1 pass)") {
       val m = TsAggClient.summary(df, spec).collect()
-      assert(m.length == 672, s"expected 672 buckets, got ${m.length}")
+      // all 672 buckets populated only when rows >> buckets (coupon collector)
+      assert(m.nonEmpty && m.length <= 672, s"got ${m.length} buckets")
+      if (rows >= 100000) assert(m.length == 672, s"expected 672 buckets, got ${m.length}")
     }
     time("max")(TsAgg.max(df, spec).collect())
     time("avg")(TsAgg.avg(df, spec).collect())

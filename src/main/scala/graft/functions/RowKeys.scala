@@ -73,8 +73,13 @@ object RowKeys {
     * The value is reduced to its low 32 bits first: `hex` of a negative widens
     * to 16 chars and `lpad(..., 8)` would keep the HIGH word, corrupting every
     * negative input. */
-  def int32BE(seconds: Column): Column =
-    unhex(lpad(hex(pmod(seconds.cast("long"), lit(4294967296L))), 8, "0"))
+  def int32BE(seconds: Column): Column = {
+    val sec = seconds.cast("long")
+    // hard error outside the encodable range (module stance: no silent wraps)
+    when(sec > lit(4294967295L) || sec < lit(Int.MinValue.toLong),
+      raise_error(concat(lit("int32BE: value out of 32-bit range: "), sec.cast("string"))))
+      .otherwise(unhex(lpad(hex(pmod(sec, lit(4294967296L))), 8, "0")))
+  }
 
   /** The non-masked prefix of the key — the series identity (SURVEY §1.5). */
   def seriesPrefix(key: Column, mask: String): Column = {

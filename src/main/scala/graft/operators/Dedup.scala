@@ -17,17 +17,22 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /**
-   * Operator-internal caches, bounded to the most recent invocation: each new
-   * persist evicts the previous operator's intermediates (unpersisting a
-   * lineage dependency is safe — Spark just recomputes), so repeated dedup
-   * calls in a long-lived session cannot accumulate block-manager storage.
+   * Operator-internal caches, bounded to the most recent few invocations:
+   * persists beyond the bound are evicted oldest-first (unpersisting a lineage
+   * dependency is safe — Spark just recomputes), so repeated dedup calls in a
+   * long-lived session cannot accumulate block-manager storage. The bound is
+   * > 1 so composing operators (build near-dup candidates, then verify with
+   * the jaccard operator before either has executed) keep both their caches;
+   * access is synchronized to keep the bound exact under concurrent sessions.
    */
-  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val MaxLiveCaches = 4
+  private val liveCaches = new java.util.ArrayDeque[DataFrame]()
   private def persistScoped(df: DataFrame): DataFrame = {
-    var prev = liveCaches.poll()
-    while (prev != null) { prev.unpersist(blocking = false); prev = liveCaches.poll() }
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    liveCaches.add(p)
+    liveCaches.synchronized {
+      liveCaches.addLast(p)
+      while (liveCaches.size > MaxLiveCaches) liveCaches.pollFirst().unpersist(blocking = false)
+    }
     p
   }
 

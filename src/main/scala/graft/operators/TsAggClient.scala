@@ -21,23 +21,41 @@ import scala.collection.SortedMap
  */
 object TsAggClient {
 
-  def max(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] =
-    collectLong(TsAgg.max(df, spec))
+  def max(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] = {
+    requireSingleSeries(spec); collectLong(TsAgg.max(df, spec))
+  }
 
-  def min(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] =
-    collectLong(TsAgg.min(df, spec))
+  def min(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] = {
+    requireSingleSeries(spec); collectLong(TsAgg.min(df, spec))
+  }
 
-  def sum(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] =
-    collectLong(TsAgg.sum(df, spec))
+  def sum(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] = {
+    requireSingleSeries(spec); collectLong(TsAgg.sum(df, spec))
+  }
 
   /** Exposed as a first-class query — the reference declares the RPC but ships
     * no client method (SURVEY §2.1 "API surface asymmetry"). */
-  def count(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] =
-    collectLong(TsAgg.count(df, spec))
+  def count(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] = {
+    requireSingleSeries(spec); collectLong(TsAgg.count(df, spec))
+  }
 
-  /** Always Double, global-sum/global-count (SURVEY §2.3 #6). */
-  def avg(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Double] =
-    SortedMap.from(TsAgg.avg(df, spec).collect().map(r => r.getLong(0) -> r.getDouble(1)))
+  /** Always Double, global-sum/global-count (SURVEY §2.3 #6).
+    * All-null buckets are omitted, consistent with the integral collectors. */
+  def avg(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Double] = {
+    requireSingleSeries(spec)
+    SortedMap.from(TsAgg.avg(df, spec).collect().flatMap { r =>
+      if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getDouble(1))
+    })
+  }
+
+  /** The map-returning client surface mirrors the reference: one series per
+    * scan. Series-grouped specs return (series, bucket, value) rows — use the
+    * DataFrame API (`TsAgg.*`) for those; a positional collect here would
+    * silently build a garbage map. */
+  private def requireSingleSeries(spec: TsAggSpec): Unit =
+    require(spec.seriesCols.isEmpty,
+      s"TsAggClient returns bucket->value maps and supports only ungrouped specs; " +
+        s"got seriesCols=${spec.seriesCols.mkString(",")} - use TsAgg directly")
 
   /**
    * All five aggregates in ONE scan + one shuffle — the capability the

@@ -20,7 +20,9 @@ object Sinks {
     result
       // date_from_unix_date is timezone-free (days since epoch), unlike
       // to_date(timestamp) which shifts with the session time zone
-      .withColumn("bucket_date", date_from_unix_date((col("bucket_start") / lit(86400000L)).cast("int")))
+      .withColumn("bucket_date", date_from_unix_date(
+        ((col("bucket_start") - pmod(col("bucket_start"), lit(86400000L))) / lit(86400000L))
+          .cast("int"))) // exact floor division: `/` truncates toward zero on negatives
       .write
       .mode("overwrite")
       .partitionBy("bucket_date")

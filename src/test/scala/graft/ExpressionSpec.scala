@@ -19,12 +19,13 @@ class ExpressionSpec extends AnyFunSuite {
 
   private def withCodegenOff[A](f: => A): A = {
     val conf = spark.conf
-    val prev = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
     conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     conf.set("spark.sql.codegen.wholeStage", "false")
     try f finally {
-      conf.set("spark.sql.codegen.factoryMode", prev)
-      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
     }
   }
 
