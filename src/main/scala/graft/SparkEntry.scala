@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
-import graft.functions.RowKeys
+import graft.functions.{Decoders, RowKeys}
+import graft.functions.expressions.BinaryCodec
+import graft.sources.Fixtures
 
 /**
  * Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,6 +44,13 @@ object SparkEntry {
   /** events.value (2-decimal double) as exact integer cents. */
   private def centsCol = expr("CAST(round(value * 100) AS BIGINT)")
 
+  /** Mask for the fixture's 12-byte rowkey: timestamp bytes 8..11 (SURVEY §1.2). */
+  private val FixtureMask = "000000001111"
+  /** Logical cell time: mask-extracted rowkey seconds + decoded qualifier
+    * offset-seconds (`AggregationBuilder.java:84-115`), in epoch millis. */
+  private def fixtureTs =
+    RowKeys.keyMillis(col("key"), FixtureMask, Decoders.intBE(col("qual")))
+
   // ---- oracle SQL builders (DuckDB dialect) -----------------------------------
   /** Exact integer bucket arithmetic, identical to TsAgg.bucketStartExpr. */
   private def bucketSql(t0: Long, ivMs: Long, tsExpr: String): String =
@@ -49,12 +58,13 @@ object SparkEntry {
 
   private def tsAggSql(aggSelect: String, t0: Long, endMs: Long, ivMs: Long,
                        table: String = "events", tsExpr: String = "epoch_ms(ts)",
-                       extraKey: String = ""): String = {
+                       extraKey: String = "", extraWhere: String = ""): String = {
     val b = bucketSql(t0, ivMs, tsExpr)
     val keySel = if (extraKey.isEmpty) "" else s"$extraKey, "
     val keyGrp = if (extraKey.isEmpty) "1" else s"1, 2"
+    val where = if (extraWhere.isEmpty) "" else s" AND $extraWhere"
     s"SELECT $keySel$b AS bucket_start, $aggSelect FROM $table " +
-      s"WHERE $tsExpr >= $t0 AND $tsExpr < $endMs GROUP BY $keyGrp ORDER BY $keyGrp"
+      s"WHERE $tsExpr >= $t0 AND $tsExpr < $endMs$where GROUP BY $keyGrp ORDER BY $keyGrp"
   }
 
   // ---- specs ------------------------------------------------------------------
@@ -132,40 +142,64 @@ object SparkEntry {
     "ts_diff_daily" -> ((s, d) =>
       TsAgg.diff(events(s, d, specDaily).withColumn("value_cents", centsCol),
         specDaily.copy(valueCol = "value_cents"))),
-    // P1/P2 key-embedded mode end-to-end: synthesize the reference's rowkey
-    // layout ("testRow" + int32-BE epoch-seconds, qualifier offset 0) from ts,
-    // then extract it back through the mask and aggregate (SURVEY §1.2 mode 1)
+    // ---- binary-cell queries over the materialized rowkey fixture ----------
+    // Fixtures.keyedEvents is the reference's physical cell layout (12-byte
+    // rowkey = 8B BE series ++ 4B BE hour-seconds, 4B BE qualifier
+    // offset-seconds — NONZERO for almost every cell — and 8B BE long value),
+    // built once per sf dir and key-sorted like HBase regions. Round 1
+    // synthesized keys inside each query through string round-trips; that
+    // scaffolding was 38% of the bench (VERDICT r1 #7). These queries now
+    // measure the product path only: mask extraction + decode + aggregate.
+
+    // P1+P2 key-embedded mode: timestamp = mask-extracted rowkey seconds +
+    // qualifier offset-seconds (`AggregationBuilder.java:84-115`), MAX/900s
     "rowkey_max_900" -> { (s, d) =>
-      val mask = "00000001111"
-      val ev = events(s, d, spec900)
-      val secMs = unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(1000L))
-      val keyed = ev
-        .withColumn("key",
-          concat(lit("testRow".getBytes("UTF-8")), RowKeys.int32BE((secMs / 1000L).cast("long"))))
-        .withColumn("ts_ms", RowKeys.keyMillis(col("key"), mask, lit(0)))
-      TsAgg.max(keyed, spec900.copy(tsCol = "ts_ms"))
+      val ev = Fixtures.keyedEvents(s, d)
+        .withColumn("ts_ms", fixtureTs)
+      TsAgg.max(ev, spec900.copy(tsCol = "ts_ms", valueCol = "value_double"))
     },
 
-    // P1 + series identity: 12-byte rowkey = 8-byte BE series id (user_id) +
-    // int32-BE epoch-seconds; BOTH the series and the timestamp are recovered
-    // from the key bytes (seriesPrefix/longBE + keyMillis), then aggregated
-    // per (series, bucket) — the reference's one-series-per-scan model
-    // generalized to all series in one scan
+    // P1 + series identity: BOTH the series and the timestamp recovered from
+    // the key bytes (seriesPrefix/longBE + keyMillis), value decoded from the
+    // 8-byte BE cell (LongColumnInterpreter), aggregated per (series, bucket)
+    // — the reference's one-series-per-scan model generalized to all series
+    // in one scan
     "rowkey_series_sum_900" -> { (s, d) =>
-      val mask = "000000001111"
-      val ev = events(s, d, spec900)
-      val secMs = unix_millis(col("ts")) - pmod(unix_millis(col("ts")), lit(1000L))
-      val keyed = ev
-        .withColumn("key",
-          concat(
-            unhex(lpad(hex(col("user_id")), 16, "0")), // 8-byte BE series id
-            RowKeys.int32BE((secMs / 1000L).cast("long"))))
-        .drop("user_id", "ts")
-        .withColumn("ts_ms", RowKeys.keyMillis(col("key"), mask, lit(0)))
-        .withColumn("series_id", graft.functions.Decoders.longBE(RowKeys.seriesPrefix(col("key"), mask)))
-        .withColumn("value_cents", centsCol)
-      TsAgg.sum(keyed,
+      val ev = Fixtures.keyedEvents(s, d)
+        .withColumn("ts_ms", fixtureTs)
+        .withColumn("series_id", Decoders.longBE(RowKeys.seriesPrefix(col("key"), FixtureMask)))
+        .withColumn("value_cents", Decoders.longBE(col("value")))
+      TsAgg.sum(ev,
         spec900.copy(tsCol = "ts_ms", valueCol = "value_cents", seriesCols = Seq("series_id")))
+    },
+
+    // P3/X3 value-decode end-to-end: the 8-byte big-endian two's-complement
+    // cell value decoded through Decoders.longBE and SUMMED — the reference's
+    // `LongColumnInterpreter` flow (`TestTimeseriesAggregateProtocol.java:147-148`)
+    // under the oracle (vs DuckDB aggregating the typed column)
+    "ts_decode_sum_900" -> { (s, d) =>
+      val ev = Fixtures.keyedEvents(s, d)
+        .withColumn("ts_ms", fixtureTs)
+        .withColumn("value_cents", Decoders.longBE(col("value")))
+      TsAgg.sum(ev, spec900.copy(tsCol = "ts_ms", valueCol = "value_cents"))
+    },
+
+    // F1 rowkey range scan: `Scan.setStartRow/setStopRow` on the binary key
+    // (`TimeseriesAggregationClient.java:575-581`) — one series' day-1..7
+    // window addressed purely through the key bytes. The predicate pushes to
+    // Parquet min/max pruning on the key-sorted fixture (PlanContractSpec
+    // asserts PushedFilters), the Spark analogue of HBase region pruning.
+    "rowkey_range_sum_900" -> { (s, d) =>
+      val startKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0_EVENTS + DAY) / 1000L, 4)
+      val stopKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0_EVENTS + 7 * DAY) / 1000L, 4)
+      val spec = TsAggSpec(900, TimeMode.CellTs(T0_EVENTS + DAY, T0_EVENTS + 7 * DAY),
+        tsCol = "ts_ms", valueCol = "value_cents")
+      val ev = Fixtures.keyedEvents(s, d)
+        .filter(RowKeys.keyRangeFilter(col("key"), startKey, stopKey))
+        .withColumn("ts_ms", fixtureTs)
+        .withColumn("value_cents", Decoders.longBE(col("value")))
+      TsAgg.aggregate(ev, spec,
+        Seq(sum(col("value_cents")).as("sum_value"), count(lit(1)).as("count_value")))
     },
 
     // ---- scale ops: text analysis over `documents` --------------------------
@@ -184,7 +218,11 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => // rows-only: seeded permutations not portable
       Dedup.minhashNearDup(documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(documents(s, d))),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(embeddings(s, d))),
+    // LSH-blocked + exact-verified (the scale path; no cartesian anywhere in
+    // the plan — PlanContractSpec asserts it). The all-pairs form remains as
+    // the small-corpus oracle of the same answer (EmbeddingLshSpec asserts
+    // equality; the DuckDB oracle below is the all-pairs computation).
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(embeddings(s, d), dim = 64)),
 
     // ---- scale ops: similarity search over `embeddings` ---------------------
     "ann_topk_dot" -> { (s, d) =>
@@ -213,12 +251,15 @@ object SparkEntry {
       "ts_max_900" -> tsAggSql("max(value) AS max_value", T0_EVENTS, e900, 900 * MS),
       "ts_min_900" -> tsAggSql("min(value) AS min_value", T0_EVENTS, e900, 900 * MS),
       "ts_count_900" -> tsAggSql("count(*) AS count_value", T0_EVENTS, e900, 900 * MS),
-      "ts_sum_900" -> tsAggSql(s"sum($cents) AS sum_value", T0_EVENTS, e900, 900 * MS),
+      // NB all DuckDB sum()/list_sum() outputs are CAST(... AS BIGINT): DuckDB
+      // promotes integer sums to HUGEINT (int128), which hash-mismatches
+      // Spark's BIGINT even when numerically equal (VERDICT r1 "What's wrong" #1).
+      "ts_sum_900" -> tsAggSql(s"CAST(sum($cents) AS BIGINT) AS sum_value", T0_EVENTS, e900, 900 * MS),
       "ts_avg_900" -> tsAggSql(
         s"CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
         T0_EVENTS, e900, 900 * MS),
       "ts_summary_900" -> tsAggSql(
-        s"max(value) AS max_value, min(value) AS min_value, sum($cents) AS sum_value, " +
+        s"max(value) AS max_value, min(value) AS min_value, CAST(sum($cents) AS BIGINT) AS sum_value, " +
           s"count(*) AS count_value, CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
         T0_EVENTS, e900, 900 * MS),
       "ts_max_trailing_900" -> tsAggSql("max(value) AS max_value",
@@ -233,21 +274,34 @@ object SparkEntry {
           " / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS wavg_value",
         T0_LINEITEM, T1_LINEITEM, DAY, table = "lineitem", tsExpr = "epoch_ms(l_shipdate)"),
       "ts_orders_weekly" -> tsAggSql(
-        "count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents",
+        "count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents",
         T0_LINEITEM, T1_LINEITEM, 604800 * MS,
         table = "orders", tsExpr = "epoch_ms(o_orderdate)"),
       "ts_diff_daily" -> {
-        val inner = tsAggSql(s"sum($cents) AS sum_value", T0_EVENTS, T0_EVENTS + 30 * DAY, DAY)
-        s"SELECT bucket_start, sum_value, sum_value - lag(sum_value) OVER (ORDER BY bucket_start) AS diff_value " +
+        val inner = tsAggSql(s"CAST(sum($cents) AS BIGINT) AS sum_value",
+          T0_EVENTS, T0_EVENTS + 30 * DAY, DAY)
+        s"SELECT bucket_start, sum_value, CAST(sum_value - lag(sum_value) OVER (ORDER BY bucket_start) AS BIGINT) AS diff_value " +
           s"FROM ($inner) ORDER BY bucket_start"
       },
       "rowkey_max_900" -> tsAggSql("max(value) AS max_value", T0_EVENTS, e900, 900 * MS,
         tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)"),
       "rowkey_series_sum_900" -> tsAggSql(
-        s"sum(CAST(round(value * 100) AS BIGINT)) AS sum_value",
+        s"CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value",
         T0_EVENTS, e900, 900 * MS,
         tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)",
         extraKey = "user_id AS series_id"),
+      // decode(encode(cents)) == cents, proven through the aggregate: the
+      // oracle never sees the binary column, only the typed source
+      "ts_decode_sum_900" -> tsAggSql(
+        s"CAST(sum($cents) AS BIGINT) AS sum_value", T0_EVENTS, e900, 900 * MS,
+        tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)"),
+      // the key-range scan is user 7's day-1..7 window addressed through key
+      // bytes; the oracle addresses it relationally
+      "rowkey_range_sum_900" -> tsAggSql(
+        s"CAST(sum($cents) AS BIGINT) AS sum_value, count(*) AS count_value",
+        T0_EVENTS + DAY, T0_EVENTS + 7 * DAY, 900 * MS,
+        tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)",
+        extraWhere = "user_id = 7"),
 
       // ---- text analysis ----
       "text_tokens" ->
@@ -297,7 +351,7 @@ object SparkEntry {
           |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings))
           |SELECT id_a, id_b, dot FROM (
           |  SELECT a.id AS id_a, b.id AS id_b,
-          |    list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS dot,
+          |    CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
           |    a.n2 AS n2a, b.n2 AS n2b
           |  FROM n a JOIN n b ON a.id < b.id)
           |WHERE dot > 0 AND dot*dot*400 >= 81 * n2a * n2b ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
@@ -306,7 +360,7 @@ object SparkEntry {
       "ann_topk_dot" ->
         """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q FROM embeddings),
           |qs AS (SELECT vec_id AS qid, q AS qv FROM v WHERE vec_id < 10),
-          |scored AS (SELECT qid, v.vec_id AS nid, list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v.q[i])) AS dot_q
+          |scored AS (SELECT qid, v.vec_id AS nid, CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v.q[i])) AS BIGINT) AS dot_q
           |  FROM qs, v WHERE v.vec_id <> qid)
           |SELECT qid, nid, dot_q, rank FROM (
           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)

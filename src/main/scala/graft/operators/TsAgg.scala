@@ -199,6 +199,12 @@ object TsAgg {
    */
   def diff(df: DataFrame, spec: TsAggSpec): DataFrame = {
     val summed = aggregate(df, spec, Seq(functions.sum(v(spec)).as("sum_value")))
+    // With no series columns the lag window is necessarily a single ordered
+    // partition — bounded because its input is post-aggregate (one row per
+    // bucket, O((t1-t0)/interval), not O(cells)). A multi-year 1-second-
+    // interval spec is the only way to make this large; such specs should
+    // carry series columns (each series windows independently) or chunk the
+    // range. The row count makes the bound visible at plan time.
     val w =
       if (spec.seriesCols.isEmpty) Window.orderBy(col("bucket_start"))
       else Window.partitionBy(spec.seriesCols.map(col): _*).orderBy(col("bucket_start"))

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RowKeys
+import graft.functions.expressions.LongToBytesBE
+
+/**
+ * Materialized binary-rowkey fixture — the reference's physical key layout
+ * (SURVEY §1.2 key-embedded mode) realized as a key-sorted Parquet table, the
+ * stand-in for an HBase snapshot/connector scan in this sandbox (FIXTURES.md).
+ *
+ * Layout per row (from `events`):
+ *  - `key`    binary(12) = 8-byte BE `user_id` (series) ++ 4-byte BE
+ *             hour-aligned epoch-seconds — the coarse row period, exactly the
+ *             reference's "one row per period" model (`README.md:42-54`)
+ *  - `qual`   binary(4) = BE offset-seconds within the hour — the reference's
+ *             qualifier-as-offset encoding (`AggregationBuilder.java:84-86`),
+ *             nonzero for almost every sample (P2 under the oracle)
+ *  - `value`  binary(8) = BE two's-complement long of value-cents — the
+ *             `LongColumnInterpreter` cell-value layout
+ *             (`TestTimeseriesAggregateProtocol.java:147-148`)
+ *  - `value_double`, `event_type` — typed originals for parity queries
+ *
+ * Written once per sf dir (cached under /tmp), `repartitionByRange(key)` +
+ * sorted within partitions — the same key-clustered physical order an HBase
+ * region scan delivers, so rowkey range predicates prune Parquet row groups
+ * via min/max stats exactly like `Scan.setStartRow/setStopRow` prunes regions.
+ *
+ * Round 1 synthesized these keys inside every rowkey query with hex/lpad/unhex
+ * string round-trips — 38% of the whole bench was that scaffolding (VERDICT
+ * r1). Building the fixture once moves synthesis out of the measured path and
+ * makes the queries measure what they claim: decode + aggregate.
+ */
+object Fixtures {
+
+  private val Version = "v2"
+  private val lock = new Object
+
+  /** Stable cache path per (version, sf dir). */
+  private def cachePath(dir: String): String =
+    s"/tmp/graft-fixtures/$Version/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/keyed_events"
+
+  def keyedEvents(s: SparkSession, dir: String): DataFrame = {
+    val out = cachePath(dir)
+    lock.synchronized {
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) build(s, dir, out)
+    }
+    s.read.parquet(out)
+  }
+
+  private def build(s: SparkSession, dir: String, out: String): Unit = {
+    val ev = Tables.events(s, dir)
+    val sec = expr("unix_millis(ts) DIV 1000")
+    val hourSec = expr("(unix_millis(ts) DIV 1000) DIV 3600 * 3600")
+    val keyed = ev.select(
+      concat(RowKeys.int64BE(col("user_id")), RowKeys.int32BE(hourSec)).as("key"),
+      RowKeys.int32BE(sec - hourSec).as("qual"),
+      LongToBytesBE(expr("CAST(round(value * 100) AS BIGINT)"), 8).as("value"),
+      col("value").as("value_double"),
+      col("event_type"))
+    // key-clustered like HBase regions: range-partitioned and sorted so the
+    // Parquet row-group min/max stats on `key` are tight and disjoint
+    keyed.repartitionByRange(8, col("key"))
+      .sortWithinPartitions("key", "qual")
+      .write.mode("overwrite").parquet(out)
+  }
+}

@@ -9,6 +9,16 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
  * is an HBase region scan; ours is columnar Parquet, where partition-parallel
  * scanning, predicate pushdown, and column pruning come from the file source).
  *
+ * HBase connector seam: against a live cluster these readers would be the one
+ * place to swap `spark.read.parquet` for an HBase DataSource (e.g. the
+ * `hbase-connectors` Spark module or a TableSnapshotInputFormat scan of HFiles)
+ * producing the same (key: binary, qualifier: binary, ts, value: binary)
+ * columns — everything downstream ([[graft.functions.RowKeys]] mask extraction,
+ * [[graft.functions.Decoders]] value interpreters, TsAgg plans) is agnostic to
+ * which source produced the DataFrame. This sandbox has no HBase, so
+ * [[Fixtures.keyedEvents]] materializes that exact cell layout from the
+ * driver's Parquet testdata instead (FIXTURES.md).
+ *
  * Normalization handled here so every operator sees one canonical schema:
  *  - `TIMESTAMP(NANOS)` parquet columns (events.ts) are unsupported by Spark 4's
  *    vectorized reader; we read them as raw Long nanos via the legacy conf and

@@ -58,12 +58,30 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
   }
 
-  test("embedding near-dup is the only intended cross join") {
-    assert(plan("dedup_embedding").contains("CartesianProduct") ||
-      plan("dedup_embedding").contains("BroadcastNestedLoopJoin"))
-    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard").foreach { q =>
+  test("no dedup query cross-joins — embedding dedup is LSH-blocked (r2)") {
+    Seq("dedup_embedding", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard").foreach { q =>
       val p = plan(q)
-      assert(!p.contains("CartesianProduct"), s"$q must not cross-join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not cross-join:\n$p")
     }
+  }
+
+  test("rowkey range scan: key-range predicate pushes to the Parquet key column") {
+    val p = plan("rowkey_range_sum_900")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(key"),
+      s"key range start not pushed:\n$p")
+    assert(p.contains("LessThan(key"), s"key range stop not pushed:\n$p")
+  }
+
+  test("ngram jaccard guards hot shingles by default (frequency cap in plan)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pDefault = graft.operators.Dedup.ngramJaccard(docs)
+      .queryExecution.executedPlan.toString
+    val pUncapped = graft.operators.Dedup.ngramJaccard(docs, maxShingleFreq = None)
+      .queryExecution.executedPlan.toString
+    // the cap adds a per-shingle frequency aggregate + join ahead of the
+    // pair join; without it those operators must be absent
+    assert(count(pDefault, "HashAggregate") > count(pUncapped, "HashAggregate"),
+      s"default plan missing the frequency-cap aggregate:\n$pDefault")
   }
 }

@@ -42,18 +42,28 @@ def main(outdir, sfdir):
         if not os.path.isdir(d):
             continue
         files = glob.glob(f"{d}/*.parquet")
-        got_rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        got_cols = [c[0] for c in got_rel.description]
+        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_cols = list(got_rel.columns)
+        got_types = [str(t) for t in got_rel.types]
         got = got_rel.fetchall()
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
-        exp_rel = con.execute(oracle[name])
-        exp_cols = [c[0] for c in exp_rel.description]
+        exp_rel = con.sql(oracle[name])
+        exp_cols = list(exp_rel.columns)
+        exp_types = [str(t) for t in exp_rel.types]
         exp = exp_rel.fetchall()
+        # TYPE-STRICT: the driver hashes typed values, so DuckDB HUGEINT
+        # (uncast sum()/list_sum()) vs Spark BIGINT fails there even when
+        # the numbers are equal — compare declared types, not str() renderings.
+        gt = [t for _, t in sorted(zip(got_cols, got_types))]
+        et = [t for _, t in sorted(zip(exp_cols, exp_types))]
         gc, gr = norm(got, got_cols)
         ec, er = norm(exp, exp_cols)
-        ok = gc == ec and len(gr) == len(er) and all(
+        type_ok = gt == et
+        if not type_ok:
+            print(f"  [TYPE-FAIL] {name}: got {list(zip(gc, gt))} vs oracle {list(zip(ec, et))}")
+        ok = type_ok and gc == ec and len(gr) == len(er) and all(
             all(cmp_cell(a, b) for a, b in zip(r1, r2)) for r1, r2 in zip(gr, er))
         if ok:
             n_pass += 1
