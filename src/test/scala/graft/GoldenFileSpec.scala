@@ -1,0 +1,78 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Committed-golden verification for the queries the DuckDB oracle cannot
+ * express (seeded MinHash/SimHash/LSH permutations, xxhash64 fingerprints,
+ * the synthetic multimodal pipeline). Everything these queries compute is
+ * deterministic (fixed seeds, integer or per-row float arithmetic, ordered
+ * output), so their full sf0.001 outputs are committed as TSV goldens and
+ * compared line-by-line — closing the "spark_rows > 0 is the only hard
+ * signal" gap from round 1 (VERDICT #6).
+ *
+ * Each golden records a fingerprint of the input parquet bytes; if the
+ * driver regenerates testdata, the affected tests CANCEL (assume) with a
+ * regeneration hint instead of reporting false reds:
+ * `GRAFT_REGEN_GOLDEN=1 sbt "testOnly graft.GoldenFileSpec"` rewrites them.
+ */
+class GoldenFileSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val goldenDir = "src/test/resources/golden"
+  private val regen = sys.env.get("GRAFT_REGEN_GOLDEN").contains("1")
+
+  /** Queries with no oracle entry: everything else is DuckDB-checked. */
+  private val goldenQueries =
+    Seq("ann_topk_cosine_lsh", "dedup_minhash", "dedup_simhash",
+      "text_fingerprint", "multimodal_features")
+
+  private lazy val inputFingerprint: String = {
+    val md = MessageDigest.getInstance("MD5")
+    for (t <- Seq("documents", "embeddings")) {
+      md.update(Files.readAllBytes(Paths.get(s"$sfDir/$t.parquet")))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def render(df: DataFrame): Seq[String] = {
+    val header = df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString("\t")
+    // query output order is deterministic (every golden query ends in orderBy)
+    // and the driver's hash is order-sensitive — pin it, don't re-sort
+    val rows = df.collect().map(_.toSeq.map {
+      case null => "␀"
+      case d: Double => d.toString
+      case f: Float => f.toString
+      case x => x.toString
+    }.mkString("\t"))
+    header +: rows.toSeq
+  }
+
+  for (q <- goldenQueries) test(s"golden: $q matches the committed sf0.001 output") {
+    val lines = render(SparkEntry.queries(q)(spark, sfDir))
+    val file = new File(s"$goldenDir/$q.tsv")
+    if (regen) {
+      file.getParentFile.mkdirs()
+      Files.write(file.toPath,
+        (s"#input-md5 $inputFingerprint" +: lines).mkString("", "\n", "\n").getBytes("UTF-8"))
+      info(s"regenerated ${file.getPath} (${lines.size - 1} rows)")
+    } else {
+      assert(file.exists(), s"missing golden ${file.getPath} — run with GRAFT_REGEN_GOLDEN=1")
+      val committed = new String(Files.readAllBytes(file.toPath), "UTF-8").split("\n", -1).toSeq
+        .dropRight(1) // trailing newline
+      assume(committed.head == s"#input-md5 $inputFingerprint",
+        "testdata changed since goldens were recorded — GRAFT_REGEN_GOLDEN=1 to refresh")
+      val exp = committed.tail
+      assert(lines.size == exp.size, s"row count ${lines.size - 1} != golden ${exp.size - 1}")
+      lines.zip(exp).zipWithIndex.foreach { case ((got, want), i) =>
+        assert(got == want, s"line $i differs:\n  got  $got\n  want $want")
+      }
+    }
+  }
+}

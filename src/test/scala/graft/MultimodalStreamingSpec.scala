@@ -23,6 +23,28 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(a(0L) != a(1L)) // content-sensitive
   }
 
+  test("BMP/WAV header probe extracts real container fields; others fall back") {
+    import Multimodal.MediaCodec
+    val bmp = MediaCodec.wrapBmp(640, 480, Array.fill[Byte](16)(3))
+    val pb = MediaCodec.probe(bmp)
+    assert(pb.exists(m => m.width == 640 && m.height == 480 && m.codec == "bmp"))
+    // 16000 Hz, 16-bit mono → byteRate 32000; 8000 data bytes = 250 ms
+    val wav = MediaCodec.wrapWav(16000, Array.fill[Byte](8000)(1))
+    val pw = MediaCodec.probe(wav)
+    assert(pw.exists(m =>
+      m.sampleRate == 16000 && m.durationMs == 250L && m.codec == "pcm_s16le"))
+    assert(MediaCodec.probe(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodec.probe("RIFFxxxxJUNK".getBytes("US-ASCII") ++ new Array[Byte](40)).isEmpty)
+
+    // probed metadata flows through featurize: synthetic images/audio carry
+    // real containers, so width/sample_rate in the output are header-derived
+    import spark.implicits._
+    val feats = Multimodal.featurize(Multimodal.syntheticMedia(spark, 30)).collect()
+    assert(feats.filter(_.kind == "image").forall(f => f.width >= 16 && f.codec == "bmp"))
+    assert(feats.filter(_.kind == "audio").forall(f => f.sample_rate >= 8000 && f.codec.startsWith("pcm_")))
+    assert(feats.filter(_.kind == "video").forall(f => f.codec == "raw" && f.width == 0))
+  }
+
   test("media pipeline aggregates per kind with payload accounting") {
     val rows = Multimodal.mediaPipeline(spark, 300).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
