@@ -171,3 +171,124 @@ object SimHashPacked {
   def apply(hashes: Column): Column =
     GraftBridge.toColumn(SimHashPacked(GraftBridge.toExpression(hashes)))
 }
+
+/**
+ * All `tables` random-hyperplane LSH band keys of a vector in ONE pass:
+ * key_t = Σ_pp bit(t·p+pp)·2^(p-1-pp) where bit(plane) = [dot(vec, r_plane) ≥ 0]
+ * and r_plane ∈ {−1,+1}^dim comes from a plane-seeded PRNG (identical
+ * sign sequences to [[graft.operators.Similarity]]'s original per-plane
+ * formulation — `new scala.util.Random(plane · 1315423911 + 7)` drawing one
+ * boolean per dimension, so keys are bit-for-bit unchanged).
+ *
+ * The composed form evaluated one codegen'd dot product per plane — each a
+ * full pass over the vector, tables × planes passes per row. This expression
+ * walks the sign matrix in one loop nest: for 24 × 2 keys over dim 64 that is
+ * 48 fused dot products with zero per-plane expression-tree overhead, and the
+ * key array never leaves the generated code until it is complete.
+ *
+ * Arithmetic parity with [[ArrayDotProduct]] is load-bearing: left-to-right
+ * accumulation, per-element widening to double, null elements skipped —
+ * asserted in ExpressionSpec against the composed formulation.
+ */
+case class SrpLshKeys(child: Expression, dim: Int, tables: Int, planesPerTable: Int)
+    extends UnaryExpression {
+  require(dim > 0 && tables > 0 && planesPerTable > 0 && planesPerTable <= 62,
+    s"invalid SRP-LSH shape: dim=$dim tables=$tables planes=$planesPerTable")
+
+  /** Flattened [plane][dim] sign matrix, ±1.0 — same seeds as the composed form. */
+  private lazy val signs: Array[Double] = {
+    val out = new Array[Double](tables * planesPerTable * dim)
+    var plane = 0
+    while (plane < tables * planesPerTable) {
+      val rnd = new scala.util.Random(plane * 1315423911L + 7)
+      var i = 0
+      while (i < dim) {
+        out(plane * dim + i) = if (rnd.nextBoolean()) 1.0 else -1.0
+        i += 1
+      }
+      plane += 1
+    }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"srp_lsh_keys requires array<float|double>, got $t")
+  }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, vec.numElements())
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var pp = 0
+      while (pp < planesPerTable) {
+        val base = (t * planesPerTable + pp) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          if (!vec.isNullAt(i)) {
+            val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+            dot += x * signs(base + i)
+          }
+          i += 1
+        }
+        key = key * 2L + (if (dot >= 0) 1L else 0L)
+        pp += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("srpSigns", signs, "double[]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, vec => {
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t")
+      val pp = ctx.freshName("pp")
+      val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val key = ctx.freshName("key")
+      s"""
+         |int $n = java.lang.Math.min($dim, $vec.numElements());
+         |long[] $keys = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $key = 0L;
+         |  for (int $pp = 0; $pp < $planesPerTable; $pp++) {
+         |    int $base = ($t * $planesPerTable + $pp) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$vec.isNullAt($i)) {
+         |        $dot += ((double) $vec.$getter($i)) * $signsRef[$base + $i];
+         |      }
+         |    }
+         |    $key = $key * 2L + ($dot >= 0 ? 1L : 0L);
+         |  }
+         |  $keys[$t] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpLshKeys {
+  def apply(vec: Column, dim: Int, tables: Int, planesPerTable: Int): Column =
+    GraftBridge.toColumn(
+      SrpLshKeys(GraftBridge.toExpression(vec), dim, tables, planesPerTable))
+}

@@ -83,38 +83,21 @@ object Similarity {
     topK(scored, k, Seq(col("cosine").desc, col("nid").asc))
   }
 
-  /** Deterministic pseudo-random hyperplane sign bit: sign of dot(vec, r_p). */
-  private def hyperplaneSign(vec: Column, plane: Int, dim: Int): Column = {
-    // r_p[i] ∈ {-1, +1} from a plan-time seeded PRNG — the classic SRP-LSH
-    // simplification (binary random projections). Materialized as ONE literal
-    // array + zip_with/aggregate so the expression tree stays small (a
-    // per-component sum of 64 Add nodes × 64 planes would blow past codegen's
-    // method-size limit and fall back to interpretation).
-    val rnd = new scala.util.Random(plane * 1315423911L + 7)
-    val signs = array((0 until dim).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
-    when(ArrayDotProduct(vec, signs) >= 0, 1L).otherwise(0L)
-  }
-
   /**
    * Random-hyperplane LSH band keys: `tables` keys per vector, each from
-   * `planesPerTable` sign bits. Collision probability for angle θ:
-   * (1 − θ/π)^planes per table. Map-side only — one narrow projection.
+   * `planesPerTable` sign bits (r ∈ {−1,+1}^dim, plane-seeded PRNG — the
+   * classic SRP-LSH binary-projection simplification). Collision probability
+   * for angle θ: (1 − θ/π)^planes per table. Map-side only — ONE codegen'd
+   * pass per vector ([[SrpLshKeys]] computes every table key in a single
+   * loop nest; the composed one-dot-per-plane form paid tables × planes
+   * vector passes).
    */
   def withLshKeys(
       df: DataFrame, dim: Int, tables: Int = 8, planesPerTable: Int = 8,
-      vecCol: String = "embedding"): DataFrame = {
-    val keys = (0 until tables).map { t =>
-      val bits = (0 until planesPerTable).map { p =>
-        hyperplaneSign(col(vecCol), t * planesPerTable + p, dim)
-      }
-      struct(lit(t).as("table"),
-        bits.reduce((a, b) => a * 2L + b).as("lkey"))
-    }
-    df.withColumn("lsh", explode(array(keys: _*)))
-      .withColumn("ltable", col("lsh.table"))
-      .withColumn("lkey", col("lsh.lkey"))
-      .drop("lsh")
-  }
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col("*"),
+      posexplode(graft.functions.expressions.SrpLshKeys(col(vecCol), dim, tables, planesPerTable))
+        .as(Seq("ltable", "lkey")))
 
   /**
    * ANN via LSH blocking + exact cosine re-rank within buckets, returning the

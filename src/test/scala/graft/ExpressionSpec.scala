@@ -82,6 +82,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(s1.forall(w => w >= 0 && w <= 0xFFFFFFFFL)) // packed 32-bit words
   }
 
+  test("SrpLshKeys: interpreted == codegen == hand-computed sign model") {
+    val dim = 8
+    val vecs = Seq(
+      Array(0.3f, -1.2f, 0.8f, 0.0f, 2.5f, -0.1f, 1.1f, -0.7f),
+      Array(-0.9f, 0.4f, -0.4f, 1.7f, -2.2f, 0.6f, 0.0f, 0.2f))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val q = df.select(
+      graft.functions.expressions.SrpLshKeys(col("v"), dim, tables = 4, planesPerTable = 3).as("k"))
+    assert(rows(q) == withCodegenOff(rows(q)))
+    // independent model: same plane-seeded PRNG, same left-to-right fold
+    def modelKeys(v: Array[Float]): Seq[Long] = (0 until 4).map { t =>
+      (0 until 3).foldLeft(0L) { (key, pp) =>
+        val rnd = new scala.util.Random((t * 3 + pp) * 1315423911L + 7)
+        val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+        var dot = 0.0
+        for (i <- 0 until dim) dot += v(i).toDouble * signs(i)
+        key * 2L + (if (dot >= 0) 1L else 0L)
+      }
+    }
+    val got = q.collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(got == vecs.map(modelKeys))
+  }
+
   test("type mismatches fail analysis, not execution") {
     val df = Seq(Tuple1(Array("a", "b"))).toDF("s")
     intercept[org.apache.spark.sql.AnalysisException] {
