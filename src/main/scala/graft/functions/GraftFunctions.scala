@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, Expression, Pmod, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, Expression, Literal, Pmod, Subtract}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
 
-import graft.functions.expressions.ArrayDotProduct
+import graft.functions.expressions._
 
 /**
  * SQL registration surface: exposes the engine's primitives to `spark.sql`,
@@ -14,7 +15,12 @@ import graft.functions.expressions.ArrayDotProduct
  *   GraftFunctions.register(spark)
  *   spark.sql("SELECT ts_bucket(ts_ms, 1704067200000, 900000) b, max(v) FROM t GROUP BY b")
  *   spark.sql("SELECT array_dot_product(a.embedding, b.embedding) FROM ...")
+ *   spark.sql("SELECT bytes_be_to_long(value, 8, true) FROM cells")
  * }}}
+ *
+ * The same builders are injected application-wide by [[graft.GraftExtensions]]
+ * (`--conf spark.sql.extensions=graft.GraftExtensions`) for config-only
+ * deployments.
  */
 object GraftFunctions {
 
@@ -27,16 +33,66 @@ object GraftFunctions {
     Add(t0, Subtract(d, Pmod(d, iv)))
   }
 
+  /** Shape parameters (hash counts, widths, seeds) must be literals — they
+    * size codegen'd loops and sign matrices at plan time. */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal integer, got $other")
+  }
+  private def litBool(e: Expression, fn: String, arg: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal boolean, got $other")
+  }
+  private def arity(args: Seq[Expression], fn: String, n: Int): Unit =
+    require(args.length == n, s"$fn takes $n args, got ${args.length}")
+
+  /** (name, usage, builder) for every injectable expression function. */
+  val expressionFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("ts_bucket",
+      "ts_bucket(tsMs, t0Ms, intervalMs) - tumbling-bucket start, exact long arithmetic",
+      tsBucket _),
+    ("array_dot_product",
+      "array_dot_product(a, b) - codegen'd dot product (long arrays -> long, float/double -> double)",
+      (args: Seq[Expression]) => { arity(args, "array_dot_product", 2)
+        ArrayDotProduct(args(0), args(1)) }),
+    ("minhash_signature",
+      "minhash_signature(hashes, numHashes, seed) - MinHash signature of a hashed-shingle array",
+      (args: Seq[Expression]) => { arity(args, "minhash_signature", 3)
+        MinHashSignature(args(0), litInt(args(1), "minhash_signature", "numHashes"),
+          litInt(args(2), "minhash_signature", "seed").toLong) }),
+    ("simhash_packed",
+      "simhash_packed(hashes) - 64-bit SimHash as array(loWord, hiWord)",
+      (args: Seq[Expression]) => { arity(args, "simhash_packed", 1)
+        SimHashPacked(args(0)) }),
+    ("srp_lsh_keys",
+      "srp_lsh_keys(vec, dim, tables, planesPerTable) - all random-hyperplane LSH band keys in one pass",
+      (args: Seq[Expression]) => { arity(args, "srp_lsh_keys", 4)
+        SrpLshKeys(args(0), litInt(args(1), "srp_lsh_keys", "dim"),
+          litInt(args(2), "srp_lsh_keys", "tables"),
+          litInt(args(3), "srp_lsh_keys", "planesPerTable")) }),
+    ("bytes_be_to_long",
+      "bytes_be_to_long(bin, width, signed) - big-endian fixed-width binary -> long",
+      (args: Seq[Expression]) => { arity(args, "bytes_be_to_long", 3)
+        BytesBEToLong(args(0), litInt(args(1), "bytes_be_to_long", "width"),
+          litBool(args(2), "bytes_be_to_long", "signed")) }),
+    ("long_to_bytes_be",
+      "long_to_bytes_be(v, width) - long -> width-byte big-endian binary (hard error on overflow)",
+      (args: Seq[Expression]) => { arity(args, "long_to_bytes_be", 2)
+        LongToBytesBE(args(0), litInt(args(1), "long_to_bytes_be", "width")) }),
+    ("long_bits_to_double",
+      "long_bits_to_double(bits) - IEEE-754 bit pattern -> double",
+      (args: Seq[Expression]) => { arity(args, "long_bits_to_double", 1)
+        LongBitsToDouble(args(0)) })
+  )
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("ts_bucket", tsBucket, "built-in")
-    reg.createOrReplaceTempFunction(
-      "array_dot_product",
-      exprs => {
-        require(exprs.length == 2, s"array_dot_product takes 2 args, got ${exprs.length}")
-        expressions.ArrayDotProduct(exprs(0), exprs(1))
-      },
-      "built-in")
+    expressionFunctions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
     Aggregators.registerAll(spark) // graft_avg / graft_wavg UDAFs
   }
 }
