@@ -229,12 +229,22 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.topKDot(e, e.filter(col("vec_id") < 10), k = 5)
     },
-    "ann_topk_cosine_lsh" -> { (s, d) => // rows-only: approximate by design
+    "ann_topk_cosine_lsh" -> { (s, d) => // golden-checked: approximate by design
       val e = embeddings(s, d)
       // 16 tables × 4 planes: tuned for unclustered (random) vectors where
       // true neighbors sit near 66° — see ScaleOpsSpec recall test
       Similarity.annCosineLsh(e, e.filter(col("vec_id") < 10), k = 5, dim = 64,
         tables = 16, planesPerTable = 4)
+    },
+    // IVF-flat counterpart: centroid cells adapt to the data where LSH
+    // hyperplanes are oblivious — the production default for clustered
+    // (real-embedding) corpora. nprobe=8/nlist=16 is sized for THIS corpus
+    // (random unit vectors, the adversarial case — mean recall@5 ≈ 0.85);
+    // clustered data runs nprobe/nlist an order of magnitude lower.
+    "ann_topk_cosine_ivf" -> { (s, d) => // golden-checked: approximate by design
+      val e = embeddings(s, d)
+      Similarity.annCosineIvf(e, e.filter(col("vec_id") < 10), k = 5, dim = 64,
+        nlist = 16, nprobe = 8)
     },
 
     // ---- scale ops: multimodal binary-column pipeline (rows-only: synthetic

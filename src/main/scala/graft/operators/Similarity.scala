@@ -100,6 +100,98 @@ object Similarity {
         .as(Seq("ltable", "lkey")))
 
   /**
+   * Spherical k-means centroids for an IVF index, trained DRIVER-SIDE on a
+   * deterministic sample — the standard IVF practice (FAISS trains coarse
+   * quantizers on ~30–256 vectors per centroid, not the full corpus): the
+   * sample is the top `sampleSize` rows by `xxhash64(id)` (stable under any
+   * partitioning), collected once (sampleSize × dim doubles — a few MB), and
+   * Lloyd-iterated locally with max-dot assignment and L2-renormalized means.
+   * Everything downstream stays distributed; only training touches the driver.
+   *
+   * Determinism: hash-ordered init, fixed iteration count, ties toward the
+   * lower index, empty cells re-seeded from the sample in hash order.
+   */
+  def trainIvfCentroids(
+      corpus: DataFrame, dim: Int, nlist: Int,
+      sampleSize: Int = 0, iters: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Double] = {
+    val sz = if (sampleSize > 0) sampleSize else nlist * 40
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sz)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nlist,
+      s"corpus sample ${sample.length} smaller than nlist $nlist")
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var cents: Array[Array[Double]] = Array.tabulate(nlist)(c => normalize(sample(c).clone()))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      for (v <- sample) {
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < nlist) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * cents(c)(i); i += 1 }
+          if (dot > bestDot) { best = c; bestDot = dot }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var reseed = 0
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) > 0) normalize(sums(c))
+        else { reseed += 1; normalize(sample((c + reseed) % sample.length).clone()) }
+      }
+    }
+    cents.flatten
+  }
+
+  /**
+   * ANN via an IVF-flat index: corpus vectors quantized to their nearest
+   * centroid cell (one codegen'd pass, [[NearestCentroids]]), queries probe
+   * their `nprobe` nearest cells, exact cosine re-ranks within the probed
+   * cells. The corpus never shuffles — the query side (cells × nprobe rows)
+   * broadcasts — and candidate volume is ≈ corpus × nprobe / nlist per query
+   * instead of n. The IVF counterpart of [[annCosineLsh]]: centroid cells
+   * adapt to the data distribution where hyperplanes are oblivious, which is
+   * what makes IVF the default at 100 TB for clustered (real-embedding)
+   * corpora.
+   */
+  def annCosineIvf(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainIvfCentroids(corpus, dim, nlist, idCol = idCol, vecCol = vecCol)
+    import graft.functions.expressions.NearestCentroids
+    val cSide = corpus.select(
+      element_at(NearestCentroids(col(vecCol), cents, nlist, dim, 1), 1).as("cell"),
+      col(idCol).as("nid"), col(vecCol).as("cvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+    val qSide = queries.select(
+      explode(NearestCentroids(col(vecCol), cents, nlist, dim, nprobe)).as("cell"),
+      col(idCol).as("qid"), col(vecCol).as("qvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
+    val scored = cSide
+      .join(broadcast(qSide), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .select("qid", "nid", "cosine")
+    topK(scored, k, Seq(col("cosine").desc, col("nid").asc))
+  }
+
+  /**
    * ANN via LSH blocking + exact cosine re-rank within buckets, returning the
    * top-k approximate neighbors per query vector. Recall is tunable with
    * (tables × planes); candidates scale with bucket occupancy, never n².

@@ -105,6 +105,20 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == vecs.map(modelKeys))
   }
 
+  test("NearestCentroids: interpreted == codegen, deterministic probe order") {
+    val cents = Array(1.0, 0.0, 0.0, 1.0, -1.0, 0.0) // 3 unit centroids, dim 2
+    val df = Seq(
+      Array(0.9f, 0.1f),   // cells by dot: 0 (.9), 1 (.1), 2 (−.9)
+      Array(-0.5f, 0.8f),  // cells: 1 (.8), 2 (.5), 0 (−.5)
+      Array(0.0f, 0.0f)    // all dots 0 → ties break toward lower index: 0,1,2
+    ).map(Tuple1(_)).toDF("v")
+    val q = df.select(
+      graft.functions.expressions.NearestCentroids(col("v"), cents, 3, 2, 3).as("cells"))
+    assert(rows(q) == withCodegenOff(rows(q)))
+    val got = q.collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(got == Seq(Seq(0, 1, 2), Seq(1, 2, 0), Seq(0, 1, 2)))
+  }
+
   test("type mismatches fail analysis, not execution") {
     val df = Seq(Tuple1(Array("a", "b"))).toDF("s")
     intercept[org.apache.spark.sql.AnalysisException] {
