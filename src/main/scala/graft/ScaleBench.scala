@@ -81,6 +81,61 @@ object ScaleBench {
       println(f"[scale] minhash recall: $planted/$expected planted pairs, ${pairs.length} total")
       assert(planted >= (expected * 0.95).toInt, s"recall too low: $planted/$expected")
     }
+
+    // ---- binary cell codec at scale: the LongColumnInterpreter path ----
+    // encode value → 8-byte BE cell → decode → bucketed sum, all codegen'd;
+    // proves the byte codec adds no measurable cost over the typed column
+    time("binary cell encode→decode→sum (codec roundtrip)") {
+      import graft.functions.Decoders
+      import graft.functions.expressions.LongToBytesBE
+      val cells = df
+        .withColumn("raw", LongToBytesBE(col("value"), 8))
+        .withColumn("decoded", Decoders.longBE(col("raw")))
+      val m = TsAgg.sum(cells, spec.copy(tsCol = "ts", valueCol = "decoded")).collect()
+      assert(m.nonEmpty)
+    }
+
+    // ---- embedding near-dup at a corpus size where all-pairs is infeasible ----
+    // nVecs 64-dim vectors (100k default → 5·10⁹ possible pairs); every
+    // id ≡ 1 (mod 50) clones id-1 with one perturbed component (cosine ≈ 0.999).
+    // At a PRODUCTION near-dup threshold (0.9) LSH blocking is sub-quadratic:
+    // 16 planes/table → ~2^16 buckets, so candidate volume stays ~linear.
+    val nVecs = rows / 1000
+    val vecs = spark.range(nVecs)
+      .withColumn("seed",
+        when(pmod(col("id"), lit(50L)) === 1L, col("id") - 1L).otherwise(col("id")))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("seed") * lit(64L) + i.cast("long")), lit(2001L)).cast("double")
+            - lit(1000.0)) / lit(1000.0)))
+      .withColumn("embedding",
+        when(pmod(col("id"), lit(50L)) === 1L,
+          concat(slice(col("embedding"), 1, 63), array(element_at(col("embedding"), 64) * lit(0.2))))
+          .otherwise(col("embedding")))
+      .select(col("id").as("vec_id"), col("embedding"))
+    // ground truth on exactly the planted pairs (cheap: nVecs/50 pairs), so
+    // the recall denominator is the pairs that REALLY clear the threshold
+    val quant = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x.cast("double") * lit(1000)).cast("long"))
+    val pa = vecs.filter(pmod(col("vec_id"), lit(50L)) === 0L)
+      .select(col("vec_id").as("id_a"), quant(col("embedding")).as("q_a"))
+    val pb = vecs.filter(pmod(col("vec_id"), lit(50L)) === 1L)
+      .select(col("vec_id").as("id_b"), quant(col("embedding")).as("q_b"))
+    import graft.functions.expressions.ArrayDotProduct
+    val truePlanted = pa.join(pb, pa("id_a") + 1 === pb("id_b"))
+      .withColumn("dot", ArrayDotProduct(col("q_a"), col("q_b")))
+      .withColumn("n2a", ArrayDotProduct(col("q_a"), col("q_a")))
+      .withColumn("n2b", ArrayDotProduct(col("q_b"), col("q_b")))
+      .filter(col("dot") > 0 && col("dot") * col("dot") * lit(100L) >= lit(81L) * col("n2a") * col("n2b"))
+      .count()
+    time(s"embedding near-dup (LSH-blocked, cos ≥ 0.9) over ${nVecs} vectors") {
+      val pairs = graft.operators.Dedup.embeddingNearDupLsh(
+        vecs, dim = 64, thresholdNum = 9, thresholdDen = 10,
+        tables = 8, planesPerTable = 16).collect()
+      val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 50 == 0)
+      println(f"[scale] embedding recall: $planted/$truePlanted planted pairs, ${pairs.length} total")
+      assert(planted >= (truePlanted * 0.95).toInt, s"recall too low: $planted/$truePlanted")
+    }
     spark.stop()
   }
 }
