@@ -87,9 +87,11 @@ object Dedup {
     val pruned = maxShingleFreq match {
       case None => exploded
       case Some(cap) =>
-        // drop shingles appearing in more than `cap` docs (boilerplate guard)
+        // drop shingles appearing in more than `cap` docs (boilerplate guard);
+        // persisted too — both pair-join sides read the capped set, and without
+        // the cache Catalyst re-computes the frequency aggregate per side
         val freq = exploded.groupBy("s").agg(count(lit(1)).as("f")).filter(col("f") <= cap)
-        exploded.join(freq.select("s"), "s")
+        persistScoped(exploded.join(freq.select("s"), "s"))
     }
     val a = pruned.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s"))
     val b = pruned.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s"))
