@@ -30,9 +30,11 @@ import graft.functions.GraftFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.expressionFunctions.foreach { case (name, usage, builder) =>
+      // 5-arg ctor is (className, db, name, usage, extended) — the 3-arg form
+      // is (className, db, name) and would register the usage text as the name
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo("graft", name, usage),
+        new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
   }

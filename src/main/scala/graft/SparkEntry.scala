@@ -347,12 +347,19 @@ object SparkEntry {
       "dedup_exact" ->
         ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY 1"),
+      // `e2` mirrors the engine's default hot-shingle cap (maxShingleFreq =
+      // 1000): shingles in more than 1000 docs are pruned from the join on
+      // BOTH sides while n (the per-doc shingle count) stays pre-prune —
+      // byte-identical semantics, so the oracle cannot silently diverge on a
+      // corpus where the cap actually fires
       "dedup_ngram_jaccard" ->
         """WITH t AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
           |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents) WHERE len(toks) >= 3),
-          |e AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM t)
+          |e AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM t),
+          |ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+          |e2 AS (SELECT e.* FROM e JOIN ok USING (s))
           |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter, a.n + b.n - count(*) AS n_union
-          |FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+          |FROM e2 a JOIN e2 b ON a.s = b.s AND a.id < b.id
           |GROUP BY a.id, b.id, a.n, b.n
           |HAVING count(*) * 2 >= 1 * (a.n + b.n - count(*))
           |ORDER BY 1, 2""".stripMargin.replace("\n", " "),

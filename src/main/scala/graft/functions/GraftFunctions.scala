@@ -37,7 +37,12 @@ object GraftFunctions {
     * size codegen'd loops and sign matrices at plan time. */
   private def litInt(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      // no silent wraps (module stance): a long literal outside Int range is
+      // an error, not a truncation
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"$fn: $arg must fit a 32-bit integer, got $v")
+      v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be a literal integer, got $other")
   }

@@ -58,11 +58,16 @@ case class NearestCentroids(child: Expression, centroids: Array[Double],
     val taken = new Array[Boolean](nlist)
     var r = 0
     while (r < nprobe) {
+      // `best == -1` seeds with the first untaken index so an all-NaN score
+      // row (NaN compares false against everything) still probes cells
+      // 0..nprobe-1 deterministically instead of crashing
       var best = -1
       var bestScore = Double.NegativeInfinity
       var j = 0
       while (j < nlist) {
-        if (!taken(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        if (!taken(j) && (best == -1 || scores(j) > bestScore)) {
+          best = j; bestScore = scores(j)
+        }
         j += 1
       }
       taken(best) = true
@@ -105,7 +110,9 @@ case class NearestCentroids(child: Expression, centroids: Array[Double],
          |  int $best = -1;
          |  double $bestScore = Double.NEGATIVE_INFINITY;
          |  for (int $j = 0; $j < $nlist; $j++) {
-         |    if (!$taken[$j] && $scores[$j] > $bestScore) { $best = $j; $bestScore = $scores[$j]; }
+         |    if (!$taken[$j] && ($best == -1 || $scores[$j] > $bestScore)) {
+         |      $best = $j; $bestScore = $scores[$j];
+         |    }
          |  }
          |  $taken[$best] = true;
          |  $out[$r] = $best;

@@ -287,9 +287,12 @@ object Dedup {
       // map-side work is far cheaper than shuffling the candidate pair space
       // (measured 5.8 s → sub-second at sf0.1). Right choice whenever
       // corpus × tables × dim × 8 B fits the shuffle comfortably.
-      val prepped = df.select(col(idCol).as("id"), col(vecCol))
-      val quantKeys = quantized(prepped, "id", vecCol)
-        .join(prepped, "id") // q + norm2 computed once per doc, pre-explode
+      // q + norm2 as plain projections next to the vector — NO join; the
+      // persisted banded frame is the only thing either pair side reads
+      val q = transform(col(vecCol), x => round(x.cast("double") * lit(1000)).cast("long"))
+      val quantKeys = df.select(col(idCol).as("id"), col(vecCol))
+        .withColumn("q", q)
+        .withColumn("norm2", graft.functions.expressions.ArrayDotProduct(col("q"), col("q")))
       val banded = persistScoped(
         Similarity.withLshKeys(quantKeys, dim, tables, planesPerTable, vecCol)
           .select(col("id"), col("ltable"), col("lkey"), col("q"), col("norm2")))

@@ -180,7 +180,9 @@ object Multimodal {
       // probe-fallback path is exercised too
       val payload = kind match {
         case "image" => MediaCodec.wrapBmp(16 + (id % 16).toInt, 16, body)
-        case "audio" => MediaCodec.wrapWav(8000 + (id % 3).toInt * 8000, body)
+        // rate varies on id DIV 3: kind is already id % 3, so a second % 3
+        // would be constant for every audio record
+        case "audio" => MediaCodec.wrapWav(8000 + ((id / 3) % 3).toInt * 8000, body)
         case _ => body
       }
       MediaRecord(id, kind, payload,

@@ -38,9 +38,19 @@ object Fixtures {
   private val Version = "v2"
   private val lock = new Object
 
-  /** Stable cache path per (version, sf dir). */
+  /** Fingerprint of the source parquet (length + mtime): the cache path is
+    * keyed by it, so a driver-regenerated events.parquet can never be served
+    * a stale fixture — a new input simply maps to a new path. */
+  private def sourceFingerprint(dir: String): String = {
+    val f = new java.io.File(s"$dir/events.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Stable cache path per (version, sf dir, source fingerprint). */
   private def cachePath(dir: String): String =
-    s"/tmp/graft-fixtures/$Version/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/keyed_events"
+    s"/tmp/graft-fixtures/$Version/${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${sourceFingerprint(dir)}/keyed_events"
 
   def keyedEvents(s: SparkSession, dir: String): DataFrame = {
     val out = cachePath(dir)
@@ -61,9 +71,27 @@ object Fixtures {
       col("value").as("value_double"),
       col("event_type"))
     // key-clustered like HBase regions: range-partitioned and sorted so the
-    // Parquet row-group min/max stats on `key` are tight and disjoint
+    // Parquet row-group min/max stats on `key` are tight and disjoint.
+    // Written to a process-unique temp dir, then atomically renamed: the
+    // in-process lock doesn't cover concurrent JVMs (bench + test runs), and
+    // rename-if-absent means the loser just discards its copy — nobody ever
+    // reads a half-written directory.
+    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
     keyed.repartitionByRange(8, col("key"))
       .sortWithinPartitions("key", "qual")
-      .write.mode("overwrite").parquet(out)
+      .write.mode("overwrite").parquet(tmp)
+    val tmpDir = new java.io.File(tmp)
+    val outDir = new java.io.File(out)
+    outDir.getParentFile.mkdirs()
+    if (!tmpDir.renameTo(outDir)) {
+      // another JVM won the race; keep its copy, drop ours
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(tmpDir)
+      require(new java.io.File(s"$out/_SUCCESS").exists(),
+        s"fixture rename failed and no winner present at $out")
+    }
   }
 }
