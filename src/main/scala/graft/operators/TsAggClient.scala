@@ -21,6 +21,54 @@ import scala.collection.SortedMap
  */
 object TsAggClient {
 
+  /**
+   * The reference's `Scan` equivalent for binary cell tables: which columns
+   * hold the rowkey / qualifier / raw value, the timestamp mask, the value
+   * interpreter, and an optional rowkey range (`setStartRow`/`setStopRow`,
+   * `TimeseriesAggregationClient.java:575-581`). With this, the reference's
+   * three-argument call shape `client.max(table, interpreter, scan)` maps
+   * 1:1 to `TsAggClient.max(df, scan, spec)` — the mask and decoder do what
+   * the coprocessor's `TimeseriesRange` + `ColumnInterpreter` did.
+   */
+  final case class CellScan(
+      mask: String,
+      keyCol: String = "key",
+      qualCol: String = "qual",
+      valueCol: String = "value",
+      decoder: graft.functions.Decoders.Decoder = graft.functions.Decoders.longBE,
+      keyRange: Option[(Array[Byte], Array[Byte])] = None)
+
+  /** Binary cells → (logical ts millis, decoded value) under `scan`; the
+    * returned spec points at the derived columns. */
+  private def prepare(df: DataFrame, scan: CellScan, spec: TsAggSpec): (DataFrame, TsAggSpec) = {
+    import graft.functions.{Decoders, RowKeys}
+    val ranged = scan.keyRange match {
+      case Some((start, stop)) => df.filter(RowKeys.keyRangeFilter(col(scan.keyCol), start, stop))
+      case None => df
+    }
+    val cells = ranged
+      .withColumn("__graft_ts",
+        RowKeys.keyMillis(col(scan.keyCol), scan.mask, Decoders.intBE(col(scan.qualCol))))
+      .withColumn("__graft_value", scan.decoder(col(scan.valueCol)))
+    (cells, spec.copy(tsCol = "__graft_ts", valueCol = "__graft_value"))
+  }
+
+  def max(df: DataFrame, scan: CellScan, spec: TsAggSpec): SortedMap[Long, Long] = {
+    val (cells, s) = prepare(df, scan, spec); max(cells, s)
+  }
+  def min(df: DataFrame, scan: CellScan, spec: TsAggSpec): SortedMap[Long, Long] = {
+    val (cells, s) = prepare(df, scan, spec); min(cells, s)
+  }
+  def sum(df: DataFrame, scan: CellScan, spec: TsAggSpec): SortedMap[Long, Long] = {
+    val (cells, s) = prepare(df, scan, spec); sum(cells, s)
+  }
+  def count(df: DataFrame, scan: CellScan, spec: TsAggSpec): SortedMap[Long, Long] = {
+    val (cells, s) = prepare(df, scan, spec); count(cells, s)
+  }
+  def avg(df: DataFrame, scan: CellScan, spec: TsAggSpec): SortedMap[Long, Double] = {
+    val (cells, s) = prepare(df, scan, spec); avg(cells, s)
+  }
+
   def max(df: DataFrame, spec: TsAggSpec): SortedMap[Long, Long] = {
     requireSingleSeries(spec); collectLong(TsAgg.max(df, spec))
   }

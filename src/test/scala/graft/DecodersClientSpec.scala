@@ -14,6 +14,31 @@ class DecodersClientSpec extends AnyFunSuite {
   private def be(width: Int, v: Long): Array[Byte] =
     Array.tabulate(width)(i => ((v >> (8 * (width - 1 - i))) & 0xff).toByte)
 
+  test("CellScan client call shape: table + scan(mask, keyRange, interpreter) + spec") {
+    // the reference's primary access pattern — client.sum(table, ci, scan)
+    // with setStartRow/setStopRow — against the binary-cell fixture
+    val sf = "/root/testdata/sf0.001"
+    val t0 = 1704067200000L
+    val day = 86400000L
+    val (lo, hi) = (t0 + day, t0 + 7 * day)
+    val scan = TsAggClient.CellScan(
+      mask = "000000001111",
+      keyRange = Some((be(8, 7L) ++ be(4, lo / 1000), be(8, 7L) ++ be(4, hi / 1000))))
+    val spec = TsAggSpec(900, TimeMode.CellTs(lo, hi))
+    val got = TsAggClient.sum(graft.sources.Fixtures.keyedEvents(spark, sf), scan, spec)
+
+    // ground truth straight from the relational events table
+    val expected = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") === 7L)
+      .withColumn("ts_ms", expr("unix_millis(ts) DIV 1000 * 1000"))
+      .filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("bucket_start", expr(s"$lo + ((ts_ms - $lo) - (ts_ms - $lo) % 900000)"))
+      .groupBy("bucket_start").agg(sum("cents").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.toMap == expected)
+  }
+
   test("longBE decodes the reference's LongColumnInterpreter encoding incl. negatives") {
     val vals = Seq(0L, 1L, 99L, Long.MaxValue, -1L, -99L, Long.MinValue, 1234567890123L)
     val df = vals.map(v => Tuple1(be(8, v))).toDF("raw")
