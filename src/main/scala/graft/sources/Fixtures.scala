@@ -52,12 +52,18 @@ object Fixtures {
   private def cachePath(dir: String): String =
     s"/tmp/graft-fixtures/$Version/${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${sourceFingerprint(dir)}/keyed_events"
 
-  def keyedEvents(s: SparkSession, dir: String): DataFrame = {
+  def keyedEvents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(keyedEventsPath(s, dir))
+
+  /** Build-if-absent and return the fixture's parquet path — for callers that
+    * need the path itself (e.g. `readStream.parquet`, which streams the same
+    * binary cells the batch queries scan). */
+  def keyedEventsPath(s: SparkSession, dir: String): String = {
     val out = cachePath(dir)
     lock.synchronized {
       if (!new java.io.File(s"$out/_SUCCESS").exists()) build(s, dir, out)
     }
-    s.read.parquet(out)
+    out
   }
 
   private def build(s: SparkSession, dir: String, out: String): Unit = {

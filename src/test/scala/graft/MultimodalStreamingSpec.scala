@@ -101,6 +101,33 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming binary-cell decode + windowed agg matches batch (full reference model on a stream)") {
+    import graft.functions.{Decoders, RowKeys}
+    import graft.sources.Fixtures
+    val sf = "/root/testdata/sf0.001"
+    val t0 = 1704067200000L
+    val spec = TsAggSpec(900, TimeMode.CellTs(t0, t0 + 2 * 86400000L),
+      tsCol = "ts", valueCol = "v")
+    val mask = "000000001111"
+    def decode(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_millis(
+        RowKeys.keyMillis(col("key"), mask, Decoders.intBE(col("qual")))))
+      .withColumn("v", Decoders.longBE(col("value")))
+
+    val path = Fixtures.keyedEventsPath(spark, sf)
+    val schema = spark.read.parquet(path).schema
+    val stream = decode(spark.readStream.schema(schema).parquet(path))
+    val q = StreamingTsAgg.sum(stream, spec, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("cell_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cell_stream")
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap // (sum, bucket) order per agg schema
+    val batch = graft.operators.TsAgg
+      .sum(decode(spark.read.parquet(path)), spec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("SQL surface: ts_bucket and array_dot_product usable from spark.sql") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
