@@ -46,6 +46,13 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be a literal integer, got $other")
   }
+  /** Long-typed literal parameters (seeds) take the full 64-bit range. */
+  private def litLong(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal integer, got $other")
+  }
   private def litBool(e: Expression, fn: String, arg: String): Boolean = e match {
     case Literal(v: Boolean, BooleanType) => v
     case other => throw new IllegalArgumentException(
@@ -67,7 +74,7 @@ object GraftFunctions {
       "minhash_signature(hashes, numHashes, seed) - MinHash signature of a hashed-shingle array",
       (args: Seq[Expression]) => { arity(args, "minhash_signature", 3)
         MinHashSignature(args(0), litInt(args(1), "minhash_signature", "numHashes"),
-          litInt(args(2), "minhash_signature", "seed").toLong) }),
+          litLong(args(2), "minhash_signature", "seed")) }),
     ("simhash_packed",
       "simhash_packed(hashes) - 64-bit SimHash as array(loWord, hiWord)",
       (args: Seq[Expression]) => { arity(args, "simhash_packed", 1)

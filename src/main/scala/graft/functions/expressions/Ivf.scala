@@ -51,16 +51,18 @@ case class NearestCentroids(child: Expression, centroids: Array[Double],
         }
         i += 1
       }
-      scores(c) = dot
+      // NaN (e.g. Inf·0 against a zero centroid coordinate) sorts BELOW every
+      // finite score — mapped to -Inf so the selection loop never compares
+      // against NaN (false both ways, which would corrupt the argmax)
+      scores(c) = if (java.lang.Double.isNaN(dot)) Double.NegativeInfinity else dot
       c += 1
     }
     val out = new Array[Int](nprobe)
     val taken = new Array[Boolean](nlist)
     var r = 0
     while (r < nprobe) {
-      // `best == -1` seeds with the first untaken index so an all-NaN score
-      // row (NaN compares false against everything) still probes cells
-      // 0..nprobe-1 deterministically instead of crashing
+      // `best == -1` seeds with the first untaken index so an all(-Inf) score
+      // row still probes cells 0..nprobe-1 deterministically
       var best = -1
       var bestScore = Double.NegativeInfinity
       var j = 0
@@ -102,7 +104,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Double],
          |      $dot += ((double) $vec.$getter($i)) * $cRef[$c * $dim + $i];
          |    }
          |  }
-         |  $scores[$c] = $dot;
+         |  $scores[$c] = Double.isNaN($dot) ? Double.NEGATIVE_INFINITY : $dot;
          |}
          |int[] $out = new int[$nprobe];
          |boolean[] $taken = new boolean[$nlist];

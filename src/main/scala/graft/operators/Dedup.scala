@@ -289,10 +289,7 @@ object Dedup {
       // corpus × tables × dim × 8 B fits the shuffle comfortably.
       // q + norm2 as plain projections next to the vector — NO join; the
       // persisted banded frame is the only thing either pair side reads
-      val q = transform(col(vecCol), x => round(x.cast("double") * lit(1000)).cast("long"))
-      val quantKeys = df.select(col(idCol).as("id"), col(vecCol))
-        .withColumn("q", q)
-        .withColumn("norm2", graft.functions.expressions.ArrayDotProduct(col("q"), col("q")))
+      val quantKeys = quantized(df, idCol, vecCol, keepVecCol = Some(vecCol))
       val banded = persistScoped(
         Similarity.withLshKeys(quantKeys, dim, tables, planesPerTable, vecCol)
           .select(col("id"), col("ltable"), col("lkey"), col("q"), col("norm2")))
@@ -322,11 +319,20 @@ object Dedup {
     }
   }
 
-  /** Vectors quantized to round(x·1000) with their integer squared norm. */
-  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Vectors quantized to round(x·1000) with their integer squared norm —
+    * the ONE definition of the quantization every embedding-dedup path shares
+    * (all-pairs, inline LSH, id-only LSH must stay bit-identical).
+    * `keepVecCol` retains the raw vector column for callers that still need
+    * it (LSH key derivation). */
+  private def quantized(
+      df: DataFrame, idCol: String, vecCol: String,
+      keepVecCol: Option[String] = None): DataFrame = {
     val q = transform(col(vecCol), x => round(x.cast("double") * lit(1000)).cast("long"))
-    df.select(col(idCol).as("id"), q.as("q"))
-      .withColumn("norm2", graft.functions.expressions.ArrayDotProduct(col("q"), col("q")))
+    val base = keepVecCol match {
+      case Some(v) => df.select(col(idCol).as("id"), col(v), q.as("q"))
+      case None => df.select(col(idCol).as("id"), q.as("q"))
+    }
+    base.withColumn("norm2", graft.functions.expressions.ArrayDotProduct(col("q"), col("q")))
   }
 
   /** Exact integer-cosine predicate: keep iff dot > 0 and

@@ -82,22 +82,31 @@ object Fixtures {
     // in-process lock doesn't cover concurrent JVMs (bench + test runs), and
     // rename-if-absent means the loser just discards its copy — nobody ever
     // reads a half-written directory.
-    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
-    keyed.repartitionByRange(8, col("key"))
+    val sorted = keyed.repartitionByRange(8, col("key"))
       .sortWithinPartitions("key", "qual")
-      .write.mode("overwrite").parquet(tmp)
+    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
+    sorted.write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
     val tmpDir = new java.io.File(tmp)
     val outDir = new java.io.File(out)
     outDir.getParentFile.mkdirs()
     if (!tmpDir.renameTo(outDir)) {
-      // another JVM won the race; keep its copy, drop ours
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
+      if (new java.io.File(s"$out/_SUCCESS").exists()) {
+        // another JVM won the race with a complete copy; keep its, drop ours
+        rm(tmpDir)
+      } else {
+        // dest exists but is incomplete (e.g. _SUCCESS markers disabled or a
+        // crashed writer) — self-heal: clear it and promote ours, falling back
+        // to an in-place overwrite rather than ever hard-failing
+        rm(outDir)
+        if (!tmpDir.renameTo(outDir)) {
+          rm(tmpDir)
+          sorted.write.mode("overwrite").parquet(out)
+        }
       }
-      rm(tmpDir)
-      require(new java.io.File(s"$out/_SUCCESS").exists(),
-        s"fixture rename failed and no winner present at $out")
     }
   }
 }

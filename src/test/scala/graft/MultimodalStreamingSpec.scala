@@ -121,7 +121,8 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("complete").format("memory").queryName("cell_stream").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("cell_stream")
-      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap // (sum, bucket) order per agg schema
+      .select("bucket_start", "sum_value")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = graft.operators.TsAgg
       .sum(decode(spark.read.parquet(path)), spec)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
