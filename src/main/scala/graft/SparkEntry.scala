@@ -202,6 +202,32 @@ object SparkEntry {
         Seq(sum(col("value_cents")).as("sum_value"), count(lit(1)).as("count_value")))
     },
 
+    // semi-structured payloads: the per-event JSON props column, a field
+    // extracted and aggregated per bucket — the common telemetry shape a
+    // training-data pipeline ingests alongside typed columns
+    "ts_json_sum_900" -> ((s, d) =>
+      TsAgg.sum(
+        events(s, d, spec900)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
+        spec900.copy(valueCol = "k"))),
+
+    // composed cleaning pipeline over `documents`: exact-dedup winners →
+    // quality gate (length + token floor) → per-language accounting. This is
+    // the operators COMPOSING — the shape a real corpus-cleaning job takes —
+    // and it stays one declarative plan (dedup's hash-agg feeds a join feeds
+    // the final agg; nothing materializes driver-side).
+    "pipeline_clean_corpus" -> { (s, d) =>
+      val docs = documents(s, d)
+      val kept = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val toks = TextAnalysis.tokenCounts(docs)
+      docs.join(kept, "doc_id")
+        .join(toks, "doc_id")
+        .filter(col("n_chars") >= 20 && col("n_ws_tokens") >= 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_ws_tokens").as("sum_tokens"))
+        .orderBy("lang")
+    },
+
     // ---- scale ops: text analysis over `documents` --------------------------
     "text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(documents(s, d)).orderBy("doc_id")),
@@ -312,6 +338,17 @@ object SparkEntry {
         T0_EVENTS + DAY, T0_EVENTS + 7 * DAY, 900 * MS,
         tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)",
         extraWhere = "user_id = 7"),
+
+      "ts_json_sum_900" -> tsAggSql(
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_value",
+        T0_EVENTS, e900, 900 * MS),
+      "pipeline_clean_corpus" ->
+        """WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          |t AS (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok FROM documents)
+          |SELECT d.lang, count(*) AS n_docs, CAST(sum(t.n_tok) AS BIGINT) AS sum_tokens
+          |FROM documents d JOIN kept USING (doc_id) JOIN t USING (doc_id)
+          |WHERE d.n_chars >= 20 AND t.n_tok >= 10
+          |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
 
       // ---- text analysis ----
       "text_tokens" ->
