@@ -33,4 +33,19 @@ object Sinks {
     val df = if (coalesceTo > 0) result.coalesce(coalesceTo) else result
     df.write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Durable streaming sink: append-mode parquet with an exactly-once
+   * checkpoint — the continuous-ingest counterpart of
+   * [[writePartitionedByDay]] for [[graft.streaming.StreamingTsAgg]] results
+   * (append mode emits each bucket once, when the watermark finalizes it).
+   * Returns the started query; callers own its lifecycle.
+   */
+  def startParquetStream(
+      result: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    result.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .start(path)
 }
