@@ -129,6 +129,21 @@ object SparkEntry {
         specLineDaily,
         Seq((sum(col("price_cents") * col("qty")).cast("double") / sum(col("qty")) / lit(100.0))
           .as("wavg_value")))),
+    // X2 typed-Aggregator surface under the oracle gate: the SAME daily
+    // weighted average computed through the custom UDAF
+    // (Aggregators.WeightedAvgAggregator) instead of built-in sums. Exactness
+    // argument: inputs are integer-valued doubles, partial sums stay < 2^53,
+    // so accumulation order cannot perturb a bit — the one circumstance where
+    // a double-buffer UDAF is hash-stable across partitionings
+    "ts_wavg_udaf_daily" -> ((s, d) =>
+      TsAgg.aggregate(
+        graft.sources.Tables.lineitemShipRange(s, d, T0_LINEITEM, T1_LINEITEM)
+          .withColumn("price_cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .withColumn("qty", expr("CAST(round(l_quantity) AS BIGINT)")),
+        specLineDaily,
+        Seq((udaf(graft.functions.Aggregators.WeightedAvgAggregator)
+          .apply(col("price_cents").cast("double"), col("qty").cast("double")) / lit(100.0))
+          .as("wavg_value")))),
     // weekly order totals in cents over the orders table (second relational
     // time-series source; 604800s buckets)
     "ts_orders_weekly" -> ((s, d) =>
@@ -306,6 +321,12 @@ object SparkEntry {
       "ts_count_by_type_900" -> tsAggSql("count(*) AS count_value",
         T0_EVENTS, e900, 900 * MS, extraKey = "event_type"),
       "ts_wavg_daily_lineitem" -> tsAggSql(
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)" +
+          " / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS wavg_value",
+        T0_LINEITEM, T1_LINEITEM, DAY, table = "lineitem", tsExpr = "epoch_ms(l_shipdate)"),
+      // identical arithmetic to ts_wavg_daily_lineitem: (S/Q)/100 on exact
+      // integer-valued sums — the UDAF's (wsum, weight) buffer IS that pair
+      "ts_wavg_udaf_daily" -> tsAggSql(
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)" +
           " / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS wavg_value",
         T0_LINEITEM, T1_LINEITEM, DAY, table = "lineitem", tsExpr = "epoch_ms(l_shipdate)"),
