@@ -75,6 +75,19 @@ object SparkEntry {
   private val specLineDaily = TsAggSpec(86400, TimeMode.CellTs(T0_LINEITEM, T1_LINEITEM),
     tsCol = "l_shipdate", valueCol = "price_cents")
 
+  /** lineitem restricted to the ship-date range with exact integer cents and
+    * quantity columns — shared by both weighted-average queries. */
+  private def lineitemCents(s: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.lineitemShipRange(s, d, T0_LINEITEM, T1_LINEITEM)
+      .withColumn("price_cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("qty", expr("CAST(round(l_quantity) AS BIGINT)"))
+
+  /** ONE oracle for both wavg queries (built-in and UDAF forms must agree). */
+  private def wavgOracleSql: String = tsAggSql(
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)" +
+      " / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS wavg_value",
+    T0_LINEITEM, T1_LINEITEM, DAY, table = "lineitem", tsExpr = "epoch_ms(l_shipdate)")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("ts_avg_900")(spark, "/root/testdata/sf0.001")
@@ -123,9 +136,7 @@ object SparkEntry {
     // README.md:31-32 planned weighted-average, on lineitem daily buckets
     "ts_wavg_daily_lineitem" -> ((s, d) =>
       TsAgg.aggregate(
-        graft.sources.Tables.lineitemShipRange(s, d, T0_LINEITEM, T1_LINEITEM)
-          .withColumn("price_cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-          .withColumn("qty", expr("CAST(round(l_quantity) AS BIGINT)")),
+        lineitemCents(s, d),
         specLineDaily,
         Seq((sum(col("price_cents") * col("qty")).cast("double") / sum(col("qty")) / lit(100.0))
           .as("wavg_value")))),
@@ -137,9 +148,7 @@ object SparkEntry {
     // a double-buffer UDAF is hash-stable across partitionings
     "ts_wavg_udaf_daily" -> ((s, d) =>
       TsAgg.aggregate(
-        graft.sources.Tables.lineitemShipRange(s, d, T0_LINEITEM, T1_LINEITEM)
-          .withColumn("price_cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-          .withColumn("qty", expr("CAST(round(l_quantity) AS BIGINT)")),
+        lineitemCents(s, d),
         specLineDaily,
         Seq((udaf(graft.functions.Aggregators.WeightedAvgAggregator)
           .apply(col("price_cents").cast("double"), col("qty").cast("double")) / lit(100.0))
@@ -234,9 +243,11 @@ object SparkEntry {
     "pipeline_clean_corpus" -> { (s, d) =>
       val docs = documents(s, d)
       val kept = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      val toks = TextAnalysis.tokenCounts(docs)
+      // token count is a map-side projection of the same rows — computed
+      // inline (one documents scan), not joined back from tokenCounts
       docs.join(kept, "doc_id")
-        .join(toks, "doc_id")
+        .withColumn("n_ws_tokens",
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
         .filter(col("n_chars") >= 20 && col("n_ws_tokens") >= 10)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_ws_tokens").as("sum_tokens"))
@@ -320,16 +331,10 @@ object SparkEntry {
         T0_EVENTS, T0_EVENTS + 30 * DAY, 28800 * MS),
       "ts_count_by_type_900" -> tsAggSql("count(*) AS count_value",
         T0_EVENTS, e900, 900 * MS, extraKey = "event_type"),
-      "ts_wavg_daily_lineitem" -> tsAggSql(
-        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)" +
-          " / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS wavg_value",
-        T0_LINEITEM, T1_LINEITEM, DAY, table = "lineitem", tsExpr = "epoch_ms(l_shipdate)"),
+      "ts_wavg_daily_lineitem" -> wavgOracleSql,
       // identical arithmetic to ts_wavg_daily_lineitem: (S/Q)/100 on exact
       // integer-valued sums — the UDAF's (wsum, weight) buffer IS that pair
-      "ts_wavg_udaf_daily" -> tsAggSql(
-        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)" +
-          " / sum(CAST(round(l_quantity) AS BIGINT)) / 100.0 AS wavg_value",
-        T0_LINEITEM, T1_LINEITEM, DAY, table = "lineitem", tsExpr = "epoch_ms(l_shipdate)"),
+      "ts_wavg_udaf_daily" -> wavgOracleSql,
       "ts_orders_weekly" -> tsAggSql(
         "count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents",
         T0_LINEITEM, T1_LINEITEM, 604800 * MS,

@@ -93,20 +93,28 @@ object Fixtures {
     val tmpDir = new java.io.File(tmp)
     val outDir = new java.io.File(out)
     outDir.getParentFile.mkdirs()
-    if (!tmpDir.renameTo(outDir)) {
-      if (new java.io.File(s"$out/_SUCCESS").exists()) {
-        // another JVM won the race with a complete copy; keep its, drop ours
-        rm(tmpDir)
-      } else {
-        // dest exists but is incomplete (e.g. _SUCCESS markers disabled or a
-        // crashed writer) — self-heal: clear it and promote ours, falling back
-        // to an in-place overwrite rather than ever hard-failing
-        rm(outDir)
-        if (!tmpDir.renameTo(outDir)) {
-          rm(tmpDir)
-          sorted.write.mode("overwrite").parquet(out)
+    // Promotion happens under an OS-level file lock so concurrent JVMs
+    // (bench + test runs) serialize. Invariant the lock protects: a directory
+    // containing _SUCCESS is complete and IMMUTABLE — it is never deleted or
+    // written into; only incomplete leftovers (crashed writer) are cleared.
+    // Readers check _SUCCESS before reading, so they can never observe a
+    // directory this block is mutating.
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(s"$out.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val fl = ch.lock()
+      try {
+        if (new java.io.File(s"$out/_SUCCESS").exists()) {
+          rm(tmpDir) // another JVM promoted a complete copy while we built
+        } else {
+          if (outDir.exists()) rm(outDir) // incomplete leftover — self-heal
+          if (!tmpDir.renameTo(outDir)) {
+            rm(tmpDir)
+            sorted.write.mode("overwrite").parquet(out)
+          }
         }
-      }
-    }
+      } finally fl.release()
+    } finally ch.close()
   }
 }

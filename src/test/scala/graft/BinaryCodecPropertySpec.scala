@@ -59,9 +59,12 @@ class BinaryCodecPropertySpec extends AnyFunSuite {
 
   test("byte order is big-endian: more-significant bytes first, values order-preserving") {
     // for non-negative values of equal width, unsigned lexicographic byte
-    // order == numeric order — the property HBase rowkey scans depend on
+    // order == numeric order — the property HBase rowkey scans depend on.
+    // width 8 draws from the full non-negative long range so the MOST
+    // significant byte (the fixture's user_id prefix) is exercised too
     check(Prop.forAll(genWidth) { w =>
-      Prop.forAll(unsignedRange(if (w == 8) 7 else w), unsignedRange(if (w == 8) 7 else w)) { (a, b) =>
+      val gen = if (w == 8) Gen.choose(0L, Long.MaxValue) else unsignedRange(w)
+      Prop.forAll(gen, gen) { (a, b) =>
         val (ba, bb) = (BinaryCodec.be(a, w), BinaryCodec.be(b, w))
         val cmp = graft.functions.RowKeys.unsignedCompare(ba, bb)
         (a.compare(b).sign == cmp.sign): Prop

@@ -13,6 +13,18 @@ import graft.streaming.StreamingTsAgg
 class MultimodalStreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
+  // shared by the binary-cell streaming tests: the fixture's mask/epoch and
+  // the decode projection (mask extraction + qualifier offset + longBE value)
+  private val FixtureSf = "/root/testdata/sf0.001"
+  private val FixtureT0 = 1704067200000L
+  private val FixtureMask = "000000001111"
+  private def decodeCells(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{Decoders, RowKeys}
+    df.withColumn("ts", timestamp_millis(
+        RowKeys.keyMillis(col("key"), FixtureMask, Decoders.intBE(col("qual")))))
+      .withColumn("v", Decoders.longBE(col("value")))
+  }
+
   test("media featurization: deterministic, unit-norm, partition-invariant") {
     val a = Multimodal.featurize(Multimodal.syntheticMedia(spark, 100, partitions = 2))
       .collect().map(f => f.media_id -> f.features.toSeq).toMap
@@ -102,21 +114,12 @@ class MultimodalStreamingSpec extends AnyFunSuite {
   }
 
   test("streaming binary-cell decode + windowed agg matches batch (full reference model on a stream)") {
-    import graft.functions.{Decoders, RowKeys}
     import graft.sources.Fixtures
-    val sf = "/root/testdata/sf0.001"
-    val t0 = 1704067200000L
-    val spec = TsAggSpec(900, TimeMode.CellTs(t0, t0 + 2 * 86400000L),
+    val spec = TsAggSpec(900, TimeMode.CellTs(FixtureT0, FixtureT0 + 2 * 86400000L),
       tsCol = "ts", valueCol = "v")
-    val mask = "000000001111"
-    def decode(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("ts", timestamp_millis(
-        RowKeys.keyMillis(col("key"), mask, Decoders.intBE(col("qual")))))
-      .withColumn("v", Decoders.longBE(col("value")))
-
-    val path = Fixtures.keyedEventsPath(spark, sf)
+    val path = Fixtures.keyedEventsPath(spark, FixtureSf)
     val schema = spark.read.parquet(path).schema
-    val stream = decode(spark.readStream.schema(schema).parquet(path))
+    val stream = decodeCells(spark.readStream.schema(schema).parquet(path))
     val q = StreamingTsAgg.sum(stream, spec, watermarkDelay = "0 seconds")
       .writeStream.outputMode("complete").format("memory").queryName("cell_stream").start()
     try q.processAllAvailable() finally q.stop()
@@ -124,38 +127,33 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .select("bucket_start", "sum_value")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = graft.operators.TsAgg
-      .sum(decode(spark.read.parquet(path)), spec)
+      .sum(decodeCells(spark.read.parquet(path)), spec)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(batch.nonEmpty && streamed == batch)
   }
 
   test("streaming parquet sink emits finalized buckets that match batch") {
-    import graft.functions.{Decoders, RowKeys}
     import graft.sources.{Fixtures, Sinks}
-    val sf = "/root/testdata/sf0.001"
-    val t0 = 1704067200000L
-    val spec = TsAggSpec(900, TimeMode.CellTs(t0, t0 + 86400000L), tsCol = "ts", valueCol = "v")
-    val mask = "000000001111"
-    def decode(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("ts", timestamp_millis(
-        RowKeys.keyMillis(col("key"), mask, Decoders.intBE(col("qual")))))
-      .withColumn("v", Decoders.longBE(col("value")))
-    val path = Fixtures.keyedEventsPath(spark, sf)
+    val spec = TsAggSpec(900, TimeMode.CellTs(FixtureT0, FixtureT0 + 86400000L),
+      tsCol = "ts", valueCol = "v")
+    val path = Fixtures.keyedEventsPath(spark, FixtureSf)
     val schema = spark.read.parquet(path).schema
     val out = Files.createTempDirectory("graft-sink-out").toFile.getAbsolutePath
     val cp = Files.createTempDirectory("graft-sink-cp").toFile.getAbsolutePath
     val q = Sinks.startParquetStream(
-      StreamingTsAgg.sum(decode(spark.readStream.schema(schema).parquet(path)),
+      StreamingTsAgg.sum(decodeCells(spark.readStream.schema(schema).parquet(path)),
         spec, watermarkDelay = "0 seconds"),
       out, cp)
     try q.processAllAvailable() finally q.stop()
     val emitted = spark.read.parquet(out).select("bucket_start", "sum_value")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val batch = graft.operators.TsAgg.sum(decode(spark.read.parquet(path)), spec)
+    val batch = graft.operators.TsAgg.sum(decodeCells(spark.read.parquet(path)), spec)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // append mode: every emitted bucket is final and must equal batch; the
-    // trailing window (not yet passed by the watermark) is legitimately held
-    assert(emitted.nonEmpty)
+    // append mode: every emitted bucket is final and must equal batch, and
+    // ALL buckets except the trailing window(s) the watermark hasn't passed
+    // must have been emitted — a regression that finalizes almost nothing
+    // must fail, not slide by on a nonempty subset
+    assert(emitted.size >= batch.size - 2, s"only ${emitted.size} of ${batch.size} buckets emitted")
     assert(emitted.forall { case (b, v) => batch.get(b).contains(v) })
   }
 
