@@ -193,6 +193,13 @@ class TsAggGoldenSpec extends AnyFunSuite {
     assert(dirs.sorted.toSeq == Seq("bucket_date=2014-11-10", "bucket_date=2014-11-11"))
     val back = spark.read.parquet(out)
     assert(back.count() == 2 * 96) // 96 buckets/day
+    // a day filter must prune at the directory level (the layout's purpose):
+    // the plan carries it as a PartitionFilter, not a post-scan Filter
+    val oneDay = back.filter(org.apache.spark.sql.functions.col("bucket_date") === "2014-11-10")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket_date"),
+      s"day filter not pushed to partition pruning:\n$plan")
+    assert(oneDay.count() == 96)
   }
 
   // --- null semantics (SURVEY §2.3 #7): SUM skips nulls, COUNT counts cells
