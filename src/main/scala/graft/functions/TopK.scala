@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Bounded per-group top-k as an AGGREGATE — the 100 TB shape for
+ * "top-k neighbors per query".
+ *
+ * The window formulation (`row_number().over(Window.partitionBy("qid"))`)
+ * shuffles EVERY scored candidate into one reducer per query and sorts it:
+ * with a billion-row corpus and ten queries, that is ten partitions holding
+ * ten billion rows between them. This aggregator keeps a k-entry buffer
+ * instead, so partial aggregation bounds what leaves each map task at
+ * `queries × k` rows and the merge is O(k) — the same partial/final split
+ * every other graft aggregation rides.
+ *
+ * Ranking is deterministic and identical to the window form: score
+ * descending, id ascending on ties. Long- and Double-scored variants keep
+ * the score's exact type end-to-end (the integer-dot oracle query hashes a
+ * BIGINT score column).
+ */
+object TopK {
+
+  case class ScoredL(score: Long, id: Long)
+  case class ScoredD(score: Double, id: Long)
+  case class BufL(entries: Seq[ScoredL])
+  case class BufD(entries: Seq[ScoredD])
+
+  private def trimL(s: Seq[ScoredL], k: Int): Seq[ScoredL] =
+    s.sortBy(e => (-e.score, e.id)).take(k)
+  private def trimD(s: Seq[ScoredD], k: Int): Seq[ScoredD] =
+    s.sortBy(e => (-e.score, e.id)).take(k)
+
+  /** Top-k by exact integer score (descending, ties toward lower id). */
+  case class TopKLong(k: Int) extends Aggregator[ScoredL, BufL, BufL] {
+    require(k > 0, s"k must be positive, got $k")
+    def zero: BufL = BufL(Vector.empty)
+    def reduce(b: BufL, v: ScoredL): BufL = BufL(trimL(b.entries :+ v, k))
+    def merge(a: BufL, b: BufL): BufL = BufL(trimL(a.entries ++ b.entries, k))
+    def finish(b: BufL): BufL = b
+    def bufferEncoder: Encoder[BufL] = Encoders.product[BufL]
+    def outputEncoder: Encoder[BufL] = Encoders.product[BufL]
+  }
+
+  /** Top-k by double score (descending, ties toward lower id). */
+  case class TopKDouble(k: Int) extends Aggregator[ScoredD, BufD, BufD] {
+    require(k > 0, s"k must be positive, got $k")
+    def zero: BufD = BufD(Vector.empty)
+    def reduce(b: BufD, v: ScoredD): BufD = BufD(trimD(b.entries :+ v, k))
+    def merge(a: BufD, b: BufD): BufD = BufD(trimD(a.entries ++ b.entries, k))
+    def finish(b: BufD): BufD = b
+    def bufferEncoder: Encoder[BufD] = Encoders.product[BufD]
+    def outputEncoder: Encoder[BufD] = Encoders.product[BufD]
+  }
+
+  /** Column form: `top_k_long(score, id)` → struct(entries: array<struct>). */
+  def topKLong(k: Int)(score: Column, id: Column): Column =
+    udaf(TopKLong(k)).apply(score, id)
+
+  def topKDouble(k: Int)(score: Column, id: Column): Column =
+    udaf(TopKDouble(k)).apply(score, id)
+}

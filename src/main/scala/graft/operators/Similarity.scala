@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.ArrayDotProduct
@@ -39,12 +38,26 @@ object Similarity {
   def quantize(a: Column, scale: Int): Column =
     transform(a, x => round(x.cast("double") * lit(scale)).cast("long"))
 
-  private def topK(scored: DataFrame, k: Int, orderCols: Seq[Column]): DataFrame =
-    scored
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("qid").orderBy(orderCols: _*)).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("qid"), col("rank"))
+  /**
+   * Per-query top-k via the bounded [[graft.functions.TopK]] AGGREGATE, not a
+   * window: `row_number().over(Window.partitionBy("qid"))` would shuffle every
+   * scored candidate into one reducer per query (corpus × queries rows into
+   * `queries` partitions — the scale bottleneck of the naive plan). The
+   * aggregate keeps a k-entry buffer, so each map task emits at most
+   * queries × k rows and the exchange carries only those partials. Ranking is
+   * identical: score descending, neighbor id ascending.
+   */
+  private def topK(scored: DataFrame, k: Int, scoreCol: String, longScore: Boolean): DataFrame = {
+    import graft.functions.TopK
+    val agg =
+      if (longScore) TopK.topKLong(k)(col(scoreCol), col("nid"))
+      else TopK.topKDouble(k)(col(scoreCol), col("nid"))
+    scored.groupBy("qid").agg(agg.as("tk"))
+      .select(col("qid"), posexplode(col("tk.entries")).as(Seq("r0", "e")))
+      .select(col("qid"), col("e.id").as("nid"), col("e.score").as(scoreCol),
+        (col("r0") + 1).cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
 
   /**
    * Exact top-k by quantized integer dot product (scale 10⁴). Deterministic
@@ -63,7 +76,7 @@ object Similarity {
       .join(broadcast(q), col("qid") =!= col("nid")) // broadcast: corpus never shuffles
       .withColumn("dot_q", ArrayDotProduct(col("qq"), col("cq")))
       .select("qid", "nid", "dot_q")
-    topK(scored, k, Seq(col("dot_q").desc, col("nid").asc))
+    topK(scored, k, "dot_q", longScore = true)
   }
 
   /** Exact top-k by cosine (double precision; baseline for recall measurement). */
@@ -80,7 +93,7 @@ object Similarity {
       .withColumn("cosine",
         ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select("qid", "nid", "cosine")
-    topK(scored, k, Seq(col("cosine").desc, col("nid").asc))
+    topK(scored, k, "cosine", longScore = false)
   }
 
   /**
@@ -188,7 +201,7 @@ object Similarity {
       .withColumn("cosine",
         ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select("qid", "nid", "cosine")
-    topK(scored, k, Seq(col("cosine").desc, col("nid").asc))
+    topK(scored, k, "cosine", longScore = false)
   }
 
   /**
@@ -219,6 +232,6 @@ object Similarity {
       .withColumn("cosine",
         ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .select("qid", "nid", "cosine")
-    topK(scored, k, Seq(col("cosine").desc, col("nid").asc))
+    topK(scored, k, "cosine", longScore = false)
   }
 }
