@@ -128,6 +128,11 @@ object ScaleBench {
       .withColumn("n2b", ArrayDotProduct(col("q_b"), col("q_b")))
       .filter(col("dot") > 0 && col("dot") * col("dot") * lit(100L) >= lit(81L) * col("n2a") * col("n2b"))
       .count()
+    time(s"exact ANN top-5 (10 queries) over ${nVecs} vectors") {
+      val topk = graft.operators.Similarity
+        .topKDot(vecs, vecs.filter(col("vec_id") < 10L), k = 5).collect()
+      assert(topk.length == 50) // 10 queries × 5 neighbors, bounded aggregate
+    }
     time(s"embedding near-dup (LSH-blocked, cos ≥ 0.9) over ${nVecs} vectors") {
       val pairs = graft.operators.Dedup.embeddingNearDupLsh(
         vecs, dim = 64, thresholdNum = 9, thresholdDen = 10,
