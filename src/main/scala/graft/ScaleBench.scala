@@ -131,7 +131,8 @@ object ScaleBench {
     time(s"exact ANN top-5 (10 queries) over ${nVecs} vectors") {
       val topk = graft.operators.Similarity
         .topKDot(vecs, vecs.filter(col("vec_id") < 10L), k = 5).collect()
-      assert(topk.length == 50) // 10 queries × 5 neighbors, bounded aggregate
+      // guarded like the bucket assertion: tiny CLI runs have < 10 queries
+      if (nVecs >= 10000) assert(topk.length == 50) // 10 queries × 5 neighbors
     }
     time(s"embedding near-dup (LSH-blocked, cos ≥ 0.9) over ${nVecs} vectors") {
       val pairs = graft.operators.Dedup.embeddingNearDupLsh(

@@ -28,16 +28,27 @@ object TopK {
   case class BufL(entries: Seq[ScoredL])
   case class BufD(entries: Seq[ScoredD])
 
-  private def trimL(s: Seq[ScoredL], k: Int): Seq[ScoredL] =
-    s.sortBy(e => (-e.score, e.id)).take(k)
-  private def trimD(s: Seq[ScoredD], k: Int): Seq[ScoredD] =
-    s.sortBy(e => (-e.score, e.id)).take(k)
+  // score descending, id ascending — via Ordering (NOT key negation: -score
+  // overflows at Long.MinValue and would rank the worst score first).
+  // Contract: scores must be non-null and non-NaN — callers filter both
+  // (Similarity.topK does) because NaN has no defensible rank.
+  private val ordL: Ordering[ScoredL] =
+    Ordering.by[ScoredL, Long](_.score).reverse.orElseBy(_.id)
+  private val ordD: Ordering[ScoredD] =
+    Ordering.by[ScoredD, Double](_.score)(Ordering.Double.TotalOrdering).reverse.orElseBy(_.id)
+
+  private def trimL(s: Seq[ScoredL], k: Int): Seq[ScoredL] = s.sorted(ordL).take(k)
+  private def trimD(s: Seq[ScoredD], k: Int): Seq[ScoredD] = s.sorted(ordD).take(k)
 
   /** Top-k by exact integer score (descending, ties toward lower id). */
   case class TopKLong(k: Int) extends Aggregator[ScoredL, BufL, BufL] {
     require(k > 0, s"k must be positive, got $k")
     def zero: BufL = BufL(Vector.empty)
-    def reduce(b: BufL, v: ScoredL): BufL = BufL(trimL(b.entries :+ v, k))
+    def reduce(b: BufL, v: ScoredL): BufL =
+      // fast path: buffer full and v can't enter — no sort, no allocation
+      // (entries stay sorted, so the last element IS the current k-th)
+      if (b.entries.length == k && ordL.lteq(b.entries.last, v)) b
+      else BufL(trimL(b.entries :+ v, k))
     def merge(a: BufL, b: BufL): BufL = BufL(trimL(a.entries ++ b.entries, k))
     def finish(b: BufL): BufL = b
     def bufferEncoder: Encoder[BufL] = Encoders.product[BufL]
@@ -48,7 +59,9 @@ object TopK {
   case class TopKDouble(k: Int) extends Aggregator[ScoredD, BufD, BufD] {
     require(k > 0, s"k must be positive, got $k")
     def zero: BufD = BufD(Vector.empty)
-    def reduce(b: BufD, v: ScoredD): BufD = BufD(trimD(b.entries :+ v, k))
+    def reduce(b: BufD, v: ScoredD): BufD =
+      if (b.entries.length == k && ordD.lteq(b.entries.last, v)) b
+      else BufD(trimD(b.entries :+ v, k))
     def merge(a: BufD, b: BufD): BufD = BufD(trimD(a.entries ++ b.entries, k))
     def finish(b: BufD): BufD = b
     def bufferEncoder: Encoder[BufD] = Encoders.product[BufD]

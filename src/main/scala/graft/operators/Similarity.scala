@@ -49,10 +49,16 @@ object Similarity {
    */
   private def topK(scored: DataFrame, k: Int, scoreCol: String, longScore: Boolean): DataFrame = {
     import graft.functions.TopK
+    // null / NaN scores (null embeddings, zero-norm cosine) are not neighbors:
+    // dropped here, per TopK's non-null/non-NaN contract. (The old window form
+    // ranked NaN FIRST — Spark sorts NaN greatest — which was never wanted.)
+    val clean =
+      if (longScore) scored.filter(col(scoreCol).isNotNull)
+      else scored.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
     val agg =
       if (longScore) TopK.topKLong(k)(col(scoreCol), col("nid"))
       else TopK.topKDouble(k)(col(scoreCol), col("nid"))
-    scored.groupBy("qid").agg(agg.as("tk"))
+    clean.groupBy("qid").agg(agg.as("tk"))
       .select(col("qid"), posexplode(col("tk.entries")).as(Seq("r0", "e")))
       .select(col("qid"), col("e.id").as("nid"), col("e.score").as(scoreCol),
         (col("r0") + 1).cast("long").as("rank"))

@@ -153,6 +153,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     // ALL buckets except the trailing window(s) the watermark hasn't passed
     // must have been emitted — a regression that finalizes almost nothing
     // must fail, not slide by on a nonempty subset
+    assert(batch.nonEmpty) // guards the bound below against a both-empty regression
     assert(emitted.size >= batch.size - 2, s"only ${emitted.size} of ${batch.size} buckets emitted")
     assert(emitted.forall { case (b, v) => batch.get(b).contains(v) })
   }
