@@ -261,8 +261,11 @@ object SparkEntry {
       TextAnalysis.qualityMetrics(documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(documents(s, d)).orderBy("doc_id")),
-    "text_fingerprint" -> ((s, d) => // rows-only: xxhash64 not expressible in DuckDB
+    "text_fingerprint" -> ((s, d) => // golden-checked: xxhash64 not expressible in DuckDB
       TextAnalysis.fingerprints(documents(s, d)).orderBy("doc_id")),
+    // full winnowing (MOSS rolling-hash fingerprint selection) — golden-checked
+    "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnowing(documents(s, d)).orderBy("doc_id")),
 
     // ---- scale ops: deduplication -------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d)).orderBy("text_hash")),

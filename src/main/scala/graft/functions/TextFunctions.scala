@@ -42,11 +42,16 @@ object TextFunctions {
    * corpus scale (birthday bound ~n²/2⁶⁵), so intersection counts agree with
    * the string-shingle oracle.
    */
-  def hashedShingles(th: Column, n: Int): Column = {
+  def hashedShingles(th: Column, n: Int): Column =
+    array_distinct(orderedShingleHashes(th, n))
+
+  /** Position-preserving shingle hashes (document order, duplicates kept) —
+    * the input winnowing fingerprint selection needs. */
+  def orderedShingleHashes(th: Column, n: Int): Column = {
     require(n >= 2, s"shingle width must be >= 2, got $n")
     val width = size(th) - (n - 1)
     val parts = (0 until n).map(j => slice(th, lit(j + 1), width))
-    array_distinct(parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y))))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
   }
 
   /**

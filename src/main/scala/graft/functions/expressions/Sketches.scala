@@ -292,3 +292,87 @@ object SrpLshKeys {
     GraftBridge.toColumn(
       SrpLshKeys(GraftBridge.toExpression(vec), dim, tables, planesPerTable))
 }
+
+/**
+ * Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+ * algorithm): slide a window of `w` consecutive k-gram hashes and record the
+ * window minimum, re-recording only when the minimum's position changes.
+ * Guarantees: any shared substring of ≥ w+k−1 tokens between two documents
+ * shares at least one recorded fingerprint, and at most `2/(w+1)` of hashes
+ * are recorded — the density/recall trade the rolling-hash fingerprinting
+ * literature standardizes on.
+ *
+ * Ties select the RIGHTMOST minimal hash (both in rescans and for incoming
+ * elements), making the selection fully deterministic. Inputs shorter than
+ * the window collapse to one global window. One codegen'd pass per document;
+ * null elements are treated as absent positions is NOT supported — inputs
+ * come from [[graft.functions.TextFunctions.orderedShingleHashes]], which
+ * never yields nulls.
+ */
+case class WinnowFingerprints(child: Expression, window: Int) extends UnaryExpression {
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_fingerprints requires array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    new GenericArrayData(WinnowFingerprints.select(
+      Array.tabulate(n)(arr.getLong), window))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val hs = ctx.freshName("hs")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $hs = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) { $hs[$i] = $arr.getLong($i); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.expressions.WinnowFingerprints.select($hs, $window));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  def apply(hashes: Column, window: Int): Column =
+    GraftBridge.toColumn(WinnowFingerprints(GraftBridge.toExpression(hashes), window))
+
+  /** The selection kernel, shared by interpreted eval and generated code. */
+  def select(hs: Array[Long], window: Int): Array[Long] = {
+    val n = hs.length
+    if (n == 0) return Array.emptyLongArray
+    val w = math.min(window, n)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / (w / 2 + 1) + 1)
+    var minPos = -1
+    var i = 0
+    while (i <= n - w) {
+      if (minPos < i) {
+        // previous minimum slid out — rescan the window, rightmost min wins
+        minPos = i
+        var j = i + 1
+        while (j < i + w) {
+          if (hs(j) <= hs(minPos)) minPos = j
+          j += 1
+        }
+        out += hs(minPos)
+      } else if (hs(i + w - 1) <= hs(minPos)) {
+        // incoming element is a new (rightmost) minimum
+        minPos = i + w - 1
+        out += hs(minPos)
+      }
+      i += 1
+    }
+    out.toArray
+  }
+}

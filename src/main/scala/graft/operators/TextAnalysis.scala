@@ -66,4 +66,29 @@ object TextAnalysis {
         docFingerprint(col(textCol)).as("doc_hash"),
         minShingleFingerprint(toks).as("min_shingle_hash"))
   }
+
+  /**
+   * Full winnowing fingerprints (the MOSS rolling-hash scheme): ordered
+   * k-gram hashes → windowed-minimum selection
+   * ([[graft.functions.expressions.WinnowFingerprints]]). Any shared run of
+   * ≥ `window + k − 1` tokens between two documents is guaranteed to share a
+   * fingerprint, at ~2/(window+1) selection density — the plagiarism /
+   * near-dup-span detection primitive. Map-side only, zero shuffles.
+   */
+  def winnowing(
+      df: DataFrame, k: Int = 3, window: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.filter(size(toks) >= k)
+      .select(
+        col(idCol),
+        graft.functions.expressions.WinnowFingerprints(
+          orderedShingleHashes(tokenHashes(toks), k), window).as("fps"))
+      .select(
+        col(idCol),
+        size(col("fps")).cast("long").as("n_fp"),
+        // rendered as a CSV string so golden files are engine-representation-
+        // independent (array toString differs across collection impls)
+        concat_ws(",", transform(col("fps"), _.cast("string"))).as("fingerprints"))
+  }
 }

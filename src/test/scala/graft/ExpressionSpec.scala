@@ -105,6 +105,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == vecs.map(modelKeys))
   }
 
+  test("WinnowFingerprints: interpreted == codegen == hand-traced model; guarantee holds") {
+    import graft.functions.expressions.WinnowFingerprints
+    // hand trace, w=3: windows of [9,4,7,4,2,8]:
+    //  [9,4,7] min@1=4 → record 4; [4,7,4] min stays? minPos=1 >= i=1: incoming 4 (=min) is <= → rightmost tie wins, record 4@3
+    //  [7,4,2]: incoming 2 <= 4 → record 2@4; [4,2,8]: incoming 8 > 2, min@4 in window → no record
+    val df = Seq(Tuple1(Array(9L, 4L, 7L, 4L, 2L, 8L))).toDF("h")
+    val q = df.select(WinnowFingerprints(col("h"), 3).as("f"))
+    assert(rows(q) == withCodegenOff(rows(q)))
+    assert(q.collect().head.getSeq[Long](0).toSeq == Seq(4L, 4L, 2L))
+    // shorter than window → one global window, rightmost min
+    val short = Seq(Tuple1(Array(5L, 3L, 3L))).toDF("h")
+    assert(short.select(WinnowFingerprints(col("h"), 10)).collect().head.getSeq[Long](0).toSeq == Seq(3L))
+    // the winnowing GUARANTEE: two docs sharing a run of >= w+k-1 tokens share
+    // at least one fingerprint (checked on the driver kernel with k-gram runs)
+    val a = Array.tabulate(40)(i => (i * 2654435761L) ^ (i << 7))
+    val b = Array.tabulate(12)(i => a(20 + i)) // a 12-hash shared run
+    val fa = WinnowFingerprints.select(a, 4).toSet
+    val fb = WinnowFingerprints.select(b, 4).toSet
+    assert((fa intersect fb).nonEmpty)
+  }
+
   test("NearestCentroids: interpreted == codegen, deterministic probe order") {
     val cents = Array(1.0, 0.0, 0.0, 1.0, -1.0, 0.0) // 3 unit centroids, dim 2
     val df = Seq(
