@@ -297,17 +297,20 @@ object SrpLshKeys {
  * Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
  * algorithm): slide a window of `w` consecutive k-gram hashes and record the
  * window minimum, re-recording only when the minimum's position changes.
- * Guarantees: any shared substring of ≥ w+k−1 tokens between two documents
- * shares at least one recorded fingerprint, and at most `2/(w+1)` of hashes
- * are recorded — the density/recall trade the rolling-hash fingerprinting
- * literature standardizes on.
+ * Guarantee: any shared substring of ≥ w+k−1 tokens between two documents
+ * shares at least one recorded fingerprint. Expected selection density for
+ * well-distributed hashes is ~2/(w+1) (the trade the rolling-hash
+ * fingerprinting literature standardizes on); tie-heavy inputs (repeated
+ * k-grams hash equal, and ties re-record under the rightmost rule) can
+ * record more — density is an expectation, not a bound.
  *
  * Ties select the RIGHTMOST minimal hash (both in rescans and for incoming
  * elements), making the selection fully deterministic. Inputs shorter than
  * the window collapse to one global window. One codegen'd pass per document;
- * null elements are treated as absent positions is NOT supported — inputs
- * come from [[graft.functions.TextFunctions.orderedShingleHashes]], which
- * never yields nulls.
+ * null elements are skipped (matching the sibling sketch expressions) —
+ * [[graft.functions.TextFunctions.orderedShingleHashes]] never yields them,
+ * but `zip_with`-built arrays report nullable elements, so the type check
+ * cannot reject them.
  */
 case class WinnowFingerprints(child: Expression, window: Int) extends UnaryExpression {
   require(window >= 1, s"window must be >= 1, got $window")
@@ -322,19 +325,31 @@ case class WinnowFingerprints(child: Expression, window: Int) extends UnaryExpre
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { hs(m) = arr.getLong(i); m += 1 }
+      i += 1
+    }
     new GenericArrayData(WinnowFingerprints.select(
-      Array.tabulate(n)(arr.getLong), window))
+      if (m == n) hs else java.util.Arrays.copyOf(hs, m), window))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val n = ctx.freshName("n")
       val hs = ctx.freshName("hs")
+      val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       s"""
          |int $n = $arr.numElements();
          |long[] $hs = new long[$n];
-         |for (int $i = 0; $i < $n; $i++) { $hs[$i] = $arr.getLong($i); }
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) { $hs[$m++] = $arr.getLong($i); }
+         |}
+         |if ($m != $n) { $hs = java.util.Arrays.copyOf($hs, $m); }
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  graft.functions.expressions.WinnowFingerprints.select($hs, $window));
        """.stripMargin

@@ -80,10 +80,15 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
     df.filter(size(toks) >= k)
+      // token hashes materialized as a column BEFORE the k-way shingle fan-out
+      // (orderedShingleHashes slices the array k times; an inline expression
+      // would tokenize + hash every document k times — HOFs are excluded from
+      // subexpression elimination)
+      .select(col(idCol), tokenHashes(toks).as("th"))
       .select(
         col(idCol),
         graft.functions.expressions.WinnowFingerprints(
-          orderedShingleHashes(tokenHashes(toks), k), window).as("fps"))
+          orderedShingleHashes(col("th"), k), window).as("fps"))
       .select(
         col(idCol),
         size(col("fps")).cast("long").as("n_fp"),
