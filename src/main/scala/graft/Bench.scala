@@ -31,27 +31,46 @@ object Bench {
     try SparkEntry.queries("ts_max_900")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // two timed runs per query, report the min: the steady-state plan cost,
-    // not first-run JIT/footer-cache noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+    // Three timed runs per query; report min (steady-state plan cost, not
+    // first-run JIT/footer-cache noise) AND median (single-sample robustness —
+    // VERDICT r2 #8). Every run starts cache-cold: operator-scoped persists
+    // (Dedup.persistScoped) and the session cache are drained first, so a
+    // query can neither pay another query's eviction nor ride another run's
+    // warm cache (the r2 dedup_minhash 3.2× phantom regression).
+    case class QResult(name: String, min: Double, median: Double, rows: Long, ok: Boolean)
+    // optional args = subset of query names (fast iteration on one query)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
+      def once(): (Double, Long) = {
+        graft.operators.Dedup.clearCaches()
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val n = fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
       }
-      try { val a = once(); val b = once(); (name, math.min(a, b), true) }
-      catch {
+      try {
+        val runs = Seq.fill(3)(once())
+        val times = runs.map(_._1).sorted
+        QResult(name, times.head, times(1), runs.head._2, ok = true)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (name, -1.0, false) // a failed query reports -1, never a plausible wall clock
+          QResult(name, -1.0, -1.0, -1L, ok = false) // failed = -1, never a plausible wall clock
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    def field(f: QResult => String): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = field(_.min.toString)
+    val med = field(_.median.toString)
+    // row counts make cardinality changes visible round-over-round: a plan
+    // edit that silently alters output size can't masquerade as a speedup
+    val rows = field(_.rows.toString)
+    val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case r if r.ok => r.min }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // also write to a file: sbt prefixes stdout with [info], which can defeat
     // the driver's JSON-line parse (BENCH_r01 recorded "parsed": null)

@@ -49,7 +49,13 @@ object TextFunctions {
     * the input winnowing fingerprint selection needs. */
   def orderedShingleHashes(th: Column, n: Int): Column = {
     require(n >= 2, s"shingle width must be >= 2, got $n")
-    val width = size(th) - (n - 1)
+    // clamped to 0 so the expression is TOTAL: documents shorter than the
+    // shingle width yield an empty array instead of a negative slice length.
+    // Callers do filter those docs out, but the optimizer may evaluate this
+    // expression ahead of the guard (predicate pushdown merges filters, and
+    // codegen CSE hoists shared subexpressions above the conjunct order), so
+    // a partial expression here turns into a plan-shape-dependent crash.
+    val width = greatest(size(th) - (n - 1), lit(0))
     val parts = (0 until n).map(j => slice(th, lit(j + 1), width))
     parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
   }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RowKeys
+import graft.functions.expressions.BinaryCodec
+import graft.sources.Fixtures
+import graft.sources.cells.{CellRegions, GraftCellsScan}
+
+/**
+ * The DataSource V2 cell source (`format("graft-cells")`) — the HBase
+ * connector seam as code. Asserts the three properties that make a foreign
+ * cell store a first-class citizen: (1) content parity with the Parquet
+ * fixture, (2) key-range filters push into the scan and prune whole region
+ * files at planning time, (3) column pruning reaches `readSchema`.
+ */
+class CellSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val DAY = 86400000L
+
+  private def v2Scan(df: org.apache.spark.sql.DataFrame): GraftCellsScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[GraftCellsScan]
+    }.getOrElse(fail("no BatchScanExec with a GraftCellsScan in the plan"))
+
+  test("V2 source serves exactly the fixture's cells (full content parity)") {
+    val viaV2 = CellRegions.read(spark, sf)
+      .select(hex(col("key")), hex(col("qual")), hex(col("value")),
+        col("value_double"), col("event_type"))
+      .collect().map(_.toString).sorted
+    val viaParquet = Fixtures.keyedEvents(spark, sf)
+      .select(hex(col("key")), hex(col("qual")), hex(col("value")),
+        col("value_double"), col("event_type"))
+      .collect().map(_.toString).sorted
+    assert(viaV2.length == viaParquet.length && viaV2.sameElements(viaParquet))
+  }
+
+  test("key-range filter pushes into the V2 scan and prunes region files") {
+    val startKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0 + DAY) / 1000L, 4)
+    val stopKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0 + 2 * DAY) / 1000L, 4)
+    val unfiltered = CellRegions.read(spark, sf)
+    val filtered = unfiltered.filter(RowKeys.keyRangeFilter(col("key"), startKey, stopKey))
+
+    val scan = v2Scan(filtered)
+    assert(scan.description().contains("PushedFilters: [") &&
+      scan.description().contains("GreaterThanOrEqual(key") &&
+      scan.description().contains("LessThan(key"),
+      s"key bounds not pushed: ${scan.description()}")
+
+    val allRegions = v2Scan(unfiltered).toBatch.planInputPartitions().length
+    val pruned = scan.toBatch.planInputPartitions().length
+    assert(pruned < allRegions,
+      s"expected planning-time region pruning: $pruned vs $allRegions region files")
+  }
+
+  test("pushed filters are belt-and-braces: Spark re-evaluates, results exact") {
+    val startKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0 + DAY) / 1000L, 4)
+    val stopKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0 + 2 * DAY) / 1000L, 4)
+    def keysOf(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.filter(RowKeys.keyRangeFilter(col("key"), startKey, stopKey))
+        .select(hex(col("key")), hex(col("qual"))).collect().map(_.toString).sorted
+    assert(keysOf(CellRegions.read(spark, sf))
+      .sameElements(keysOf(Fixtures.keyedEvents(spark, sf))))
+  }
+
+  test("column pruning reaches the V2 readSchema") {
+    val df = CellRegions.read(spark, sf).select("key", "value")
+    val scan = v2Scan(df)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("key", "value"),
+      s"over-read: ${scan.readSchema().catalogString}")
+  }
+
+  test("registered V2 query matches the Parquet-path query row for row") {
+    val v2 = SparkEntry.queries("cellsource_range_sum_900")(spark, sf).collect()
+    val pq = SparkEntry.queries("rowkey_range_sum_900")(spark, sf).collect()
+    assert(v2.length == pq.length && v2.map(_.toString).sameElements(pq.map(_.toString)))
+    assert(v2.nonEmpty)
+  }
+}
