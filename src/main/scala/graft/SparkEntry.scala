@@ -244,6 +244,27 @@ object SparkEntry {
     "cellsource_range_sum_900" -> ((s, d) =>
       rangeSum900(graft.sources.cells.CellRegions.read(s, d))),
 
+    // Versioned-cell semantics — HBase Scan.maxVersions=1 (`Client.proto:
+    // 241-261`): cell identity = (user_id, bucket); events landing in the
+    // same cell are treated as overwrites and only the LATEST version (by
+    // event time) survives into the aggregate. The latest-version reduction
+    // is one hash aggregate (max_by partial/final), never a window —
+    // Versions.latestCells; without it overwrite-heavy HBase data
+    // double-counts on migration.
+    "latest_cells_sum_900" -> { (s, d) =>
+      val ev = events(s, d, spec900)
+        .withColumn("value_cents", centsCol)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val latest = graft.operators.Versions.latestCells(
+        TsAgg.withBuckets(ev, spec900.copy(valueCol = "value_cents")),
+        cellKeyCols = Seq("user_id", "bucket_start"),
+        versionCol = "ts_ms",
+        valueCols = Seq("value_cents"))
+      latest.groupBy("bucket_start")
+        .agg(sum(col("value_cents")).as("sum_latest"), count(lit(1)).as("n_cells"))
+        .orderBy("bucket_start")
+    },
+
     // semi-structured payloads: the per-event JSON props column, a field
     // extracted and aggregated per bucket — the common telemetry shape a
     // training-data pipeline ingests alongside typed columns
@@ -392,6 +413,16 @@ object SparkEntry {
         tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)",
         extraWhere = "user_id = 7"),
 
+      // latest-version-per-cell via DuckDB arg_max (ties impossible: (user,
+      // epoch-ms) is unique in events at every sf — checked before wiring)
+      "latest_cells_sum_900" -> {
+        val b = bucketSql(T0_EVENTS, 900 * MS, "epoch_ms(ts)")
+        s"WITH b AS (SELECT user_id, $b AS bucket_start, $cents AS cents, epoch_ms(ts) AS m " +
+          s"FROM events WHERE epoch_ms(ts) >= $T0_EVENTS AND epoch_ms(ts) < $e900), " +
+          "v AS (SELECT user_id, bucket_start, arg_max(cents, m) AS latest FROM b GROUP BY 1, 2) " +
+          "SELECT bucket_start, CAST(sum(latest) AS BIGINT) AS sum_latest, count(*) AS n_cells " +
+          "FROM v GROUP BY 1 ORDER BY 1"
+      },
       "ts_json_sum_900" -> tsAggSql(
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_value",
         T0_EVENTS, e900, 900 * MS),

@@ -25,13 +25,21 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .withColumn("v", Decoders.longBE(col("value")))
   }
 
-  test("media featurization: deterministic, unit-norm, partition-invariant") {
-    val a = Multimodal.featurize(Multimodal.syntheticMedia(spark, 100, partitions = 2))
-      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+  test("media featurization: deterministic, content-sensitive, partition-invariant") {
+    val recs = Multimodal.featurize(Multimodal.syntheticMedia(spark, 100, partitions = 2))
+      .collect()
+    val a = recs.map(f => f.media_id -> f.features.toSeq).toMap
     val b = Multimodal.featurize(Multimodal.syntheticMedia(spark, 100, partitions = 7))
       .collect().map(f => f.media_id -> f.features.toSeq).toMap
     assert(a == b)
-    assert(a.values.forall(f => math.abs(f.map(x => x * x).sum - 1.0) < 1e-3))
+    // stub-path features (video blobs + entropy-coded jpeg/png bodies) stay
+    // unit-norm; content-derived features (bmp pixels / wav samples) carry
+    // real statistics instead
+    val stubbed = recs.filter(f => f.kind == "video" || f.codec.startsWith("jpeg") || f.codec == "png")
+    assert(stubbed.nonEmpty &&
+      stubbed.forall(f => math.abs(f.features.map(x => x * x).sum - 1.0) < 1e-3))
+    val content = recs.filter(f => f.codec == "bmp" || f.codec.startsWith("pcm_"))
+    assert(content.nonEmpty && content.forall(_.features.exists(_ != 0f)))
     assert(a(0L) != a(1L)) // content-sensitive
   }
 
@@ -52,9 +60,61 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     // real containers, so width/sample_rate in the output are header-derived
     import spark.implicits._
     val feats = Multimodal.featurize(Multimodal.syntheticMedia(spark, 30)).collect()
-    assert(feats.filter(_.kind == "image").forall(f => f.width >= 16 && f.codec == "bmp"))
+    val images = feats.filter(_.kind == "image")
+    assert(images.forall(f => f.width >= 16 &&
+      Set("bmp", "jpeg", "jpeg-progressive", "png").contains(f.codec)))
+    // the synthetic corpus rotates image containers so every probe is live
+    assert(images.map(_.codec).toSet == Set("bmp", "jpeg", "png"))
     assert(feats.filter(_.kind == "audio").forall(f => f.sample_rate >= 8000 && f.codec.startsWith("pcm_")))
     assert(feats.filter(_.kind == "video").forall(f => f.codec == "raw" && f.width == 0))
+  }
+
+  test("JPEG SOF and PNG IHDR probes read crafted dimensions") {
+    import Multimodal.MediaCodec
+    val jpeg = MediaCodec.wrapJpeg(123, 45, Array.fill[Byte](32)(7))
+    assert(MediaCodec.probe(jpeg).exists(m =>
+      m.width == 123 && m.height == 45 && m.codec == "jpeg"))
+    val png = MediaCodec.wrapPng(300, 200, Array.fill[Byte](32)(7))
+    assert(MediaCodec.probe(png).exists(m =>
+      m.width == 300 && m.height == 200 && m.codec == "png"))
+    // truncated / garbage JPEG bodies don't probe
+    assert(MediaCodec.probe(Array(0xff.toByte, 0xd8.toByte, 0x01, 0x02)).isEmpty)
+  }
+
+  test("WAV content features: known values on a crafted square wave") {
+    import Multimodal.MediaCodec
+    // ±16384 alternating: RMS = 0.5, every step crosses zero (ZCR = 1),
+    // peak = 0.5, DC mean = 0, every energy window = 0.5
+    val n = 480
+    val samples = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = if (i % 2 == 0) 16384 else -16384
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val f = MediaCodec.contentFeatures(MediaCodec.wrapWav(8000, samples))
+      .getOrElse(fail("wav payload must take the content path"))
+    assert(math.abs(f(0) - 0.5f) < 1e-4, s"rms ${f(0)}")
+    assert(math.abs(f(1) - 1.0f) < 1e-4, s"zcr ${f(1)}")
+    assert(math.abs(f(2) - 0.5f) < 1e-4, s"peak ${f(2)}")
+    assert(math.abs(f(3)) < 1e-4, s"mean ${f(3)}")
+    (4 until 16).foreach(i => assert(math.abs(f(i) - 0.5f) < 1e-4, s"window rms $i ${f(i)}"))
+  }
+
+  test("BMP content features: known values on solid-color pixels") {
+    import Multimodal.MediaCodec
+    // 4 px of BGR (10, 100, 200): channel means exact, stds 0, min/max known,
+    // intensity histogram = 1/3 in bins 0 (10), 3 (100), 6 (200)
+    val pixels = Array.fill(4)(Array[Byte](10, 100.toByte, 200.toByte)).flatten
+    val f = MediaCodec.contentFeatures(MediaCodec.wrapBmp(2, 2, pixels))
+      .getOrElse(fail("bmp payload must take the content path"))
+    assert(math.abs(f(0) - 10f / 255) < 1e-4 && math.abs(f(1) - 100f / 255) < 1e-4 &&
+      math.abs(f(2) - 200f / 255) < 1e-4, "channel means")
+    assert(f(3) == 0f && f(4) == 0f && f(5) == 0f, "solid color → zero std")
+    assert(math.abs(f(6) - 10f / 255) < 1e-4 && math.abs(f(7) - 200f / 255) < 1e-4, "min/max")
+    assert(math.abs(f(8) - 1f / 3) < 1e-4 && math.abs(f(11) - 1f / 3) < 1e-4 &&
+      math.abs(f(14) - 1f / 3) < 1e-4, "histogram bins")
+    assert(f(9) == 0f && f(10) == 0f && f(12) == 0f && f(13) == 0f && f(15) == 0f)
   }
 
   test("media pipeline aggregates per kind with payload accounting") {
