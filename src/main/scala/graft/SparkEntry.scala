@@ -226,6 +226,27 @@ object SparkEntry {
       TsAgg.sum(ev, spec900.copy(tsCol = "ts_ms", valueCol = "value_cents"))
     },
 
+    // X3 parameterized interpreter (reference interpreter init bytes,
+    // `TimeseriesAggregate.proto:31,33`): Decoders.fixedPoint(2) decodes the
+    // 8-byte BE cents cell to an exact DECIMAL dollar value — the scale is
+    // the interpreter's runtime parameter. Summed per bucket in decimal
+    // arithmetic under the oracle.
+    "ts_fixedpoint_sum_900" -> { (s, d) =>
+      val ev = Fixtures.keyedEvents(s, d)
+        .withColumn("ts_ms", fixtureTs)
+        .withColumn("value_fp", Decoders.fixedPoint(2)(col("value")))
+      TsAgg.aggregate(ev, spec900.copy(tsCol = "ts_ms", valueCol = "value_fp"),
+        Seq(sum(col("value_fp")).cast("decimal(18,2)").as("sum_fixed")))
+    },
+
+    // series-grouped diff (VERDICT r2 #7): the same bucket-delta operator,
+    // windowed PER SERIES — each event_type's lag runs in its own window
+    // partition, so no single-partition bottleneck at scale (the no-series
+    // form is documented as bounded-but-single-partition).
+    "ts_diff_daily_by_type" -> ((s, d) =>
+      TsAgg.diff(events(s, d, specDaily).withColumn("value_cents", centsCol),
+        specDaily.copy(valueCol = "value_cents", seriesCols = Seq("event_type")))),
+
     // F1 rowkey range scan: `Scan.setStartRow/setStopRow` on the binary key
     // (`TimeseriesAggregationClient.java:575-581`) — one series' day-1..7
     // window addressed purely through the key bytes. The predicate pushes to
@@ -308,6 +329,12 @@ object SparkEntry {
 
     // ---- scale ops: deduplication -------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d)).orderBy("text_hash")),
+    // winnowing fingerprints composed into cross-doc span detection (VERDICT
+    // r2 #5): pairs sharing ≥2 distinct fingerprints, i.e. documents with
+    // copied token runs. Oracle = DuckDB re-running the join/cap/count from
+    // the COMMITTED sf0.01 fingerprint TSV (pinned by GoldenFileSpec), so the
+    // pair logic is verified independently of xxhash64.
+    "span_near_dup" -> ((s, d) => Dedup.spanNearDup(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
     "dedup_minhash" -> ((s, d) => // rows-only: seeded permutations not portable
       Dedup.minhashNearDup(documents(s, d))),
@@ -387,6 +414,19 @@ object SparkEntry {
         s"SELECT bucket_start, sum_value, CAST(sum_value - lag(sum_value) OVER (ORDER BY bucket_start) AS BIGINT) AS diff_value " +
           s"FROM ($inner) ORDER BY bucket_start"
       },
+      "ts_diff_daily_by_type" -> {
+        val inner = tsAggSql(s"CAST(sum($cents) AS BIGINT) AS sum_value",
+          T0_EVENTS, T0_EVENTS + 30 * DAY, DAY, extraKey = "event_type")
+        s"SELECT event_type, bucket_start, sum_value, CAST(sum_value - lag(sum_value) " +
+          s"OVER (PARTITION BY event_type ORDER BY bucket_start) AS BIGINT) AS diff_value " +
+          s"FROM ($inner) ORDER BY event_type, bucket_start"
+      },
+      // decimal fixed-point decode: exact cents → DECIMAL(18,2) dollars on
+      // both sides (double division + cast rounds to the identical cent)
+      "ts_fixedpoint_sum_900" -> tsAggSql(
+        s"CAST(sum($cents) / 100.0 AS DECIMAL(18,2)) AS sum_fixed",
+        T0_EVENTS, e900, 900 * MS,
+        tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)"),
       "rowkey_max_900" -> tsAggSql("max(value) AS max_value", T0_EVENTS, e900, 900 * MS,
         tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)"),
       "rowkey_series_sum_900" -> tsAggSql(
@@ -465,6 +505,21 @@ object SparkEntry {
       },
 
       // ---- dedup ----
+      // span detection re-derived in DuckDB from the committed fingerprint
+      // arrays (golden-pinned engine output — GoldenFileSpec guards the file
+      // against testdata drift via its #input-md5 header; the driver runs
+      // correctness at sf0.01, which is what the file records)
+      "span_near_dup" ->
+        """WITH fp AS (SELECT doc_id, CAST(unnest(string_split(fingerprints, ',')) AS BIGINT) AS f
+          |  FROM read_csv('/root/repo/src/test/resources/golden/text_winnow_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false,
+          |    columns={'doc_id': 'BIGINT', 'n_fp': 'BIGINT', 'fingerprints': 'VARCHAR'})),
+          |d AS (SELECT DISTINCT doc_id, f FROM fp),
+          |ok AS (SELECT f FROM d GROUP BY f HAVING count(*) <= 1000),
+          |d2 AS (SELECT d.doc_id, d.f FROM d JOIN ok USING (f))
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          |FROM d2 a JOIN d2 b ON a.f = b.f AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
       "dedup_exact" ->
         ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY 1"),

@@ -42,4 +42,23 @@ object Decoders {
   /** 8-byte big-endian IEEE-754 bits → Double (codegen'd bit reinterpret —
     * exact for every value, no per-row reflection). */
   val doubleBE: Decoder = bin => expressions.LongBitsToDouble(longBE(bin))
+
+  /**
+   * PARAMETERIZED interpreter — the reference ships per-request interpreter
+   * init bytes alongside the class name (`TimeseriesAggregate.proto:31,33`,
+   * `specified_filters` deserialized in the coprocessor); here the parameter
+   * is a plain Scala argument captured by the returned decoder. 8-byte BE
+   * two's-complement fixed-point: stored integer = value × 10^scale (the
+   * standard money/sensor encoding), decoded to an EXACT decimal — the
+   * division runs in decimal arithmetic, never floating point, so
+   * sum-then-decode and decode-then-sum agree to the last cent.
+   */
+  def fixedPoint(scale: Int, precision: Int = 18): Decoder = {
+    require(scale >= 0 && scale < precision,
+      s"fixedPoint needs 0 <= scale < precision, got scale=$scale precision=$precision")
+    bin =>
+      (expressions.BytesBEToLong(bin, 8).cast(s"decimal($precision,0)") /
+        lit(BigDecimal(10).pow(scale)))
+        .cast(s"decimal($precision,$scale)")
+  }
 }

@@ -77,6 +77,19 @@ object TextAnalysis {
    */
   def winnowing(
       df: DataFrame, k: Int = 3, window: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowFps(df, k, window, idCol, textCol)
+      .select(
+        col(idCol),
+        size(col("fps")).cast("long").as("n_fp"),
+        // rendered as a CSV string so golden files are engine-representation-
+        // independent (array toString differs across collection impls)
+        concat_ws(",", transform(col("fps"), _.cast("string"))).as("fingerprints"))
+
+  /** Raw winnowing fingerprint arrays `(idCol, fps: array<long>)` — the
+    * composable form [[graft.operators.Dedup.spanNearDup]] joins on. */
+  def winnowFps(
+      df: DataFrame, k: Int = 3, window: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
     df.filter(size(toks) >= k)
@@ -89,11 +102,5 @@ object TextAnalysis {
         col(idCol),
         graft.functions.expressions.WinnowFingerprints(
           orderedShingleHashes(col("th"), k), window).as("fps"))
-      .select(
-        col(idCol),
-        size(col("fps")).cast("long").as("n_fp"),
-        // rendered as a CSV string so golden files are engine-representation-
-        // independent (array toString differs across collection impls)
-        concat_ws(",", transform(col("fps"), _.cast("string"))).as("fingerprints"))
   }
 }

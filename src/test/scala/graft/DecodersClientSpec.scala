@@ -46,6 +46,22 @@ class DecodersClientSpec extends AnyFunSuite {
     assert(got == vals)
   }
 
+  test("fixedPoint(scale) decodes BE fixed-point integers to exact decimals") {
+    // 12345 at scale 2 → 123.45; negatives and zero-scale exact too
+    val df = Seq(Tuple1(be(8, 12345L)), Tuple1(be(8, -7L)), Tuple1(be(8, 0L))).toDF("raw")
+    val got2 = df.select(Decoders.fixedPoint(2)(col("raw")).as("v")).collect()
+      .map(_.getDecimal(0).toPlainString).toSeq
+    assert(got2 == Seq("123.45", "-0.07", "0.00"))
+    val got0 = df.select(Decoders.fixedPoint(0)(col("raw")).as("v")).collect()
+      .map(_.getDecimal(0).toPlainString).toSeq
+    assert(got0 == Seq("12345", "-7", "0"))
+    // scale 4 splits the same stored integer differently — the parameter is live
+    val got4 = df.select(Decoders.fixedPoint(4)(col("raw")).as("v")).collect()
+      .map(_.getDecimal(0).toPlainString).toSeq
+    assert(got4 == Seq("1.2345", "-0.0007", "0.0000"))
+    intercept[IllegalArgumentException](Decoders.fixedPoint(-1))
+  }
+
   test("intBE decodes 4-byte values incl. negatives") {
     val vals = Seq(0, 1, Int.MaxValue, -1, Int.MinValue, 1415577600)
     val df = vals.map(v => Tuple1(be(4, v.toLong & 0xffffffffL))).toDF("raw")

@@ -54,19 +54,17 @@ class GoldenFileSpec extends AnyFunSuite {
     header +: rows.toSeq
   }
 
-  for (q <- goldenQueries) test(s"golden: $q matches the committed sf0.001 output") {
-    val lines = render(SparkEntry.queries(q)(spark, sfDir))
-    val file = new File(s"$goldenDir/$q.tsv")
+  private def checkGolden(file: File, lines: Seq[String], fingerprint: String): Unit = {
     if (regen) {
       file.getParentFile.mkdirs()
       Files.write(file.toPath,
-        (s"#input-md5 $inputFingerprint" +: lines).mkString("", "\n", "\n").getBytes("UTF-8"))
+        (s"#input-md5 $fingerprint" +: lines).mkString("", "\n", "\n").getBytes("UTF-8"))
       info(s"regenerated ${file.getPath} (${lines.size - 1} rows)")
     } else {
       assert(file.exists(), s"missing golden ${file.getPath} — run with GRAFT_REGEN_GOLDEN=1")
       val committed = new String(Files.readAllBytes(file.toPath), "UTF-8").split("\n", -1).toSeq
         .dropRight(1) // trailing newline
-      assume(committed.head == s"#input-md5 $inputFingerprint",
+      assume(committed.head == s"#input-md5 $fingerprint",
         "testdata changed since goldens were recorded — GRAFT_REGEN_GOLDEN=1 to refresh")
       val exp = committed.tail
       assert(lines.size == exp.size, s"row count ${lines.size - 1} != golden ${exp.size - 1}")
@@ -74,5 +72,26 @@ class GoldenFileSpec extends AnyFunSuite {
         assert(got == want, s"line $i differs:\n  got  $got\n  want $want")
       }
     }
+  }
+
+  for (q <- goldenQueries) test(s"golden: $q matches the committed sf0.001 output") {
+    checkGolden(new File(s"$goldenDir/$q.tsv"),
+      render(SparkEntry.queries(q)(spark, sfDir)), inputFingerprint)
+  }
+
+  // The sf0.01 winnowing fingerprints are committed SEPARATELY: they are the
+  // ORACLE INPUT for span_near_dup — its oracleSql reads this TSV via
+  // read_csv and recomputes the span join/cap/count in DuckDB, so the pair
+  // logic is independently verified from fingerprints this gate pins.
+  // (sf0.01 documents differ from sf0.001's, hence a second file.)
+  test("golden: text_winnow at sf0.01 (span_near_dup oracle input)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val fp01 = {
+      val md = MessageDigest.getInstance("MD5")
+      md.update(Files.readAllBytes(Paths.get(s"$sf01/documents.parquet")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    checkGolden(new File(s"$goldenDir/text_winnow_sf0.01.tsv"),
+      render(SparkEntry.queries("text_winnow")(spark, sf01)), fp01)
   }
 }

@@ -59,7 +59,8 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("no dedup query cross-joins — embedding dedup is LSH-blocked (r2)") {
-    Seq("dedup_embedding", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard").foreach { q =>
+    Seq("dedup_embedding", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+      "span_near_dup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must not cross-join:\n$p")
@@ -71,6 +72,12 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(key"),
       s"key range start not pushed:\n$p")
     assert(p.contains("LessThan(key"), s"key range stop not pushed:\n$p")
+  }
+
+  test("series-grouped diff windows per series, not one global partition") {
+    val p = plan("ts_diff_daily_by_type")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"lag window must be partitioned by the series column:\n$p")
   }
 
   test("ngram jaccard guards hot shingles by default (frequency cap in plan)") {
