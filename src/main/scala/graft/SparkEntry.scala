@@ -265,6 +265,38 @@ object SparkEntry {
     "cellsource_range_sum_900" -> ((s, d) =>
       rangeSum900(graft.sources.cells.CellRegions.read(s, d))),
 
+    // The coprocessor's defining move — aggregation AT the region, partial
+    // results to the client (`TimeseriesAggregateImplementation.java:159`;
+    // M1-M4 client merge) — via Spark's OWN connector contract: the V2
+    // source's SupportsPushDownAggregates evaluates this group-by inside the
+    // region readers, which emit one row per (region × event_type) instead of
+    // every cell; Spark plans only the final merge. SUM runs on the typed
+    // integer cents column (exact, order-independent); COUNT/MIN/MAX are the
+    // reference's A1/A2/A4. CellSourceSpec asserts the pushed plan shape.
+    "cellsource_agg_by_type" -> ((s, d) =>
+      graft.sources.cells.CellRegions.read(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("value_long")).as("sum_cents"),
+          min(col("value_double")).as("min_value"),
+          max(col("value_double")).as("max_value"))
+        .orderBy("event_type")),
+
+    // GetCount, the reference's server-ONLY RPC (`TimeseriesAggregate.proto:
+    // 68-74`, SURVEY §3.3: declared + implemented server-side, never exposed
+    // by the Java client): count the cells of a key-range scan entirely at
+    // the source. The claimed key filters plus pushed COUNT(*) mean each
+    // region reader returns ONE number — the exact wire shape of the
+    // reference's GetCount response — and Spark sums the per-region counts.
+    "cellsource_count_range" -> { (s, d) =>
+      val startKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0_EVENTS + DAY) / 1000L, 4)
+      val stopKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0_EVENTS + 7 * DAY) / 1000L, 4)
+      graft.sources.cells.CellRegions.read(s, d)
+        .filter(RowKeys.keyRangeFilter(col("key"), startKey, stopKey))
+        .agg(count(lit(1)).as("n_cells"))
+    },
+
     // Versioned-cell semantics — HBase Scan.maxVersions=1 (`Client.proto:
     // 241-261`): cell identity = (user_id, bucket); events landing in the
     // same cell are treated as overwrites and only the LATEST version (by
@@ -452,6 +484,17 @@ object SparkEntry {
         T0_EVENTS + DAY, T0_EVENTS + 7 * DAY, 900 * MS,
         tsExpr = "(epoch_ms(ts) - epoch_ms(ts) % 1000)",
         extraWhere = "user_id = 7"),
+      // the pushed-aggregation summary, stated relationally: cents are the
+      // stored integers (exact sum), min/max over the raw doubles involve no
+      // accumulation, so both engines agree bit-for-bit
+      "cellsource_agg_by_type" ->
+        (s"SELECT event_type, count(*) AS n_cells, CAST(sum($cents) AS BIGINT) AS sum_cents, " +
+          "min(value) AS min_value, max(value) AS max_value " +
+          "FROM events GROUP BY 1 ORDER BY 1"),
+      // GetCount over user 7's day-1..7 key window, addressed relationally
+      "cellsource_count_range" ->
+        (s"SELECT count(*) AS n_cells FROM events WHERE user_id = 7 " +
+          s"AND epoch_ms(ts) >= ${T0_EVENTS + DAY} AND epoch_ms(ts) < ${T0_EVENTS + 7 * DAY}"),
 
       // latest-version-per-cell via DuckDB arg_max (ties impossible: (user,
       // epoch-ms) is unique in events at every sf — checked before wiring)

@@ -12,10 +12,17 @@ import org.apache.spark.sql.types._
  * analogue: `README.md:42-54`'s one-row-per-period layout), length-prefixed:
  *
  * {{{
- *   magic "GCEL1\n"
+ *   magic "GCEL2\n"
  *   cell*: keyLen:int32 key qualLen:int32 qual valLen:int32 value
- *          valueDouble:float64 etLen:int32 eventTypeUtf8   (etLen −1 = null)
+ *          valueLong:int64 valueDouble:float64
+ *          etLen:int32 eventTypeUtf8   (etLen −1 = null)
  * }}}
+ *
+ * `value_long` is the interpreter-decoded integer (cents) of the binary
+ * `value` — stored typed so pushed-down aggregation ([[GraftCellsScanBuilder]]
+ * `SupportsPushDownAggregates`) can SUM it exactly (integer arithmetic is
+ * order-independent; a pushed double sum would make results depend on region
+ * merge order).
  *
  * The file NAME carries the region's key range —
  * `region-<nnnnn>-<firstKeyHex>-<lastKeyHex>.gcell` (lastKey inclusive) — so
@@ -25,18 +32,19 @@ import org.apache.spark.sql.types._
  */
 object CellRegionFormat {
 
-  val Magic = "GCEL1\n"
+  val Magic = "GCEL2\n"
 
   val Schema: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = false),
     StructField("qual", BinaryType, nullable = false),
     StructField("value", BinaryType, nullable = false),
+    StructField("value_long", LongType, nullable = false),
     StructField("value_double", DoubleType, nullable = false),
     StructField("event_type", StringType, nullable = true)))
 
   final case class Cell(
       key: Array[Byte], qual: Array[Byte], value: Array[Byte],
-      valueDouble: Double, eventType: String)
+      valueLong: Long, valueDouble: Double, eventType: String)
 
   final case class Region(file: String, firstKey: Array[Byte], lastKey: Array[Byte])
 
@@ -76,6 +84,7 @@ object CellRegionFormat {
     out.writeInt(c.key.length); out.write(c.key)
     out.writeInt(c.qual.length); out.write(c.qual)
     out.writeInt(c.value.length); out.write(c.value)
+    out.writeLong(c.valueLong)
     out.writeDouble(c.valueDouble)
     if (c.eventType == null) out.writeInt(-1)
     else {
@@ -91,9 +100,10 @@ object CellRegionFormat {
     val key = bytes(keyLen)
     val qual = bytes(in.readInt())
     val value = bytes(in.readInt())
+    val vl = in.readLong()
     val vd = in.readDouble()
     val etLen = in.readInt()
     val et = if (etLen < 0) null else new String(bytes(etLen), "UTF-8")
-    Cell(key, qual, value, vd, et)
+    Cell(key, qual, value, vl, vd, et)
   }
 }

@@ -20,7 +20,7 @@ import graft.sources.Fixtures
  */
 object CellRegions {
 
-  private val Version = "v1"
+  private val Version = "v2" // v2: +value_long (typed cents for pushed aggregation)
   private val NumRegions = 8
   private val lock = new Object
 
@@ -52,7 +52,11 @@ object CellRegions {
     val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
     new java.io.File(tmp).mkdirs()
     val sorted = Fixtures.keyedEvents(s, dir)
-      .select("key", "qual", "value", "value_double", "event_type")
+      .select(col("key"), col("qual"), col("value"),
+        // the interpreter-decoded cents, stored typed alongside the raw bytes
+        // (HBase connectors expose typed column mappings the same way)
+        graft.functions.expressions.BytesBEToLong(col("value"), 8).as("value_long"),
+        col("value_double"), col("event_type"))
       .repartitionByRange(NumRegions, col("key"))
       .sortWithinPartitions("key", "qual")
     // each task writes its region file: cells stream through DataOutputStream,
@@ -73,7 +77,7 @@ object CellRegions {
             last = key
             CellRegionFormat.writeCell(dos, CellRegionFormat.Cell(
               key, r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2),
-              r.getDouble(3), r.getString(4)))
+              r.getLong(3), r.getDouble(4), r.getString(5)))
           }
         } finally dos.close()
         val target = new java.io.File(tmp, CellRegionFormat.regionFileName(pid, first, last))

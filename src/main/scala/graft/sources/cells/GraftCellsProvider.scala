@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max => V2Max, Min => V2Min, Sum => V2Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -31,12 +32,23 @@ import graft.functions.RowKeys.unsignedCompare
  *    `key` comparisons are folded into a `[start, stop)` bound that prunes
  *    whole region files at planning time (the `Scan.setStartRow/setStopRow`
  *    region-pruning analogue) and bounds the per-cell read inside each file.
- *    Filters are conservatively also left to Spark for re-evaluation, so a
- *    pruning bug can only cost performance, never correctness.
+ *    The key bounds are applied EXACTLY by the reader (sorted files: skip to
+ *    start, stop at stop), so these filters are claimed — no residual — which
+ *    is also what unlocks aggregate pushdown beneath a filtered scan (Spark
+ *    only pushes aggregation when no post-scan filter remains).
  *  - **Column pruning** ([[GraftCellsScanBuilder.pruneColumns]]): region
  *    files are row-major (like HBase KeyValues), so pruning saves row
  *    materialization and downstream width, not file IO — exactly the
  *    trade-off the real HBase connector has.
+ *  - **Aggregate pushdown** ([[GraftCellsScanBuilder.pushAggregation]],
+ *    `SupportsPushDownAggregates`): MIN/MAX/COUNT/SUM group-bys evaluate
+ *    INSIDE the region reader, which emits one pre-aggregated row per
+ *    (region × group) instead of every cell — this is the reference's entire
+ *    reason to exist, the coprocessor (`TimeseriesAggregateImplementation
+ *    .java:159`: per-region partial aggregation at the data, client-side
+ *    final merge), expressed through Spark's standard connector API. Partial
+ *    pushdown only (`supportCompletePushDown = false`): Spark plans the final
+ *    merge aggregate on top, exactly the reference's M1-M4 client callbacks.
  *  - **One partition per region file**: Spark's parallelism = region count,
  *    the same scatter model as one coprocessor scan per region.
  */
@@ -64,11 +76,29 @@ class GraftCellsTable(path: String) extends Table with SupportsRead {
     new GraftCellsScanBuilder(path)
 }
 
+/** One pushed aggregate function over a schema field (−1 = COUNT(*)).
+  * Serializable: instances ship inside the reader factory to executors. */
+sealed abstract class PushedAggFn(val field: Int) extends Serializable
+object PushedAggFn {
+  final case object CountStarFn extends PushedAggFn(-1)
+  final case class CountFn(f: Int) extends PushedAggFn(f)
+  final case class MinFn(f: Int) extends PushedAggFn(f)
+  final case class MaxFn(f: Int) extends PushedAggFn(f)
+  final case class SumFn(f: Int) extends PushedAggFn(f)
+}
+
+/** A validated, pushable aggregation: group-by schema fields + agg functions +
+  * the scan output schema `[groupCols..., aggCols...]` Spark expects. */
+final case class PushedAggregation(
+    groupFields: Seq[Int], aggs: Seq[PushedAggFn], schema: StructType)
+
 class GraftCellsScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = CellRegionFormat.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[PushedAggregation] = None
   private var startKey: Option[Array[Byte]] = None // inclusive
   private var stopKey: Option[Array[Byte]] = None // exclusive
 
@@ -81,7 +111,7 @@ class GraftCellsScanBuilder(path: String)
     stopKey = Some(stopKey.filter(s => unsignedCompare(s, k) <= 0).getOrElse(k))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
+    val (claimed, residual) = filters.partition {
       case GreaterThanOrEqual("key", v: Array[Byte]) => tightenStart(v); true
       case GreaterThan("key", v: Array[Byte]) => tightenStart(successor(v)); true
       case LessThan("key", v: Array[Byte]) => tightenStop(v); true
@@ -90,16 +120,72 @@ class GraftCellsScanBuilder(path: String)
       case IsNotNull("key") => true // keys are never null in region files
       case _ => false
     }
-    // Everything is returned as residual: the source uses the bounds to prune
-    // regions and cells, Spark re-checks the predicate — belt and braces.
-    filters
+    pushed = claimed
+    // Claimed key filters are applied EXACTLY by the reader (sorted region
+    // files: linear skip to startKey, hard stop at stopKey), so they carry no
+    // residual — which is what lets Spark push aggregation beneath a
+    // key-range filter (the GetCount-over-a-scan shape, SURVEY §3.3).
+    // Anything else (event_type predicates etc.) stays with Spark.
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new GraftCellsScan(path, required, pushed, startKey, stopKey)
+  /** Partial pushdown only: each region returns per-group partials, Spark
+    * plans the final merge — the reference's region-coprocessor + client
+    * callback split (`TimeseriesAggregationClient.java:160-196`). */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val schema = CellRegionFormat.Schema
+    def fieldOf(e: V2Expression): Option[Int] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          schema.fieldNames.contains(nr.fieldNames.head) =>
+        Some(schema.fieldIndex(nr.fieldNames.head))
+      case _ => None
+    }
+    // MIN/MAX/SUM only over typed numeric cells (long sums are exact and
+    // order-independent; double sums are as order-dependent as Spark's own —
+    // allowed, but oracle-checked queries use value_long). Binary/string
+    // min-max is not implemented: bail and Spark runs a plain scan.
+    def numeric(i: Int): Boolean = schema.fields(i).dataType match {
+      case LongType | DoubleType => true
+      case _ => false
+    }
+    val groups = aggregation.groupByExpressions.toSeq.map(fieldOf)
+    val aggs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PushedAggFn.CountStarFn)
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(PushedAggFn.CountFn)
+      case m: V2Min => fieldOf(m.column).filter(numeric).map(PushedAggFn.MinFn)
+      case m: V2Max => fieldOf(m.column).filter(numeric).map(PushedAggFn.MaxFn)
+      case s: V2Sum if !s.isDistinct => fieldOf(s.column).filter(numeric).map(PushedAggFn.SumFn)
+      case _ => None
+    }
+    if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty) || aggs.isEmpty) return false
+    val gIdx = groups.map(_.get)
+    val aFns = aggs.map(_.get)
+    // Scan output contract (V2ScanRelationPushDown): group columns first, agg
+    // columns after, positionally matched — names are documentation only.
+    // Types must be the PARTIAL types the final merge consumes: counts are
+    // long (merged via SUM), min/max/sum keep the column's own type.
+    val fields = gIdx.map(schema.fields(_)) ++ aFns.zipWithIndex.map { case (fn, i) =>
+      def name(suffix: String) = s"${suffix}_${if (fn.field < 0) "star" else schema.fieldNames(fn.field)}_$i"
+      fn match {
+        case PushedAggFn.CountStarFn => StructField(name("count"), LongType, nullable = false)
+        case PushedAggFn.CountFn(_) => StructField(name("count"), LongType, nullable = false)
+        case PushedAggFn.MinFn(f) => StructField(name("min"), schema.fields(f).dataType, nullable = true)
+        case PushedAggFn.MaxFn(f) => StructField(name("max"), schema.fields(f).dataType, nullable = true)
+        case PushedAggFn.SumFn(f) => StructField(name("sum"), schema.fields(f).dataType, nullable = true)
+      }
+    }
+    pushedAgg = Some(PushedAggregation(gIdx, aFns, StructType(fields)))
+    true
+  }
+
+  override def build(): Scan = new GraftCellsScan(
+    path, pushedAgg.map(_.schema).getOrElse(required), pushed, startKey, stopKey, pushedAgg)
 }
 
 class GraftCellsScan(
@@ -107,14 +193,27 @@ class GraftCellsScan(
     required: StructType,
     pushed: Array[Filter],
     startKey: Option[Array[Byte]],
-    stopKey: Option[Array[Byte]]) extends Scan with Batch {
+    stopKey: Option[Array[Byte]],
+    pushedAgg: Option[PushedAggregation] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String = {
     def hex(k: Option[Array[Byte]]) = k.map(_.map("%02x".format(_)).mkString).getOrElse("-inf")
+    val agg = pushedAgg.map { a =>
+      val names = CellRegionFormat.Schema.fieldNames
+      def show(fn: PushedAggFn): String = fn match {
+        case PushedAggFn.CountStarFn => "COUNT(*)"
+        case PushedAggFn.CountFn(f) => s"COUNT(${names(f)})"
+        case PushedAggFn.MinFn(f) => s"MIN(${names(f)})"
+        case PushedAggFn.MaxFn(f) => s"MAX(${names(f)})"
+        case PushedAggFn.SumFn(f) => s"SUM(${names(f)})"
+      }
+      s", PushedAggregation: [${a.aggs.map(show).mkString(", ")}]" +
+        s", PushedGroupBy: [${a.groupFields.map(names(_)).mkString(", ")}]"
+    }.getOrElse("")
     s"GraftCells path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
-      s"keyRange=[${hex(startKey)}, ${hex(stopKey)}), ReadSchema: ${required.catalogString}"
+      s"keyRange=[${hex(startKey)}, ${hex(stopKey)})$agg, ReadSchema: ${required.catalogString}"
   }
 
   override def toBatch: Batch = this
@@ -132,16 +231,20 @@ class GraftCellsScan(
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCellsReaderFactory(required)
+    new GraftCellsReaderFactory(required, pushedAgg)
 }
 
 case class CellRegionPartition(
     file: String, startKey: Option[Array[Byte]], stopKey: Option[Array[Byte]]) extends InputPartition
 
-class GraftCellsReaderFactory(required: StructType) extends PartitionReaderFactory {
+class GraftCellsReaderFactory(
+    required: StructType, pushedAgg: Option[PushedAggregation]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellRegionPartition]
-    new GraftCellsPartitionReader(p, required)
+    pushedAgg match {
+      case Some(agg) => new GraftCellsAggPartitionReader(p, agg)
+      case None => new GraftCellsPartitionReader(p, required)
+    }
   }
 }
 
@@ -189,8 +292,9 @@ class GraftCellsPartitionReader(
           case 0 => cell.key
           case 1 => cell.qual
           case 2 => cell.value
-          case 3 => cell.valueDouble
-          case 4 => if (cell.eventType == null) null else UTF8String.fromString(cell.eventType)
+          case 3 => cell.valueLong
+          case 4 => cell.valueDouble
+          case 5 => if (cell.eventType == null) null else UTF8String.fromString(cell.eventType)
         }
         i += 1
       }
@@ -201,4 +305,108 @@ class GraftCellsPartitionReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/**
+ * Coprocessor-shaped reader: aggregates the region's cells AT THE SOURCE and
+ * emits one row per group — `(region × groups)` rows cross the reader
+ * boundary instead of every cell, exactly the reference's per-region partial
+ * aggregation (`AggregationBuilder.java:74-91` drains the scanner into a
+ * bucket map, the RPC returns the map). Spark's final aggregate merges the
+ * per-region partials (the client-callback half, M1-M4).
+ *
+ * State is bounded by group cardinality, the same bound the reference's
+ * per-region bucket map has; the pushed key range is applied exactly like the
+ * plain reader (sorted file: skip to start, stop at stop).
+ */
+class GraftCellsAggPartitionReader(
+    partition: CellRegionPartition, agg: PushedAggregation) extends PartitionReader[InternalRow] {
+
+  import CellRegionFormat.Cell
+
+  private def fieldValue(c: Cell, f: Int): Any = f match {
+    case 0 => c.key
+    case 1 => c.qual
+    case 2 => c.value
+    case 3 => c.valueLong
+    case 4 => c.valueDouble
+    case 5 => c.eventType
+  }
+
+  /** Group key with value equality for binary components (Array[Byte] has
+    * reference equality — wrap; unwrap again at emit). */
+  private def groupKey(c: Cell): Seq[Any] = agg.groupFields.map { f =>
+    fieldValue(c, f) match {
+      case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      case v => v
+    }
+  }
+
+  private val rows: Iterator[InternalRow] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(partition.file), 1 << 20))
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    try {
+      CellRegionFormat.readHeader(in, partition.file)
+      var cell = CellRegionFormat.readCell(in)
+      while (cell != null && partition.startKey.exists(s => unsignedCompare(cell.key, s) < 0))
+        cell = CellRegionFormat.readCell(in)
+      while (cell != null &&
+          !partition.stopKey.exists(stop => unsignedCompare(cell.key, stop) >= 0)) {
+        val accs = groups.getOrElseUpdate(groupKey(cell), new Array[Any](agg.aggs.length))
+        var i = 0
+        while (i < agg.aggs.length) {
+          val fn = agg.aggs(i)
+          val v = if (fn.field < 0) null else fieldValue(cell, fn.field)
+          accs(i) = fn match {
+            case PushedAggFn.CountStarFn =>
+              java.lang.Long.valueOf(if (accs(i) == null) 1L else accs(i).asInstanceOf[Long] + 1L)
+            case PushedAggFn.CountFn(_) => // counts non-null cells, like Spark/SQL COUNT(col)
+              if (v == null) accs(i)
+              else java.lang.Long.valueOf(if (accs(i) == null) 1L else accs(i).asInstanceOf[Long] + 1L)
+            case _ if v == null => accs(i) // null cells never affect min/max/sum
+            case PushedAggFn.MinFn(_) => (accs(i), v) match {
+              case (null, _) => v
+              case (a: java.lang.Long, b: java.lang.Long) => if (b < a) b else a
+              case (a: java.lang.Double, b: java.lang.Double) => if (b < a) b else a
+            }
+            case PushedAggFn.MaxFn(_) => (accs(i), v) match {
+              case (null, _) => v
+              case (a: java.lang.Long, b: java.lang.Long) => if (b > a) b else a
+              case (a: java.lang.Double, b: java.lang.Double) => if (b > a) b else a
+            }
+            case PushedAggFn.SumFn(_) => (accs(i), v) match {
+              case (null, _) => v
+              case (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(Math.addExact(a, b))
+              case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.valueOf(a + b)
+            }
+          }
+          i += 1
+        }
+        cell = CellRegionFormat.readCell(in)
+      }
+    } finally in.close()
+
+    groups.iterator.map { case (key, accs) =>
+      val groupVals = key.zip(agg.groupFields).map {
+        case (b: scala.collection.immutable.ArraySeq[_], _) =>
+          b.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]].unsafeArray
+        case (s: String, _) => UTF8String.fromString(s)
+        case (v, _) => v
+      }
+      val aggVals = accs.toSeq.zip(agg.aggs).map {
+        // empty counts can't occur (groups exist only once a cell lands), but
+        // COUNT of an all-null column must be 0, not null
+        case (null, PushedAggFn.CountFn(_)) => java.lang.Long.valueOf(0L)
+        case (v, _) => v
+      }
+      InternalRow.fromSeq(groupVals ++ aggVals)
+    }
+  }
+
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { row = rows.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }

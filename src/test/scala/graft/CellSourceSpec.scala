@@ -24,18 +24,25 @@ class CellSourceSpec extends AnyFunSuite {
   private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
   private val DAY = 86400000L
 
-  private def v2Scan(df: org.apache.spark.sql.DataFrame): GraftCellsScan =
-    df.queryExecution.executedPlan.collectFirst {
+  private def v2Scan(df: org.apache.spark.sql.DataFrame): GraftCellsScan = {
+    // aggregate queries come back AQE-wrapped; unwrap to reach the scan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectFirst {
       case b: BatchScanExec => b.scan.asInstanceOf[GraftCellsScan]
     }.getOrElse(fail("no BatchScanExec with a GraftCellsScan in the plan"))
+  }
 
   test("V2 source serves exactly the fixture's cells (full content parity)") {
     val viaV2 = CellRegions.read(spark, sf)
       .select(hex(col("key")), hex(col("qual")), hex(col("value")),
-        col("value_double"), col("event_type"))
+        col("value_long"), col("value_double"), col("event_type"))
       .collect().map(_.toString).sorted
     val viaParquet = Fixtures.keyedEvents(spark, sf)
       .select(hex(col("key")), hex(col("qual")), hex(col("value")),
+        graft.functions.expressions.BytesBEToLong(col("value"), 8).as("value_long"),
         col("value_double"), col("event_type"))
       .collect().map(_.toString).sorted
     assert(viaV2.length == viaParquet.length && viaV2.sameElements(viaParquet))
@@ -59,7 +66,10 @@ class CellSourceSpec extends AnyFunSuite {
       s"expected planning-time region pruning: $pruned vs $allRegions region files")
   }
 
-  test("pushed filters are belt-and-braces: Spark re-evaluates, results exact") {
+  test("claimed key filters are exact: V2 range scan matches the Parquet path") {
+    // key filters are CLAIMED (no residual — the reader's sorted-file bounds
+    // are exact), so this parity check is the correctness guarantee that
+    // claiming rests on: same rows as the Parquet path, where Spark filters.
     val startKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0 + DAY) / 1000L, 4)
     val stopKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0 + 2 * DAY) / 1000L, 4)
     def keysOf(df: org.apache.spark.sql.DataFrame): Array[String] =
@@ -67,6 +77,42 @@ class CellSourceSpec extends AnyFunSuite {
         .select(hex(col("key")), hex(col("qual"))).collect().map(_.toString).sorted
     assert(keysOf(CellRegions.read(spark, sf))
       .sameElements(keysOf(Fixtures.keyedEvents(spark, sf))))
+  }
+
+  test("aggregate pushdown: the group-by runs inside the region readers") {
+    def aggOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_long")).as("s"),
+          min(col("value_double")).as("mn"), max(col("value_double")).as("mx"))
+        .orderBy("event_type")
+    val v2 = aggOf(CellRegions.read(spark, sf))
+    val scan = v2Scan(v2)
+    val d = scan.description()
+    assert(d.contains("PushedAggregation: [COUNT(*), SUM(value_long), " +
+      "MIN(value_double), MAX(value_double)]") && d.contains("PushedGroupBy: [event_type]"),
+      s"aggregation not pushed: $d")
+    // the scan's output IS the partial-aggregate shape: 1 group col + 4 aggs
+    assert(scan.readSchema().fields.length == 5, scan.readSchema().catalogString)
+    // parity vs the same aggregate over Parquet, where Spark does all the work
+    val viaPq = aggOf(Fixtures.keyedEvents(spark, sf).withColumn(
+      "value_long", graft.functions.expressions.BytesBEToLong(col("value"), 8)))
+      .collect().map(_.toString)
+    assert(v2.collect().map(_.toString).sameElements(viaPq))
+  }
+
+  test("GetCount shape: COUNT(*) pushes beneath a claimed key-range filter") {
+    val startKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0 + DAY) / 1000L, 4)
+    val stopKey = BinaryCodec.be(7L, 8) ++ BinaryCodec.be((T0 + 2 * DAY) / 1000L, 4)
+    val counted = CellRegions.read(spark, sf)
+      .filter(RowKeys.keyRangeFilter(col("key"), startKey, stopKey))
+      .agg(count(lit(1)).as("n"))
+    val scan = v2Scan(counted)
+    val d = scan.description()
+    assert(d.contains("PushedAggregation: [COUNT(*)]") && d.contains("GreaterThanOrEqual(key"),
+      s"count not pushed beneath the key filter: $d")
+    val expected = Fixtures.keyedEvents(spark, sf)
+      .filter(RowKeys.keyRangeFilter(col("key"), startKey, stopKey)).count()
+    assert(counted.collect().head.getLong(0) == expected && expected > 0)
   }
 
   test("column pruning reaches the V2 readSchema") {
