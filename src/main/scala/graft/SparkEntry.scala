@@ -368,6 +368,14 @@ object SparkEntry {
     // pair logic is verified independently of xxhash64.
     "span_near_dup" -> ((s, d) => Dedup.spanNearDup(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    // cluster canonicalization over the exact-Jaccard pairs: near-dup is not
+    // transitive, so "keep one per cluster" needs connected components, not
+    // per-pair min. Oracle = DuckDB recursive-CTE transitive closure over the
+    // SAME pair query — one pair definition, two engines, full-corpus check.
+    "dedup_clusters" -> { (s, d) =>
+      val docs = documents(s, d)
+      Dedup.nearDupClusters(docs, Dedup.ngramJaccard(docs)).orderBy("doc_id")
+    },
     "dedup_minhash" -> ((s, d) => // rows-only: seeded permutations not portable
       Dedup.minhashNearDup(documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(documents(s, d))),
@@ -410,6 +418,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val cents = "CAST(round(value * 100) AS BIGINT)"
     val e900 = T0_EVENTS + 7 * DAY
+    // The exact-Jaccard pair definition, shared verbatim by the pair query
+    // and the cluster query so the two oracles can never drift apart. `e2`
+    // mirrors the engine's default hot-shingle cap (maxShingleFreq = 1000):
+    // shingles in more than 1000 docs are pruned from the join on BOTH sides
+    // while n (the per-doc shingle count) stays pre-prune — byte-identical
+    // semantics, so the oracle cannot silently diverge on a corpus where the
+    // cap actually fires.
+    val ngramCtes =
+      """t AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents) WHERE len(toks) >= 3),
+        |e AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM t),
+        |ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+        |e2 AS (SELECT e.* FROM e JOIN ok USING (s))""".stripMargin.replace("\n", " ")
+    val ngramPairSelect =
+      """SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter, a.n + b.n - count(*) AS n_union
+        |FROM e2 a JOIN e2 b ON a.s = b.s AND a.id < b.id
+        |GROUP BY a.id, b.id, a.n, b.n
+        |HAVING count(*) * 2 >= 1 * (a.n + b.n - count(*))""".stripMargin.replace("\n", " ")
     Map(
       "ts_max_900" -> tsAggSql("max(value) AS max_value", T0_EVENTS, e900, 900 * MS),
       "ts_min_900" -> tsAggSql("min(value) AS min_value", T0_EVENTS, e900, 900 * MS),
@@ -566,22 +592,18 @@ object SparkEntry {
       "dedup_exact" ->
         ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY 1"),
-      // `e2` mirrors the engine's default hot-shingle cap (maxShingleFreq =
-      // 1000): shingles in more than 1000 docs are pruned from the join on
-      // BOTH sides while n (the per-doc shingle count) stays pre-prune —
-      // byte-identical semantics, so the oracle cannot silently diverge on a
-      // corpus where the cap actually fires
       "dedup_ngram_jaccard" ->
-        """WITH t AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
-          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents) WHERE len(toks) >= 3),
-          |e AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM t),
-          |ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
-          |e2 AS (SELECT e.* FROM e JOIN ok USING (s))
-          |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter, a.n + b.n - count(*) AS n_union
-          |FROM e2 a JOIN e2 b ON a.s = b.s AND a.id < b.id
-          |GROUP BY a.id, b.id, a.n, b.n
-          |HAVING count(*) * 2 >= 1 * (a.n + b.n - count(*))
-          |ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+        s"WITH $ngramCtes $ngramPairSelect ORDER BY 1, 2",
+      // connected components of the same pair graph, computed independently:
+      // recursive transitive closure (fine at oracle scale), then min
+      // reachable id per doc; singletons fall out of the LEFT JOIN
+      "dedup_clusters" ->
+        (s"WITH RECURSIVE $ngramCtes, pairs AS ($ngramPairSelect), " +
+          "und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+          "reach(a, b) AS (SELECT a, b FROM und UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+          "mn AS (SELECT a, min(b) AS mb FROM reach GROUP BY a) " +
+          "SELECT d.doc_id, CAST(least(d.doc_id, coalesce(mn.mb, d.doc_id)) AS BIGINT) AS canon_id " +
+          "FROM documents d LEFT JOIN mn ON d.doc_id = mn.a ORDER BY d.doc_id"),
       "dedup_embedding" ->
         """WITH n AS (SELECT vec_id AS id, qv, list_sum(list_transform(qv, x -> x*x)) AS n2
           |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings))

@@ -28,7 +28,12 @@ object Dedup {
   private val MaxLiveCaches = 4
   private val liveCaches = new java.util.ArrayDeque[DataFrame]()
   private def persistScoped(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // idempotent: an already-persisted frame (iterative operators manage
+    // round-by-round persistence themselves) is only TRACKED, not re-persisted
+    val p =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     liveCaches.synchronized {
       liveCaches.addLast(p)
       while (liveCaches.size > MaxLiveCaches) liveCaches.pollFirst().unpersist(blocking = false)
@@ -247,6 +252,83 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= lit(minShared))
       .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * Near-dup cluster canonicalization — the step AFTER pair generation that a
+   * real dedup pipeline needs: near-duplicate relations are not transitive
+   * (A≈B, B≈C but A̸≈C), so keeping `min(id_a, id_b)` per pair both
+   * over-deletes and under-deletes. The correct semantics is connected
+   * components over the pair graph: every document gets the minimum doc id of
+   * its component as `canon_id` (singletons map to themselves), and "keep one
+   * per cluster" = `filter(col(idCol) === col("canon_id"))`.
+   *
+   * Algorithm: distributed min-label propagation — each round every node
+   * takes the min of its own label and its neighbors' labels (two equality
+   * joins + one hash aggregate per round, all keyed on the doc id), until a
+   * fixpoint. Rounds needed = eccentricity of the component's min-id node ≤
+   * component diameter; near-dup clusters are shallow (near-cliques around a
+   * shared source), so this converges in a handful of rounds. For adversarial
+   * long-chain graphs the published fix is star contraction (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) which converges
+   * in O(log²n) — the per-round dataflow below (equality joins on id) is the
+   * same shape, so swapping the round body would not change the plan class.
+   * Iteration state is two long columns per document. Each round ends in an
+   * eager `localCheckpoint`: the labels frame references itself twice per
+   * round (self + messages), so without lineage truncation the logical plan
+   * doubles every round — O(2^rounds) plan nodes — and planning, not data,
+   * becomes the bottleneck. (On a real cluster with executor loss, swap in
+   * reliable `checkpoint` against shared storage — same call shape.)
+   *
+   * Precondition: pair ids ⊆ `docs(idCol)` (true for every pair generator in
+   * this object — pairs are derived from the same frame).
+   *
+   * Output: `(idCol, canon_id)`, one row per input document.
+   */
+  def nearDupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIter: Int = 25): DataFrame = {
+    val und = persistScoped( // read every round: both propagation directions
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // iterate ONLY over pair-touched nodes: a document with no near-dup edge
+    // can never change label, so the round state is the (tiny) subgraph the
+    // pair generator surfaced, not the corpus — at 100 TB the loop runs over
+    // the near-dup graph while the petabyte of singletons joins in exactly
+    // once at the end
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id").cast("long"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // neighbor labels flow one hop: src learns dst's current label
+      val msgs = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("label"))
+      // eager checkpoint = materialize AND truncate lineage (see scaladoc)
+      val next = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // fixpoint test: any label strictly decreased this round? (labels only
+      // ever decrease, so inequality == decrease)
+      val prev = labels.withColumnRenamed("label", "prev_label")
+      converged = next.join(prev, "id")
+        .filter(col("label") =!= col("prev_label")).isEmpty
+      labels = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIter rounds — component diameter " +
+        "exceeds maxIter; raise it or switch the round body to star contraction")
+    // singletons re-enter here: one left join against the (usually tiny)
+    // subgraph labels — materialized by the checkpoint, so AQE sees its real
+    // size and broadcasts it when it fits, without risking a forced broadcast
+    // of a pathologically large pair graph
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol).cast("long")).as("canon_id"))
   }
 
   /**

@@ -21,6 +21,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("nearDupClusters: components, chains (non-transitive pairs), singletons") {
+    // graph: chain 1-2-3 (1≉3 directly — the non-transitive case), pair 10-11,
+    // triangle 20-21-22, singletons 30,31. Components get their min id.
+    val docsDf = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 30L, 31L).toDF("doc_id")
+    val pairsDf = Seq(
+      (2L, 3L), (1L, 2L), // chain, deliberately out of order
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(docsDf, pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 31L))
+    // "keep one per cluster" = canon fixpoints: exactly one survivor per component
+    assert(got.count { case (id, c) => id == c } == 5)
+  }
+
+  test("nearDupClusters converges on a long chain and respects maxIter") {
+    // a 12-node path needs ~11 propagation rounds — well under the default 25,
+    // and over a tight maxIter the operator must fail loudly, not silently
+    // return half-merged components
+    val n = 12
+    val docsDf = (0L until n.toLong).toDF("doc_id")
+    val pairsDf = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(docsDf, pairsDf).collect()
+    assert(got.forall(_.getLong(1) == 0L) && got.length == n)
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(docsDf, pairsDf, maxIter = 3)
+    }
+  }
+
   test("ngram jaccard finds injected near-duplicates and nothing else") {
     val base = "one two three four five six seven eight nine ten"
     val near = "one two three four five six seven eight nine eleven" // 7/9 + tail shared
