@@ -51,9 +51,16 @@ object CellRegionFormat {
   private val NamePattern = """region-\d+-([0-9a-f]*)-([0-9a-f]*)\.gcell""".r
 
   def listRegions(dir: String): Seq[Region] = {
-    val d = new java.io.File(dir)
-    require(new java.io.File(d, "_SUCCESS").exists(), s"not a complete region dir: $dir")
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+    require(new java.io.File(dir, "_SUCCESS").exists(), s"not a complete region dir: $dir")
+    listRegionsUnchecked(dir)
+  }
+
+  /** Region listing WITHOUT the `_SUCCESS` completeness gate — for the
+    * streaming reader, which tails a LIVE directory. Safe because region
+    * files are only ever created by atomic rename from an `.inprogress`
+    * name the pattern doesn't match: a listed file is a complete file. */
+  def listRegionsUnchecked(dir: String): Seq[Region] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
       .sortBy(_.getName)
       .flatMap { f =>
         f.getName match {
@@ -62,7 +69,6 @@ object CellRegionFormat {
           case _ => None
         }
       }
-  }
 
   def regionFileName(partitionId: Int, firstKey: Array[Byte], lastKey: Array[Byte]): String =
     f"region-$partitionId%05d-${hex(firstKey)}-${hex(lastKey)}.gcell"

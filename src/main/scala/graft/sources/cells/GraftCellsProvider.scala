@@ -71,7 +71,7 @@ class GraftCellsTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-cells:$path"
   override def schema(): StructType = CellRegionFormat.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCellsScanBuilder(path)
 }
@@ -232,6 +232,16 @@ class GraftCellsScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCellsReaderFactory(required, pushedAgg)
+
+  /** Streaming entry: tail the region directory as new region files land —
+    * the Spark-native analogue of consuming HBase's WAL/replication feed
+    * (each flushed region file ≈ one replicated edit batch). Pruned columns
+    * and claimed key bounds apply per micro-batch exactly as in batch mode;
+    * aggregate pushdown never arrives here (Spark plans streaming
+    * aggregation statefully above the source). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCellsMicroBatchStream(path, required, startKey, stopKey)
 }
 
 case class CellRegionPartition(
@@ -409,4 +419,59 @@ class GraftCellsAggPartitionReader(
     if (rows.hasNext) { row = rows.next(); true } else false
   override def get(): InternalRow = row
   override def close(): Unit = ()
+}
+
+/** Offset = how many region files (in sorted-name order) have been consumed.
+  * Valid because the writer protocol only ever ADDS files, atomically, with
+  * monotonically increasing names (`region-NNNNN-…`): the sorted listing is
+  * append-only, so a count identifies a stable prefix across restarts. */
+final case class CellFilesOffset(fileCount: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = fileCount.toString
+}
+
+/**
+ * Micro-batch tail of a live region directory: each trigger picks up region
+ * files that appeared since the last offset and serves their cells through
+ * the same partition readers as batch. One new region file = one input
+ * partition = one "replicated region edit batch" — the streaming analogue of
+ * the reference's per-region scan scatter.
+ *
+ * Exactly-once comes from the offset contract: a file enters exactly one
+ * offset range, ranges replay identically after restart (listing is
+ * append-only in sorted order), and the checkpointed sink dedups replayed
+ * batches by (batchId).
+ */
+class GraftCellsMicroBatchStream(
+    path: String,
+    required: StructType,
+    startKey: Option[Array[Byte]],
+    stopKey: Option[Array[Byte]])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def sortedRegions = CellRegionFormat.listRegionsUnchecked(path)
+
+  override def initialOffset(): Offset = CellFilesOffset(0)
+  override def latestOffset(): Offset = CellFilesOffset(sortedRegions.size)
+  override def deserializeOffset(json: String): Offset = CellFilesOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CellFilesOffset].fileCount
+    val e = end.asInstanceOf[CellFilesOffset].fileCount
+    sortedRegions.slice(s, e)
+      .filter { r => // same planning-time key pruning as the batch scan
+        stopKey.forall(stop => unsignedCompare(r.firstKey, stop) < 0) &&
+          startKey.forall(st => unsignedCompare(st, r.lastKey) <= 0)
+      }
+      .map(r => CellRegionPartition(r.file, startKey, stopKey): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCellsReaderFactory(required, pushedAgg = None)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

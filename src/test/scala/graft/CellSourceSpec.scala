@@ -122,6 +122,71 @@ class CellSourceSpec extends AnyFunSuite {
       s"over-read: ${scan.readSchema().catalogString}")
   }
 
+  // -------- streaming: tailing a live region directory ----------------------
+
+  import graft.sources.cells.CellRegionFormat
+  import graft.sources.cells.CellRegionFormat.Cell
+
+  /** Atomic region-file write, the same `.inprogress` → rename protocol as
+    * the real writer — a listed file is always complete. */
+  private def writeRegion(dir: java.io.File, id: Int, cells: Seq[Cell]): Unit = {
+    val sorted = cells.sortBy(c => CellRegionFormat.hex(c.key))
+    val tmp = new java.io.File(dir, s"r$id.inprogress")
+    val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp)))
+    try {
+      CellRegionFormat.writeHeader(dos)
+      sorted.foreach(CellRegionFormat.writeCell(dos, _))
+    } finally dos.close()
+    val target = new java.io.File(dir,
+      CellRegionFormat.regionFileName(id, sorted.head.key, sorted.last.key))
+    assert(tmp.renameTo(target), s"atomic publish failed for $target")
+  }
+
+  private def cell(id: Long, cents: Long, et: String): Cell =
+    Cell(BinaryCodec.be(id, 8), BinaryCodec.be(0L, 4), BinaryCodec.be(cents, 8),
+      cents, cents / 100.0, et)
+
+  test("streaming: the V2 source tails a growing region directory") {
+    val dir = java.nio.file.Files.createTempDirectory("gcell-stream").toFile
+    writeRegion(dir, 0, (0L until 10L).map(i => cell(i, 100 + i, "a")))
+    val q = spark.readStream.format("graft-cells").load(dir.getAbsolutePath)
+      .select(col("value_long"), col("event_type"))
+      .writeStream.format("memory").queryName("cells_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cells_tail").count() == 10)
+      // a new region file lands mid-stream → next trigger serves exactly it
+      writeRegion(dir, 1, (10L until 15L).map(i => cell(i, 100 + i, "b")))
+      q.processAllAvailable()
+      val got = spark.table("cells_tail")
+      assert(got.count() == 15)
+      assert(got.agg(sum(col("value_long"))).head.getLong(0) == (0L until 15L).map(100 + _).sum)
+      assert(got.filter(col("event_type") === "b").count() == 5)
+    } finally q.stop()
+  }
+
+  test("streaming: offsets recover across a restart without re-serving cells") {
+    val base = java.nio.file.Files.createTempDirectory("gcell-restart")
+    val dir = new java.io.File(base.toFile, "regions"); dir.mkdirs()
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cells").load(dir.getAbsolutePath)
+        .select(col("value_long"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeRegion(dir, 0, (0L until 8L).map(i => cell(i, i, "a")))
+    run()
+    writeRegion(dir, 1, (8L until 12L).map(i => cell(i, i, "a")))
+    run() // restarted from the checkpoint: must serve ONLY region 1
+    val got = spark.read.parquet(out)
+    assert(got.count() == 12, "a replayed or skipped region file breaks exactly-once")
+    assert(got.agg(sum(col("value_long"))).head.getLong(0) == (0L until 12L).sum)
+  }
+
   test("registered V2 query matches the Parquet-path query row for row") {
     val v2 = SparkEntry.queries("cellsource_range_sum_900")(spark, sf).collect()
     val pq = SparkEntry.queries("rowkey_range_sum_900")(spark, sf).collect()
