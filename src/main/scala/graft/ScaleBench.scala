@@ -82,6 +82,30 @@ object ScaleBench {
       assert(planted >= (expected * 0.95).toInt, s"recall too low: $planted/$expected")
     }
 
+    // ---- span detection over winnowing fingerprints at corpus scale ----
+    // planted clones share a 29-token run ≫ the winnowing guarantee length
+    // (window + k − 1 = 6), so every planted pair MUST share fingerprints;
+    // the assertion is on the guarantee, not luck
+    time(s"span near-dup (winnowing fingerprints) over ${nDocs} docs") {
+      val pairs = graft.operators.Dedup.spanNearDup(docs).collect()
+      val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 50 == 0)
+      val expected = ((nDocs - 2) / 50 + 1).toInt
+      println(f"[scale] span recall: $planted/$expected planted pairs, ${pairs.length} total")
+      assert(planted >= (expected * 0.95).toInt, s"span recall too low: $planted/$expected")
+    }
+
+    // ---- cluster canonicalization: pair graph → connected components ----
+    // (timed together with its pair generator: the operator's input IS a pair
+    // frame, and caching between the two is what a pipeline would do anyway)
+    time(s"minhash pairs → connected-component canon over ${nDocs} docs") {
+      val pairs = graft.operators.Dedup.minhashNearDup(docs)
+      val clusters = graft.operators.Dedup.nearDupClusters(docs, pairs)
+      val merged = clusters.filter(col("doc_id") =!= col("canon_id")).count()
+      val expected = ((nDocs - 2) / 50 + 1).toInt
+      println(s"[scale] clusters: $merged docs folded into canonicals (planted $expected)")
+      assert(merged >= (expected * 0.93).toInt, s"too few merges: $merged/$expected")
+    }
+
     // ---- binary cell codec at scale: the LongColumnInterpreter path ----
     // encode value → 8-byte BE cell → decode → bucketed sum, all codegen'd;
     // proves the byte codec adds no measurable cost over the typed column
