@@ -576,8 +576,11 @@ object SparkEntry {
       // ---- dedup ----
       // span detection re-derived in DuckDB from the committed fingerprint
       // arrays (golden-pinned engine output — GoldenFileSpec guards the file
-      // against testdata drift via its #input-md5 header; the driver runs
-      // correctness at sf0.01, which is what the file records)
+      // against testdata drift via its #input-md5 header). CAVEAT: this
+      // oracle is defined at sf0.01, the sf the driver's correctness gate
+      // runs; at any other sfDir the TSV describes a different corpus and
+      // the comparison is meaningless (xxhash64 has no DuckDB equivalent, so
+      // the fingerprints cannot be re-derived relationally per-sf)
       "span_near_dup" ->
         """WITH fp AS (SELECT doc_id, CAST(unnest(string_split(fingerprints, ',')) AS BIGINT) AS f
           |  FROM read_csv('/root/repo/src/test/resources/golden/text_winnow_sf0.01.tsv',

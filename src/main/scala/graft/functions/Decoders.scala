@@ -53,11 +53,15 @@ object Decoders {
    * division runs in decimal arithmetic, never floating point, so
    * sum-then-decode and decode-then-sum agree to the last cent.
    */
-  def fixedPoint(scale: Int, precision: Int = 18): Decoder = {
+  def fixedPoint(scale: Int, precision: Int = 19): Decoder = {
     require(scale >= 0 && scale < precision,
       s"fixedPoint needs 0 <= scale < precision, got scale=$scale precision=$precision")
     bin =>
-      (expressions.BytesBEToLong(bin, 8).cast(s"decimal($precision,0)") /
+      // intermediate cast is decimal(19,0) — every two's-complement long fits
+      // (19 digits), so the decode itself is total; only the caller-requested
+      // final (precision, scale) can overflow, and under ANSI mode it does so
+      // loudly rather than silently nulling
+      (expressions.BytesBEToLong(bin, 8).cast("decimal(19,0)") /
         lit(BigDecimal(10).pow(scale)))
         .cast(s"decimal($precision,$scale)")
   }

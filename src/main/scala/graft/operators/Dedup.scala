@@ -307,15 +307,18 @@ object Dedup {
       // neighbor labels flow one hop: src learns dst's current label
       val msgs = und.join(labels, und("dst") === labels("id"))
         .select(und("src").as("id"), col("label"))
-      // eager checkpoint = materialize AND truncate lineage (see scaladoc)
+      // lazy checkpoint: the convergence count below is a FULL scan, so it
+      // both materializes the checkpoint and answers the fixpoint test in a
+      // single job per round (an eager checkpoint + isEmpty would be two)
       val next = labels.select(col("id"), col("label")).union(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // fixpoint test: any label strictly decreased this round? (labels only
-      // ever decrease, so inequality == decrease)
+      // ever decrease, so inequality == decrease); count, not isEmpty — a
+      // partial (limit-1) scan would leave the checkpoint incomplete
       val prev = labels.withColumnRenamed("label", "prev_label")
       converged = next.join(prev, "id")
-        .filter(col("label") =!= col("prev_label")).isEmpty
+        .filter(col("label") =!= col("prev_label")).count() == 0L
       labels = next
       round += 1
     }

@@ -94,7 +94,9 @@ object Multimodal {
       var i = 2
       while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+        if (marker == 0xff) i += 1 // optional 0xFF fill byte before the marker (B.1.1.2)
+        else if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+          i += 2 // standalone: SOI, TEM, RSTn carry no length field
         else {
           val len = be16(b, i + 2)
           if (len < 2 || i + 2 + len > b.length) return None
@@ -248,21 +250,40 @@ object Multimodal {
     private def bmpFeatures(payload: Array[Byte]): Array[Float] = {
       val off = le32(payload, 10) // DIB-declared pixel-array offset
       val f = new Array[Float](FeatureDim)
-      val n = payload.length - off
-      if (off <= 0 || n <= 0) return f
+      if (off <= 0 || payload.length - off <= 0) return f
+      // A spec-conforming 24bpp BMP pads every row of width*3 bytes up to a
+      // 4-byte boundary; walking the array flat would phase-shift the BGR
+      // channels after the first padded row and pollute the stats with pad
+      // bytes. When the payload length matches off + stride*rows we walk
+      // row-by-row over pixel bytes only; otherwise (tight-packed synthetic
+      // fixtures, truncated files) we fall back to the contiguous walk.
+      val width = le32(payload, 18)
+      val height = math.abs(le32(payload, 22)) // negative height = top-down
+      val stride = if (width > 0) (width * 3 + 3) & ~3 else 0
+      val conforming = width > 0 && height > 0 &&
+        stride.toLong * height == (payload.length - off).toLong
+      val rowBytes = if (conforming) width * 3 else payload.length - off
+      val rowStride = if (conforming) stride else rowBytes
+      val rows = if (conforming) height else 1
+      val n = rowBytes.toLong * rows // pixel bytes actually read
       val sum = new Array[Double](3); val sumSq = new Array[Double](3)
       val hist = new Array[Int](8)
       var min = 255; var max = 0
-      var i = 0
-      while (i < n) {
-        val v = payload(off + i) & 0xff
-        val ch = i % 3 // BGR interleave
-        sum(ch) += v; sumSq(ch) += v.toDouble * v
-        hist(v >> 5) += 1
-        if (v < min) min = v; if (v > max) max = v
-        i += 1
+      var r = 0
+      while (r < rows) {
+        val base = off + r * rowStride
+        var i = 0
+        while (i < rowBytes) {
+          val v = payload(base + i) & 0xff
+          val ch = i % 3 // BGR interleave, re-phased at every row start
+          sum(ch) += v; sumSq(ch) += v.toDouble * v
+          hist(v >> 5) += 1
+          if (v < min) min = v; if (v > max) max = v
+          i += 1
+        }
+        r += 1
       }
-      val perCh = Array.tabulate(3)(c => (n / 3 + (if (n % 3 > c) 1 else 0)).max(1))
+      val perCh = Array.tabulate(3)(c => (n / 3 + (if (n % 3 > c) 1 else 0)).max(1L))
       var c = 0
       while (c < 3) {
         val mean = sum(c) / perCh(c)

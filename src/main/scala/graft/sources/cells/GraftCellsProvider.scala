@@ -421,13 +421,26 @@ class GraftCellsAggPartitionReader(
   override def close(): Unit = ()
 }
 
-/** Offset = how many region files (in sorted-name order) have been consumed.
-  * Valid because the writer protocol only ever ADDS files, atomically, with
-  * monotonically increasing names (`region-NNNNN-…`): the sorted listing is
-  * append-only, so a count identifies a stable prefix across restarts. */
-final case class CellFilesOffset(fileCount: Int)
+/** Offset = how many region files (in sorted-name order) have been consumed,
+  * PLUS the name of the last consumed file. The count identifies a stable
+  * prefix only while the listing stays append-only in sorted order (the
+  * writer protocol's monotone `region-NNNNN-…` names guarantee this); the
+  * boundary name makes a violation — an out-of-order publisher or a
+  * retention job deleting consumed files — DETECTABLE at planning time
+  * instead of silently re-serving/skipping cells ([[GraftCellsMicroBatchStream
+  * .planInputPartitions]] validates both ends of every range). */
+final case class CellFilesOffset(fileCount: Int, boundary: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = fileCount.toString
+  require(!boundary.contains("\""), s"unquotable region file name: $boundary")
+  override def json(): String = s"""{"n":$fileCount,"boundary":"$boundary"}"""
+}
+
+object CellFilesOffset {
+  private val Pattern = """\{"n":(\d+),"boundary":"(.*)"\}""".r
+  def parse(json: String): CellFilesOffset = json.trim match {
+    case Pattern(n, b) => CellFilesOffset(n.toInt, b)
+    case other => throw new IllegalArgumentException(s"bad cell-stream offset: $other")
+  }
 }
 
 /**
@@ -452,15 +465,32 @@ class GraftCellsMicroBatchStream(
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def sortedRegions = CellRegionFormat.listRegionsUnchecked(path)
+  private def nameOf(r: CellRegionFormat.Region): String = new java.io.File(r.file).getName
 
-  override def initialOffset(): Offset = CellFilesOffset(0)
-  override def latestOffset(): Offset = CellFilesOffset(sortedRegions.size)
-  override def deserializeOffset(json: String): Offset = CellFilesOffset(json.trim.toInt)
+  override def initialOffset(): Offset = CellFilesOffset(0, "")
+  override def latestOffset(): Offset = {
+    val rs = sortedRegions
+    CellFilesOffset(rs.size, rs.lastOption.map(nameOf).getOrElse(""))
+  }
+  override def deserializeOffset(json: String): Offset = CellFilesOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CellFilesOffset].fileCount
-    val e = end.asInstanceOf[CellFilesOffset].fileCount
-    sortedRegions.slice(s, e)
+    val regions = sortedRegions
+    // integrity gate: each offset's boundary name must still sit at its
+    // recorded index, or the count no longer identifies the same prefix —
+    // fail the batch loudly rather than re-serve or skip region files
+    def validate(o: Offset): Int = {
+      val c = o.asInstanceOf[CellFilesOffset]
+      if (c.fileCount > 0) {
+        require(regions.size >= c.fileCount && nameOf(regions(c.fileCount - 1)) == c.boundary,
+          s"region listing changed beneath committed offset $c (out-of-order region " +
+            "file or retention deletion) — the sorted listing must be append-only")
+      }
+      c.fileCount
+    }
+    val s = validate(start)
+    val e = validate(end)
+    regions.slice(s, e)
       .filter { r => // same planning-time key pruning as the batch scan
         stopKey.forall(stop => unsignedCompare(r.firstKey, stop) < 0) &&
           startKey.forall(st => unsignedCompare(st, r.lastKey) <= 0)

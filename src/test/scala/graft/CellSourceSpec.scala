@@ -187,6 +187,40 @@ class CellSourceSpec extends AnyFunSuite {
     assert(got.agg(sum(col("value_long"))).head.getLong(0) == (0L until 12L).sum)
   }
 
+  test("pushed COUNT over an empty key range returns 0, like SQL") {
+    // all regions prune away → zero partial rows reach the final aggregate;
+    // SQL still requires 0, not NULL (the classic partial-pushdown trap)
+    val start = BinaryCodec.be(999999L, 8) ++ BinaryCodec.be(0L, 4)
+    val stop = BinaryCodec.be(999999L, 8) ++ BinaryCodec.be(4102444800L, 4)
+    val counted = CellRegions.read(spark, sf)
+      .filter(RowKeys.keyRangeFilter(col("key"), start, stop))
+      .agg(count(lit(1)).as("n"))
+    assert(v2Scan(counted).description().contains("PushedAggregation: [COUNT(*)]"))
+    val row = counted.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L)
+  }
+
+  test("streaming offsets detect an out-of-order region file instead of replaying") {
+    import graft.sources.cells.{CellFilesOffset, GraftCellsMicroBatchStream}
+    val dir = java.nio.file.Files.createTempDirectory("gcell-ooo").toFile
+    writeRegion(dir, 1, Seq(cell(1L, 1L, "a")))
+    val stream = new GraftCellsMicroBatchStream(
+      dir.getAbsolutePath, graft.sources.cells.CellRegionFormat.Schema, None, None)
+    val first = stream.latestOffset().asInstanceOf[CellFilesOffset]
+    assert(first.fileCount == 1 && first.boundary.startsWith("region-00001"))
+    assert(stream.planInputPartitions(stream.initialOffset(), first).length == 1)
+    // a LOWER-sorting file lands after region 1 was consumed: the count-based
+    // prefix is no longer the same prefix — planning must fail loudly
+    writeRegion(dir, 0, Seq(cell(0L, 1L, "a")))
+    val second = stream.latestOffset().asInstanceOf[CellFilesOffset]
+    assert(second.fileCount == 2)
+    intercept[IllegalArgumentException] {
+      stream.planInputPartitions(first, second)
+    }
+    // offsets survive a json round-trip (checkpoint replay path)
+    assert(CellFilesOffset.parse(first.json()) == first)
+  }
+
   test("registered V2 query matches the Parquet-path query row for row") {
     val v2 = SparkEntry.queries("cellsource_range_sum_900")(spark, sf).collect()
     val pq = SparkEntry.queries("rowkey_range_sum_900")(spark, sf).collect()

@@ -60,6 +60,12 @@ class DecodersClientSpec extends AnyFunSuite {
       .map(_.getDecimal(0).toPlainString).toSeq
     assert(got4 == Seq("1.2345", "-0.0007", "0.0000"))
     intercept[IllegalArgumentException](Decoders.fixedPoint(-1))
+    // the decode is TOTAL over 8-byte two's complement: both long extremes
+    // survive the intermediate decimal(19,0) under ANSI mode
+    val extremes = Seq(Tuple1(be(8, Long.MaxValue)), Tuple1(be(8, Long.MinValue))).toDF("raw")
+    val gotX = extremes.select(Decoders.fixedPoint(2)(col("raw")).as("v")).collect()
+      .map(_.getDecimal(0).toPlainString).toSeq
+    assert(gotX == Seq("92233720368547758.07", "-92233720368547758.08"))
   }
 
   test("intBE decodes 4-byte values incl. negatives") {

@@ -43,6 +43,29 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(a(0L) != a(1L)) // content-sensitive
   }
 
+  test("BMP features respect 4-byte row padding on conforming files") {
+    import Multimodal.MediaCodec
+    // width 17 → 51 pixel bytes + 1 pad byte per row (stride 52), height 2;
+    // pads are 0xFF garbage that must not leak into any statistic
+    val rows = Array.fill(2)(Array.fill[Byte](51)(100.toByte) :+ 0xFF.toByte).flatten
+    val f = MediaCodec.contentFeatures(MediaCodec.wrapBmp(17, 2, rows)).get
+    assert(f(0) == (100 / 255.0).toFloat && f(0) == f(1) && f(1) == f(2),
+      s"channel means polluted by row padding: ${f.take(3).toSeq}")
+    assert(f(6) == 100 / 255.0f && f(7) == 100 / 255.0f,
+      s"min/max saw pad bytes: ${f(6)} / ${f(7)}")
+  }
+
+  test("JPEG probe skips fill bytes and TEM markers (T.81 B.1.1.2)") {
+    import Multimodal.MediaCodec
+    val j = MediaCodec.wrapJpeg(320, 240, Array.fill[Byte](32)(7))
+    // splice an optional fill byte and a standalone TEM right after SOI:
+    // FF D8 | FF(fill) | FF 01(TEM) | original segments
+    val spliced = j.take(2) ++ Array(0xFF.toByte, 0xFF.toByte, 0x01.toByte) ++ j.drop(2)
+    val m = MediaCodec.probe(spliced)
+    assert(m.exists(x => x.width == 320 && x.height == 240 && x.codec == "jpeg"),
+      s"valid-but-padded JPEG not probed: $m")
+  }
+
   test("BMP/WAV header probe extracts real container fields; others fall back") {
     import Multimodal.MediaCodec
     val bmp = MediaCodec.wrapBmp(640, 480, Array.fill[Byte](16)(3))
