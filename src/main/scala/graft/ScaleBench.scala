@@ -119,6 +119,52 @@ object ScaleBench {
       assert(m.nonEmpty)
     }
 
+    // ---- V2 cell source: coprocessor-style aggregate pushdown at scale ----
+    // a synthetic region directory (written once per cell count through the
+    // real writer) makes the pushdown claim measurable: the pushed plan moves
+    // regions × groups rows out of the readers; the defeated plan (group-by
+    // on an expression, which pushAggregation correctly declines) streams
+    // every cell into Spark's aggregate. Same files, same readers — the
+    // delta is what aggregation-at-the-source buys.
+    val nCells = rows / 5 // 20M for the default 100M run
+    val cellDir = s"/tmp/graft-fixtures/scalebench-cells-v1-$nCells"
+    if (!new java.io.File(s"$cellDir/_SUCCESS").exists()) {
+      import graft.functions.expressions.LongToBytesBE
+      val cents = pmod(col("id") * lit(40503L), lit(100000L))
+      val cells = spark.range(nCells).select(
+        LongToBytesBE(col("id"), 8).as("key"),
+        LongToBytesBE(pmod(col("id"), lit(3600L)), 4).as("qual"),
+        LongToBytesBE(cents, 8).as("value"),
+        cents.as("value_long"),
+        (cents / lit(100.0)).as("value_double"),
+        concat(lit("et"), pmod(col("id"), lit(5L))).as("event_type"))
+      time(s"write $nCells-cell region dir (one-off, excluded from reruns)") {
+        graft.sources.cells.CellRegions.writeRegionDir(cells, cellDir, numRegions = 32)
+      }
+    }
+    def v2Agg(defeatPushdown: Boolean): Array[org.apache.spark.sql.Row] = {
+      val groupCol = // an expression group-by is correctly declined by pushAggregation
+        if (defeatPushdown) upper(col("event_type")).as("et") else col("event_type")
+      spark.read.format("graft-cells").load(cellDir)
+        .groupBy(groupCol)
+        .agg(count(lit(1)).as("n"), sum(col("value_long")).as("s"),
+          min(col("value_double")).as("mn"), max(col("value_double")).as("mx"))
+        .collect()
+    }
+    // one untimed pass each: the reader hot loops JIT-compile on first use,
+    // and a cold first measurement would charge warm-up to whichever path
+    // happens to run first (observed: the SAME pushed plan, 3.1 s cold
+    // vs 0.9 s warm)
+    v2Agg(defeatPushdown = false); v2Agg(defeatPushdown = true)
+    time(s"V2 pushed aggregate over $nCells cells (5 groups × 4 aggs)") {
+      val agg = v2Agg(defeatPushdown = false)
+      assert(agg.length == 5 && agg.map(_.getLong(1)).sum == nCells)
+    }
+    time(s"same aggregate with pushdown defeated (all $nCells cells shuffled up)") {
+      val agg = v2Agg(defeatPushdown = true)
+      assert(agg.length == 5 && agg.map(_.getLong(1)).sum == nCells)
+    }
+
     // ---- embedding near-dup at a corpus size where all-pairs is infeasible ----
     // nVecs 64-dim vectors (100k default → 5·10⁹ possible pairs); every
     // id ≡ 1 (mod 50) clones id-1 with one perturbed component (cosine ≈ 0.999).

@@ -112,4 +112,144 @@ object CellRegionFormat {
     val et = if (etLen < 0) null else new String(bytes(etLen), "UTF-8")
     Cell(key, qual, value, vl, vd, et)
   }
+
+  /**
+   * Allocation-free, synchronization-free cell cursor for aggregating
+   * readers. Two measured bottlenecks drove this design (20M cells, 32
+   * concurrent readers):
+   *
+   *  1. [[readCell]] allocates six objects per cell — at 32 readers the
+   *     allocation rate makes GC the serial bottleneck.
+   *  2. `DataInputStream` over `BufferedInputStream` performs SYNCHRONIZED
+   *     reads — `readInt()` alone is four monitor-guarded single-byte
+   *     reads, ~20 monitor ops per cell; per-file CPU inflated 27× going
+   *     from 1 to 32 threads on the lock/coherence traffic.
+   *
+   * So the cursor owns a plain `FileInputStream` and a 1 MiB chunk buffer,
+   * parses primitives with explicit big-endian byte math, reuses the
+   * key/qual/value buffers across cells (`keyLen`/`qualLen`/`valueLen` give
+   * the valid prefix), and INTERNS the event-type string against the small
+   * set of distinct values — a hit is a few byte compares, zero allocation,
+   * and group-by consumers get stable String instances for free.
+   */
+  final class CellCursor(file: String) {
+    var keyLen = 0
+    var key = new Array[Byte](16)
+    var qualLen = 0
+    var qual = new Array[Byte](8)
+    var valueLen = 0
+    var value = new Array[Byte](16)
+    var valueLong = 0L
+    var valueDouble = 0.0
+    var eventType: String = _
+
+    private val in = new java.io.FileInputStream(file)
+    private var buf = new Array[Byte](1 << 20)
+    private var limit = 0
+    private var pos = 0
+
+    // verify the magic up front (the header is the only non-cell content)
+    require(ensure(Magic.length) &&
+      new String(buf, 0, Magic.length, "US-ASCII") == Magic, s"bad region-file magic in $file")
+    pos = Magic.length
+
+    def close(): Unit = in.close()
+
+    /** Make `n` bytes available at `pos`; false only at clean end-of-file. */
+    private def ensure(n: Int): Boolean = {
+      if (limit - pos >= n) return true
+      System.arraycopy(buf, pos, buf, 0, limit - pos)
+      limit -= pos; pos = 0
+      if (n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(n, buf.length * 2))
+      while (limit < n) {
+        val r = in.read(buf, limit, buf.length - limit)
+        if (r < 0) return limit >= n
+        limit += r
+      }
+      true
+    }
+
+    private def i32(): Int = {
+      val p = pos; pos = p + 4
+      ((buf(p) & 0xff) << 24) | ((buf(p + 1) & 0xff) << 16) |
+        ((buf(p + 2) & 0xff) << 8) | (buf(p + 3) & 0xff)
+    }
+
+    private def i64(): Long = {
+      val hi = i32().toLong; val lo = i32().toLong
+      (hi << 32) | (lo & 0xffffffffL)
+    }
+
+    private def copyOut(dst: Array[Byte], n: Int): Array[Byte] = {
+      val d = if (n <= dst.length) dst else new Array[Byte](n)
+      System.arraycopy(buf, pos, d, 0, n); pos += n
+      d
+    }
+
+    // byte-level intern cache, linear scan: distinct event types are few, so
+    // a hit is a handful of byte compares and ZERO allocation; an adversarial
+    // high-cardinality column degrades gracefully to per-cell String builds
+    private var etKeys = new Array[Array[Byte]](8)
+    private var etVals = new Array[String](8)
+    private var etN = 0
+
+    private def internEt(len: Int): String = {
+      var i = 0
+      while (i < etN) {
+        val k = etKeys(i)
+        if (k.length == len && java.util.Arrays.equals(k, 0, len, buf, pos, pos + len)) {
+          pos += len
+          return etVals(i)
+        }
+        i += 1
+      }
+      val s = new String(buf, pos, len, "UTF-8")
+      if (etN < 4096) {
+        if (etN == etKeys.length) {
+          etKeys = java.util.Arrays.copyOf(etKeys, etN * 2)
+          etVals = java.util.Arrays.copyOf(etVals, etN * 2)
+        }
+        etKeys(etN) = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+        etVals(etN) = s
+        etN += 1
+      }
+      pos += len
+      s
+    }
+
+    /** Advance to the next cell; false at (clean) end-of-file. */
+    def advance(): Boolean = {
+      if (!ensure(4)) return false
+      keyLen = i32()
+      if (!ensure(keyLen + 4)) throw new java.io.EOFException(s"truncated cell in $file")
+      key = copyOut(key, keyLen)
+      qualLen = i32()
+      if (!ensure(qualLen + 4)) throw new java.io.EOFException(s"truncated cell in $file")
+      qual = copyOut(qual, qualLen)
+      valueLen = i32()
+      if (!ensure(valueLen + 20)) throw new java.io.EOFException(s"truncated cell in $file")
+      value = copyOut(value, valueLen)
+      valueLong = i64()
+      valueDouble = java.lang.Double.longBitsToDouble(i64())
+      val etLen = i32()
+      if (etLen < 0) eventType = null
+      else {
+        if (!ensure(etLen)) throw new java.io.EOFException(s"truncated cell in $file")
+        eventType = internEt(etLen)
+      }
+      true
+    }
+
+    /** Unsigned-lexicographic compare of the current key against `bound`. */
+    def compareKey(bound: Array[Byte]): Int = {
+      val n = math.min(keyLen, bound.length)
+      var i = 0
+      while (i < n) {
+        val cmp = (key(i) & 0xff) - (bound(i) & 0xff)
+        if (cmp != 0) return cmp
+        i += 1
+      }
+      keyLen - bound.length
+    }
+  }
 }

@@ -48,23 +48,25 @@ object CellRegions {
     out
   }
 
-  private def build(s: SparkSession, dir: String, out: String): Unit = {
-    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
-    new java.io.File(tmp).mkdirs()
-    val sorted = Fixtures.keyedEvents(s, dir)
-      .select(col("key"), col("qual"), col("value"),
-        // the interpreter-decoded cents, stored typed alongside the raw bytes
-        // (HBase connectors expose typed column mappings the same way)
-        graft.functions.expressions.BytesBEToLong(col("value"), 8).as("value_long"),
-        col("value_double"), col("event_type"))
-      .repartitionByRange(NumRegions, col("key"))
+  /**
+   * Write a cell frame — columns `(key, qual, value: binary, value_long,
+   * value_double, event_type)` — as a complete region directory: cells
+   * range-partitioned by key into `numRegions` files, sorted within each,
+   * file names carrying the first/last key, `_SUCCESS` last. Public so
+   * stress harnesses can materialize synthetic region dirs through the same
+   * writer the fixture path uses.
+   */
+  def writeRegionDir(cells: DataFrame, out: String, numRegions: Int = NumRegions): Unit = {
+    new java.io.File(out).mkdirs()
+    val sorted = cells
+      .repartitionByRange(numRegions, col("key"))
       .sortWithinPartitions("key", "qual")
     // each task writes its region file: cells stream through DataOutputStream,
     // first/last key tracked for the range-carrying file name
     sorted.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val tmpFile = new java.io.File(tmp, f"part-$pid%05d.inprogress")
+        val tmpFile = new java.io.File(out, f"part-$pid%05d.inprogress")
         val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(tmpFile), 1 << 20))
         var first: Array[Byte] = null
@@ -80,11 +82,23 @@ object CellRegions {
               r.getLong(3), r.getDouble(4), r.getString(5)))
           }
         } finally dos.close()
-        val target = new java.io.File(tmp, CellRegionFormat.regionFileName(pid, first, last))
+        val target = new java.io.File(out, CellRegionFormat.regionFileName(pid, first, last))
         if (!tmpFile.renameTo(target)) throw new java.io.IOException(s"rename failed: $target")
       }
     }
-    new java.io.FileOutputStream(new java.io.File(tmp, "_SUCCESS")).close()
+    new java.io.FileOutputStream(new java.io.File(out, "_SUCCESS")).close()
+  }
+
+  private def build(s: SparkSession, dir: String, out: String): Unit = {
+    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
+    writeRegionDir(
+      Fixtures.keyedEvents(s, dir)
+        .select(col("key"), col("qual"), col("value"),
+          // the interpreter-decoded cents, stored typed alongside the raw bytes
+          // (HBase connectors expose typed column mappings the same way)
+          graft.functions.expressions.BytesBEToLong(col("value"), 8).as("value_long"),
+          col("value_double"), col("event_type")),
+      tmp)
 
     // promote under an OS file lock (same protocol as Fixtures.build: a dir
     // containing _SUCCESS is complete and immutable; losers discard their copy)

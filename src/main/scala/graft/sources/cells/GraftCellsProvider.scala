@@ -262,14 +262,19 @@ class GraftCellsReaderFactory(
  * Streams one region file, skipping cells outside the `[start, stop)` key
  * bound and materializing only the pruned columns. Region files are
  * key-sorted, so the reader short-circuits (stops parsing) at the first cell
- * ≥ stopKey — the in-file analogue of a scanner's stop row.
+ * ≥ stopKey — the in-file analogue of a scanner's stop row. Built on
+ * [[CellRegionFormat.CellCursor]] (see its JIT/sync notes); binary columns
+ * are copied out per row (the cursor reuses its buffers), the event-type
+ * `UTF8String` is cached per distinct value, and the hot loop lives in
+ * [[readNext]] — a small, compilable method (see [[GraftCellsAggPartitionReader
+ * .scanLoop]] for why that placement is load-bearing).
  */
 class GraftCellsPartitionReader(
     partition: CellRegionPartition, required: StructType) extends PartitionReader[InternalRow] {
 
-  private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-    new java.io.FileInputStream(partition.file), 1 << 20))
-  CellRegionFormat.readHeader(in, partition.file)
+  import CellRegionFormat.CellCursor
+
+  private val cur = new CellCursor(partition.file)
 
   // required-column projection resolved once: for each output slot, which
   // cell field feeds it (region files are row-major; all fields are parsed,
@@ -281,40 +286,51 @@ class GraftCellsPartitionReader(
     i
   }
 
+  private val startBound = partition.startKey.orNull
+  private val stopBound = partition.stopKey.orNull
+  private val utf8Cache = new java.util.HashMap[String, UTF8String]()
   private var row: InternalRow = _
+  private var started = false
   private var exhausted = false
 
-  override def next(): Boolean = {
+  private def readNext(): Boolean = {
     if (exhausted) return false
-    var cell = CellRegionFormat.readCell(in)
-    // skip below startKey (sorted file: linear skip from the region head)
-    while (cell != null && partition.startKey.exists(s => unsignedCompare(cell.key, s) < 0))
-      cell = CellRegionFormat.readCell(in)
-    // sorted file: first cell at/after stopKey ends the scan
-    if (cell == null || partition.stopKey.exists(stop => unsignedCompare(cell.key, stop) >= 0)) {
-      exhausted = true
-      false
-    } else {
-      val values = new Array[Any](fieldIdx.length)
-      var i = 0
-      while (i < fieldIdx.length) {
-        values(i) = fieldIdx(i) match {
-          case 0 => cell.key
-          case 1 => cell.qual
-          case 2 => cell.value
-          case 3 => cell.valueLong
-          case 4 => cell.valueDouble
-          case 5 => if (cell.eventType == null) null else UTF8String.fromString(cell.eventType)
-        }
-        i += 1
-      }
-      row = InternalRow.fromSeq(values.toIndexedSeq)
-      true
+    var has = cur.advance()
+    if (!started) { // linear skip below startKey, once, from the region head
+      while (has && startBound != null && cur.compareKey(startBound) < 0) has = cur.advance()
+      started = true
     }
+    // sorted file: first cell at/after stopKey ends the scan
+    if (!has || (stopBound != null && cur.compareKey(stopBound) >= 0)) {
+      exhausted = true
+      return false
+    }
+    val values = new Array[Any](fieldIdx.length)
+    var i = 0
+    while (i < fieldIdx.length) {
+      values(i) = fieldIdx(i) match {
+        case 0 => java.util.Arrays.copyOf(cur.key, cur.keyLen)
+        case 1 => java.util.Arrays.copyOf(cur.qual, cur.qualLen)
+        case 2 => java.util.Arrays.copyOf(cur.value, cur.valueLen)
+        case 3 => cur.valueLong
+        case 4 => cur.valueDouble
+        case 5 =>
+          if (cur.eventType == null) null
+          else {
+            var u = utf8Cache.get(cur.eventType)
+            if (u == null) { u = UTF8String.fromString(cur.eventType); utf8Cache.put(cur.eventType, u) }
+            u
+          }
+      }
+      i += 1
+    }
+    row = InternalRow.fromSeq(values.toIndexedSeq)
+    true
   }
 
+  override def next(): Boolean = readNext()
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = cur.close()
 }
 
 /**
@@ -332,83 +348,156 @@ class GraftCellsPartitionReader(
 class GraftCellsAggPartitionReader(
     partition: CellRegionPartition, agg: PushedAggregation) extends PartitionReader[InternalRow] {
 
-  import CellRegionFormat.Cell
+  import CellRegionFormat.CellCursor
 
-  private def fieldValue(c: Cell, f: Int): Any = f match {
-    case 0 => c.key
-    case 1 => c.qual
-    case 2 => c.value
-    case 3 => c.valueLong
-    case 4 => c.valueDouble
-    case 5 => c.eventType
+  // ---- the aggregation program, compiled once ------------------------------
+  // The per-cell loop competes with Tungsten's codegen hash aggregate (the
+  // non-pushed plan), so it must be allocation-free: pattern matching and
+  // boxing per cell measured 17× SLOWER than the defeated plan at 20M cells.
+  // Each aggregate becomes an opcode over primitive accumulator arrays.
+  private val OpCountStar = 0
+  private val OpCount = 1
+  private val OpMin = 2
+  private val OpMax = 3
+  private val OpSum = 4
+  private val nAggs = agg.aggs.length
+  private val ops = new Array[Int](nAggs)
+  private val fieldOf = new Array[Int](nAggs)
+  private val fieldIsLong = new Array[Boolean](nAggs) // field 3 long, 4 double
+  agg.aggs.zipWithIndex.foreach { case (fn, i) =>
+    ops(i) = fn match {
+      case PushedAggFn.CountStarFn => OpCountStar
+      case PushedAggFn.CountFn(_) => OpCount
+      case PushedAggFn.MinFn(_) => OpMin
+      case PushedAggFn.MaxFn(_) => OpMax
+      case PushedAggFn.SumFn(_) => OpSum
+    }
+    fieldOf(i) = fn.field
+    fieldIsLong(i) = fn.field == 3
   }
 
-  /** Group key with value equality for binary components (Array[Byte] has
-    * reference equality — wrap; unwrap again at emit). */
-  private def groupKey(c: Cell): Seq[Any] = agg.groupFields.map { f =>
-    fieldValue(c, f) match {
+  private final class GroupAcc {
+    val counts = new Array[Long](nAggs)
+    val longs = new Array[Long](nAggs)
+    val doubles = new Array[Double](nAggs)
+    val seen = new Array[Boolean](nAggs) // min/max/sum: any non-null cell yet?
+  }
+
+  // group-key extraction, specialized for the allocation-free cases: no
+  // grouping (GetCount) and a single string column (interned by the cursor,
+  // so the instance is stable per distinct value); multi-column / binary
+  // keys fall back to a Seq with value-equal wrappers built per cell
+  private val noGroups = agg.groupFields.isEmpty
+  private val singleStringGroup = agg.groupFields == Seq(5)
+  private val EmptyKey: AnyRef = new Object
+  private def genericKey(c: CellCursor): AnyRef = agg.groupFields.map { f =>
+    val v: Any = f match {
+      case 0 => java.util.Arrays.copyOf(c.key, c.keyLen)
+      case 1 => java.util.Arrays.copyOf(c.qual, c.qualLen)
+      case 2 => java.util.Arrays.copyOf(c.value, c.valueLen)
+      case 3 => c.valueLong
+      case 4 => c.valueDouble
+      case 5 => c.eventType
+    }
+    v match {
       case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
-      case v => v
+      case x => x
+    }
+  }
+
+  /** Accumulate one cell. Its own (small) method, like [[scanLoop]] — see
+    * the JIT note there. */
+  private def accumulate(cur: CellCursor, acc: GroupAcc): Unit = {
+    var i = 0
+    while (i < nAggs) {
+      ops(i) match {
+        case OpCountStar => acc.counts(i) += 1
+        case OpCount => // COUNT(col): skip null cells (only event_type is nullable)
+          if (fieldOf(i) != 5 || cur.eventType != null) acc.counts(i) += 1
+        case OpMin =>
+          if (fieldIsLong(i)) {
+            val v = cur.valueLong
+            if (!acc.seen(i) || v < acc.longs(i)) { acc.longs(i) = v; acc.seen(i) = true }
+          } else {
+            val v = cur.valueDouble
+            if (!acc.seen(i) || v < acc.doubles(i)) { acc.doubles(i) = v; acc.seen(i) = true }
+          }
+        case OpMax =>
+          if (fieldIsLong(i)) {
+            val v = cur.valueLong
+            if (!acc.seen(i) || v > acc.longs(i)) { acc.longs(i) = v; acc.seen(i) = true }
+          } else {
+            val v = cur.valueDouble
+            if (!acc.seen(i) || v > acc.doubles(i)) { acc.doubles(i) = v; acc.seen(i) = true }
+          }
+        case OpSum =>
+          if (fieldIsLong(i)) {
+            acc.longs(i) =
+              if (acc.seen(i)) Math.addExact(acc.longs(i), cur.valueLong) else cur.valueLong
+          } else {
+            acc.doubles(i) = if (acc.seen(i)) acc.doubles(i) + cur.valueDouble else cur.valueDouble
+          }
+          acc.seen(i) = true
+      }
+      i += 1
+    }
+  }
+
+  /**
+   * The per-region scan-and-aggregate loop. DELIBERATELY its own method, not
+   * inline in the constructor: Scala compiles every val initializer into
+   * `<init>`, which pushed the whole hot loop into a method too large for
+   * the JIT's HugeMethodLimit — it ran INTERPRETED forever, and 32
+   * concurrent readers then false-shared the method's interpreter profiling
+   * counters (measured: per-file CPU inflated 27× going 1 → 32 threads,
+   * while this exact loop in a small method scales linearly).
+   */
+  private def scanLoop(cur: CellCursor, groups: java.util.LinkedHashMap[AnyRef, GroupAcc]): Unit = {
+    val startBound = partition.startKey.orNull
+    val stopBound = partition.stopKey.orNull
+    var has = cur.advance()
+    while (has && startBound != null && cur.compareKey(startBound) < 0) has = cur.advance()
+    while (has && (stopBound == null || cur.compareKey(stopBound) < 0)) {
+      val key: AnyRef =
+        if (noGroups) EmptyKey
+        else if (singleStringGroup) cur.eventType
+        else genericKey(cur)
+      // values are never null, so a null lookup means absent (null KEYS are
+      // fine — LinkedHashMap supports them, and a null event_type group is legal)
+      var acc = groups.get(key)
+      if (acc == null) { acc = new GroupAcc; groups.put(key, acc) }
+      accumulate(cur, acc)
+      has = cur.advance()
     }
   }
 
   private val rows: Iterator[InternalRow] = {
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      new java.io.FileInputStream(partition.file), 1 << 20))
-    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
-    try {
-      CellRegionFormat.readHeader(in, partition.file)
-      var cell = CellRegionFormat.readCell(in)
-      while (cell != null && partition.startKey.exists(s => unsignedCompare(cell.key, s) < 0))
-        cell = CellRegionFormat.readCell(in)
-      while (cell != null &&
-          !partition.stopKey.exists(stop => unsignedCompare(cell.key, stop) >= 0)) {
-        val accs = groups.getOrElseUpdate(groupKey(cell), new Array[Any](agg.aggs.length))
-        var i = 0
-        while (i < agg.aggs.length) {
-          val fn = agg.aggs(i)
-          val v = if (fn.field < 0) null else fieldValue(cell, fn.field)
-          accs(i) = fn match {
-            case PushedAggFn.CountStarFn =>
-              java.lang.Long.valueOf(if (accs(i) == null) 1L else accs(i).asInstanceOf[Long] + 1L)
-            case PushedAggFn.CountFn(_) => // counts non-null cells, like Spark/SQL COUNT(col)
-              if (v == null) accs(i)
-              else java.lang.Long.valueOf(if (accs(i) == null) 1L else accs(i).asInstanceOf[Long] + 1L)
-            case _ if v == null => accs(i) // null cells never affect min/max/sum
-            case PushedAggFn.MinFn(_) => (accs(i), v) match {
-              case (null, _) => v
-              case (a: java.lang.Long, b: java.lang.Long) => if (b < a) b else a
-              case (a: java.lang.Double, b: java.lang.Double) => if (b < a) b else a
-            }
-            case PushedAggFn.MaxFn(_) => (accs(i), v) match {
-              case (null, _) => v
-              case (a: java.lang.Long, b: java.lang.Long) => if (b > a) b else a
-              case (a: java.lang.Double, b: java.lang.Double) => if (b > a) b else a
-            }
-            case PushedAggFn.SumFn(_) => (accs(i), v) match {
-              case (null, _) => v
-              case (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(Math.addExact(a, b))
-              case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.valueOf(a + b)
-            }
-          }
-          i += 1
-        }
-        cell = CellRegionFormat.readCell(in)
-      }
-    } finally in.close()
+    // java LinkedHashMap: deterministic order AND null keys (a null
+    // event_type group is legal)
+    val groups = new java.util.LinkedHashMap[AnyRef, GroupAcc]()
+    val cur = new CellCursor(partition.file)
+    try scanLoop(cur, groups)
+    finally cur.close()
 
-    groups.iterator.map { case (key, accs) =>
-      val groupVals = key.zip(agg.groupFields).map {
-        case (b: scala.collection.immutable.ArraySeq[_], _) =>
-          b.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]].unsafeArray
-        case (s: String, _) => UTF8String.fromString(s)
-        case (v, _) => v
-      }
-      val aggVals = accs.toSeq.zip(agg.aggs).map {
-        // empty counts can't occur (groups exist only once a cell lands), but
-        // COUNT of an all-null column must be 0, not null
-        case (null, PushedAggFn.CountFn(_)) => java.lang.Long.valueOf(0L)
-        case (v, _) => v
+    import scala.jdk.CollectionConverters._
+    groups.entrySet().iterator().asScala.map { e =>
+      val groupVals: Seq[Any] =
+        if (noGroups) Nil
+        else if (singleStringGroup) Seq(if (e.getKey == null) null else UTF8String.fromString(e.getKey.asInstanceOf[String]))
+        else e.getKey.asInstanceOf[Seq[Any]].map {
+          case b: scala.collection.immutable.ArraySeq[_] =>
+            b.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]].unsafeArray
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        }
+      val acc = e.getValue
+      val aggVals: Seq[Any] = (0 until nAggs).map { i =>
+        ops(i) match {
+          case OpCountStar | OpCount => java.lang.Long.valueOf(acc.counts(i))
+          case _ if !acc.seen(i) => null // all-null column: min/max/sum are null
+          case _ if fieldIsLong(i) => java.lang.Long.valueOf(acc.longs(i))
+          case _ => java.lang.Double.valueOf(acc.doubles(i))
+        }
       }
       InternalRow.fromSeq(groupVals ++ aggVals)
     }
