@@ -273,9 +273,10 @@ object Dedup {
    * "Connected Components in MapReduce and Beyond", SoCC'14) which converges
    * in O(log²n) — the per-round dataflow below (equality joins on id) is the
    * same shape, so swapping the round body would not change the plan class.
-   * Iteration state is two long columns per document. Each round ends in an
-   * eager `localCheckpoint`: the labels frame references itself twice per
-   * round (self + messages), so without lineage truncation the logical plan
+   * Iteration state is two long columns per document. Each round ends in a
+   * `localCheckpoint` (lazy — the convergence count's full scan materializes
+   * it in the same job): the labels frame references itself twice per round
+   * (self + messages), so without lineage truncation the logical plan
    * doubles every round — O(2^rounds) plan nodes — and planning, not data,
    * becomes the bottleneck. (On a real cluster with executor loss, swap in
    * reliable `checkpoint` against shared storage — same call shape.)

@@ -17,20 +17,18 @@ object Parallelism {
    */
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // Cheap decision first: for file-backed frames (the production path)
-    // inputFiles is a pure listing — no physical planning. The df.rdd
-    // fallback (non-file sources: test frames, in-memory relations) plans the
-    // frame's own QueryExecution, which the previous code paid on EVERY
-    // operator construction even for parquet sources; that throwaway planning
-    // pass was measurable inside the bench's timed region.
-    val files = df.inputFiles.length
-    // file count is a conservative stand-in for the scan's partition count:
-    // exact for the motivating case (one compact parquet file → one
-    // partition), and at real scale many/large files ⇒ enough partitions
-    // that the guard is a no-op anyway
-    val planned =
-      if (files > 0) files
-      else df.rdd.getNumPartitions
-    if (planned < target) df.repartition(target) else df
+    // Two-tier decision. Tier 1 is a pure file listing (no physical
+    // planning): ≥ target files always yields ≥ target parallel units, so
+    // the guard is a FREE no-op on the many-files production path. Tier 2 —
+    // few/no files — asks the planner for the real partition count; that
+    // pays a throwaway planning pass, but only in exactly the cases where
+    // it's cheap (a compact corpus) or unavoidable (non-file test frames).
+    // Crucially the planner answer stays authoritative there: one LARGE file
+    // splits into many partitions (maxPartitionBytes), and blindly
+    // repartitioning it to `target` would both shuffle the corpus and REDUCE
+    // its parallelism.
+    if (df.inputFiles.length >= target) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources.cells
 
-import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.io.DataOutputStream
 
 import org.apache.spark.sql.types._
 
@@ -80,12 +80,6 @@ object CellRegionFormat {
   def writeHeader(out: DataOutputStream): Unit =
     out.write(Magic.getBytes("US-ASCII"))
 
-  def readHeader(in: DataInputStream, file: String): Unit = {
-    val m = new Array[Byte](Magic.length)
-    in.readFully(m)
-    require(new String(m, "US-ASCII") == Magic, s"bad region-file magic in $file")
-  }
-
   def writeCell(out: DataOutputStream, c: Cell): Unit = {
     out.writeInt(c.key.length); out.write(c.key)
     out.writeInt(c.qual.length); out.write(c.qual)
@@ -99,26 +93,14 @@ object CellRegionFormat {
     }
   }
 
-  /** Next cell, or null at end-of-file (the only clean termination). */
-  def readCell(in: DataInputStream): Cell = {
-    val keyLen = try in.readInt() catch { case _: EOFException => return null }
-    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); in.readFully(b); b }
-    val key = bytes(keyLen)
-    val qual = bytes(in.readInt())
-    val value = bytes(in.readInt())
-    val vl = in.readLong()
-    val vd = in.readDouble()
-    val etLen = in.readInt()
-    val et = if (etLen < 0) null else new String(bytes(etLen), "UTF-8")
-    Cell(key, qual, value, vl, vd, et)
-  }
-
   /**
-   * Allocation-free, synchronization-free cell cursor for aggregating
-   * readers. Two measured bottlenecks drove this design (20M cells, 32
-   * concurrent readers):
+   * Allocation-free, synchronization-free cell cursor — the ONLY cell
+   * decoder (both partition readers use it; a second decoder would silently
+   * diverge on format changes). Two measured bottlenecks drove this design
+   * (20M cells, 32 concurrent readers):
    *
-   *  1. [[readCell]] allocates six objects per cell — at 32 readers the
+   *  1. A naive decoder allocates six objects per cell (three byte arrays,
+   *     a row object, the string and its bytes) — at 32 readers the
    *     allocation rate makes GC the serial bottleneck.
    *  2. `DataInputStream` over `BufferedInputStream` performs SYNCHRONIZED
    *     reads — `readInt()` alone is four monitor-guarded single-byte
@@ -148,10 +130,14 @@ object CellRegionFormat {
     private var limit = 0
     private var pos = 0
 
-    // verify the magic up front (the header is the only non-cell content)
-    require(ensure(Magic.length) &&
-      new String(buf, 0, Magic.length, "US-ASCII") == Magic, s"bad region-file magic in $file")
-    pos = Magic.length
+    // verify the magic up front (the header is the only non-cell content);
+    // close the just-opened stream on failure — the constructor throw happens
+    // before any caller's try/finally can reach close()
+    try {
+      require(ensure(Magic.length) &&
+        new String(buf, 0, Magic.length, "US-ASCII") == Magic, s"bad region-file magic in $file")
+      pos = Magic.length
+    } catch { case e: Throwable => in.close(); throw e }
 
     def close(): Unit = in.close()
 

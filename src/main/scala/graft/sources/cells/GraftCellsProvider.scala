@@ -318,7 +318,12 @@ class GraftCellsPartitionReader(
           if (cur.eventType == null) null
           else {
             var u = utf8Cache.get(cur.eventType)
-            if (u == null) { u = UTF8String.fromString(cur.eventType); utf8Cache.put(cur.eventType, u) }
+            if (u == null) {
+              u = UTF8String.fromString(cur.eventType)
+              // capped like the cursor's intern cache: a high-cardinality
+              // column degrades to per-row conversion, never to retained heap
+              if (utf8Cache.size < 4096) utf8Cache.put(cur.eventType, u)
+            }
             u
           }
       }
@@ -528,6 +533,10 @@ object CellFilesOffset {
   private val Pattern = """\{"n":(\d+),"boundary":"(.*)"\}""".r
   def parse(json: String): CellFilesOffset = json.trim match {
     case Pattern(n, b) => CellFilesOffset(n.toInt, b)
+    // legacy count-only offsets (pre-boundary checkpoints): accepted with an
+    // empty boundary, which skips the integrity validation for that one
+    // restart rather than making the checkpoint permanently unrecoverable
+    case n if n.nonEmpty && n.forall(_.isDigit) => CellFilesOffset(n.toInt, "")
     case other => throw new IllegalArgumentException(s"bad cell-stream offset: $other")
   }
 }
@@ -571,7 +580,8 @@ class GraftCellsMicroBatchStream(
     def validate(o: Offset): Int = {
       val c = o.asInstanceOf[CellFilesOffset]
       if (c.fileCount > 0) {
-        require(regions.size >= c.fileCount && nameOf(regions(c.fileCount - 1)) == c.boundary,
+        require(regions.size >= c.fileCount &&
+          (c.boundary.isEmpty || nameOf(regions(c.fileCount - 1)) == c.boundary),
           s"region listing changed beneath committed offset $c (out-of-order region " +
             "file or retention deletion) — the sorted listing must be append-only")
       }

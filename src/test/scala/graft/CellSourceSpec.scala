@@ -217,8 +217,11 @@ class CellSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       stream.planInputPartitions(first, second)
     }
-    // offsets survive a json round-trip (checkpoint replay path)
+    // offsets survive a json round-trip (checkpoint replay path), and
+    // legacy count-only checkpoints stay parseable (empty boundary skips
+    // the integrity check once instead of bricking the stream)
     assert(CellFilesOffset.parse(first.json()) == first)
+    assert(CellFilesOffset.parse("3") == CellFilesOffset(3, ""))
   }
 
   test("registered V2 query matches the Parquet-path query row for row") {
