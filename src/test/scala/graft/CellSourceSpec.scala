@@ -224,6 +224,31 @@ class CellSourceSpec extends AnyFunSuite {
     assert(CellFilesOffset.parse("3") == CellFilesOffset(3, ""))
   }
 
+  test("streaming through the V2 source: windowed aggregate matches batch") {
+    import graft.operators.{TimeMode, TsAgg, TsAggSpec}
+    import graft.streaming.StreamingTsAgg
+    import graft.functions.Decoders
+    // the full composition: region files → V2 micro-batch stream → rowkey
+    // mask decode → t0-aligned windowed aggregation — same operators, same
+    // answer as the batch path over the same files
+    val spec = TsAggSpec(900, TimeMode.CellTs(T0, T0 + 86400000L), tsCol = "ts", valueCol = "v")
+    def decode(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_millis(
+        RowKeys.keyMillis(col("key"), "000000001111", Decoders.intBE(col("qual")))))
+      .withColumn("v", Decoders.longBE(col("value")))
+    val path = CellRegions.path(spark, sf)
+    val q = StreamingTsAgg.sum(
+      decode(spark.readStream.format("graft-cells").load(path)), spec,
+      watermarkDelay = "0 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("v2_cell_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("v2_cell_stream").select("bucket_start", "sum_value")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = TsAgg.sum(decode(CellRegions.read(spark, sf)), spec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("registered V2 query matches the Parquet-path query row for row") {
     val v2 = SparkEntry.queries("cellsource_range_sum_900")(spark, sf).collect()
     val pq = SparkEntry.queries("rowkey_range_sum_900")(spark, sf).collect()

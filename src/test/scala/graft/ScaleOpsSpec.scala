@@ -40,6 +40,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.count { case (id, c) => id == c } == 5)
   }
 
+  test("spanNearDup: sub-guarantee docs and empty corpora produce no pairs") {
+    // 5 tokens < window + k − 1 = 6: even identical docs can share at most
+    // one fingerprint, below the minShared=2 default
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.spanNearDup(df).collect().isEmpty)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.spanNearDup(empty).collect().isEmpty)
+  }
+
+  test("nearDupClusters: empty pair set leaves every document a singleton") {
+    val docsDf = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairsDf = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(docsDf, pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("nearDupClusters converges on a long chain and respects maxIter") {
     // a 12-node path needs ~11 propagation rounds — well under the default 25,
     // and over a tight maxIter the operator must fail loudly, not silently
