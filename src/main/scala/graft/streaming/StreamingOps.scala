@@ -27,6 +27,48 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  final case class CellVersion(cellKey: String, versionMs: Long, value: Long)
+  final case class CellLatest(cellKey: String, versionMs: Long, value: Long, nVersions: Long)
+  final case class LatestState(versionMs: Long, value: Long, nVersions: Long)
+
+  /**
+   * Streaming `maxVersions = 1` compaction — the unbounded-upsert counterpart
+   * of [[graft.operators.Versions.latestCells]]: HBase-shaped migrations see
+   * overwrite STREAMS (the replication/WAL feed the V2 source's micro-batch
+   * tail models), and aggregating them without version compaction
+   * double-counts every overwrite. Per cell identity the state is one
+   * (version, value, count) triple; each batch emits a key's compacted row
+   * ONLY when its latest version advanced — stale out-of-order versions bump
+   * the version count but can never regress the emitted latest (the same
+   * property HBase's cell-timestamp resolution gives a scanner).
+   *
+   * State lifecycle note: as with [[runningSumPerSeries]], production
+   * deployments bound state with an event-time timeout; `NoTimeout` keeps
+   * finite test drains settled.
+   */
+  def latestCellsStream(cells: Dataset[CellVersion]): Dataset[CellLatest] = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupByKey(_.cellKey)
+      .flatMapGroupsWithState[LatestState, CellLatest](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[CellVersion], state: GroupState[LatestState]) =>
+          val prev = state.getOption
+          var cur = prev.getOrElse(LatestState(Long.MinValue, 0L, 0L))
+          rows.foreach { r => // order-independent fold: max-version + count
+            val newer = r.versionMs > cur.versionMs
+            cur = LatestState(
+              if (newer) r.versionMs else cur.versionMs,
+              if (newer) r.value else cur.value,
+              cur.nVersions + 1)
+          }
+          state.update(cur)
+          if (prev.forall(_.versionMs < cur.versionMs))
+            Iterator.single(CellLatest(key, cur.versionMs, cur.value, cur.nVersions))
+          else Iterator.empty
+      }
+  }
+
   final case class SeriesEvent(series: String, tsMs: Long, value: Long)
   final case class SeriesRunning(series: String, tsMs: Long, value: Long, runningSum: Long)
   final case class RunState(sum: Long)

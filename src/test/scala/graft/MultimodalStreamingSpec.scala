@@ -274,6 +274,34 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("streaming latest-cells compaction: overwrites advance, stale versions never regress") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.CellVersion
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-slatest").toFile.getAbsolutePath
+    // batch 1: k1 overwritten within the batch (out of order), k2 single version
+    Seq(CellVersion("k1", 2000L, 5L), CellVersion("k1", 1000L, 3L), CellVersion("k2", 1000L, 7L))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[CellVersion]
+    val q = StreamingOps.latestCellsStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("slatest_out").start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("slatest_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows() == Set(("k1", 2000L, 5L, 2L), ("k2", 1000L, 7L, 1L)))
+      // batch 2: a STALE k1 version (must not emit or regress) and a real k2 advance
+      Seq(CellVersion("k1", 500L, 9L), CellVersion("k2", 5000L, 8L))
+        .toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(rows() == Set(
+        ("k1", 2000L, 5L, 2L), // unchanged: no new row for the stale overwrite
+        ("k2", 1000L, 7L, 1L), ("k2", 5000L, 8L, 2L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running sum per series") {
     import spark.implicits._
     import graft.streaming.StreamingOps
