@@ -141,13 +141,17 @@ object ScaleBench {
       time(s"write $nCells-cell region dir (one-off, excluded from reruns)") {
         // build under a process-unique name, publish by atomic rename — two
         // concurrent bench JVMs must not interleave writes into one dir
-        // (the same protocol CellRegions.build uses for the fixture cache)
+        // (the rename half of CellRegions.build's promote protocol)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        val dest = new java.io.File(cellDir)
+        // self-heal a crashed writer's leftovers: a dir without _SUCCESS is
+        // incomplete by invariant and would otherwise block the rename forever
+        if (dest.exists()) rm(dest)
         val tmp = s"$cellDir.tmp.${java.lang.ProcessHandle.current.pid}"
         graft.sources.cells.CellRegions.writeRegionDir(cells, tmp, numRegions = 32)
-        if (!new java.io.File(tmp).renameTo(new java.io.File(cellDir))) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
+        if (!new java.io.File(tmp).renameTo(dest)) {
           rm(new java.io.File(tmp)) // lost the race: a complete dir is already there
           require(new java.io.File(s"$cellDir/_SUCCESS").exists(), s"cannot publish $cellDir")
         }

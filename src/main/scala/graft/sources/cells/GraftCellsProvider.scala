@@ -274,17 +274,19 @@ class GraftCellsPartitionReader(
 
   import CellRegionFormat.CellCursor
 
-  private val cur = new CellCursor(partition.file)
-
   // required-column projection resolved once: for each output slot, which
   // cell field feeds it (region files are row-major; all fields are parsed,
-  // only these are materialized)
+  // only these are materialized). Validated BEFORE the cursor opens its
+  // stream: a constructor throw after the open would leak the fd (Spark
+  // never calls close() on a reader whose constructor failed).
   private val fieldIdx: Array[Int] = required.fields.map { f =>
     val i = CellRegionFormat.Schema.fieldIndex(f.name)
     require(CellRegionFormat.Schema.fields(i).dataType == f.dataType,
       s"graft-cells: field ${f.name} type mismatch")
     i
   }
+
+  private val cur = new CellCursor(partition.file)
 
   private val startBound = partition.startKey.orNull
   private val stopBound = partition.stopKey.orNull

@@ -35,12 +35,21 @@ object StreamingOps {
    * Streaming `maxVersions = 1` compaction — the unbounded-upsert counterpart
    * of [[graft.operators.Versions.latestCells]]: HBase-shaped migrations see
    * overwrite STREAMS (the replication/WAL feed the V2 source's micro-batch
-   * tail models), and aggregating them without version compaction
-   * double-counts every overwrite. Per cell identity the state is one
-   * (version, value, count) triple; each batch emits a key's compacted row
-   * ONLY when its latest version advanced — stale out-of-order versions bump
-   * the version count but can never regress the emitted latest (the same
-   * property HBase's cell-timestamp resolution gives a scanner).
+   * tail models). Per cell identity the state is one (version, value, count)
+   * triple; each batch emits a key's compacted row ONLY when its latest
+   * version advanced — stale out-of-order versions bump the version count
+   * but can never regress the emitted latest.
+   *
+   * The output is a CHANGELOG of compaction advances, not a compacted table:
+   * a key re-emits each time its latest advances, so a downstream consumer
+   * materializes the compacted view by upserting on `cellKey` (sum-style
+   * aggregation over the raw changelog would still count once per advance).
+   *
+   * Ties on `versionMs` are the caller's contract to avoid, exactly as in
+   * the batch operator: an equal-version arrival neither replaces the value
+   * nor emits (HBase breaks same-timestamp puts by sequence id, which a
+   * relational stream doesn't carry — pass a strictly-ordered version, e.g.
+   * a composed (ts, seq)).
    *
    * State lifecycle note: as with [[runningSumPerSeries]], production
    * deployments bound state with an event-time timeout; `NoTimeout` keeps

@@ -289,14 +289,16 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory").queryName("slatest_out").start()
     try {
       q.processAllAvailable()
+      // sorted Seq, not Set: duplicate emission of an identical row (the
+      // exact bug the emit gate prevents) must fail the comparison
       def rows() = spark.table("slatest_out").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-      assert(rows() == Set(("k1", 2000L, 5L, 2L), ("k2", 1000L, 7L, 1L)))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+      assert(rows() == Seq(("k1", 2000L, 5L, 2L), ("k2", 1000L, 7L, 1L)))
       // batch 2: a STALE k1 version (must not emit or regress) and a real k2 advance
       Seq(CellVersion("k1", 500L, 9L), CellVersion("k2", 5000L, 8L))
         .toDS().write.mode("append").parquet(dir)
       q.processAllAvailable()
-      assert(rows() == Set(
+      assert(rows() == Seq(
         ("k1", 2000L, 5L, 2L), // unchanged: no new row for the stale overwrite
         ("k2", 1000L, 7L, 1L), ("k2", 5000L, 8L, 2L)))
     } finally q.stop()
