@@ -62,21 +62,33 @@ object Bench {
     }
     def field(f: QResult => String): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = field(_.min.toString)
-    val med = field(_.median.toString)
-    // row counts make cardinality changes visible round-over-round: a plan
-    // edit that silently alters output size can't masquerade as a speedup
-    val rows = field(_.rows.toString)
+    def sec3(v: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case r if r.ok => r.min }.sum
+    // STDOUT CONTRACT: the driver captures only the LAST ~2000 chars of the
+    // run's output and parses the JSON line out of that tail — r1-r3 all
+    // recorded "parsed": null because this line outgrew the window (r3:
+    // 2.8 kB, window start landed mid-line). So stdout gets ONE compact line
+    // (3-decimal seconds, no medians/rows); the full-precision detail
+    // (median-of-3, row counts — VERDICT r2 #8) goes to bench.json.
+    val compactQs = field(r => sec3(r.min))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"rows":$rows,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    // also write to a file: sbt prefixes stdout with [info], which can defeat
-    // the driver's JSON-line parse (BENCH_r01 recorded "parsed": null)
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"sf":"$sfDir","detail":"bench.json"}"""
+    // belt-and-braces: if the query map itself ever outgrows the tail window,
+    // drop it from stdout rather than truncating mid-JSON
+    val stdoutLine = if (line.length <= 1800) line
+      else s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"bench.json"}"""
+    println(stdoutLine)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${field(_.min.toString)},"queries_median":${field(_.median.toString)},"rows":${field(_.rows.toString)},"failed":$failed,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
+    // print again AFTER stop(): if any shutdown logging lands on the merged
+    // capture, the final repetition keeps a complete JSON line inside the
+    // driver's ~2000-char tail window
+    println(stdoutLine)
   }
 }
