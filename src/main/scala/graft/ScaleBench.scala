@@ -139,22 +139,11 @@ object ScaleBench {
         (cents / lit(100.0)).as("value_double"),
         concat(lit("et"), pmod(col("id"), lit(5L))).as("event_type"))
       time(s"write $nCells-cell region dir (one-off, excluded from reruns)") {
-        // build under a process-unique name, publish by atomic rename — two
-        // concurrent bench JVMs must not interleave writes into one dir
-        // (the rename half of CellRegions.build's promote protocol)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        val dest = new java.io.File(cellDir)
-        // self-heal a crashed writer's leftovers: a dir without _SUCCESS is
-        // incomplete by invariant and would otherwise block the rename forever
-        if (dest.exists()) rm(dest)
-        val tmp = s"$cellDir.tmp.${java.lang.ProcessHandle.current.pid}"
-        graft.sources.cells.CellRegions.writeRegionDir(cells, tmp, numRegions = 32)
-        if (!new java.io.File(tmp).renameTo(dest)) {
-          rm(new java.io.File(tmp)) // lost the race: a complete dir is already there
-          require(new java.io.File(s"$cellDir/_SUCCESS").exists(), s"cannot publish $cellDir")
-        }
+        // full promote protocol (OS file lock, _SUCCESS re-check, crash
+        // self-heal under the SAME lock) — an unlocked check-then-rm here
+        // could delete a complete dir a concurrent bench JVM just promoted
+        graft.sources.cells.CellRegions.promoteUnderLock(cellDir)(tmp =>
+          graft.sources.cells.CellRegions.writeRegionDir(cells, tmp, numRegions = 32))
       }
     }
     def v2Agg(defeatPushdown: Boolean): Array[org.apache.spark.sql.Row] = {

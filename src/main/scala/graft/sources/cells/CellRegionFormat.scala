@@ -129,6 +129,7 @@ object CellRegionFormat {
     private var buf = new Array[Byte](1 << 20)
     private var limit = 0
     private var pos = 0
+    private var base = 0L // file offset of buf(0) — for corrupt-file diagnostics
 
     // verify the magic up front (the header is the only non-cell content);
     // close the just-opened stream on failure — the constructor throw happens
@@ -145,6 +146,7 @@ object CellRegionFormat {
     private def ensure(n: Int): Boolean = {
       if (limit - pos >= n) return true
       System.arraycopy(buf, pos, buf, 0, limit - pos)
+      base += pos
       limit -= pos; pos = 0
       if (n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(n, buf.length * 2))
       while (limit < n) {
@@ -203,23 +205,36 @@ object CellRegionFormat {
       s
     }
 
+    // A length prefix from a corrupt/foreign file must fail CLEANLY: negative
+    // lengths would otherwise surface as NegativeArraySizeException deep in
+    // copyOut, and absurd ones as a near-OOM allocation in ensure. 16 MiB per
+    // field is orders of magnitude above any real cell and orders below OOM.
+    private val MaxFieldLen = 1 << 24
+    private def checkLen(len: Int, what: String): Int = {
+      if (len < 0 || len > MaxFieldLen) throw new java.io.IOException(
+        s"corrupt region file $file: $what length $len at offset ${base + pos - 4} " +
+          s"(valid range 0..$MaxFieldLen)")
+      len
+    }
+
     /** Advance to the next cell; false at (clean) end-of-file. */
     def advance(): Boolean = {
       if (!ensure(4)) return false
-      keyLen = i32()
+      keyLen = checkLen(i32(), "key")
       if (!ensure(keyLen + 4)) throw new java.io.EOFException(s"truncated cell in $file")
       key = copyOut(key, keyLen)
-      qualLen = i32()
+      qualLen = checkLen(i32(), "qualifier")
       if (!ensure(qualLen + 4)) throw new java.io.EOFException(s"truncated cell in $file")
       qual = copyOut(qual, qualLen)
-      valueLen = i32()
+      valueLen = checkLen(i32(), "value")
       if (!ensure(valueLen + 20)) throw new java.io.EOFException(s"truncated cell in $file")
       value = copyOut(value, valueLen)
       valueLong = i64()
       valueDouble = java.lang.Double.longBitsToDouble(i64())
       val etLen = i32()
-      if (etLen < 0) eventType = null
-      else {
+      if (etLen == -1) eventType = null // writeCell's null sentinel; any other
+      else {                            // negative length is corruption
+        checkLen(etLen, "event-type")
         if (!ensure(etLen)) throw new java.io.EOFException(s"truncated cell in $file")
         eventType = internEt(etLen)
       }

@@ -62,11 +62,19 @@ object CellRegions {
       .repartitionByRange(numRegions, col("key"))
       .sortWithinPartitions("key", "qual")
     // each task writes its region file: cells stream through DataOutputStream,
-    // first/last key tracked for the range-carrying file name
+    // first/last key tracked for the range-carrying file name.
+    // NOTE (streaming): region files publish in arbitrary order while this
+    // batch write runs, so a directory is only safe to TAIL (the V2
+    // MICRO_BATCH reader's append-only offset) once it is complete —
+    // attach streams after `_SUCCESS` exists, e.g. via [[read]]/[[path]].
     sorted.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val tmpFile = new java.io.File(out, f"part-$pid%05d.inprogress")
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        // the tmp name carries the task ATTEMPT id: with a deterministic name
+        // a speculative/retried attempt could interleave writes with a still-
+        // running zombie of the same partition before the atomic rename
+        val tmpFile = new java.io.File(out, f"part-$pid%05d-a${tc.taskAttemptId()}.inprogress")
         val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(tmpFile), 1 << 20))
         var first: Array[Byte] = null
@@ -89,19 +97,33 @@ object CellRegions {
     new java.io.FileOutputStream(new java.io.File(out, "_SUCCESS")).close()
   }
 
-  private def build(s: SparkSession, dir: String, out: String): Unit = {
-    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
-    writeRegionDir(
-      Fixtures.keyedEvents(s, dir)
-        .select(col("key"), col("qual"), col("value"),
-          // the interpreter-decoded cents, stored typed alongside the raw bytes
-          // (HBase connectors expose typed column mappings the same way)
-          graft.functions.expressions.BytesBEToLong(col("value"), 8).as("value_long"),
-          col("value_double"), col("event_type")),
-      tmp)
+  private def build(s: SparkSession, dir: String, out: String): Unit =
+    promoteUnderLock(out) { tmp =>
+      writeRegionDir(
+        Fixtures.keyedEvents(s, dir)
+          .select(col("key"), col("qual"), col("value"),
+            // the interpreter-decoded cents, stored typed alongside the raw bytes
+            // (HBase connectors expose typed column mappings the same way)
+            graft.functions.expressions.BytesBEToLong(col("value"), 8).as("value_long"),
+            col("value_double"), col("event_type")),
+        tmp)
+    }
 
-    // promote under an OS file lock (same protocol as Fixtures.build: a dir
-    // containing _SUCCESS is complete and immutable; losers discard their copy)
+  /**
+   * Lock-protected build-and-promote, the ONLY publish path for cached region
+   * dirs (Fixtures protocol: a dir containing `_SUCCESS` is complete and
+   * immutable). `write` materializes into a process+thread-unique tmp path;
+   * then, under the `<out>.lock` OS file lock, either the tmp dir is promoted
+   * by atomic rename, or — if another process won the race — discarded.
+   * Crash leftovers (an `out` WITHOUT `_SUCCESS`) are removed under the SAME
+   * lock after re-checking `_SUCCESS`, so a concurrent writer's just-promoted
+   * complete dir can never be deleted (ADVICE r3: an unlocked
+   * check-then-rm self-heal could delete the dir another JVM just renamed
+   * into place).
+   */
+  def promoteUnderLock(out: String)(write: String => Unit): Unit = {
+    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}.t${Thread.currentThread().getId}"
+    write(tmp)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
@@ -117,7 +139,7 @@ object CellRegions {
       try {
         if (new java.io.File(s"$out/_SUCCESS").exists()) rm(tmpDir)
         else {
-          if (outDir.exists()) rm(outDir)
+          if (outDir.exists()) rm(outDir) // incomplete leftover: no _SUCCESS, under lock
           if (!tmpDir.renameTo(outDir)) throw new java.io.IOException(s"promote failed: $out")
         }
       } finally fl.release()

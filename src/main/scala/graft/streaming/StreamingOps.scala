@@ -28,6 +28,12 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("text_hash")
 
   final case class CellVersion(cellKey: String, versionMs: Long, value: Long)
+  /** One changelog advance. `nVersions` = versions seen AS OF THIS EMIT — a
+    * LOWER BOUND on the cell's true version count between advances: a stale
+    * out-of-order version bumps the state counter but (by design) emits no
+    * row, so an upsert-materialized view lags on the count until the next
+    * latest-version advance. Consumers needing exact live counts should
+    * aggregate the raw version stream instead. */
   final case class CellLatest(cellKey: String, versionMs: Long, value: Long, nVersions: Long)
   final case class LatestState(versionMs: Long, value: Long, nVersions: Long)
 
@@ -44,6 +50,9 @@ object StreamingOps {
    * a key re-emits each time its latest advances, so a downstream consumer
    * materializes the compacted view by upserting on `cellKey` (sum-style
    * aggregation over the raw changelog would still count once per advance).
+   * Corollary (see [[CellLatest]]): the materialized `nVersions` is a lower
+   * bound between advances — stale versions are counted in state but don't
+   * trigger an emit.
    *
    * Ties on `versionMs` are the caller's contract to avoid, exactly as in
    * the batch operator: an equal-version arrival neither replaces the value

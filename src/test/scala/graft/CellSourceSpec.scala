@@ -255,4 +255,40 @@ class CellSourceSpec extends AnyFunSuite {
     assert(v2.length == pq.length && v2.map(_.toString).sameElements(pq.map(_.toString)))
     assert(v2.nonEmpty)
   }
+
+  test("corrupt length prefixes fail cleanly, naming the file and offset") {
+    import graft.sources.cells.CellRegionFormat
+    def writeFile(patch: (Array[Byte]) => Unit): java.io.File = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      CellRegionFormat.writeHeader(dos)
+      CellRegionFormat.writeCell(dos, CellRegionFormat.Cell(
+        Array[Byte](1, 2, 3, 4), Array[Byte](9), Array[Byte](7, 7), 42L, 0.5, "et0"))
+      dos.flush()
+      val bytes = bos.toByteArray
+      patch(bytes)
+      val f = java.io.File.createTempFile("corrupt-", ".gcell")
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath, bytes)
+      f
+    }
+    // keyLen int32 sits right after the 6-byte magic
+    val negative = writeFile(b => { b(6) = 0xff.toByte; b(7) = 0xff.toByte
+      b(8) = 0xff.toByte; b(9) = 0xff.toByte })
+    val huge = writeFile(b => { b(6) = 0x7f.toByte }) // keyLen ≈ 2^31
+    for (f <- Seq(negative, huge)) {
+      val cur = new CellRegionFormat.CellCursor(f.getAbsolutePath)
+      val e = intercept[java.io.IOException](cur.advance())
+      cur.close()
+      assert(e.getMessage.contains("corrupt region file"), e.getMessage)
+      assert(e.getMessage.contains(f.getName), e.getMessage)
+      assert(e.getMessage.contains("offset 6"), e.getMessage)
+    }
+    // a clean file still reads (the guard is not over-strict)
+    val ok = writeFile(_ => ())
+    val cur = new CellRegionFormat.CellCursor(ok.getAbsolutePath)
+    assert(cur.advance() && cur.valueLong == 42L && cur.eventType == "et0")
+    assert(!cur.advance())
+    cur.close()
+  }
 }
