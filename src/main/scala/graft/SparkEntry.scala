@@ -389,6 +389,27 @@ object SparkEntry {
     // equality; the DuckDB oracle below is the all-pairs computation).
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(embeddings(s, d), dim = 64)),
 
+    // ---- scale ops: training-set assembly -----------------------------------
+    // GPT-3-style benchmark decontamination: distinct-3-gram overlap between
+    // the training split (doc_id % 20 != 0) and the benchmark split (== 0);
+    // benchmark shingle set broadcasts, training side never shuffles text.
+    "decontaminate_ngram" -> { (s, d) =>
+      val docs = documents(s, d)
+      graft.operators.TrainingSet.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0)).orderBy("doc_id")
+    },
+    // concat-and-chunk context-window packing (cap = 512 tokens): distributed
+    // two-pass prefix sum — no global window, no single-reducer sort
+    "pack_sequences" -> ((s, d) =>
+      graft.operators.TrainingSet.packSequences(documents(s, d), capTokens = 512)
+        .orderBy("doc_id")),
+    // deterministic per-language quota sample (50 smallest content hashes per
+    // stratum) via a bounded bottom-k aggregate, not a window
+    "sample_quota_lang" -> ((s, d) =>
+      graft.operators.TrainingSet.quotaSample(documents(s, d), quota = 50)
+        .orderBy("lang", "rk")),
+
     // ---- scale ops: similarity search over `embeddings` ---------------------
     "ann_topk_dot" -> { (s, d) =>
       val e = embeddings(s, d)
@@ -621,6 +642,34 @@ object SparkEntry {
           |    a.n2 AS n2a, b.n2 AS n2b
           |  FROM n a JOIN n b ON a.id < b.id)
           |WHERE dot > 0 AND dot*dot*400 >= 81 * n2a * n2b ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+      // ---- training-set assembly ----
+      // decontamination: DuckDB re-derives the distinct 3-gram overlap on raw
+      // STRING shingles (the engine joins 64-bit hashed shingles — counts
+      // agree because combination collisions are ~n²/2⁶⁵)
+      "decontaminate_ngram" ->
+        """WITH t AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents) WHERE len(toks) >= 3),
+          |ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE id % 20 = 0),
+          |tr AS (SELECT id, unnest(sh) AS s FROM t WHERE id % 20 <> 0)
+          |SELECT tr.id AS doc_id, count(*) AS n_shared
+          |FROM tr JOIN ev USING (s) GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+      // packing: the global-window cumsum IS the spec (exact integer
+      // arithmetic); the engine computes it as a two-pass distributed scan.
+      // sum() OVER → HUGEINT, hence the BIGINT cast (hash-compare is typed)
+      "pack_sequences" ->
+        """WITH t AS (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens FROM documents),
+          |c AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM t)
+          |SELECT doc_id, n_tokens, start_offset, start_offset // 512 AS bin_start,
+          |  (start_offset + n_tokens - 1) // 512 AS bin_end,
+          |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_bins
+          |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // quota sampling: rank = row_number over (md5(text), doc_id) per lang —
+      // the engine's bottom-k aggregate must reproduce it exactly
+      "sample_quota_lang" ->
+        ("SELECT lang, rk, doc_id FROM (SELECT lang, doc_id, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk " +
+          "FROM documents) WHERE rk <= 50 ORDER BY lang, rk"),
 
       // ---- similarity search ----
       "ann_topk_dot" ->

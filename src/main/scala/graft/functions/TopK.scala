@@ -74,4 +74,33 @@ object TopK {
 
   def topKDouble(k: Int)(score: Column, id: Column): Column =
     udaf(TopKDouble(k)).apply(score, id)
+
+  case class ScoredS(score: String, id: Long)
+  case class BufS(entries: Seq[ScoredS])
+
+  // ASCENDING on (score, id) — the "first k in rank order" dual of the top-k
+  // aggregators, used for deterministic hash-ranked sampling: the k smallest
+  // hashes per group are a uniform sample that any engine can reproduce with
+  // `row_number() OVER (ORDER BY score, id)`.
+  private val ordS: Ordering[ScoredS] =
+    Ordering.by[ScoredS, String](_.score).orElseBy(_.id)
+  private def trimS(s: Seq[ScoredS], k: Int): Seq[ScoredS] = s.sorted(ordS).take(k)
+
+  /** Bottom-k by string score (ascending, ties toward lower id) — same
+    * bounded partial/final shape as [[TopKLong]]: map tasks emit ≤ groups×k
+    * entries, never a per-row window shuffle. Scores must be non-null. */
+  case class BottomKString(k: Int) extends Aggregator[ScoredS, BufS, BufS] {
+    require(k > 0, s"k must be positive, got $k")
+    def zero: BufS = BufS(Vector.empty)
+    def reduce(b: BufS, v: ScoredS): BufS =
+      if (b.entries.length == k && ordS.lteq(b.entries.last, v)) b
+      else BufS(trimS(b.entries :+ v, k))
+    def merge(a: BufS, b: BufS): BufS = BufS(trimS(a.entries ++ b.entries, k))
+    def finish(b: BufS): BufS = b
+    def bufferEncoder: Encoder[BufS] = Encoders.product[BufS]
+    def outputEncoder: Encoder[BufS] = Encoders.product[BufS]
+  }
+
+  def bottomKString(k: Int)(score: Column, id: Column): Column =
+    udaf(BottomKString(k)).apply(score, id)
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.TopK
+
+/**
+ * Training-set assembly operators — the steps between a cleaned corpus
+ * ([[Dedup]], [[TextAnalysis]]) and a tokenizer-ready training run:
+ * benchmark decontamination, context-window sequence packing, and
+ * deterministic per-stratum quota sampling.
+ *
+ * All three are exact and engine-reproducible (DuckDB-oracle-checked): no
+ * RNG, no floats in compared output — sampling ranks by content hash,
+ * packing is integer prefix sums.
+ */
+object TrainingSet {
+
+  /**
+   * Benchmark decontamination — the GPT-3-style n-gram overlap check: a
+   * training document is contaminated if it shares at least one distinct
+   * word n-gram with any document of the evaluation/benchmark set. Returns
+   * `(doc_id, n_shared)` for contaminated training docs, where `n_shared`
+   * counts the distinct n-grams the doc shares with the benchmark set as a
+   * whole (filter `n_shared >= t` for a stricter cut before dropping).
+   *
+   * Scale shape: the benchmark side collapses to its DISTINCT shingle set —
+   * eval suites are thousands of documents, so millions of 8-byte hashed
+   * shingles at most — and broadcasts; the 100 TB training side is one
+   * map-side explode + broadcast-hash semi-join + one hash aggregate on
+   * doc_id. No train-side shuffle carries shingles anywhere. (For an
+   * atypically huge benchmark set, drop the broadcast hint and let AQE pick
+   * a shuffle join — semantics unchanged.)
+   *
+   * Shingles are the same hashed 64-bit n-grams as [[Dedup.ngramJaccard]]
+   * (tokens = lowercased whitespace split; combination collisions ~n²/2⁶⁵,
+   * negligible against a string-shingle oracle). No frequency cap is needed:
+   * the broadcast side is distinct, so join fan-out per train shingle is ≤ 1.
+   */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = {
+      val toks = tokens(col(textCol))
+      Parallelism.ensure(df)
+        .filter(size(toks) >= n)
+        .select(col(idCol).as("id"), tokenHashes(toks).as("th"))
+        .select(col("id"), explode(hashedShingles(col("th"), n)).as("s"))
+    }
+    val evalShingles = shingled(eval).select("s").distinct()
+    shingled(train)
+      .join(broadcast(evalShingles), "s")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared")) // (id, s) pairs are unique on both sides
+      .select(col("id").as(idCol), col("n_shared"))
+  }
+
+  /**
+   * Context-window sequence packing, concat-and-chunk form — the standard
+   * LLM pretraining layout: documents are laid end-to-end in `idCol` order
+   * into one global token stream, which is then cut every `capTokens`
+   * tokens. Each document gets its interval in that stream:
+   * `(doc_id, n_tokens, start_offset, bin_start, bin_end, n_bins)` —
+   * `bin_start`..`bin_end` are the context windows the doc lands in
+   * (boundary-straddling docs span several; `n_bins` of them).
+   *
+   * This is a distributed prefix sum — the textbook two-pass scan:
+   * range-partition by id and sort within partitions, pass 1 reduces each
+   * partition to its token total (one tiny row per partition, collected and
+   * cumulated on the driver), pass 2 streams each partition once more adding
+   * its broadcast prefix offset. Nothing global ever sorts on one node, no
+   * window function funnels the corpus through one reducer, and the result
+   * is independent of the partitioning (any range split of a sorted stream
+   * prefix-sums to the same offsets).
+   */
+  def packSequences(
+      docs: DataFrame,
+      capTokens: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(capTokens > 0, s"capTokens must be positive, got $capTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = Parallelism.ensure(docs)
+      .select(col(idCol).cast("long"), size(tokens(col(textCol))).cast("long"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .as[(Long, Long)]
+      // both passes read this frame; without the persist, pass 2 re-tokenizes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = counts.mapPartitions { it =>
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator.single((TaskContext.getPartitionId(), s))
+      }.collect() // one row per partition — driver-side by design, like IVF centroids
+      val prefix = {
+        val sorted = partTotals.sortBy(_._1)
+        val offsets = sorted.scanLeft(0L)(_ + _._2)
+        sorted.map(_._1).zip(offsets).toMap
+      }
+      val bc = spark.sparkContext.broadcast(prefix)
+      val packed = counts.mapPartitions { it =>
+        var run = bc.value(TaskContext.getPartitionId())
+        it.map { case (id, nTok) =>
+          val start = run
+          run += nTok
+          (id, nTok, start)
+        }
+      }.toDF(idCol, "n_tokens", "start_offset")
+      // `div`, not `/`: Spark's `/` on longs goes through DOUBLE, which loses
+      // exactness once the global token stream passes 2^53 — a few hundred TB
+      // of text does. Integer division stays exact at any scale.
+      packed.select(
+        col(idCol), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div ${capTokens}L").as("bin_start"),
+        // n_tokens >= 1 always (an empty text still tokenizes to [""]), so
+        // the last occupied token is well-defined
+        expr(s"(start_offset + n_tokens - 1) div ${capTokens}L").as("bin_end"))
+        .withColumn("n_bins", col("bin_end") - col("bin_start") + 1)
+    } finally counts.unpersist(blocking = false): Unit
+  }
+
+  /**
+   * Deterministic per-stratum quota sampling: the `quota` documents with the
+   * SMALLEST content hash per stratum, ranked — a uniform-without-RNG sample
+   * any engine reproduces exactly (`row_number() OVER (PARTITION BY stratum
+   * ORDER BY md5(text), id)`), the standard trick for balancing a training
+   * mix across languages/domains while keeping the cut reproducible
+   * run-to-run and auditable.
+   *
+   * Scale shape: a bounded [[TopK.BottomKString]] AGGREGATE, not a window —
+   * partial aggregation caps what leaves each map task at `strata × quota`
+   * entries, so a skewed stratum (one language dominating a 100 TB corpus)
+   * never funnels its documents through a single reducer.
+   */
+  def quotaSample(
+      docs: DataFrame,
+      quota: Int,
+      strataCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Parallelism.ensure(docs)
+      .groupBy(col(strataCol))
+      .agg(TopK.bottomKString(quota)(md5(col(textCol)), col(idCol).cast("long")).as("picked"))
+      .select(col(strataCol), posexplode(col("picked").getField("entries")))
+      .select(
+        col(strataCol),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as(idCol))
+}

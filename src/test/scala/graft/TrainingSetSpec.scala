@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingSet
+
+/**
+ * Training-set assembly operators: benchmark decontamination, context-window
+ * packing, per-stratum quota sampling. Semantics on crafted corpora
+ * (hand-traceable), invariance under partitioning (the distributed prefix
+ * sum must not depend on where range boundaries fall), and the plan shapes
+ * that carry the 100 TB claims.
+ */
+class TrainingSetSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- decontaminate ---------------------------------------------------------
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val train = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely unrelated text about spark catalyst internals",
+      3L -> "a b c quick brown fox d e f") // shares "quick brown fox"
+    val eval = docs(
+      100L -> "quick brown fox trivia",
+      101L -> "benchmark questions only")
+    val out = TrainingSet.decontaminate(train, eval).orderBy("doc_id").collect()
+    // eval's 3-grams: {"quick brown fox", "brown fox trivia", "fox trivia …",
+    // "benchmark questions only"}; docs 1 and 3 each share exactly
+    // "quick brown fox"; doc 2 shares nothing and must not appear
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (3L, 1L)))
+  }
+
+  test("decontaminate counts distinct shared n-grams per training doc") {
+    val train = docs(1L -> "x quick brown fox trivia y")
+    val eval = docs(100L -> "quick brown fox trivia")
+    // train doc contains BOTH eval 3-grams: "quick brown fox", "brown fox trivia"
+    val out = TrainingSet.decontaminate(train, eval).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L)
+  }
+
+  test("decontaminate: clean corpus and empty benchmark both yield zero rows") {
+    val train = docs(1L -> "alpha beta gamma delta")
+    assert(TrainingSet.decontaminate(train, docs(100L -> "one two three")).count() == 0)
+    assert(TrainingSet.decontaminate(train, docs()).count() == 0)
+    // sub-shingle-width docs can't participate on either side
+    assert(TrainingSet.decontaminate(docs(1L -> "alpha beta"), docs(2L -> "alpha beta")).count() == 0)
+  }
+
+  test("decontaminate plan: benchmark side broadcasts, no cartesian") {
+    val train = docs(1L -> "a b c d")
+    val eval = docs(2L -> "b c d e")
+    val p = TrainingSet.decontaminate(train, eval).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast semi/inner join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---- packSequences ---------------------------------------------------------
+
+  test("packSequences lays docs end-to-end with exact offsets and bins") {
+    // token counts: 3, 5, 4, 2 — cap 4 → stream length 14, bins 0..3
+    val d = docs(
+      10L -> "a b c",          // [0,3)  bins 0..0
+      20L -> "d e f g h",      // [3,8)  bins 0..1 (straddles)
+      30L -> "i j k l",        // [8,12) bins 2..2
+      40L -> "m n")            // [12,14) bins 3..3
+    val out = TrainingSet.packSequences(d, capTokens = 4).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (10L, 3L, 0L, 0L, 0L, 1L),
+      (20L, 5L, 3L, 0L, 1L, 2L),
+      (30L, 4L, 8L, 2L, 2L, 1L),
+      (40L, 2L, 12L, 3L, 3L, 1L)))
+  }
+
+  test("packSequences is invariant to input partitioning") {
+    val base = (1L to 200L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
+    val expected = TrainingSet.packSequences(base.toDF("doc_id", "text").coalesce(1), 32)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    for (parts <- Seq(3, 16)) {
+      // adversarial layout: shuffled input order AND different partition counts
+      val shuffled = scala.util.Random.shuffle(base).toDF("doc_id", "text").repartition(parts)
+      val got = TrainingSet.packSequences(shuffled, 32)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(got.sameElements(expected), s"offsets changed under $parts partitions")
+    }
+  }
+
+  test("packSequences totals: last doc's end offset equals the global token count") {
+    val d = docs((1L to 50L).map(i => (i, ("w " * (i % 5 + 1).toInt).trim)): _*)
+    val rows = TrainingSet.packSequences(d, 16).orderBy("doc_id").collect()
+    val total = rows.map(_.getLong(1)).sum
+    val last = rows.last
+    assert(last.getLong(2) + last.getLong(1) == total)
+    // offsets are dense: each start = previous start + previous n_tokens
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(2) + a.getLong(1))
+    case _ => ()
+    }
+  }
+
+  // ---- quotaSample -----------------------------------------------------------
+
+  test("quotaSample equals the window-form rank on the same corpus") {
+    val d = (1L to 120L).map(i => (i, s"text body number $i", s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    val got = TrainingSet.quotaSample(d, quota = 7).orderBy("lang", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    val exp = d.withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= 7).select("lang", "rk", "doc_id").orderBy("lang", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(exp))
+    assert(got.length == 21 && got.count(_._1 == "lang0") == 7)
+  }
+
+  test("quotaSample: quota above stratum size returns the whole stratum, ranked") {
+    val d = docs(1L -> "aa", 2L -> "bb", 3L -> "cc").withColumn("lang", lit("en"))
+    val out = TrainingSet.quotaSample(d, quota = 50).collect()
+    assert(out.length == 3 && out.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("quotaSample: duplicate texts tie-break by ascending id, deterministically") {
+    val d = docs(5L -> "same text", 3L -> "same text", 9L -> "same text")
+      .withColumn("lang", lit("en"))
+    val out = TrainingSet.quotaSample(d, quota = 2).orderBy("rk").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 5L))
+  }
+
+  test("quotaSample plan: bounded aggregate, no window exchange-and-sort per row") {
+    val d = docs(1L -> "a", 2L -> "b").withColumn("lang", lit("en"))
+    val p = TrainingSet.quotaSample(d, 5).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"quota sampling must not use a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected a (partial/final) aggregate carrying the bottom-k buffer:\n$p")
+  }
+}
