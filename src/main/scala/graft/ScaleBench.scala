@@ -99,7 +99,10 @@ object ScaleBench {
     // frame, and caching between the two is what a pipeline would do anyway)
     time(s"minhash pairs → connected-component canon over ${nDocs} docs") {
       val pairs = graft.operators.Dedup.minhashNearDup(docs)
-      val clusters = graft.operators.Dedup.nearDupClusters(docs, pairs)
+      // driverMaxEdges = 0: this harness exists to stress the DISTRIBUTED
+      // min-label loop; the default gate would route this pair graph to the
+      // driver-side union-find fast path
+      val clusters = graft.operators.Dedup.nearDupClusters(docs, pairs, driverMaxEdges = 0L)
       val merged = clusters.filter(col("doc_id") =!= col("canon_id")).count()
       val expected = ((nDocs - 2) / 50 + 1).toInt
       println(s"[scale] clusters: $merged docs folded into canonicals (planted $expected)")

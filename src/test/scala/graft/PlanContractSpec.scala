@@ -80,15 +80,20 @@ class PlanContractSpec extends AnyFunSuite {
       s"lag window must be partitioned by the series column:\n$p")
   }
 
-  test("ngram jaccard guards hot shingles by default (frequency cap in plan)") {
-    val docs = graft.sources.Tables.documents(spark, sf)
-    val pDefault = graft.operators.Dedup.ngramJaccard(docs)
-      .queryExecution.executedPlan.toString
-    val pUncapped = graft.operators.Dedup.ngramJaccard(docs, maxShingleFreq = None)
-      .queryExecution.executedPlan.toString
-    // the cap adds a per-shingle frequency aggregate + join ahead of the
-    // pair join; without it those operators must be absent
-    assert(count(pDefault, "HashAggregate") > count(pUncapped, "HashAggregate"),
-      s"default plan missing the frequency-cap aggregate:\n$pDefault")
+  test("ngram jaccard guards hot shingles (frequency cap drops boilerplate keys)") {
+    // Since the capByFrequency rewrite the cap is an eager side job + map-side
+    // NOT-IN filter (no join in the final plan when nothing is hot), so the
+    // guard is asserted SEMANTICALLY: 12 docs share a 5-token boilerplate
+    // prefix (3 shingles in all 12 docs) plus one unique tail shingle.
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, s"lorem ipsum dolor sit amet w$i"))
+      .toDF("doc_id", "text")
+    // uncapped: intersection 3 of union 5 → jaccard 3/5 ≥ 1/2, all 66 pairs
+    assert(graft.operators.Dedup.ngramJaccard(docs, maxShingleFreq = None).count() == 66L)
+    // cap 10 < 12: the three boilerplate shingles are hot and dropped; the
+    // only surviving shingle per doc is unique → zero pairs
+    assert(graft.operators.Dedup.ngramJaccard(docs, maxShingleFreq = Some(10)).count() == 0L)
+    // the default cap (1000) must NOT fire on a 12-doc corpus
+    assert(graft.operators.Dedup.ngramJaccard(docs).count() == 66L)
   }
 }

@@ -29,15 +29,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       (2L, 3L), (1L, 2L), // chain, deliberately out of order
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(docsDf, pairsDf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
-      1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L,
-      30L -> 30L, 31L -> 31L))
-    // "keep one per cluster" = canon fixpoints: exactly one survivor per component
-    assert(got.count { case (id, c) => id == c } == 5)
+    // BOTH execution paths must produce identical labels: the driver-side
+    // union-find (default gate) and the distributed min-label loop (forced
+    // by driverMaxEdges = 0)
+    for (gate <- Seq(1L << 20, 0L)) {
+      val got = Dedup.nearDupClusters(docsDf, pairsDf, driverMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(
+        1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L,
+        30L -> 30L, 31L -> 31L), s"gate=$gate")
+      // "keep one per cluster" = canon fixpoints: one survivor per component
+      assert(got.count { case (id, c) => id == c } == 5)
+    }
   }
 
   test("spanNearDup: sub-guarantee docs and empty corpora produce no pairs") {
@@ -64,11 +69,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     val n = 12
     val docsDf = (0L until n.toLong).toDF("doc_id")
     val pairsDf = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(docsDf, pairsDf).collect()
+    // driverMaxEdges = 0 forces the distributed loop — maxIter semantics
+    // belong to that path (the union-find fast path has no rounds)
+    val got = Dedup.nearDupClusters(docsDf, pairsDf, driverMaxEdges = 0L).collect()
     assert(got.forall(_.getLong(1) == 0L) && got.length == n)
     intercept[IllegalStateException] {
-      Dedup.nearDupClusters(docsDf, pairsDf, maxIter = 3)
+      Dedup.nearDupClusters(docsDf, pairsDf, maxIter = 3, driverMaxEdges = 0L)
     }
+    // the fast path converges the same chain regardless of maxIter
+    val fast = Dedup.nearDupClusters(docsDf, pairsDf, maxIter = 3).collect()
+    assert(fast.forall(_.getLong(1) == 0L) && fast.length == n)
   }
 
   test("ngram jaccard finds injected near-duplicates and nothing else") {
