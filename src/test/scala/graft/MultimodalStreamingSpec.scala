@@ -32,14 +32,20 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val b = Multimodal.featurize(Multimodal.syntheticMedia(spark, 100, partitions = 7))
       .collect().map(f => f.media_id -> f.features.toSeq).toMap
     assert(a == b)
-    // stub-path features (video blobs + entropy-coded jpeg/png bodies) stay
-    // unit-norm; content-derived features (bmp pixels / wav samples) carry
-    // real statistics instead
-    val stubbed = recs.filter(f => f.kind == "video" || f.codec.startsWith("jpeg") || f.codec == "png")
+    // stub-path features (video blobs + entropy-coded jpeg bodies) stay
+    // unit-norm; content-derived features (bmp/png pixels / wav samples)
+    // carry real statistics instead
+    val stubbed = recs.filter(f => f.kind == "video" || f.codec.startsWith("jpeg"))
     assert(stubbed.nonEmpty &&
       stubbed.forall(f => math.abs(f.features.map(x => x * x).sum - 1.0) < 1e-3))
-    val content = recs.filter(f => f.codec == "bmp" || f.codec.startsWith("pcm_"))
+    val content = recs.filter(f =>
+      f.codec == "bmp" || f.codec == "png" || f.codec.startsWith("pcm_"))
     assert(content.nonEmpty && content.forall(_.features.exists(_ != 0f)))
+    // the fixture's PNGs roundtrip deflate→inflate→unfilter: their channel
+    // means are real pixel stats (body bytes mod 251 → mean well inside
+    // (0,1)), not the stub's unit-norm hash
+    val pngs = recs.filter(_.codec == "png")
+    assert(pngs.nonEmpty && pngs.forall(f => f.features(0) > 0.2f && f.features(0) < 0.8f))
     assert(a(0L) != a(1L)) // content-sensitive
   }
 
@@ -97,7 +103,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val jpeg = MediaCodec.wrapJpeg(123, 45, Array.fill[Byte](32)(7))
     assert(MediaCodec.probe(jpeg).exists(m =>
       m.width == 123 && m.height == 45 && m.codec == "jpeg"))
-    val png = MediaCodec.wrapPng(300, 200, Array.fill[Byte](32)(7))
+    val png = MediaCodec.wrapPng(300, 200, Array.fill[Byte](300 * 200 * 3)(7))
     assert(MediaCodec.probe(png).exists(m =>
       m.width == 300 && m.height == 200 && m.codec == "png"))
     // truncated / garbage JPEG bodies don't probe
@@ -138,6 +144,52 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(math.abs(f(8) - 1f / 3) < 1e-4 && math.abs(f(11) - 1f / 3) < 1e-4 &&
       math.abs(f(14) - 1f / 3) < 1e-4, "histogram bins")
     assert(f(9) == 0f && f(10) == 0f && f(12) == 0f && f(13) == 0f && f(15) == 0f)
+  }
+
+  test("PNG pixel decode: every filter type reconstructs the same image") {
+    import Multimodal.MediaCodec
+    // a deterministic RGB gradient; whatever per-row filter the encoder
+    // picks, inflate+unfilter must reconstruct identical pixels → identical
+    // features (and they must equal the stats of the same pixels as a BMP,
+    // up to channel order — here all three channels share the distribution)
+    val (w, h) = (16, 10)
+    val pixels = Array.tabulate(w * h * 3)(i => ((i * 13) % 251).toByte)
+    val byFilter = (0 to 4).map { ft =>
+      val png = MediaCodec.wrapPng(w, h, pixels, rowFilter = _ => ft)
+      MediaCodec.contentFeatures(png)
+        .getOrElse(fail(s"png with filter $ft must take the content path")).toSeq
+    }
+    assert(byFilter.distinct.size == 1, "filter types disagree after unfilter")
+    // mixed filters too (the synthetic corpus rotates them per row)
+    val mixed = MediaCodec.contentFeatures(
+      MediaCodec.wrapPng(w, h, pixels, rowFilter = y => y % 5)).get.toSeq
+    assert(mixed == byFilter.head)
+  }
+
+  test("PNG decode: solid color yields exact channel stats") {
+    import Multimodal.MediaCodec
+    val pixels = Array.fill(6)(Array[Byte](10, 100.toByte, 200.toByte)).flatten // 2x3 RGB
+    val f = MediaCodec.contentFeatures(MediaCodec.wrapPng(2, 3, pixels, _ => 4)).get
+    assert(math.abs(f(0) - 10f / 255) < 1e-4 && math.abs(f(1) - 100f / 255) < 1e-4 &&
+      math.abs(f(2) - 200f / 255) < 1e-4, "RGB channel means")
+    assert(f(3) == 0f && f(4) == 0f && f(5) == 0f, "solid color → zero std")
+    assert(math.abs(f(6) - 10f / 255) < 1e-4 && math.abs(f(7) - 200f / 255) < 1e-4)
+  }
+
+  test("PNG decode: corrupt or foreign IDAT falls back to the stub path") {
+    import Multimodal.MediaCodec
+    val good = MediaCodec.wrapPng(8, 8, Array.fill[Byte](8 * 8 * 3)(42), _ => 1)
+    // corrupt the IDAT payload in place (skip sig+IHDR = 8 + 25 bytes, then
+    // past the IDAT len+tag): the zlib stream no longer inflates
+    val bad = good.clone()
+    for (i <- 45 until math.min(60, bad.length)) bad(i) = 0x55
+    assert(MediaCodec.probe(bad).exists(_.codec == "png"), "header still probes")
+    assert(MediaCodec.contentFeatures(bad).isEmpty, "corrupt IDAT must not decode")
+    // truncated-but-valid-zlib: declared geometry larger than the pixel data
+    val short = MediaCodec.wrapPng(8, 8, Array.fill[Byte](8 * 8 * 3)(42))
+    val patched = short.clone()
+    patched(20) = 1 // IHDR height 8 → 264 (BE byte 2): inflate can't fill it
+    assert(MediaCodec.contentFeatures(patched).isEmpty)
   }
 
   test("media pipeline aggregates per kind with payload accounting") {
