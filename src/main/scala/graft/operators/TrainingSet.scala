@@ -87,8 +87,11 @@ object TrainingSet {
     require(capTokens > 0, s"capTokens must be positive, got $capTokens")
     val spark = docs.sparkSession
     import spark.implicits._
+    // null text ranks as empty text (1 token: tokens("") = [""]): a null in
+    // the stream must not null-propagate into every later doc's offset
     val counts = Parallelism.ensure(docs)
-      .select(col(idCol).cast("long"), size(tokens(col(textCol))).cast("long"))
+      .select(col(idCol).cast("long"),
+        size(tokens(coalesce(col(textCol), lit("")))).cast("long"))
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(idCol)
       .as[(Long, Long)]
@@ -148,7 +151,10 @@ object TrainingSet {
       textCol: String = "text"): DataFrame =
     Parallelism.ensure(docs)
       .groupBy(col(strataCol))
-      .agg(TopK.bottomKString(quota)(md5(col(textCol)), col(idCol).cast("long")).as("picked"))
+      // null text hashes as empty text: BottomKString's contract is non-null
+      // scores, and dropping the doc silently would under-fill the quota
+      .agg(TopK.bottomKString(quota)(
+        md5(coalesce(col(textCol), lit(""))), col(idCol).cast("long")).as("picked"))
       .select(col(strataCol), posexplode(col("picked").getField("entries")))
       .select(
         col(strataCol),

@@ -135,6 +135,18 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).toSeq == Seq(3L, 5L))
   }
 
+  test("null text: packing treats it as empty, sampling ranks it, dedup drops it") {
+    val d = Seq((1L, "a b c"), (2L, null), (3L, "d e")).toDF("doc_id", "text")
+    val packed = TrainingSet.packSequences(d, 4).orderBy("doc_id").collect()
+    // null → tokens("") = [""] → 1 token; later docs' offsets stay exact
+    assert(packed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 0L), (2L, 1L, 3L), (3L, 2L, 4L)))
+    val sampled = TrainingSet.quotaSample(d.withColumn("lang", lit("en")), 10).collect()
+    assert(sampled.length == 3) // the null-text doc is ranked, not dropped
+    // decontaminate: nulls fail the size(tokens) >= n guard on either side
+    assert(TrainingSet.decontaminate(d, d.filter(col("doc_id") === 2L)).count() == 0)
+  }
+
   test("quotaSample plan: bounded aggregate, no window exchange-and-sort per row") {
     val d = docs(1L -> "a", 2L -> "b").withColumn("lang", lit("en"))
     val p = TrainingSet.quotaSample(d, 5).queryExecution.executedPlan.toString
