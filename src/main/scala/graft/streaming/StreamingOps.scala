@@ -87,6 +87,49 @@ object StreamingOps {
       }
   }
 
+  /**
+   * Streaming benchmark decontamination — the continuous-ingest counterpart
+   * of [[graft.operators.TrainingSet.decontaminate]]: flags incoming
+   * documents sharing at least one distinct word n-gram with a STATIC
+   * benchmark set. Emits `(idCol, n_shared)` for contaminated docs only.
+   *
+   * Deliberately STATELESS: the benchmark's distinct hashed shingles are
+   * resolved once (driver-side, size-gated — eval suites are small by
+   * nature) and ride the plan as an array literal, so the per-document check
+   * is a map-side `array_intersect` — no state store, no watermark, no
+   * shuffle; works in append mode on an unbounded stream and composes with
+   * any sink. A benchmark set above the gate belongs to the batch operator
+   * (broadcast join); the gate refuses loudly rather than building a
+   * megabyte plan silently.
+   */
+  def decontaminateStream(
+      stream: DataFrame,
+      eval: DataFrame,
+      n: Int = 3,
+      maxEvalShingles: Int = 1 << 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions._
+    val evalToks = tokens(col(textCol))
+    val evalSh: Array[Long] = eval
+      .filter(size(evalToks) >= n)
+      .select(explode(hashedShingles(tokenHashes(evalToks), n)).as("s"))
+      .distinct().limit(maxEvalShingles + 1)
+      .collect().map(_.getLong(0))
+    require(evalSh.length <= maxEvalShingles,
+      s"benchmark set exceeds $maxEvalShingles distinct shingles - use " +
+        "TrainingSet.decontaminate (broadcast join) for benchmark sets this large")
+    val toks = tokens(col(textCol))
+    stream
+      .filter(size(toks) >= n)
+      .withColumn("n_shared",
+        size(array_intersect(
+          hashedShingles(tokenHashes(toks), n),
+          typedlit(evalSh.toSeq))).cast("long"))
+      .filter(col("n_shared") > 0)
+      .select(col(idCol), col("n_shared"))
+  }
+
   final case class SeriesEvent(series: String, tsMs: Long, value: Long)
   final case class SeriesRunning(series: String, tsMs: Long, value: Long, runningSum: Long)
   final case class RunState(sum: Long)

@@ -326,6 +326,31 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("streaming decontamination flags the same docs as the batch operator") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val evalDf = Seq((100L, "quick brown fox trivia"), (101L, "unrelated benchmark prose"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),        // shares "quick brown fox"
+      (2L, "completely clean training text"),   // clean
+      (3L, "x quick brown fox trivia y"),       // shares two eval shingles
+      (4L, "ab"))                               // sub-shingle-width
+    val dir = Files.createTempDirectory("graft-sdecon").toFile.getAbsolutePath
+    train.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = graft.streaming.StreamingOps.decontaminateStream(stream, evalDf)
+      .writeStream.outputMode("append").format("memory").queryName("sdecon_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sdecon_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == Map(1L -> 1L, 3L -> 2L))
+    // exact agreement with the batch operator on the same inputs
+    val batch = graft.operators.TrainingSet.decontaminate(train.toDF("doc_id", "text"), evalDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming latest-cells compaction: overwrites advance, stale versions never regress") {
     import spark.implicits._
     import graft.streaming.StreamingOps
