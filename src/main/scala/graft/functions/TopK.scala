@@ -88,7 +88,12 @@ object TopK {
 
   /** Bottom-k by string score (ascending, ties toward lower id) — same
     * bounded partial/final shape as [[TopKLong]]: map tasks emit ≤ groups×k
-    * entries, never a per-row window shuffle. Scores must be non-null. */
+    * entries, never a per-row window shuffle. Scores must be non-null.
+    * Ordering contract: Java `String.compareTo` (UTF-16 code units), which
+    * coincides with Spark's/DuckDB's UTF8-binary string order for ASCII
+    * scores — the hash-hex use case this exists for. Non-ASCII scores
+    * containing both U+E000..U+FFFF and supplementary characters can rank
+    * differently from an engine-side ORDER BY; hash the score first. */
   case class BottomKString(k: Int) extends Aggregator[ScoredS, BufS, BufS] {
     require(k > 0, s"k must be positive, got $k")
     def zero: BufS = BufS(Vector.empty)

@@ -339,7 +339,7 @@ object Dedup {
       // precedent as IVF centroid training: ≤ driverMaxEdges edges
       // (default 1M ≈ 32 MB collected) run path-halved union-find on the
       // driver; anything larger takes the distributed loop below.
-      unionFindLabels(und, driverMaxEdges)
+      unionFindLabels(und)
     } else distributedMinLabels(und, maxIter)
     // singletons re-enter here: one left join against the (usually tiny)
     // subgraph labels — materialized by the checkpoint, so AQE sees its real
@@ -353,10 +353,14 @@ object Dedup {
   /** Driver-side component labels for a small edge frame: path-halved
     * union-find, then min doc id per component. Returns `(id, label)` as a
     * (small, AQE-broadcastable) DataFrame. */
-  private def unionFindLabels(und: DataFrame, cap: Long): DataFrame = {
+  private def unionFindLabels(und: DataFrame): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
-    val edges = und.select(col("src").cast("long"), col("dst").cast("long"))
+    // `und` carries both directions (the distributed loop needs that); the
+    // union-find is direction-blind, so collect each edge once — halves the
+    // collected rows the size gate admitted
+    val edges = und.filter(col("src") < col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {

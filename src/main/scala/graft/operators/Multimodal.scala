@@ -374,16 +374,23 @@ object Multimodal {
      */
     private def pngFeatures(payload: Array[Byte]): Option[Array[Float]] = {
       try {
-        // IHDR fixed layout was validated by probe(); re-read the geometry
+        // probe() only guarantees 24 bytes; the full IHDR chunk (sig 8 +
+        // len/tag 8 + data 13 + CRC 4) needs 33 — a header truncated between
+        // the two must fall back, not throw out of the featurize task
+        if (payload.length < 33) return None
         val width = be32(payload, 16); val height = be32(payload, 20)
         val bitDepth = payload(24) & 0xff; val colorType = payload(25) & 0xff
         val interlace = payload(28) & 0xff
         if (width <= 0 || height <= 0 || bitDepth != 8 || colorType != 2 || interlace != 0)
           return None
-        // sanity-bound the decode like CellCursor bounds cell fields: a huge
-        // declared geometry on a tiny payload is corruption, not an image
+        // Bound the decode buffers BEFORE allocating from attacker-declared
+        // geometry: (a) a hard 64 MB raw cap, and (b) deflate's theoretical
+        // max expansion (~1032:1; 1100 for margin) against the actual payload
+        // size — a 100-byte file declaring 9000×9000 can't possibly fill its
+        // scanlines, so it must not cost a 240 MB allocation to find out.
         val stride = width.toLong * 3
-        if (stride * height > (1L << 28)) return None
+        val rawLen = (stride + 1) * height
+        if (rawLen > (1L << 26) || rawLen > payload.length.toLong * 1100) return None
         // concatenate every IDAT chunk's data (encoders may split the stream)
         val idat = new java.io.ByteArrayOutputStream()
         var off = 8
@@ -398,11 +405,15 @@ object Multimodal {
         }
         val inflater = new java.util.zip.Inflater()
         inflater.setInput(idat.toByteArray)
-        val raw = new Array[Byte](height * (stride.toInt + 1))
+        val raw = new Array[Byte](rawLen.toInt)
         var got = 0
         while (got < raw.length && !inflater.finished()) {
           val r = inflater.inflate(raw, got, raw.length - got)
-          if (r == 0 && inflater.needsInput()) { inflater.end(); return None } // truncated
+          // zero progress = truncated input (needsInput) OR a preset-
+          // dictionary stream (needsDictionary) — either way this decoder
+          // can't continue; returning on needsInput alone would busy-spin
+          // forever on an FDICT zlib header
+          if (r == 0) { inflater.end(); return None }
           got += r
         }
         inflater.end()

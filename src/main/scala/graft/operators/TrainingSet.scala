@@ -117,6 +117,16 @@ object TrainingSet {
           (id, nTok, start)
         }
       }.toDF(idCol, "n_tokens", "start_offset")
+        // EAGER localCheckpoint while `counts` is still cached — correctness,
+        // not convenience: pass 2's plan must read the SAME partitioning pass
+        // 1's totals were computed from. A lazily-returned frame would be
+        // re-planned after the finally-unpersist below, and a fresh
+        // repartitionByRange re-SAMPLES its boundaries (seeded by the new
+        // plan's RDD id) — per-partition membership could shift and the
+        // broadcast offsets would silently mis-sum. (On a real cluster with
+        // executor loss, swap in reliable checkpoint — same call shape, same
+        // note as nearDupClusters.)
+        .localCheckpoint(true)
       // `div`, not `/`: Spark's `/` on longs goes through DOUBLE, which loses
       // exactness once the global token stream passes 2^53 — a few hundred TB
       // of text does. Integer division stays exact at any scale.

@@ -95,12 +95,14 @@ object StreamingOps {
    *
    * Deliberately STATELESS: the benchmark's distinct hashed shingles are
    * resolved once (driver-side, size-gated — eval suites are small by
-   * nature) and ride the plan as an array literal, so the per-document check
-   * is a map-side `array_intersect` — no state store, no watermark, no
-   * shuffle; works in append mode on an unbounded stream and composes with
-   * any sink. A benchmark set above the gate belongs to the batch operator
-   * (broadcast join); the gate refuses loudly rather than building a
-   * megabyte plan silently.
+   * nature) and compile into an `InSet` membership test (the hash set is
+   * built once per expression instance, NOT per row — an `array_intersect`
+   * against a plan literal would rebuild its set for every document), so the
+   * per-document check is a map-side filter over the doc's own shingles —
+   * no state store, no watermark, no shuffle; works in append mode on an
+   * unbounded stream and composes with any sink. A benchmark set above the
+   * gate belongs to the batch operator (broadcast join); the gate refuses
+   * loudly rather than building a megabyte plan silently.
    */
   def decontaminateStream(
       stream: DataFrame,
@@ -119,13 +121,13 @@ object StreamingOps {
     require(evalSh.length <= maxEvalShingles,
       s"benchmark set exceeds $maxEvalShingles distinct shingles - use " +
         "TrainingSet.decontaminate (broadcast join) for benchmark sets this large")
+    val evalSet = evalSh.toSeq
     val toks = tokens(col(textCol))
     stream
       .filter(size(toks) >= n)
       .withColumn("n_shared",
-        size(array_intersect(
-          hashedShingles(tokenHashes(toks), n),
-          typedlit(evalSh.toSeq))).cast("long"))
+        size(filter(hashedShingles(tokenHashes(toks), n),
+          s => s.isInCollection(evalSet))).cast("long"))
       .filter(col("n_shared") > 0)
       .select(col(idCol), col("n_shared"))
   }

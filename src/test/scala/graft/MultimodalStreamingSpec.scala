@@ -192,6 +192,33 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(MediaCodec.contentFeatures(patched).isEmpty)
   }
 
+  test("PNG decode: adversarial headers fail fast, never crash or hang") {
+    import Multimodal.MediaCodec
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]) = // dummy CRC: the decoder doesn't verify
+      be32(data.length) ++ tag.getBytes("US-ASCII") ++ data ++ be32(0)
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+    val ihdr = (w: Int, h: Int) => chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    // (1) header truncated between probe's 24-byte guarantee and the full
+    // IHDR: probes as png, must fall back instead of AIOOBE-ing the task
+    val truncated = (sig ++ chunk("IHDR", be32(4) ++ be32(4))).take(26)
+    assert(MediaCodec.probe(truncated).exists(_.codec == "png"))
+    assert(MediaCodec.contentFeatures(truncated).isEmpty)
+    // (2) FDICT zlib stream (preset dictionary): inflate() yields 0 with
+    // needsInput()==false forever — must return None, not busy-spin
+    // (0x78 0x20: valid zlib check bits, dictionary flag set)
+    val fdict = Array(0x78.toByte, 0x20.toByte) ++ be32(12345) ++ Array.fill[Byte](16)(3)
+    val withDict = sig ++ ihdr(4, 4) ++ chunk("IDAT", fdict) ++ chunk("IEND", Array.empty)
+    assert(MediaCodec.contentFeatures(withDict).isEmpty)
+    // (3) tiny payload declaring a huge image: rejected by the expansion
+    // bound BEFORE any scanline buffer is allocated
+    val huge = sig ++ ihdr(9000, 9000) ++ chunk("IDAT", Array.fill[Byte](32)(1)) ++
+      chunk("IEND", Array.empty)
+    assert(MediaCodec.contentFeatures(huge).isEmpty)
+  }
+
   test("media pipeline aggregates per kind with payload accounting") {
     val rows = Multimodal.mediaPipeline(spark, 300).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
