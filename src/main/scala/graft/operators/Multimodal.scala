@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video payloads as opaque `binary`
  * columns with typed metadata, processed batch-at-a-time inside partitions.
  *
- * Decode depth is per-format, each tier as deep as pure-JVM byte work can
- * go: REAL header probes for BMP/WAV/JPEG/PNG; REAL content features for
- * every byte-decodable body — PCM sample statistics, BMP pixel moments, and
- * a full PNG pixel decode (zlib inflate + scanline unfilter, `java.util.zip`
- * is the JVM's own). Only entropy-coded JPEG bodies and raw video blobs
- * fall back to the clearly-marked [[MediaCodec.decodeStub]] (a Huffman/DCT
- * decoder needs a codec library this container doesn't ship). Swapping in a
- * real codec (JNI/FFI or an external service) touches exactly that one
- * function: everything else — the `mapPartitions` batching, the feature
- * schema, the downstream ANN compatibility — is unchanged.
+ * Decode depth is per-format, each tier as deep as the plain JDK can go:
+ * REAL header probes for BMP/WAV/JPEG/PNG; REAL content features for every
+ * decodable body — PCM sample statistics, BMP pixel moments, a full
+ * hand-rolled PNG pixel decode (zlib inflate + scanline unfilter,
+ * `java.util.zip` is the JVM's own), and JPEG through the JDK's bundled
+ * `javax.imageio` codec. Only payloads no pure-JDK path can decode — raw
+ * video blobs, corrupt/exotic images — fall back to the clearly-marked
+ * [[MediaCodec.decodeStub]]. Swapping in a real external codec (JNI/FFI or
+ * a service) touches exactly that one function: everything else — the
+ * `mapPartitions` batching, the feature schema, the downstream ANN
+ * compatibility — is unchanged.
  *
  * Scale design: payloads never pass through a shuffle. Decode/featurize are
  * narrow per-partition maps; only the (small) feature vectors and metadata
@@ -250,17 +251,86 @@ object Multimodal {
      *    unfiltered per RFC 2083 §6 — then the same descriptor as BMP in
      *    RGB order ([[pngFeatures]]).
      *
-     * JPEG bodies need a Huffman/DCT entropy decoder this container doesn't
-     * ship; those payloads (and raw video blobs) return None and fall back
-     * to [[decodeStub]], the one remaining (documented) stub path.
+     *  - **JPEG**: decoded by the JDK's own `javax.imageio` codec
+     *    ([[jpegFeatures]]) — java.desktop ships with Java SE, so this adds
+     *    no external dependency — then the same descriptor in RGB order.
+     *
+     * Only payloads no pure-JDK path can decode (raw video blobs, corrupt
+     * or exotic images) return None and fall back to [[decodeStub]], the
+     * one remaining (documented) stub path.
      */
     def contentFeatures(payload: Array[Byte]): Option[Array[Float]] =
       probe(payload) match {
         case Some(m) if m.codec.startsWith("pcm_s16") => Some(wavFeatures(payload))
         case Some(m) if m.codec == "bmp" => Some(bmpFeatures(payload))
         case Some(m) if m.codec == "png" => pngFeatures(payload) // full inflate+unfilter
+        case Some(m) if m.codec.startsWith("jpeg") => jpegFeatures(payload, m)
         case _ => None
       }
+
+    /**
+     * REAL JPEG pixel decode via the JDK's own codec: `javax.imageio` ships
+     * with Java SE (java.desktop module — no external media library), reads
+     * baseline and progressive JPEG headlessly, and is the one sane answer
+     * to entropy-coded bodies (a hand-rolled Huffman+IDCT here would be
+     * re-implementing the JDK). Decoded pixels feed the same
+     * [[pixelStats]] descriptor as BMP/PNG, in RGB order. Unreadable or
+     * absurd-geometry payloads return None → stub fallback.
+     */
+    private def jpegFeatures(payload: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
+      // bound via the already-parsed SOF geometry BEFORE handing bytes to
+      // ImageIO — same principle as pngFeatures' pre-allocation guard
+      if (meta.width <= 0 || meta.height <= 0 ||
+        meta.width.toLong * meta.height * 3 > (1L << 26)) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) return None
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 26)) return None
+        val pixels = new Array[Byte](w * h * 3)
+        val argbRow = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, argbRow, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = argbRow(x)
+            val base = (y * w + x) * 3
+            pixels(base) = ((p >> 16) & 0xff).toByte
+            pixels(base + 1) = ((p >> 8) & 0xff).toByte
+            pixels(base + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(pixelStats(pixels, 0, w * 3, w * 3, h))
+      } catch { case _: java.io.IOException => None }
+    }
+
+    /** Fixture encoder: a REAL JPEG from raw RGB bytes through the JDK's own
+      * encoder, so the synthetic corpus exercises a genuine encode→entropy-
+      * decode roundtrip (the hand-rolled [[wrapJpeg]] container, whose body
+      * is opaque, remains for probe tests and the stub-fallback path). */
+    def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3,
+        s"need width*height*3 RGB bytes, got ${rgb.length} for ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val base = (y * width + x) * 3
+          img.setRGB(x, y,
+            ((rgb(base) & 0xff) << 16) | ((rgb(base + 1) & 0xff) << 8) | (rgb(base + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK JPEG writer unavailable")
+      bos.toByteArray
+    }
 
     private def wavFeatures(payload: Array[Byte]): Array[Float] = {
       val dataBytes = math.min(le32(payload, 40), payload.length - 44)
@@ -448,11 +518,11 @@ object Multimodal {
     }
 
     /**
-     * STUB — deterministic fake featurize, now only the FALLBACK for payloads
-     * whose body is entropy-coded (JPEG/PNG) or unknown (raw video blobs): a
-     * real implementation would run the codec here; the container has no
-     * media libraries, so features are a seeded hash-fold of the payload
-     * bytes: deterministic, content-sensitive, and unit-norm —
+     * STUB — deterministic fake featurize, now only the FALLBACK for
+     * payloads nothing pure-JDK can decode: raw video blobs (no video codec
+     * ships with Java SE) and corrupt/exotic images. A real implementation
+     * would run an external codec here; features are a seeded hash-fold of
+     * the payload bytes: deterministic, content-sensitive, and unit-norm —
      * shape-compatible with [[Similarity]] consumers.
      */
     def decodeStub(payload: Array[Byte]): Array[Float] = {
@@ -524,20 +594,21 @@ object Multimodal {
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
       val len = 64 + (id % 64).toInt * 8
       val body = Array.tabulate(len)(i => ((id * 31 + i * 7) % 251).toByte)
-      // image/audio payloads are REAL containers (parseable BMP/JPEG/PNG and
-      // PCM WAV headers around deterministic content); video stays a raw
-      // blob so the probe-fallback path is exercised too. Image container
-      // rotates on id DIV 3 (kind is id % 3) so all three probes AND all
-      // feature paths (BMP/PNG = content-derived pixel stats — PNG through a
-      // real deflate→inflate→unfilter roundtrip with the row filter rotating
-      // on id — JPEG = stub fallback for the entropy-coded body) appear in
-      // every corpus.
+      // image/audio payloads are REAL media (decodable BMP/JPEG/PNG and PCM
+      // WAV around deterministic content); video stays a raw blob so the
+      // probe-fallback path is exercised too. Image format rotates on id
+      // DIV 3 (kind is id % 3) so all three probes AND all content-feature
+      // paths are live in every corpus: BMP pixel walk, JPEG through a real
+      // JDK encode→entropy-decode roundtrip, PNG through a real
+      // deflate→inflate→unfilter roundtrip (row filter rotating on id).
       def rgb(w: Int, h: Int): Array[Byte] =
         Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 251).toByte)
       val payload = kind match {
         case "image" => ((id / 3) % 3).toInt match {
           case 0 => MediaCodec.wrapBmp(16 + (id % 16).toInt, 16, body)
-          case 1 => MediaCodec.wrapJpeg(32 + (id % 16).toInt, 24, body)
+          case 1 => // REAL JPEG through the JDK encoder: decode path is live
+            val w = 32 + (id % 16).toInt
+            MediaCodec.encodeJpeg(w, 24, rgb(w, 24))
           case _ =>
             val w = 64 + (id % 16).toInt
             MediaCodec.wrapPng(w, 48, rgb(w, 48), rowFilter = y => ((id + y) % 5).toInt)

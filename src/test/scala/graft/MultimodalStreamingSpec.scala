@@ -32,20 +32,22 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val b = Multimodal.featurize(Multimodal.syntheticMedia(spark, 100, partitions = 7))
       .collect().map(f => f.media_id -> f.features.toSeq).toMap
     assert(a == b)
-    // stub-path features (video blobs + entropy-coded jpeg bodies) stay
-    // unit-norm; content-derived features (bmp/png pixels / wav samples)
-    // carry real statistics instead
-    val stubbed = recs.filter(f => f.kind == "video" || f.codec.startsWith("jpeg"))
+    // stub-path features (video blobs only, now) stay unit-norm;
+    // content-derived features (bmp/jpeg/png pixels / wav samples) carry
+    // real statistics instead
+    val stubbed = recs.filter(f => f.kind == "video")
     assert(stubbed.nonEmpty &&
       stubbed.forall(f => math.abs(f.features.map(x => x * x).sum - 1.0) < 1e-3))
     val content = recs.filter(f =>
-      f.codec == "bmp" || f.codec == "png" || f.codec.startsWith("pcm_"))
+      f.codec == "bmp" || f.codec == "png" || f.codec.startsWith("jpeg") ||
+        f.codec.startsWith("pcm_"))
     assert(content.nonEmpty && content.forall(_.features.exists(_ != 0f)))
-    // the fixture's PNGs roundtrip deflate→inflate→unfilter: their channel
-    // means are real pixel stats (body bytes mod 251 → mean well inside
-    // (0,1)), not the stub's unit-norm hash
-    val pngs = recs.filter(_.codec == "png")
-    assert(pngs.nonEmpty && pngs.forall(f => f.features(0) > 0.2f && f.features(0) < 0.8f))
+    // the fixture's PNGs/JPEGs roundtrip real encoders: their channel means
+    // are real pixel stats (content bytes mod 251 → mean well inside (0,1)),
+    // not the stub's unit-norm hash
+    val decoded = recs.filter(f => f.codec == "png" || f.codec.startsWith("jpeg"))
+    assert(decoded.nonEmpty &&
+      decoded.forall(f => f.features(0) > 0.2f && f.features(0) < 0.8f))
     assert(a(0L) != a(1L)) // content-sensitive
   }
 
@@ -190,6 +192,27 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val patched = short.clone()
     patched(20) = 1 // IHDR height 8 → 264 (BE byte 2): inflate can't fill it
     assert(MediaCodec.contentFeatures(patched).isEmpty)
+  }
+
+  test("JPEG content features: JDK encode→decode roundtrip preserves pixel stats") {
+    import Multimodal.MediaCodec
+    // solid mid-gray survives JPEG's lossy pipeline essentially exactly
+    val (w, h) = (32, 24)
+    val solid = Array.fill(w * h * 3)(128.toByte)
+    val jpeg = MediaCodec.encodeJpeg(w, h, solid)
+    assert(MediaCodec.probe(jpeg).exists(m =>
+      m.width == w && m.height == h && m.codec.startsWith("jpeg")),
+      "hand-rolled SOF probe must read the JDK encoder's output")
+    val f = MediaCodec.contentFeatures(jpeg)
+      .getOrElse(fail("JDK-encoded jpeg must take the content path"))
+    for (c <- 0 to 2)
+      assert(math.abs(f(c) - 128f / 255) < 0.02, s"channel $c mean ${f(c)}")
+    assert(f(3) < 0.02 && f(4) < 0.02 && f(5) < 0.02, "solid color → ~zero std")
+    // determinism: same pixels → same bytes → same features
+    assert(MediaCodec.contentFeatures(MediaCodec.encodeJpeg(w, h, solid)).get.toSeq == f.toSeq)
+    // an opaque-body container (wrapJpeg) probes but cannot decode → stub path
+    assert(MediaCodec.contentFeatures(
+      MediaCodec.wrapJpeg(32, 24, Array.fill[Byte](64)(9))).isEmpty)
   }
 
   test("PNG decode: adversarial headers fail fast, never crash or hang") {
