@@ -87,6 +87,15 @@ object Multimodal {
         Some(MediaMeta(
           width = be32(payload, 16), height = be32(payload, 20),
           sampleRate = 0, durationMs = 0L, codec = "png"))
+      } else if (payload.length >= 8 &&
+        java.util.Arrays.equals(payload, 0, 4, MjpegMagic, 0, 4)) {
+        // video container: geometry from the first frame's own probe,
+        // nominal 25 fps duration from the frame count
+        mjpegFrames(payload).flatMap { fs =>
+          probe(fs.head).map(first => MediaMeta(
+            width = first.width, height = first.height, sampleRate = 0,
+            durationMs = fs.length * 40L, codec = "mjpeg"))
+        }
       } else None
     }
 
@@ -265,7 +274,20 @@ object Multimodal {
         case Some(m) if m.codec == "bmp" => Some(bmpFeatures(payload))
         case Some(m) if m.codec == "png" => pngFeatures(payload) // full inflate+unfilter
         case Some(m) if m.codec.startsWith("jpeg") => jpegFeatures(payload, m)
+        case Some(m) if m.codec == "mjpeg" => mjpegVideoFeatures(payload)
         case _ => None
+      }
+
+    /** Video content features: the mean of the per-frame image descriptors
+      * (each frame through its own content path) — the standard pooled-frame
+      * video embedding shape. None unless every frame decodes (a half-
+      * decodable payload is corruption, not a video). */
+    private def mjpegVideoFeatures(payload: Array[Byte]): Option[Array[Float]] =
+      mjpegFrames(payload).flatMap { fs =>
+        val perFrame = fs.flatMap(contentFeatures)
+        if (perFrame.length != fs.length) None
+        else Some(Array.tabulate(FeatureDim)(i =>
+          (perFrame.map(_(i).toDouble).sum / perFrame.length).toFloat))
       }
 
     /**
@@ -543,6 +565,46 @@ object Multimodal {
     /** STUB — frame sampling: every `stride`-th chunk of the payload. */
     def frameSampleStub(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
       payload.grouped(frameSize).zipWithIndex.collect { case (f, i) if i % stride == 0 => f }.toSeq
+
+    // ---- MJPEG-style video: length-prefixed image frames ------------------
+
+    /** Magic for the minimal motion-image container: `"MJPG"` then
+      * `[frameLen:int32 BE][frame bytes]*` — each frame a complete image
+      * payload (typically JPEG, any probe-able format works). The simplest
+      * real video shape: per-frame intra-coding, no inter-frame prediction
+      * (exactly what actual MJPEG is). */
+    val MjpegMagic: Array[Byte] = "MJPG".getBytes("US-ASCII")
+
+    def wrapMjpeg(frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.nonEmpty, "an MJPG container needs at least one frame")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(MjpegMagic)
+      frames.foreach { f =>
+        out.write(Array(((f.length >> 24) & 0xff).toByte, ((f.length >> 16) & 0xff).toByte,
+          ((f.length >> 8) & 0xff).toByte, (f.length & 0xff).toByte))
+        out.write(f)
+      }
+      out.toByteArray
+    }
+
+    /** Split an MJPG payload into its frames — bounds-checked like
+      * CellCursor: a negative/oversized length prefix means corruption and
+      * returns None (callers fall back to the byte-window stub). */
+    def mjpegFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      if (payload.length < 8 ||
+        !java.util.Arrays.equals(payload, 0, 4, MjpegMagic, 0, 4)) return None
+      val frames = Seq.newBuilder[Array[Byte]]
+      var off = 4
+      while (off < payload.length) {
+        if (off + 4 > payload.length) return None
+        val len = ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+          ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+        if (len <= 0 || off + 4 + len > payload.length) return None
+        frames += java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + len)
+        off += 4 + len
+      }
+      Some(frames.result())
+    }
   }
 
   /**
@@ -572,12 +634,22 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampled featurization for video-kind records: one row per sampled frame. */
+  /**
+   * Frame-sampled featurization for video-kind records: one row per sampled
+   * frame (`frame_idx` = index in the FULL frame sequence). MJPG containers
+   * sample every `stride`-th REAL frame and run each through the image
+   * content path ([[MediaCodec.contentFeatures]]); raw blobs fall back to
+   * fixed byte windows + the stub featurizer. Payload bytes stay inside the
+   * map task either way — only (id, idx, 16 floats) rows continue.
+   */
   def frameFeatures(media: Dataset[MediaRecord], frameSize: Int = 256, stride: Int = 2): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      MediaCodec.frameSampleStub(r.payload, frameSize, stride).zipWithIndex.map {
-        case (frame, idx) => (r.media_id, idx, MediaCodec.decodeStub(frame))
+      val frames = MediaCodec.mjpegFrames(r.payload)
+        .getOrElse(MediaCodec.frameSampleStub(r.payload, frameSize, stride = 1))
+      frames.zipWithIndex.collect { case (frame, idx) if idx % stride == 0 =>
+        (r.media_id, idx,
+          MediaCodec.contentFeatures(frame).getOrElse(MediaCodec.decodeStub(frame)))
       }
     }.toDF("media_id", "frame_idx", "features")
   }
@@ -595,11 +667,13 @@ object Multimodal {
       val len = 64 + (id % 64).toInt * 8
       val body = Array.tabulate(len)(i => ((id * 31 + i * 7) % 251).toByte)
       // image/audio payloads are REAL media (decodable BMP/JPEG/PNG and PCM
-      // WAV around deterministic content); video stays a raw blob so the
-      // probe-fallback path is exercised too. Image format rotates on id
-      // DIV 3 (kind is id % 3) so all three probes AND all content-feature
-      // paths are live in every corpus: BMP pixel walk, JPEG through a real
-      // JDK encode→entropy-decode roundtrip, PNG through a real
+      // WAV around deterministic content); video alternates between a REAL
+      // MJPG container (length-prefixed JDK-encoded JPEG frames — the
+      // per-frame decode path is live) and a raw blob (the probe-fallback /
+      // stub path stays exercised). Image format rotates on id DIV 3 (kind
+      // is id % 3) so all probes AND all content-feature paths are live in
+      // every corpus: BMP pixel walk, JPEG through a real JDK
+      // encode→entropy-decode roundtrip, PNG through a real
       // deflate→inflate→unfilter roundtrip (row filter rotating on id).
       def rgb(w: Int, h: Int): Array[Byte] =
         Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 251).toByte)
@@ -614,6 +688,11 @@ object Multimodal {
             MediaCodec.wrapPng(w, 48, rgb(w, 48), rowFilter = y => ((id + y) % 5).toInt)
         }
         case "audio" => MediaCodec.wrapWav(8000 + ((id / 3) % 3).toInt * 8000, body)
+        case _ if (id / 3) % 2 == 0 =>
+          val nFrames = 2 + (id % 3).toInt
+          MediaCodec.wrapMjpeg((0 until nFrames).map(fi =>
+            MediaCodec.encodeJpeg(16, 12, Array.tabulate(16 * 12 * 3)(i =>
+              ((id * 31 + fi * 101 + i * 7) % 251).toByte))))
         case _ => body
       }
       MediaRecord(id, kind, payload,

@@ -32,12 +32,15 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val b = Multimodal.featurize(Multimodal.syntheticMedia(spark, 100, partitions = 7))
       .collect().map(f => f.media_id -> f.features.toSeq).toMap
     assert(a == b)
-    // stub-path features (video blobs only, now) stay unit-norm;
-    // content-derived features (bmp/jpeg/png pixels / wav samples) carry
-    // real statistics instead
-    val stubbed = recs.filter(f => f.kind == "video")
+    // stub-path features (raw video blobs only, now) stay unit-norm;
+    // content-derived features (bmp/jpeg/png pixels / wav samples / mjpeg
+    // frame means) carry real statistics instead
+    val stubbed = recs.filter(f => f.kind == "video" && f.codec == "raw")
     assert(stubbed.nonEmpty &&
       stubbed.forall(f => math.abs(f.features.map(x => x * x).sum - 1.0) < 1e-3))
+    val mjpegs = recs.filter(_.codec == "mjpeg")
+    assert(mjpegs.nonEmpty && mjpegs.forall(f =>
+      f.width == 16 && f.duration_ms >= 80L && f.features(0) > 0.2f && f.features(0) < 0.8f))
     val content = recs.filter(f =>
       f.codec == "bmp" || f.codec == "png" || f.codec.startsWith("jpeg") ||
         f.codec.startsWith("pcm_"))
@@ -97,7 +100,12 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     // the synthetic corpus rotates image containers so every probe is live
     assert(images.map(_.codec).toSet == Set("bmp", "jpeg", "png"))
     assert(feats.filter(_.kind == "audio").forall(f => f.sample_rate >= 8000 && f.codec.startsWith("pcm_")))
-    assert(feats.filter(_.kind == "video").forall(f => f.codec == "raw" && f.width == 0))
+    // video alternates: MJPG containers probe (first-frame geometry), raw
+    // blobs fall back to the record's claimed meta
+    val vids = feats.filter(_.kind == "video")
+    assert(vids.map(_.codec).toSet == Set("raw", "mjpeg"))
+    assert(vids.forall(f =>
+      (f.codec == "raw" && f.width == 0) || (f.codec == "mjpeg" && f.width == 16)))
   }
 
   test("JPEG SOF and PNG IHDR probes read crafted dimensions") {
@@ -252,11 +260,38 @@ class MultimodalStreamingSpec extends AnyFunSuite {
   test("frame sampling emits every stride-th frame with features") {
     val df = Multimodal.frameFeatures(Multimodal.syntheticMedia(spark, 10), frameSize = 64, stride = 2)
     val counts = df.groupBy("media_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // payload length 64+ (id%64)*8 → frames = ceil(len/64), sampled every 2nd
-    assert(counts(0L) == 1) // len 64 → 1 frame → 1 sampled
-    assert(counts(8L) == 1) // len 128 → 2 frames → idx 0 only
+    assert(counts(0L) == 1) // image payload: 1 byte-window frame
+    // id 8 is an MJPG video with 2 + (8 % 3) = 4 REAL frames → idx 0 and 2
+    assert(counts(8L) == 2)
     assert(counts(9L) >= 1)
     assert(df.filter(size(col("features")) =!= Multimodal.MediaCodec.FeatureDim).count() == 0)
+  }
+
+  test("MJPG container: probe, per-frame decode, pooled features, corruption fallback") {
+    import Multimodal.MediaCodec
+    val frameA = MediaCodec.encodeJpeg(16, 12, Array.fill(16 * 12 * 3)(60.toByte))
+    val frameB = MediaCodec.encodeJpeg(16, 12, Array.fill(16 * 12 * 3)(180.toByte))
+    val video = MediaCodec.wrapMjpeg(Seq(frameA, frameB))
+    // probe: first-frame geometry, 25 fps nominal duration
+    assert(MediaCodec.probe(video).exists(m =>
+      m.codec == "mjpeg" && m.width == 16 && m.height == 12 && m.durationMs == 80L))
+    // pooled features = mean of the two frames' content features
+    val pooled = MediaCodec.contentFeatures(video).getOrElse(fail("mjpeg must decode"))
+    val (fa, fb) = (MediaCodec.contentFeatures(frameA).get, MediaCodec.contentFeatures(frameB).get)
+    for (i <- 0 until MediaCodec.FeatureDim)
+      assert(math.abs(pooled(i) - (fa(i) + fb(i)) / 2) < 1e-6, s"feature $i not pooled")
+    // frameFeatures: one row per frame (stride 1), each the REAL image descriptor
+    import spark.implicits._
+    val rows = Multimodal.frameFeatures(
+      Seq(Multimodal.MediaRecord(7L, "video", video,
+        Multimodal.MediaMeta(0, 0, 0, 0L, "raw"))).toDS(), stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getSeq[Float](2) == fa.toSeq && rows(1).getSeq[Float](2) == fb.toSeq)
+    // a corrupt length prefix falls back cleanly (no crash, stub features)
+    val corrupt = video.clone(); corrupt(4) = 0x7f
+    assert(MediaCodec.mjpegFrames(corrupt).isEmpty)
+    assert(MediaCodec.contentFeatures(corrupt).isEmpty)
   }
 
   test("media features compose with similarity search end-to-end") {
