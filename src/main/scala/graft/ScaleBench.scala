@@ -110,29 +110,33 @@ object ScaleBench {
     }
 
     // ---- training-set assembly at corpus scale ----
-    // decontamination: every 50th doc is the "benchmark" split; its clone
-    // (id ≡ 1 mod 50, sharing 28 of 30 shingles with id-1) MUST be flagged —
-    // the planted ground truth makes recall checkable, not just timeable
-    time(s"decontaminate ${nDocs} docs against the 1-in-50 benchmark split") {
-      import graft.operators.TrainingSet
-      val flagged = TrainingSet.decontaminate(
-        docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0L),
-        docs.filter(pmod(col("doc_id"), lit(50L)) === 0L)).collect()
-      val planted = flagged.count(r => r.getLong(0) % 50 == 1)
-      val expected = ((nDocs - 2) / 50 + 1).toInt
-      println(s"[scale] decontaminate: ${flagged.length} flagged, $planted/$expected planted clones")
-      assert(planted >= expected, s"planted clones must all be flagged: $planted/$expected")
-    }
-    // sequence packing: the distributed prefix sum over the whole corpus;
-    // verified by the invariant total(last) = sum of all token counts
-    time(s"pack ${nDocs} docs into 2048-token windows (distributed prefix sum)") {
-      import graft.operators.TrainingSet
-      val packed = TrainingSet.packSequences(docs, capTokens = 2048)
-      val Array(last) = packed.orderBy(col("start_offset").desc).limit(1).collect()
-      val total = packed.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
-      assert(last.getLong(2) + last.getLong(1) == total,
-        s"offset chain broken: ${last.getLong(2)} + ${last.getLong(1)} != $total")
-      println(s"[scale] packed $total tokens into ${total / 2048 + 1} windows")
+    // guarded like the bucket assertions above: a tiny CLI run (nDocs < 100)
+    // has too few planted clones / docs for the recall and invariant checks
+    if (nDocs >= 100) {
+      // decontamination: every 50th doc is the "benchmark" split; its clone
+      // (id ≡ 1 mod 50, sharing 28 of 30 shingles with id-1) MUST be flagged —
+      // the planted ground truth makes recall checkable, not just timeable
+      time(s"decontaminate ${nDocs} docs against the 1-in-50 benchmark split") {
+        import graft.operators.TrainingSet
+        val flagged = TrainingSet.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0L),
+          docs.filter(pmod(col("doc_id"), lit(50L)) === 0L)).collect()
+        val planted = flagged.count(r => r.getLong(0) % 50 == 1)
+        val expected = ((nDocs - 2) / 50 + 1).toInt
+        println(s"[scale] decontaminate: ${flagged.length} flagged, $planted/$expected planted clones")
+        assert(planted >= expected, s"planted clones must all be flagged: $planted/$expected")
+      }
+      // sequence packing: the distributed prefix sum over the whole corpus;
+      // verified by the invariant total(last) = sum of all token counts
+      time(s"pack ${nDocs} docs into 2048-token windows (distributed prefix sum)") {
+        import graft.operators.TrainingSet
+        val packed = TrainingSet.packSequences(docs, capTokens = 2048)
+        val Array(last) = packed.orderBy(col("start_offset").desc).limit(1).collect()
+        val total = packed.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+        assert(last.getLong(2) + last.getLong(1) == total,
+          s"offset chain broken: ${last.getLong(2)} + ${last.getLong(1)} != $total")
+        println(s"[scale] packed $total tokens into ${total / 2048 + 1} windows")
+      }
     }
 
     // ---- binary cell codec at scale: the LongColumnInterpreter path ----

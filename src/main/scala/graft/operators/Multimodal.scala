@@ -35,6 +35,12 @@ object Multimodal {
   object MediaCodec {
     val FeatureDim = 16
 
+    // ImageIO's default stream cache spools every read/write through a temp
+    // FILE in java.io.tmpdir — per-record disk I/O for data already in
+    // memory, and a hard failure on executors with unwritable tmpdirs.
+    // All payloads here are in-memory byte arrays; cache in memory.
+    javax.imageio.ImageIO.setUseCache(false)
+
     // ---- real header parsing (pure JVM — no media libraries needed) --------
 
     private def le16(b: Array[Byte], off: Int): Int =
@@ -89,12 +95,15 @@ object Multimodal {
           sampleRate = 0, durationMs = 0L, codec = "png"))
       } else if (payload.length >= 8 &&
         java.util.Arrays.equals(payload, 0, 4, MjpegMagic, 0, 4)) {
-        // video container: geometry from the first frame's own probe,
-        // nominal 25 fps duration from the frame count
-        mjpegFrames(payload).flatMap { fs =>
-          probe(fs.head).map(first => MediaMeta(
-            width = first.width, height = first.height, sampleRate = 0,
-            durationMs = fs.length * 40L, codec = "mjpeg"))
+        // video container: geometry from the first frame's own probe (one
+        // frame copied — the boundary scan itself copies nothing), nominal
+        // 25 fps duration from the frame count
+        mjpegFrameBounds(payload).flatMap { bounds =>
+          val (off, len) = bounds.head
+          probe(java.util.Arrays.copyOfRange(payload, off, off + len)).map(first =>
+            MediaMeta(
+              width = first.width, height = first.height, sampleRate = 0,
+              durationMs = bounds.length * 40L, codec = "mjpeg"))
         }
       } else None
     }
@@ -269,12 +278,19 @@ object Multimodal {
      * one remaining (documented) stub path.
      */
     def contentFeatures(payload: Array[Byte]): Option[Array[Float]] =
-      probe(payload) match {
-        case Some(m) if m.codec.startsWith("pcm_s16") => Some(wavFeatures(payload))
-        case Some(m) if m.codec == "bmp" => Some(bmpFeatures(payload))
-        case Some(m) if m.codec == "png" => pngFeatures(payload) // full inflate+unfilter
-        case Some(m) if m.codec.startsWith("jpeg") => jpegFeatures(payload, m)
-        case Some(m) if m.codec == "mjpeg" => mjpegVideoFeatures(payload)
+      probe(payload).flatMap(contentFeaturesFor(payload, _))
+
+    /** Dispatch on an ALREADY-probed meta — [[featurize]] calls this so a
+      * payload is probed exactly once per record (for MJPG the probe is a
+      * full boundary scan, worth not repeating). */
+    private[operators] def contentFeaturesFor(
+        payload: Array[Byte], m: MediaMeta): Option[Array[Float]] =
+      m.codec match {
+        case c if c.startsWith("pcm_s16") => Some(wavFeatures(payload))
+        case "bmp" => Some(bmpFeatures(payload))
+        case "png" => pngFeatures(payload) // full inflate+unfilter
+        case c if c.startsWith("jpeg") => jpegFeatures(payload, m)
+        case "mjpeg" => mjpegVideoFeatures(payload)
         case _ => None
       }
 
@@ -284,6 +300,8 @@ object Multimodal {
       * decodable payload is corruption, not a video). */
     private def mjpegVideoFeatures(payload: Array[Byte]): Option[Array[Float]] =
       mjpegFrames(payload).flatMap { fs =>
+        // frames can't nest (mjpegFrameBounds rejects it), so this recursion
+        // into contentFeatures is depth-1 by construction
         val perFrame = fs.flatMap(contentFeatures)
         if (perFrame.length != fs.length) None
         else Some(Array.tabulate(FeatureDim)(i =>
@@ -326,7 +344,13 @@ object Multimodal {
           y += 1
         }
         Some(pixelStats(pixels, 0, w * 3, w * 3, h))
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // ImageIO's JPEG reader surfaces malformed input as more than
+        // IOException (CMMException on bad ICC profiles, IAE/AIOOBE on
+        // inconsistent segments) — any of them means "undecodable payload",
+        // which is the stub fallback, never a task failure
+        case scala.util.control.NonFatal(_) => None
+      }
     }
 
     /** Fixture encoder: a REAL JPEG from raw RGB bytes through the JDK's own
@@ -587,24 +611,37 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Split an MJPG payload into its frames — bounds-checked like
-      * CellCursor: a negative/oversized length prefix means corruption and
-      * returns None (callers fall back to the byte-window stub). */
-    def mjpegFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    /** Frame boundaries of an MJPG payload as `(offset, length)` — no byte
+      * copies; bounds-checked like CellCursor. The length comparison keeps
+      * the attacker-controlled value ALONE on one side (`len > remaining`):
+      * `off + 4 + len` would overflow int for len near 2^31 and slip a ~2 GB
+      * allocation past the guard. Nested containers (a frame that is itself
+      * MJPG) are rejected — real MJPEG has no nesting, and accepting it
+      * would let one crafted payload drive unbounded probe/decode recursion. */
+    def mjpegFrameBounds(payload: Array[Byte]): Option[Seq[(Int, Int)]] = {
       if (payload.length < 8 ||
         !java.util.Arrays.equals(payload, 0, 4, MjpegMagic, 0, 4)) return None
-      val frames = Seq.newBuilder[Array[Byte]]
+      val frames = Seq.newBuilder[(Int, Int)]
       var off = 4
       while (off < payload.length) {
         if (off + 4 > payload.length) return None
         val len = ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
           ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
-        if (len <= 0 || off + 4 + len > payload.length) return None
-        frames += java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + len)
+        if (len <= 0 || len > payload.length - off - 4) return None
+        if (len >= 4 && java.util.Arrays.equals(payload, off + 4, off + 8, MjpegMagic, 0, 4))
+          return None // nested container
+        frames += ((off + 4, len))
         off += 4 + len
       }
       Some(frames.result())
     }
+
+    /** Split an MJPG payload into copied frames (see [[mjpegFrameBounds]]
+      * for the validation contract). */
+    def mjpegFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+      mjpegFrameBounds(payload).map(_.map { case (off, len) =>
+        java.util.Arrays.copyOfRange(payload, off, off + len)
+      })
   }
 
   /**
@@ -625,10 +662,11 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition codec setup would happen HERE, once per task
       it.map { r =>
-        val m = MediaCodec.probe(r.payload).getOrElse(r.meta)
+        val probed = MediaCodec.probe(r.payload)
+        val m = probed.getOrElse(r.meta)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
           m.width, m.height, m.sampleRate, m.durationMs, m.codec,
-          MediaCodec.contentFeatures(r.payload)
+          probed.flatMap(MediaCodec.contentFeaturesFor(r.payload, _))
             .getOrElse(MediaCodec.decodeStub(r.payload)))
       }
     }
@@ -689,7 +727,10 @@ object Multimodal {
         }
         case "audio" => MediaCodec.wrapWav(8000 + ((id / 3) % 3).toInt * 8000, body)
         case _ if (id / 3) % 2 == 0 =>
-          val nFrames = 2 + (id % 3).toInt
+          // (id/3) in the divisor, NOT id: video ids are all ≡ 2 (mod 3), so
+          // an id-keyed count would be the constant 4 and 2/3-frame
+          // containers would never appear in any corpus
+          val nFrames = 2 + ((id / 3) % 3).toInt
           MediaCodec.wrapMjpeg((0 until nFrames).map(fi =>
             MediaCodec.encodeJpeg(16, 12, Array.tabulate(16 * 12 * 3)(i =>
               ((id * 31 + fi * 101 + i * 7) % 251).toByte))))
@@ -701,7 +742,14 @@ object Multimodal {
     }
   }
 
-  /** Demo pipeline: synthesize → probe + featurize → per-kind stats. The
+  /** Demo pipeline: synthesize → probe + featurize → per-kind stats.
+    * NB the committed golden for this query pins avg_f0 to THIS container's
+    * JDK: jpeg/mjpeg features go through the JDK's own JPEG codec, whose
+    * IDCT output is tolerance-specified and may shift ±1/255 across JDK
+    * versions/vendors — regenerate the golden (GRAFT_REGEN_GOLDEN=1) after
+    * a JDK change.
+    *
+    * The
     * max_width / max_sample_rate columns come from the REAL header parse. */
   def mediaPipeline(spark: SparkSession, n: Int): DataFrame = {
     val feats = featurize(syntheticMedia(spark, n))

@@ -292,6 +292,17 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val corrupt = video.clone(); corrupt(4) = 0x7f
     assert(MediaCodec.mjpegFrames(corrupt).isEmpty)
     assert(MediaCodec.contentFeatures(corrupt).isEmpty)
+    // length prefix near 2^31: `off + 4 + len` overflows int — the guard
+    // must reject it, not attempt a ~2 GB copyOfRange
+    val overflow = MediaCodec.MjpegMagic ++
+      Array(0x7f.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++ Array.fill[Byte](4)(1)
+    assert(MediaCodec.mjpegFrames(overflow).isEmpty)
+    assert(MediaCodec.probe(overflow).isEmpty)
+    // nested containers are rejected (depth-1 contract: no crafted payload
+    // can drive unbounded probe/decode recursion)
+    val nested = MediaCodec.wrapMjpeg(Seq(MediaCodec.wrapMjpeg(Seq(frameA))))
+    assert(MediaCodec.mjpegFrames(nested).isEmpty)
+    assert(MediaCodec.contentFeatures(nested).isEmpty)
   }
 
   test("media features compose with similarity search end-to-end") {
