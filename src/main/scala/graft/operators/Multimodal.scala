@@ -582,9 +582,47 @@ object Multimodal {
       raw.map(_ / norm)
     }
 
-    /** STUB — "resize": a real decoder would rescale pixels; we re-window bytes. */
+    /** STUB — "resize" fallback for undecodable payloads: re-window bytes. */
     def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] =
       payload.take(maxBytes)
+
+    /**
+     * REAL image resize — the standard thumbnail pipeline, pure JDK: decode
+     * (any ImageIO-readable format: JPEG/PNG/BMP/GIF), scale to fit
+     * `maxDim` on the longer side (bilinear, headless `Graphics2D`),
+     * re-encode as JPEG. Already-small images re-encode without scaling
+     * (output format is normalized either way). None for undecodable
+     * payloads — callers fall back to [[resizeStub]].
+     */
+    def resizeImage(payload: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+      require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+      // bound BEFORE decode when the geometry is probe-able (jpeg/png/bmp);
+      // ImageIO-only formats (gif) are bounded right after the header decode
+      probe(payload) match {
+        case Some(m) if m.width.toLong * m.height * 3 > (1L << 26) => return None
+        case _ => ()
+      }
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) return None
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 26)) return None
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val (tw, th) = (math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt))
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null): Unit
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(out, "jpg", bos)) return None
+        Some(bos.toByteArray)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
     /** STUB — frame sampling: every `stride`-th chunk of the payload. */
     def frameSampleStub(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
@@ -693,6 +731,27 @@ object Multimodal {
   }
 
   /**
+   * Thumbnail a media table partition-locally: image payloads through the
+   * REAL decode→scale→re-encode pipeline ([[MediaCodec.resizeImage]]);
+   * undecodable payloads fall back to the byte-window stub with `resized =
+   * false`. Same 100 TB shape as [[featurize]]: payload bytes never cross a
+   * shuffle — the (much smaller) thumbnails continue.
+   */
+  def thumbnails(media: Dataset[MediaRecord], maxDim: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        MediaCodec.resizeImage(r.payload, maxDim) match {
+          case Some(thumb) => (r.media_id, r.kind, true, thumb, r.payload.length, thumb.length)
+          case None =>
+            val windowed = MediaCodec.resizeStub(r.payload, maxDim * maxDim)
+            (r.media_id, r.kind, false, windowed, r.payload.length, windowed.length)
+        }
+      }
+    }.toDF("media_id", "kind", "resized", "thumb", "orig_bytes", "thumb_bytes")
+  }
+
+  /**
    * Deterministic synthetic media table (payload bytes derived from the id) —
    * the fixture generator for tests and the demo query; stands in for a real
    * binary-payload source.
@@ -717,7 +776,13 @@ object Multimodal {
         Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 251).toByte)
       val payload = kind match {
         case "image" => ((id / 3) % 3).toInt match {
-          case 0 => MediaCodec.wrapBmp(16 + (id % 16).toInt, 16, body)
+          case 0 =>
+            // width a multiple of 4 → stride = 3w is 4-aligned, and the
+            // pixel array matches the declared geometry exactly: a fully
+            // spec-conforming BMP that any decoder (incl. ImageIO for the
+            // resize path) accepts, not just our own header walk
+            val w = 16 + (id % 16).toInt / 4 * 4
+            MediaCodec.wrapBmp(w, 16, rgb(w, 16))
           case 1 => // REAL JPEG through the JDK encoder: decode path is live
             val w = 32 + (id % 16).toInt
             MediaCodec.encodeJpeg(w, 24, rgb(w, 24))

@@ -250,6 +250,49 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(MediaCodec.contentFeatures(huge).isEmpty)
   }
 
+  test("thumbnails: real decode→scale→re-encode for images, stub for raw blobs") {
+    import Multimodal.MediaCodec
+    // a 64x48 gradient shrinks to fit 16 on the long side → 16x12
+    val big = MediaCodec.encodeJpeg(64, 48, Array.tabulate(64 * 48 * 3)(i => (i % 251).toByte))
+    val thumb = MediaCodec.resizeImage(big, 16).getOrElse(fail("jpeg must resize"))
+    assert(MediaCodec.probe(thumb).exists(m =>
+      m.width == 16 && m.height == 12 && m.codec.startsWith("jpeg")))
+    assert(thumb.length < big.length)
+    // PNG input resizes too (ImageIO reads it; output normalized to JPEG)
+    val png = MediaCodec.wrapPng(20, 10, Array.fill(20 * 10 * 3)(99.toByte))
+    assert(MediaCodec.resizeImage(png, 8).flatMap(MediaCodec.probe)
+      .exists(m => m.width == 8 && m.height == 4))
+    // already-small stays at its size; garbage returns None
+    assert(MediaCodec.resizeImage(MediaCodec.encodeJpeg(4, 4, Array.fill(48)(7.toByte)), 16)
+      .flatMap(MediaCodec.probe).exists(m => m.width == 4 && m.height == 4))
+    assert(MediaCodec.resizeImage(Array.fill[Byte](100)(3), 16).isEmpty)
+    // the Dataset operator: images resize, raw video blobs fall back
+    val rows = Multimodal.thumbnails(Multimodal.syntheticMedia(spark, 30), maxDim = 8)
+      .collect()
+    assert(rows.length == 30)
+    val byKind = rows.groupBy(_.getString(1))
+    assert(byKind("image").forall(_.getBoolean(2)), "all images must really resize")
+    assert(byKind("video").exists(!_.getBoolean(2)), "raw blobs take the stub")
+    assert(rows.forall(r => r.getInt(5) <= math.max(r.getInt(4), 1000)))
+  }
+
+  test("streaming featurize: the media pipeline runs on an unbounded stream") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-smedia").toFile.getAbsolutePath
+    Multimodal.syntheticMedia(spark, 30).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir).as[Multimodal.MediaRecord]
+    val q = Multimodal.featurize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("smedia_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("smedia_out")
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Seq[Float]]("features")).toMap
+    val batch = Multimodal.featurize(Multimodal.syntheticMedia(spark, 30))
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(streamed.size == 30 && streamed == batch)
+  }
+
   test("media pipeline aggregates per kind with payload accounting") {
     val rows = Multimodal.mediaPipeline(spark, 300).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
@@ -260,8 +303,10 @@ class MultimodalStreamingSpec extends AnyFunSuite {
   test("frame sampling emits every stride-th frame with features") {
     val df = Multimodal.frameFeatures(Multimodal.syntheticMedia(spark, 10), frameSize = 64, stride = 2)
     val counts = df.groupBy("media_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(counts(0L) == 1) // image payload: 1 byte-window frame
-    // id 8 is an MJPG video with 2 + (8 % 3) = 4 REAL frames → idx 0 and 2
+    // id 0 is a (now fully pixel-backed) BMP: 822 payload bytes → 13
+    // byte-window chunks → every 2nd = 7 rows
+    assert(counts(0L) == 7)
+    // id 8 is an MJPG video with 2 + ((8/3) % 3) = 4 REAL frames → idx 0 and 2
     assert(counts(8L) == 2)
     assert(counts(9L) >= 1)
     assert(df.filter(size(col("features")) =!= Multimodal.MediaCodec.FeatureDim).count() == 0)
