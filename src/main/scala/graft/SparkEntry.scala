@@ -409,6 +409,14 @@ object SparkEntry {
     "sample_quota_lang" -> ((s, d) =>
       graft.operators.TrainingSet.quotaSample(documents(s, d), quota = 50)
         .orderBy("lang", "rk")),
+    // the FLAGSHIP composition: exact dedup → near-dup cluster keep-one →
+    // quality gate → benchmark decontamination → per-lang quota → context-
+    // window packing, all six stages under ONE DuckDB oracle
+    "pipeline_training_set" -> { (s, d) =>
+      val docs = documents(s, d)
+      graft.operators.TrainingSet.buildTrainingSet(
+        docs, docs.filter(col("doc_id") % 20 === 0)).orderBy("doc_id")
+    },
 
     // ---- scale ops: similarity search over `embeddings` ---------------------
     "ann_topk_dot" -> { (s, d) =>
@@ -450,12 +458,18 @@ object SparkEntry {
     // while n (the per-doc shingle count) stays pre-prune — byte-identical
     // semantics, so the oracle cannot silently diverge on a corpus where the
     // cap actually fires.
-    val ngramCtes =
-      """t AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents) WHERE len(toks) >= 3),
-        |e AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM t),
-        |ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
-        |e2 AS (SELECT e.* FROM e JOIN ok USING (s))""".stripMargin.replace("\n", " ")
+    // distinct word-n-gram sets per doc from `source` (any table/CTE with
+    // doc_id + text) — the one shingle definition every n-gram oracle shares.
+    // DuckDB list slicing is 1-based inclusive: toks[i:i+(n-1)] is n tokens,
+    // i ranging 1..len-n+1 (range() excludes its upper bound)
+    def shingleCte(name: String, source: String, n: Int = 3): String =
+      s"$name AS (SELECT doc_id AS id, list_distinct(list_transform(range(1, len(toks)-${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS sh " +
+        s"FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM $source) WHERE len(toks) >= $n)"
+    def ngramCtes(source: String = "documents"): String =
+      shingleCte("t", source) + ", " +
+        """e AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM t),
+          |ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+          |e2 AS (SELECT e.* FROM e JOIN ok USING (s))""".stripMargin.replace("\n", " ")
     val ngramPairSelect =
       """SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter, a.n + b.n - count(*) AS n_union
         |FROM e2 a JOIN e2 b ON a.s = b.s AND a.id < b.id
@@ -622,12 +636,12 @@ object SparkEntry {
         ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY 1"),
       "dedup_ngram_jaccard" ->
-        s"WITH $ngramCtes $ngramPairSelect ORDER BY 1, 2",
+        s"WITH ${ngramCtes()} $ngramPairSelect ORDER BY 1, 2",
       // connected components of the same pair graph, computed independently:
       // recursive transitive closure (fine at oracle scale), then min
       // reachable id per doc; singletons fall out of the LEFT JOIN
       "dedup_clusters" ->
-        (s"WITH RECURSIVE $ngramCtes, pairs AS ($ngramPairSelect), " +
+        (s"WITH RECURSIVE ${ngramCtes()}, pairs AS ($ngramPairSelect), " +
           "und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
           "reach(a, b) AS (SELECT a, b FROM und UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
           "mn AS (SELECT a, min(b) AS mb FROM reach GROUP BY a) " +
@@ -664,6 +678,37 @@ object SparkEntry {
           |  (start_offset + n_tokens - 1) // 512 AS bin_end,
           |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_bins
           |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // the six-stage training-set build, re-derived relationally: exact
+      // dedup (min id per md5) → connected-component keep-one (recursive
+      // closure over the SAME capped pair definition as dedup_clusters, but
+      // on the dedup survivors) → quality gate → decontamination (3-gram
+      // overlap with the doc_id%20=0 benchmark split, which is also itself
+      // excluded) → per-lang row_number quota → window-cumsum packing
+      "pipeline_training_set" -> {
+        val pairCtes = ngramCtes("d1") // pair graph over the exact-dedup survivors
+        "WITH RECURSIVE " +
+          "keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+          "d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)), " +
+          s"$pairCtes, pairs AS ($ngramPairSelect), " +
+          "und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+          "reach(a, b) AS (SELECT a, b FROM und UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+          "mn AS (SELECT a, min(b) AS mb FROM reach GROUP BY a), " +
+          "d2 AS (SELECT d1.* FROM d1 LEFT JOIN mn ON d1.doc_id = mn.a " +
+          "WHERE least(d1.doc_id, coalesce(mn.mb, d1.doc_id)) = d1.doc_id), " +
+          "tok AS (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens FROM documents), " +
+          "d3 AS (SELECT d2.* FROM d2 JOIN tok USING (doc_id) WHERE d2.n_chars >= 20 AND tok.n_tokens >= 10), " +
+          shingleCte("ash", "documents", n = 5) + ", " + // decontamination runs 5-grams
+          "trs AS (SELECT a.id, unnest(a.sh) AS s FROM ash a JOIN d3 ON a.id = d3.doc_id WHERE a.id % 20 <> 0), " +
+          "bs AS (SELECT DISTINCT unnest(sh) AS s FROM ash WHERE id % 20 = 0), " +
+          "contam AS (SELECT DISTINCT trs.id FROM trs JOIN bs USING (s)), " +
+          "d4 AS (SELECT * FROM d3 WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT id FROM contam)), " +
+          "d5 AS (SELECT * FROM (SELECT d4.*, row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk FROM d4) WHERE rk <= 50), " +
+          "c AS (SELECT d5.doc_id, d5.lang, tok.n_tokens, " +
+          "CAST(COALESCE(sum(tok.n_tokens) OVER (ORDER BY d5.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset " +
+          "FROM d5 JOIN tok ON d5.doc_id = tok.doc_id) " +
+          "SELECT doc_id, lang, n_tokens, start_offset, start_offset // 512 AS bin_start " +
+          "FROM c ORDER BY doc_id"
+      },
       // quota sampling: rank = row_number over (md5(text), doc_id) per lang —
       // the engine's bottom-k aggregate must reproduce it exactly
       "sample_quota_lang" ->

@@ -141,6 +141,70 @@ object TrainingSet {
   }
 
   /**
+   * The END-TO-END training-set build — every cleaning stage this library
+   * ships, composed in the order a production corpus pipeline runs them:
+   *
+   *  1. exact dedup (keep the minimum id per content hash — [[Dedup.exact]])
+   *  2. near-dup cluster canonicalization (n-gram Jaccard pairs →
+   *     connected components → keep `id == canon_id`;
+   *     [[Dedup.ngramJaccard]] + [[Dedup.nearDupClusters]])
+   *  3. quality gate (`n_chars >= minChars`, token count >= `minTokens`)
+   *  4. benchmark decontamination (drop the benchmark split itself AND any
+   *     doc sharing an n-gram with it — [[decontaminate]])
+   *  5. per-stratum quota sampling ([[quotaSample]])
+   *  6. context-window packing over the survivors ([[packSequences]])
+   *
+   * Output: one row per selected document —
+   * `(idCol, strataCol, n_tokens, start_offset, bin_start)` — the manifest a
+   * tokenizer shard-writer consumes. Every stage is deterministic and
+   * engine-reproducible, so the WHOLE composition sits under one DuckDB
+   * oracle (`pipeline_training_set`): six stages, two engines, bit-equal.
+   *
+   * Expects `docs` to carry `n_chars` and `strataCol` columns alongside
+   * (idCol, textCol); `benchmark` needs (idCol, textCol).
+   */
+  def buildTrainingSet(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      capTokens: Long = 512,
+      quotaPerStratum: Int = 50,
+      minChars: Long = 20,
+      minTokens: Long = 10,
+      // 5-gram decontamination (pair detection stays 3-gram): overlap windows
+      // this short already over-fire on generic phrases — production suites
+      // run 8-13-gram checks (GPT-3 used 13) precisely so shared boilerplate
+      // doesn't empty the corpus
+      decontaminateNgram: Int = 5,
+      strataCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    // 1. exact dedup: survivors are the per-hash minimum ids
+    val keepExact = Dedup.exact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val d1 = docs.join(keepExact, Seq(idCol), "left_semi")
+    // 2. near-dup: one doc per connected component of the pair graph
+    val canon = Dedup.nearDupClusters(d1, Dedup.ngramJaccard(d1, idCol = idCol, textCol = textCol), idCol)
+    val d2 = d1.join(
+      canon.filter(id === col("canon_id")).select(id), Seq(idCol), "left_semi")
+    // 3. quality gate (exact integer metrics, same guards as the clean-corpus query)
+    val d3 = d2.filter(col("n_chars") >= minChars &&
+      size(tokens(col(textCol))) >= minTokens)
+    // 4. drop the benchmark split and everything contaminated by it
+    val train = d3.join(benchmark.select(id), Seq(idCol), "left_anti")
+    val contaminated = decontaminate(train, benchmark, n = decontaminateNgram,
+      idCol = idCol, textCol = textCol)
+    val d4 = train.join(contaminated.select(id), Seq(idCol), "left_anti")
+    // 5. balance the mix per stratum
+    val selected = quotaSample(d4, quotaPerStratum, strataCol, idCol, textCol)
+    val d5 = d4.join(selected.select(id), Seq(idCol), "left_semi")
+    // 6. lay the survivors into context windows
+    packSequences(d5, capTokens, idCol, textCol)
+      .join(d5.select(id, col(strataCol)), Seq(idCol))
+      .select(id, col(strataCol), col("n_tokens"), col("start_offset"), col("bin_start"))
+  }
+
+  /**
    * Deterministic per-stratum quota sampling: the `quota` documents with the
    * SMALLEST content hash per stratum, ranked — a uniform-without-RNG sample
    * any engine reproduces exactly (`row_number() OVER (PARTITION BY stratum

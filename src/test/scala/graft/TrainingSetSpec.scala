@@ -147,6 +147,30 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(TrainingSet.decontaminate(d, d.filter(col("doc_id") === 2L)).count() == 0)
   }
 
+  test("buildTrainingSet: every stage drops exactly its targets, survivors pack densely") {
+    def doc(id: Long, text: String) =
+      (id, text, text.length.toLong, "en")
+    val long = (tag: String) => // 12 distinct tokens, > minTokens and > decon width
+      (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      doc(1L, long("a")),            // survivor
+      doc(2L, long("a")),            // exact dup of 1 → dropped (stage 1)
+      doc(3L, long("b")),            // survivor
+      doc(4L, long("b").replace("b12", "zz")), // near-dup of 3 (11/12 tokens) → dropped (stage 2)
+      doc(5L, "tiny"),               // fails quality gate → dropped (stage 3)
+      doc(20L, long("e")),           // benchmark id (20 % 20 == 0) → excluded (stage 4)
+      doc(6L, long("e")),            // shares the benchmark's 5-grams → dropped (stage 4)
+      doc(7L, long("g"))             // survivor
+    ).toDF("doc_id", "text", "n_chars", "lang")
+    val bench = corpus.filter(col("doc_id") % 20 === 0)
+    val out = TrainingSet.buildTrainingSet(corpus, bench, capTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 7L), out.mkString(", "))
+    // packing: 12 tokens per survivor, laid end-to-end, cap 8
+    assert(out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((12L, 0L, 0L), (12L, 12L, 1L), (12L, 24L, 3L)))
+  }
+
   test("quotaSample plan: bounded aggregate, no window exchange-and-sort per row") {
     val d = docs(1L -> "a", 2L -> "b").withColumn("lang", lit("en"))
     val p = TrainingSet.quotaSample(d, 5).queryExecution.executedPlan.toString
