@@ -179,6 +179,16 @@ object TrainingSet {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val id = col(idCol)
+    // Inter-stage materialization: the cleaned-corpus frame (d4) feeds three
+    // downstream actions (the quota sampler, the packer's two passes, and
+    // the final stratum join) — without the checkpoint Catalyst re-derives
+    // the whole upstream lineage (exact dedup, pair generation, cluster
+    // labels, decontamination) once per action: measured 10.8 s → 7.7 s at
+    // sf0.1. This is exactly the stage boundary where a production pipeline
+    // writes the cleaned corpus to storage; on a real cluster swap
+    // localCheckpoint for reliable checkpoint / a parquet sink. (d1 is NOT
+    // checkpointed: its lineage — scan + hash-agg + semi-join — is cheaper
+    // to recompute than to materialize.)
     // 1. exact dedup: survivors are the per-hash minimum ids
     val keepExact = Dedup.exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
@@ -195,6 +205,7 @@ object TrainingSet {
     val contaminated = decontaminate(train, benchmark, n = decontaminateNgram,
       idCol = idCol, textCol = textCol)
     val d4 = train.join(contaminated.select(id), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
     // 5. balance the mix per stratum
     val selected = quotaSample(d4, quotaPerStratum, strataCol, idCol, textCol)
     val d5 = d4.join(selected.select(id), Seq(idCol), "left_semi")
