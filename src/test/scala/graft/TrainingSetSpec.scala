@@ -147,6 +147,34 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(TrainingSet.decontaminate(d, d.filter(col("doc_id") === 2L)).count() == 0)
   }
 
+  test("packSequences invariants hold on random corpora at random parallelism") {
+    // randomized corpus shapes (sizes, token counts, partition counts) — the
+    // invariants, not examples: offsets are a dense chain in id order, every
+    // bin interval is consistent, and the stream total matches
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 1 + rnd.nextInt(300)
+      val cap = 1 + rnd.nextInt(64)
+      val parts = 1 + rnd.nextInt(8)
+      val corpus = (1 to n).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(20))("w" + rnd.nextInt(50)).mkString(" "))
+      }
+      val rows = TrainingSet.packSequences(
+        rnd.shuffle(corpus).toDF("doc_id", "text").repartition(parts), cap)
+        .orderBy("doc_id").collect()
+      assert(rows.length == n, s"trial $trial")
+      var expectStart = 0L
+      rows.foreach { r =>
+        val (nTok, start, binS, binE, nBins) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(start == expectStart, s"trial $trial: offset chain broken at ${r.getLong(0)}")
+        assert(binS == start / cap && binE == (start + nTok - 1) / cap &&
+          nBins == binE - binS + 1, s"trial $trial: bin arithmetic")
+        expectStart += nTok
+      }
+    }
+  }
+
   test("buildTrainingSet: every stage drops exactly its targets, survivors pack densely") {
     def doc(id: Long, text: String) =
       (id, text, text.length.toLong, "en")
