@@ -206,8 +206,11 @@ object TrainingSet {
       idCol = idCol, textCol = textCol)
     val d4 = train.join(contaminated.select(id), Seq(idCol), "left_anti")
       .localCheckpoint(true)
-    // 5. balance the mix per stratum
+    // 5. balance the mix per stratum; the selection (≤ strata × quota rows)
+    // is materialized because d5 feeds both the packer and the final join —
+    // without it each consumer re-runs the bottom-k aggregate over d4
     val selected = quotaSample(d4, quotaPerStratum, strataCol, idCol, textCol)
+      .localCheckpoint(true)
     val d5 = d4.join(selected.select(id), Seq(idCol), "left_semi")
     // 6. lay the survivors into context windows
     packSequences(d5, capTokens, idCol, textCol)

@@ -180,6 +180,12 @@ class TrainingSetSpec extends AnyFunSuite {
       (id, text, text.length.toLong, "en")
     val long = (tag: String) => // 12 distinct tokens, > minTokens and > decon width
       (1 to 12).map(i => s"$tag$i").mkString(" ")
+    // doc 6 shares exactly tokens e1..e5 with the benchmark doc: one shared
+    // 5-gram (contaminated) but 3-gram jaccard 3/17 < 1/2 (NOT a near-dup
+    // pair), so doc 20 reaches stage 4 and ONLY the benchmark anti-join can
+    // exclude it — deleting that stage fails this test
+    val partial = (1 to 5).map(i => s"e$i").mkString(" ") + " " +
+      (6 to 12).map(i => s"f$i").mkString(" ")
     val corpus = Seq(
       doc(1L, long("a")),            // survivor
       doc(2L, long("a")),            // exact dup of 1 → dropped (stage 1)
@@ -187,7 +193,7 @@ class TrainingSetSpec extends AnyFunSuite {
       doc(4L, long("b").replace("b12", "zz")), // near-dup of 3 (11/12 tokens) → dropped (stage 2)
       doc(5L, "tiny"),               // fails quality gate → dropped (stage 3)
       doc(20L, long("e")),           // benchmark id (20 % 20 == 0) → excluded (stage 4)
-      doc(6L, long("e")),            // shares the benchmark's 5-grams → dropped (stage 4)
+      doc(6L, partial),              // shares a benchmark 5-gram → dropped (stage 4)
       doc(7L, long("g"))             // survivor
     ).toDF("doc_id", "text", "n_chars", "lang")
     val bench = corpus.filter(col("doc_id") % 20 === 0)
