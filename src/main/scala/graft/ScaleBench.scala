@@ -137,6 +137,27 @@ object ScaleBench {
           s"offset chain broken: ${last.getLong(2)} + ${last.getLong(1)} != $total")
         println(s"[scale] packed $total tokens into ${total / 2048 + 1} windows")
       }
+      // the flagship six-stage composition end-to-end: planted clones must
+      // fall to cluster keep-one (their canonical is the benchmark doc),
+      // benchmark docs to the anti-join — no survivor from either group
+      time(s"end-to-end training-set build over ${nDocs} docs (6 stages)") {
+        import graft.operators.TrainingSet
+        val corpus = docs
+          .withColumn("n_chars", length(col("text")))
+          .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5L))))
+        val built = TrainingSet.buildTrainingSet(
+          corpus, corpus.filter(pmod(col("doc_id"), lit(50L)) === 0L),
+          capTokens = 2048, quotaPerStratum = 1000).collect()
+        assert(built.nonEmpty && built.forall { r =>
+          val m = r.getLong(0) % 50; m != 0 && m != 1
+        }, "planted benchmark docs/clones must not survive")
+        var expect = 0L
+        built.sortBy(_.getLong(0)).foreach { r =>
+          assert(r.getLong(3) == expect, s"offset chain broken at ${r.getLong(0)}")
+          expect += r.getLong(2)
+        }
+        println(s"[scale] training set: ${built.length} docs, $expect tokens")
+      }
     }
 
     // ---- binary cell codec at scale: the LongColumnInterpreter path ----
