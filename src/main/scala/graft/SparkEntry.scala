@@ -243,6 +243,13 @@ object SparkEntry {
         Seq(sum(col("value_fp")).cast("double").as("sum_fixed")))
     },
 
+    // beyond-reference: distinct active users per 900 s bucket — exact
+    // two-level count(DISTINCT) under the oracle; the HLL++ sketch form
+    // (TsAgg.approxDistinctCount, the 100 TB path) is error-bounded against
+    // this exact form in TsAggGoldenSpec
+    "ts_distinct_users_900" -> ((s, d) =>
+      TsAgg.distinctCount(events(s, d, spec900), spec900, keyCol = "user_id")),
+
     // series-grouped diff (VERDICT r2 #7): the same bucket-delta operator,
     // windowed PER SERIES — each event_type's lag runs in its own window
     // partition, so no single-partition bottleneck at scale (the no-series
@@ -492,6 +499,8 @@ object SparkEntry {
         T0_EVENTS, e900, 900 * MS),
       "ts_max_trailing_900" -> tsAggSql("max(value) AS max_value",
         T0_ODD, specTrailing.scanEndMs, 900 * MS),
+      "ts_distinct_users_900" -> tsAggSql(
+        "count(DISTINCT user_id) AS n_distinct", T0_EVENTS, e900, 900 * MS),
       "ts_avg_28800" -> tsAggSql(
         s"CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
         T0_EVENTS, T0_EVENTS + 30 * DAY, 28800 * MS),

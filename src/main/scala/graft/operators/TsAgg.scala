@@ -191,6 +191,31 @@ object TsAgg {
         .as("wavg_value")))
 
   /**
+   * Per-bucket DISTINCT count of `keyCol` (e.g. active users per window) —
+   * beyond the reference's five aggregates but a staple of every production
+   * time-series stack. Exact form: Spark plans `count(DISTINCT k)` as a
+   * two-level aggregate (dedup on (bucket, k), then count) — shuffle carries
+   * distinct pairs, never raw cells.
+   */
+  def distinctCount(df: DataFrame, spec: TsAggSpec, keyCol: String): DataFrame =
+    aggregate(df, spec,
+      Seq(functions.count_distinct(col(keyCol)).as("n_distinct")))
+
+  /**
+   * Approximate per-bucket distinct count via Spark's built-in HLL++ sketch
+   * (`approx_count_distinct`) — the 100 TB form: constant-size sketch per
+   * bucket regardless of key cardinality, single-pass partial/final merge
+   * (the exact form's dedup level shuffles one row per distinct pair, which
+   * at billions of distinct keys IS the bottleneck). `rsd` = target relative
+   * standard deviation (default 5%); not oracle-comparable by design —
+   * `TsAggGoldenSpec` bounds it against [[distinctCount]] instead.
+   */
+  def approxDistinctCount(
+      df: DataFrame, spec: TsAggSpec, keyCol: String, rsd: Double = 0.05): DataFrame =
+    aggregate(df, spec,
+      Seq(functions.approx_count_distinct(col(keyCol), rsd).as("n_distinct_approx")))
+
+  /**
    * Per-bucket difference vs the previous bucket — README's planned `diff`
    * operator (`README.md:33-34`): SUM per bucket, then `value - lag(value)`
    * over bucket order. The window runs on post-aggregate rows (O(#buckets),

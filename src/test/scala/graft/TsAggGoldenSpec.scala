@@ -235,4 +235,26 @@ class TsAggGoldenSpec extends AnyFunSuite {
     val diffRows = TsAgg.diff(df.withColumn("value", col("value").cast("long")), spec).collect()
     assert(diffRows.map(r => Option(r.get(r.fieldIndex("diff_value")))).toSeq == Seq(None, Some(20L)))
   }
+
+  test("distinctCount is exact; the HLL++ sketch form stays within its error bound") {
+    import spark.implicits._
+    // 2000 cells in bucket 0 over 500 distinct keys, 100 cells in bucket 1
+    // over 100 distinct keys — repeats must not inflate either form
+    val df = ((0 until 2000).map(i => (BaseMs + 1L + i % 7, (i % 500).toLong)) ++
+      (0 until 100).map(i => (BaseMs + 900001L, 10000L + i)))
+      .toDF("ts", "user")
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 1800000L),
+      valueCol = "user")
+    val exact = collectMap(TsAgg.distinctCount(df, spec, "user"))
+      .map { case (k, v) => k -> v.asInstanceOf[Long] }
+    assert(exact == Map(BaseMs -> 500L, (BaseMs + 900000L) -> 100L))
+    val approx = collectMap(TsAgg.approxDistinctCount(df, spec, "user", rsd = 0.02))
+      .map { case (k, v) => k -> v.asInstanceOf[Long] }
+    exact.foreach { case (bucket, n) =>
+      val a = approx(bucket)
+      // 5 standard deviations at rsd=0.02: deterministic sketch, generous slack
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.10).toLong),
+        s"bucket $bucket: approx $a vs exact $n")
+    }
+  }
 }
