@@ -205,6 +205,16 @@ class TrainingSetSpec extends AnyFunSuite {
       Seq((12L, 0L, 0L), (12L, 12L, 1L), (12L, 24L, 3L)))
   }
 
+  test("buildTrainingSet: empty and sub-threshold corpora return empty, never crash") {
+    val empty = Seq.empty[(Long, String, Long, String)]
+      .toDF("doc_id", "text", "n_chars", "lang")
+    assert(TrainingSet.buildTrainingSet(empty, empty).count() == 0)
+    // every doc fails the quality gate → empty survivors through all stages
+    val tiny = Seq((1L, "a b", 3L, "en"), (2L, "c d", 3L, "en"))
+      .toDF("doc_id", "text", "n_chars", "lang")
+    assert(TrainingSet.buildTrainingSet(tiny, tiny.limit(0)).count() == 0)
+  }
+
   test("quotaSample plan: bounded aggregate, no window exchange-and-sort per row") {
     val d = docs(1L -> "a", 2L -> "b").withColumn("lang", lit("en"))
     val p = TrainingSet.quotaSample(d, 5).queryExecution.executedPlan.toString
