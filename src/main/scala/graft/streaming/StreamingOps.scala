@@ -132,6 +132,49 @@ object StreamingOps {
       .select(col(idCol), col("n_shared"))
   }
 
+  /**
+   * Streaming ANN: a continuous stream of query vectors against a STATIC
+   * corpus through the IVF-flat index — the serving-path counterpart of
+   * [[graft.operators.Similarity.annCosineIvf]]. Centroids are trained once
+   * at stream construction (static corpus); each micro-batch's queries probe
+   * their `nprobe` cells map-side, the cell equality join against the
+   * corpus-by-cell frame is STATELESS (stream-static joins buffer nothing),
+   * and the per-query top-k rides the same bounded [[graft.functions.TopK]]
+   * aggregate — the only stateful operator, k entries per live query id.
+   *
+   * The corpus side here is unhinted: Spark broadcasts it when it fits (the
+   * classic "index resident on every serving node" model); a corpus beyond
+   * broadcast size shuffle-partitions by cell, which stays stateless. Output
+   * is unsorted (streaming sinks order per their own semantics): one row per
+   * (qid, rank) with the neighbor id and cosine.
+   */
+  def annCosineIvfStream(
+      queryStream: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.expressions.{ArrayDotProduct, NearestCentroids}
+    val cents = Similarity.trainIvfCentroids(corpus, dim, nlist, idCol = idCol, vecCol = vecCol)
+    val cSide = corpus.select(
+      element_at(NearestCentroids(col(vecCol), cents, nlist, dim, 1), 1).as("cell"),
+      col(idCol).as("nid"), col(vecCol).as("cvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+    val qSide = queryStream.select(
+      explode(NearestCentroids(col(vecCol), cents, nlist, dim, nprobe)).as("cell"),
+      col(idCol).as("qid"), col(vecCol).as("qvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
+    val scored = qSide.join(cSide, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopK.topKDouble(k)(col("cosine"), col("nid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk").getField("entries")).as(Seq("r0", "e")))
+      .select(col("qid"), col("e").getField("id").as("nid"),
+        col("e").getField("score").as("cosine"), (col("r0") + 1).cast("long").as("rank"))
+  }
+
   final case class SeriesEvent(series: String, tsMs: Long, value: Long)
   final case class SeriesRunning(series: String, tsMs: Long, value: Long, runningSum: Long)
   final case class RunState(sum: Long)

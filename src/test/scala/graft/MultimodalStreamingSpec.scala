@@ -492,6 +492,26 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming IVF ANN matches the batch index on the same query set") {
+    val corpus = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = corpus.filter(col("vec_id") < 10)
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sann").toFile.getAbsolutePath
+    queries.write.mode("overwrite").parquet(dir)
+    val qStream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = graft.streaming.StreamingOps
+      .annCosineIvfStream(qStream, corpus, k = 5, dim = 64, nlist = 16, nprobe = 8)
+      .writeStream.outputMode("complete").format("memory").queryName("sann_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sann_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = graft.operators.Similarity
+      .annCosineIvf(corpus, queries, k = 5, dim = 64, nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("streaming latest-cells compaction: overwrites advance, stale versions never regress") {
     import spark.implicits._
     import graft.streaming.StreamingOps
