@@ -321,9 +321,13 @@ object Dedup {
       idCol: String = "doc_id",
       maxIter: Int = 25,
       driverMaxEdges: Long = 1L << 20): DataFrame = {
+    // The pair frame is referenced by BOTH union branches: uncached, the
+    // (expensive) pair-generation join would materialize twice building the
+    // undirected edge frame. Cache pairs first; the union then reads it.
+    val p = persistScoped(pairs.select(col("id_a"), col("id_b")))
     val und = persistScoped( // read every round: both propagation directions
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // iterate ONLY over pair-touched nodes: a document with no near-dup edge
     // can never change label, so the round state is the (tiny) subgraph the
     // pair generator surfaced, not the corpus — at 100 TB the loop runs over
