@@ -140,7 +140,11 @@ object StreamingOps {
    * their `nprobe` cells map-side, the cell equality join against the
    * corpus-by-cell frame is STATELESS (stream-static joins buffer nothing),
    * and the per-query top-k rides the same bounded [[graft.functions.TopK]]
-   * aggregate — the only stateful operator, k entries per live query id.
+   * aggregate — the only stateful operator, k entries per query id EVER
+   * seen: with no watermark the aggregation state never evicts, so a
+   * production deployment groups by (window(eventTime), qid) under a
+   * watermark to bound it (same note as the other unwindowed state ops
+   * here; finite test drains keep NoTimeout-style simplicity).
    *
    * The corpus side here is unhinted: Spark broadcasts it when it fits (the
    * classic "index resident on every serving node" model); a corpus beyond
