@@ -490,6 +490,12 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val batch = graft.operators.TrainingSet.decontaminate(train.toDF("doc_id", "text"), evalDf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
+    // an EMPTY benchmark flags nothing (the empty InSet matches no shingle)
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val q2 = graft.streaming.StreamingOps.decontaminateStream(stream, none)
+      .writeStream.outputMode("append").format("memory").queryName("sdecon_none").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("sdecon_none").isEmpty)
   }
 
   test("streaming IVF ANN matches the batch index on the same query set") {
