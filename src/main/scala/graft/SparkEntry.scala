@@ -450,7 +450,55 @@ object SparkEntry {
 
     // ---- scale ops: multimodal binary-column pipeline (rows-only: synthetic
     // media payloads; decode is a documented stub — see Multimodal.MediaCodec)
-    "multimodal_features" -> ((s, _) => Multimodal.mediaPipeline(s, 1000))
+    "multimodal_features" -> ((s, _) => Multimodal.mediaPipeline(s, 1000)),
+
+    // ---- temporal joins (beyond-reference: the reference is single-table,
+    // SURVEY §2.2; these are the first two join shapes its users need) ------
+    // As-of join: every click matched to the user's latest purchase at-or-
+    // before it (141 of 2006 clicks at sf0.01 have no prior purchase — the
+    // left-outer null path is live). The right side is pre-reduced to one
+    // row per (user, ms) with max-cents (ties are a data-model decision —
+    // see Joins.asofJoin). Engine = union + one keyed window, NO join node;
+    // oracle = DuckDB's native ASOF LEFT JOIN — two entirely different
+    // algorithms, one answer.
+    "asof_join_purchase" -> { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("click_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_millis(col("ts")).as("m"))
+        .agg(max(centsCol).as("purchase_cents"))
+      graft.operators.Joins.asofJoin(
+        clicks, purchases,
+        keyCols = Seq("user_id"), leftTsCol = "click_ms", rightTsCol = "m",
+        rightCols = Seq("purchase_cents"), asofTsName = "purchase_ms")
+        .orderBy("event_id")
+    },
+    // Range join without an equality key: lineitems shipped inside any "hot
+    // window" = [wk, wk+14d) for weeks ≥1.05× the mean weekly order count
+    // (n·344·20 ≥ 21·total, exact integers — 140 hot weeks at sf0.01, 55 at
+    // sf0.1; windows OVERLAP, so a point can match two). Interval-binning
+    // decomposition — plain hash join on the bucket key, no cartesian
+    // (JoinsSpec pins it). The threshold's global total is an unpartitioned
+    // window over the 344 POST-AGGREGATE weekly rows — bounded, not a scan.
+    "range_join_hot_weeks" -> { (s, d) =>
+      val wk = 604800L * MS
+      val hot = graft.sources.Tables.orders(s, d)
+        .groupBy(graft.operators.TsAgg
+          .bucketStartExpr(unix_millis(col("o_orderdate")), T0_LINEITEM, wk))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(col("n_orders") * lit(344 * 20L) >= col("total") * lit(21L))
+        .select(col("bucket_start").as("lo"), (col("bucket_start") + lit(2 * wk)).as("hi"))
+      val items = graft.sources.Tables.lineitem(s, d)
+        .select(col("l_shipdate"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+      graft.operators.Joins.rangeJoin(items, hot, "l_shipdate", "lo", "hi", bucketMs = wk)
+        .groupBy(col("lo").as("window_start"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("window_start")
+    }
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -733,7 +781,35 @@ object SparkEntry {
           |  FROM qs, v WHERE v.vec_id <> qid)
           |SELECT qid, nid, dot_q, rank FROM (
           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
-          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin.replace("\n", " ")
+          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin.replace("\n", " "),
+
+      // ---- temporal joins ----
+      // DuckDB's NATIVE ASOF LEFT JOIN vs the engine's union+window plan:
+      // independent algorithms on each side make this a strong oracle. The
+      // right side is the same (user, ms, max-cents) reduction on both.
+      "asof_join_purchase" ->
+        s"""WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS click_ms
+           |  FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, epoch_ms(ts) AS m, max($cents) AS purchase_cents
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           |SELECT c.user_id, c.event_id, c.click_ms, p.m AS purchase_ms, p.purchase_cents
+           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_ms >= p.m
+           |ORDER BY c.event_id""".stripMargin.replace("\n", " "),
+      // the interval predicate stated directly (DuckDB plans its own IEJoin);
+      // the engine proves the bucket-decomposed equality join returns the
+      // same rows
+      "range_join_hot_weeks" -> {
+        val wk = 604800 * MS
+        val b = bucketSql(T0_LINEITEM, wk, "epoch_ms(o_orderdate)")
+        s"""WITH w AS (SELECT $b AS wk, count(*) AS n FROM orders GROUP BY 1),
+           |hot AS (SELECT wk AS lo, wk + ${2 * wk} AS hi FROM w
+           |  WHERE n * ${344 * 20} >= 21 * (SELECT sum(n) FROM w))
+           |SELECT hot.lo AS window_start, count(*) AS n_items,
+           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM lineitem l JOIN hot
+           |  ON epoch_ms(l.l_shipdate) >= hot.lo AND epoch_ms(l.l_shipdate) < hot.hi
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+      }
     )
   }
 
