@@ -462,12 +462,7 @@ object SparkEntry {
     // oracle = DuckDB's native ASOF LEFT JOIN — two entirely different
     // algorithms, one answer.
     "asof_join_purchase" -> { (s, d) =>
-      val ev = events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("click_ms"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), unix_millis(col("ts")).as("m"))
-        .agg(max(centsCol).as("purchase_cents"))
+      val (clicks, purchases) = clicksAndPurchases(s, d)
       graft.operators.Joins.asofJoin(
         clicks, purchases,
         keyCols = Seq("user_id"), leftTsCol = "click_ms", rightTsCol = "m",
@@ -476,30 +471,86 @@ object SparkEntry {
     },
     // Range join without an equality key: lineitems shipped inside any "hot
     // window" = [wk, wk+14d) for weeks ≥1.05× the mean weekly order count
-    // (n·344·20 ≥ 21·total, exact integers — 140 hot weeks at sf0.01, 55 at
-    // sf0.1; windows OVERLAP, so a point can match two). Interval-binning
-    // decomposition — plain hash join on the bucket key, no cartesian
-    // (JoinsSpec pins it). The threshold's global total is an unpartitioned
-    // window over the 344 POST-AGGREGATE weekly rows — bounded, not a scan.
-    "range_join_hot_weeks" -> { (s, d) =>
-      val wk = 604800L * MS
-      val hot = graft.sources.Tables.orders(s, d)
-        .groupBy(graft.operators.TsAgg
-          .bucketStartExpr(unix_millis(col("o_orderdate")), T0_LINEITEM, wk))
-        .agg(count(lit(1)).as("n_orders"))
-        .withColumn("total", sum(col("n_orders"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
-        .filter(col("n_orders") * lit(344 * 20L) >= col("total") * lit(21L))
-        .select(col("bucket_start").as("lo"), (col("bucket_start") + lit(2 * wk)).as("hi"))
-      val items = graft.sources.Tables.lineitem(s, d)
-        .select(col("l_shipdate"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
-      graft.operators.Joins.rangeJoin(items, hot, "l_shipdate", "lo", "hi", bucketMs = wk)
-        .groupBy(col("lo").as("window_start"))
-        .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
-        .orderBy("window_start")
+    // (n·n_weeks·20 ≥ 21·total, exact integers — the divisor is the observed
+    // week count, not a literal, so the 1.05× semantics track the data;
+    // windows OVERLAP, so a point can match two). Orders are bounded to
+    // [T0_LINEITEM, T1_LINEITEM) on BOTH engine and oracle sides: Spark's
+    // pmod floors negative offsets while DuckDB's % truncates toward zero, so
+    // a pre-T0 date would silently land in different buckets (ADVICE r5).
+    // Interval-binning decomposition — plain hash join on the bucket key, no
+    // cartesian (JoinsSpec pins it). The threshold's global total is an
+    // unpartitioned window over the ~344 POST-AGGREGATE weekly rows —
+    // bounded, not a scan.
+    "range_join_hot_weeks" -> ((s, d) => hotWeekItems(s, d)
+      .groupBy(col("lo").as("window_start"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy("window_start")),
+
+    // The SAME hot-weeks answer through the broadcast fast path: the interval
+    // side is dimension-sized (tens of rows), so rangeJoinBroadcast ships it
+    // to every task and the fact side never shuffles for the join — the plan
+    // shape a promo-calendar × 100 TB fact join should take. One oracle, two
+    // physical strategies (JoinsSpec asserts pair-identity of the operators).
+    "range_join_broadcast_weeks" -> ((s, d) => hotWeekItems(s, d, broadcastPath = true)
+      .groupBy(col("lo").as("window_start"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy("window_start")),
+
+    // As-of join with a freshness tolerance (pandas merge_asof(tolerance=...)):
+    // matches older than 3 days are VOIDED (nulls), exercising the third
+    // outcome path (fresh match / stale-voided / never-matched) under the
+    // oracle — DuckDB's native ASOF finds the match, a CASE voids stale ones.
+    "asof_join_tolerance" -> { (s, d) =>
+      val (clicks, purchases) = clicksAndPurchases(s, d)
+      graft.operators.Joins.asofJoin(
+        clicks, purchases,
+        keyCols = Seq("user_id"), leftTsCol = "click_ms", rightTsCol = "m",
+        rightCols = Seq("purchase_cents"), asofTsName = "purchase_ms",
+        toleranceMs = Some(ASOF_TOL_MS))
+        .orderBy("event_id")
     }
   )
+
+  /** Tolerance for `asof_join_tolerance`: 3 days, sized so the sf0.01 events
+    * table exercises fresh, stale-voided, and never-matched clicks. */
+  private val ASOF_TOL_MS = 3 * DAY
+
+  /** The click/purchase frames shared by both as-of queries (right side
+    * pre-reduced to one row per (user, ms) — see Joins.asofJoin ties note). */
+  private def clicksAndPurchases(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("click_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_millis(col("ts")).as("m"))
+      .agg(max(centsCol).as("purchase_cents"))
+    (clicks, purchases)
+  }
+
+  /** Hot-weeks range-join body shared by the shuffle and broadcast variants:
+    * one definition, two physical join strategies, one oracle. */
+  private def hotWeekItems(s: SparkSession, d: String,
+                           broadcastPath: Boolean = false): DataFrame = {
+    val wk = 604800L * MS
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val hot = graft.sources.Tables.orders(s, d)
+      .filter(unix_millis(col("o_orderdate")) >= T0_LINEITEM &&
+        unix_millis(col("o_orderdate")) < T1_LINEITEM)
+      .groupBy(graft.operators.TsAgg
+        .bucketStartExpr(unix_millis(col("o_orderdate")), T0_LINEITEM, wk))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("total", sum(col("n_orders")).over(all))
+      .withColumn("n_weeks", count(lit(1)).over(all))
+      .filter(col("n_orders") * col("n_weeks") * lit(20L) >= col("total") * lit(21L))
+      .select(col("bucket_start").as("lo"), (col("bucket_start") + lit(2 * wk)).as("hi"))
+    val items = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_shipdate"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+    if (broadcastPath)
+      graft.operators.Joins.rangeJoinBroadcast(items, hot, "l_shipdate", "lo", "hi")
+    else
+      graft.operators.Joins.rangeJoin(items, hot, "l_shipdate", "lo", "hi", bucketMs = wk)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -797,20 +848,43 @@ object SparkEntry {
            |ORDER BY c.event_id""".stripMargin.replace("\n", " "),
       // the interval predicate stated directly (DuckDB plans its own IEJoin);
       // the engine proves the bucket-decomposed equality join returns the
-      // same rows
-      "range_join_hot_weeks" -> {
-        val wk = 604800 * MS
-        val b = bucketSql(T0_LINEITEM, wk, "epoch_ms(o_orderdate)")
-        s"""WITH w AS (SELECT $b AS wk, count(*) AS n FROM orders GROUP BY 1),
-           |hot AS (SELECT wk AS lo, wk + ${2 * wk} AS hi FROM w
-           |  WHERE n * ${344 * 20} >= 21 * (SELECT sum(n) FROM w))
-           |SELECT hot.lo AS window_start, count(*) AS n_items,
-           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-           |FROM lineitem l JOIN hot
-           |  ON epoch_ms(l.l_shipdate) >= hot.lo AND epoch_ms(l.l_shipdate) < hot.hi
-           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
-      }
+      // same rows. Orders bounded to [T0, T1) and the threshold divisor
+      // derived from the observed week count on BOTH sides (ADVICE r5).
+      "range_join_hot_weeks" -> hotWeeksOracleSql,
+      // identical answer through the broadcast physical path — one oracle,
+      // two join strategies
+      "range_join_broadcast_weeks" -> hotWeeksOracleSql,
+      // ASOF finds the latest at-or-before purchase; the CASE voids matches
+      // staler than the tolerance — exactly Joins.asofJoin(toleranceMs=...)
+      "asof_join_tolerance" ->
+        s"""WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS click_ms
+           |  FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, epoch_ms(ts) AS m, max($cents) AS purchase_cents
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           |j AS (SELECT c.user_id, c.event_id, c.click_ms, p.m, p.purchase_cents
+           |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_ms >= p.m)
+           |SELECT user_id, event_id, click_ms,
+           |  CASE WHEN click_ms - m <= $ASOF_TOL_MS THEN m END AS purchase_ms,
+           |  CASE WHEN click_ms - m <= $ASOF_TOL_MS THEN purchase_cents END AS purchase_cents
+           |FROM j ORDER BY event_id""".stripMargin.replace("\n", " ")
     )
+  }
+
+  /** ONE oracle for both hot-weeks range-join queries (shuffle + broadcast
+    * paths must agree bit-for-bit). */
+  private def hotWeeksOracleSql: String = {
+    val wk = 604800 * MS
+    val b = bucketSql(T0_LINEITEM, wk, "epoch_ms(o_orderdate)")
+    s"""WITH w AS (SELECT $b AS wk, count(*) AS n FROM orders
+       |  WHERE epoch_ms(o_orderdate) >= $T0_LINEITEM AND epoch_ms(o_orderdate) < $T1_LINEITEM
+       |  GROUP BY 1),
+       |hot AS (SELECT wk AS lo, wk + ${2 * wk} AS hi FROM w
+       |  WHERE n * (SELECT count(*) FROM w) * 20 >= 21 * (SELECT sum(n) FROM w))
+       |SELECT hot.lo AS window_start, count(*) AS n_items,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM lineitem l JOIN hot
+       |  ON epoch_ms(l.l_shipdate) >= hot.lo AND epoch_ms(l.l_shipdate) < hot.hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
   }
 
   /** Render a stopword list as a SQL IN-list. */

@@ -74,8 +74,19 @@ object Joins {
       toleranceMs: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin needs at least one equality key")
     require(rightCols.nonEmpty, "asofJoin needs at least one right value column")
+    // internal scratch names + output-name disjointness, checked eagerly: a
+    // colliding input would otherwise produce ambiguous-reference analysis
+    // errors (or silently duplicated output columns) deep inside the plan
+    val reserved = Seq("__t", "__side", "__r", "__rts", "__m")
+    val colliding = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(colliding.isEmpty,
+      s"asofJoin reserves internal column name(s) ${colliding.mkString(", ")} — rename them in the inputs")
 
     val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
+    val outClash = (rightCols :+ asofTsName).filter(c => keyCols.contains(c) || leftPayload.contains(c)).distinct
+    require(outClash.isEmpty,
+      s"asofJoin output collision: ${outClash.mkString(", ")} already present in the left output — " +
+        "alias the right columns (or asofTsName) before joining")
     // the right row travels as ONE nullable struct: (ts, value columns...)
     val rStruct = struct((col("__rts").as("__ts") +: rightCols.map(col)): _*)
     val rSide = right
@@ -126,6 +137,13 @@ object Joins {
    * Choose `bucketMs` near the TYPICAL interval length: fan-out per interval
    * is `len/bucketMs + 1` rows of (bucket, interval-bounds), and the hash
    * table carries intervals only — points never duplicate.
+   *
+   * `maxFanoutPerInterval` makes a mis-sized `bucketMs` fail LOUD instead of
+   * slow: an interval spanning more than that many buckets (a 10-year window
+   * at a 900 s bucket is ~350k rows *per interval*) raises a runtime error
+   * naming the interval and the fix, rather than silently exploding the
+   * exchange (or tripping Spark's sequence element limit with a message that
+   * points nowhere near the cause).
    */
   def rangeJoin(
       points: DataFrame,
@@ -133,18 +151,28 @@ object Joins {
       ptCol: String,
       loCol: String,
       hiCol: String,
-      bucketMs: Long): DataFrame = {
+      bucketMs: Long,
+      maxFanoutPerInterval: Int = 4096): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(maxFanoutPerInterval > 0,
+      s"maxFanoutPerInterval must be positive, got $maxFanoutPerInterval")
     val pt = tsMs(points, ptCol)
     val lo = tsMs(intervals, loCol)
     val hi = tsMs(intervals, hiCol)
     def bucketOf(t: Column): Column = t - pmod(t, lit(bucketMs))
     val ptB = points.withColumn("__pt", pt).withColumn("__b", bucketOf(col("__pt")))
+    val nBuckets = (bucketOf(col("__hi") - 1) - bucketOf(col("__lo"))) / lit(bucketMs) + lit(1L)
     val ivB = intervals
       .withColumn("__lo", lo).withColumn("__hi", hi)
       .filter(col("__lo") < col("__hi")) // empty intervals match nothing
-      .withColumn("__b",
-        explode(sequence(bucketOf(col("__lo")), bucketOf(col("__hi") - 1), lit(bucketMs))))
+      .withColumn("__b", explode(
+        when(nBuckets <= lit(maxFanoutPerInterval.toLong),
+          sequence(bucketOf(col("__lo")), bucketOf(col("__hi") - 1), lit(bucketMs)))
+          .otherwise(raise_error(format_string(
+            s"rangeJoin: interval [%s, %s) spans %s buckets of $bucketMs ms — over " +
+              s"maxFanoutPerInterval=$maxFanoutPerInterval; choose a coarser bucketMs " +
+              "(near the typical interval length) or raise the cap explicitly",
+            col("__lo"), col("__hi"), nBuckets)))))
     ptB.join(ivB, Seq("__b"))
       .filter(col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
       .drop("__b", "__pt", "__lo", "__hi")

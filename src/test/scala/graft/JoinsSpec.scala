@@ -109,6 +109,39 @@ class JoinsSpec extends AnyFunSuite {
       s"range join must decompose to an equality join:\n$plan")
   }
 
+  test("asof: reserved internal names and output collisions fail eagerly") {
+    val badLeft = trades.withColumn("__t", lit(1L))
+    assertThrows[IllegalArgumentException] {
+      Joins.asofJoin(badLeft, quotes, Seq("k"), "t", "t", Seq("px"))
+    }
+    // right column 'px' colliding with a left payload column of the same name
+    val leftWithPx = trades.withColumn("px", lit(0L))
+    assertThrows[IllegalArgumentException] {
+      Joins.asofJoin(leftWithPx, quotes, Seq("k"), "t", "t", Seq("px"))
+    }
+    // asofTsName colliding with a left column
+    assertThrows[IllegalArgumentException] {
+      Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"), asofTsName = "trade_id")
+    }
+  }
+
+  test("range: interval fan-out over the cap fails loud, naming the fix") {
+    // [0, 100_000) at bucketMs=1 → 100k buckets, far over the default cap
+    val wide = Seq((0L, 100000L, "huge")).toDF("lo", "hi", "iv")
+    val e = intercept[Exception] {
+      Joins.rangeJoin(pts, wide, "p", "lo", "hi", bucketMs = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val msg = messages(e).mkString(" | ")
+    assert(msg.contains("maxFanoutPerInterval") && msg.contains("bucketMs"),
+      s"error must name the cap and the fix, got: $msg")
+    // the same intervals pass when the caller raises the cap explicitly
+    val ok = Joins.rangeJoin(pts, wide, "p", "lo", "hi", bucketMs = 1L,
+      maxFanoutPerInterval = 200000).select("p").distinct().count()
+    assert(ok == pts.count(), "all points fall inside the huge interval")
+  }
+
   test("registered queries run and exercise both match paths at sf0.001") {
     val asof = SparkEntry.queries("asof_join_purchase")(spark, "/root/testdata/sf0.001")
       .collect()
@@ -119,5 +152,27 @@ class JoinsSpec extends AnyFunSuite {
     val rj = SparkEntry.queries("range_join_hot_weeks")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rj.nonEmpty && rj.forall(_.getLong(1) > 0))
+  }
+
+  test("broadcast and shuffle hot-weeks queries agree row-for-row at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val shuffle = SparkEntry.queries("range_join_hot_weeks")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val bcast = SparkEntry.queries("range_join_broadcast_weeks")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(shuffle.nonEmpty && shuffle == bcast)
+  }
+
+  test("tolerance query exercises fresh, voided, and never-matched paths at sf0.001") {
+    val rows = SparkEntry.queries("asof_join_tolerance")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val base = SparkEntry.queries("asof_join_purchase")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val msIdx = rows.head.fieldIndex("purchase_ms")
+    val matched = rows.count(!_.isNullAt(msIdx))
+    val baseMatched = base.count(!_.isNullAt(base.head.fieldIndex("purchase_ms")))
+    assert(matched > 0, "tolerance must keep some fresh matches")
+    assert(matched < baseMatched,
+      s"tolerance must void some stale matches ($matched vs untol $baseMatched)")
   }
 }
