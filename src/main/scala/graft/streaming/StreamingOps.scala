@@ -141,10 +141,11 @@ object StreamingOps {
    * corpus-by-cell frame is STATELESS (stream-static joins buffer nothing),
    * and the per-query top-k rides the same bounded [[graft.functions.TopK]]
    * aggregate — the only stateful operator, k entries per query id EVER
-   * seen: with no watermark the aggregation state never evicts, so a
-   * production deployment groups by (window(eventTime), qid) under a
-   * watermark to bound it (same note as the other unwindowed state ops
-   * here; finite test drains keep NoTimeout-style simplicity).
+   * seen: with no watermark the aggregation state never evicts. This form
+   * suits finite drains and sessions with bounded query-id cardinality; the
+   * production unbounded-stream form is [[annCosineIvfStreamWindowed]],
+   * which groups by (window(eventTime), qid) under a watermark so closed
+   * windows emit once and their state is evicted.
    *
    * The corpus side here is unhinted: Spark broadcasts it when it fits (the
    * classic "index resident on every serving node" model); a corpus beyond
@@ -176,6 +177,56 @@ object StreamingOps {
       .agg(graft.functions.TopK.topKDouble(k)(col("cosine"), col("nid")).as("tk"))
       .select(col("qid"), posexplode(col("tk").getField("entries")).as(Seq("r0", "e")))
       .select(col("qid"), col("e").getField("id").as("nid"),
+        col("e").getField("score").as("cosine"), (col("r0") + 1).cast("long").as("rank"))
+  }
+
+  /**
+   * Windowed streaming ANN — the BOUNDED-STATE production form of
+   * [[annCosineIvfStream]]: query vectors carry an event-time column, the
+   * per-query top-k aggregates within (tumbling `windowDuration`, qid)
+   * groups, and the watermark finalizes each window `watermarkDelay` after
+   * it closes — the window's rows emit exactly once (append mode) and its
+   * aggregation state is EVICTED, so state holds only the open windows'
+   * groups no matter how long the stream runs or how many distinct query
+   * ids it ever sees. Everything upstream of the aggregate is identical to
+   * the unwindowed form (static centroids, map-side nprobe cell probing,
+   * stateless stream-static cell join).
+   *
+   * Output: one row per (window_start, qid, rank) with the neighbor id and
+   * cosine, emitted when the watermark passes the window's end.
+   */
+  def annCosineIvfStreamWindowed(
+      queryStream: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      eventTimeCol: String = "ts",
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "0 seconds",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.expressions.{ArrayDotProduct, NearestCentroids}
+    val cents = Similarity.trainIvfCentroids(corpus, dim, nlist, idCol = idCol, vecCol = vecCol)
+    val cSide = corpus.select(
+      element_at(NearestCentroids(col(vecCol), cents, nlist, dim, 1), 1).as("cell"),
+      col(idCol).as("nid"), col(vecCol).as("cvec"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+    val qSide = queryStream
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .select(
+        col(eventTimeCol),
+        explode(NearestCentroids(col(vecCol), cents, nlist, dim, nprobe)).as("cell"),
+        col(idCol).as("qid"), col(vecCol).as("qvec"),
+        sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
+    val scored = qSide.join(cSide, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    scored
+      .groupBy(window(col(eventTimeCol), windowDuration).as("w"), col("qid"))
+      .agg(graft.functions.TopK.topKDouble(k)(col("cosine"), col("nid")).as("tk"))
+      .select(unix_millis(col("w.start")).as("window_start"), col("qid"),
+        posexplode(col("tk").getField("entries")).as(Seq("r0", "e")))
+      .select(col("window_start"), col("qid"), col("e").getField("id").as("nid"),
         col("e").getField("score").as("cosine"), (col("r0") + 1).cast("long").as("rank"))
   }
 

@@ -112,6 +112,52 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(registered.nonEmpty && streamedAgg == registered)
   }
 
+  test("windowed streaming ANN: per-window results match batch, closed-window state evicts") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.sources.Tables.embeddings(spark, Sf)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val t0 = T0
+
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    val stream = ms.toDF().toDF("ts", "vec_id", "embedding")
+    val q = StreamingOps.annCosineIvfStreamWindowed(
+      stream, corpus, k = 5, dim = 64, nlist = 16, nprobe = 8,
+      windowDuration = "10 seconds", watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("parity_wann").start()
+    def stateRows(): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    try {
+      // window 1 [t0, t0+10s): all 10 queries
+      ms.addData(queries.map { case (id, v) => (new java.sql.Timestamp(t0), id, v) }: _*)
+      q.processAllAvailable()
+      val open = stateRows()
+      assert(open >= 10, s"window-1 groups must be in state, got $open")
+      // window 2: same queries at t0+15s — watermark passes window 1, which
+      // emits and EVICTS; then an empty-advance batch at t0+25s closes window 2
+      ms.addData(queries.map { case (id, v) => (new java.sql.Timestamp(t0 + 15000L), id, v) }: _*)
+      q.processAllAvailable()
+      ms.addData((new java.sql.Timestamp(t0 + 25000L), 0L, queries.head._2))
+      q.processAllAvailable()
+      val finalState = stateRows()
+      assert(finalState < 20,
+        s"closed windows must evict: $finalState rows in state for 20+ closed groups")
+    } finally q.stop()
+
+    // both closed windows carry the batch index's exact answer
+    val emitted = spark.table("parity_wann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val w1 = emitted.filter(_._1 == t0).map(t => (t._2, t._3, t._4)).toSet
+    val batch = graft.operators.Similarity
+      .annCosineIvf(corpus, corpus.filter(col("vec_id") < 10), k = 5, dim = 64,
+        nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(batch.nonEmpty && w1 == batch, s"window-1 ${w1.size} vs batch ${batch.size}")
+    val w2 = emitted.filter(_._1 == t0 + 10000L).map(t => (t._2, t._3, t._4)).toSet
+    assert(w2 == batch, "window 2 must carry the same per-query top-k")
+  }
+
   test("decontaminateStream over micro-batches == oracle-green decontaminate_ngram") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
