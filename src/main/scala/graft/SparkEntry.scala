@@ -379,6 +379,14 @@ object SparkEntry {
     // pair logic is verified independently of xxhash64.
     "span_near_dup" -> ((s, d) => Dedup.spanNearDup(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    // exact substring-level spans (Lee et al. ExactSubstr): maximal shared
+    // token runs ≥16 tokens with exact 0-based boundaries — the operator that
+    // says WHERE to cut, where span_near_dup only says WHICH pairs overlap.
+    // Candidates seeded from winnowing fingerprint collisions (lossless —
+    // ExactSpansSpec proves prefiltered == unfiltered), extents recovered by
+    // a gram-position equality join + gaps-and-islands. Oracle re-derives
+    // maximal runs relationally from raw token strings.
+    "dedup_exact_spans" -> ((s, d) => Dedup.exactSpans(documents(s, d))),
     // cluster canonicalization over the exact-Jaccard pairs: near-dup is not
     // transitive, so "keep one per cluster" needs connected components, not
     // per-pair min. Oracle = DuckDB recursive-CTE transitive closure over the
@@ -745,6 +753,28 @@ object SparkEntry {
           "FROM documents GROUP BY 1 ORDER BY 1"),
       "dedup_ngram_jaccard" ->
         s"WITH ${ngramCtes()} $ngramPairSelect ORDER BY 1, 2",
+      // maximal exact shared token runs, re-derived on RAW token strings (the
+      // engine joins 64-bit gram hashes; extents agree because combination
+      // collisions are ~n²/2⁶⁵). Same gaps-and-islands identity: a run's
+      // gram matches are consecutive along the diagonal pa−pb, so
+      // pa − row_number() is constant exactly within one maximal run. The
+      // 1000-occurrence gram cap mirrors the engine's maxGramFreq
+      // byte-identically (count of OCCURRENCES, not docs).
+      "dedup_exact_spans" -> {
+        val k = 8; val minLen = 16
+        s"""WITH t0 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+           |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks)-${k - 2})) AS i FROM t0 WHERE len(toks) >= $k),
+           |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+${k - 1}], ' ') AS s FROM g0),
+           |ok AS (SELECT s FROM g GROUP BY s HAVING count(*) <= 1000),
+           |g2 AS (SELECT g.* FROM g JOIN ok USING (s)),
+           |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+           |  FROM g2 a JOIN g2 b ON a.s = b.s AND a.doc_id < b.doc_id),
+           |r AS (SELECT *, pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl FROM m)
+           |SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start, CAST(min(pb) AS BIGINT) AS b_start,
+           |  CAST(max(pa) - min(pa) + $k AS BIGINT) AS len
+           |FROM r GROUP BY id_a, id_b, pa - pb, isl
+           |HAVING max(pa) - min(pa) + $k >= $minLen ORDER BY 1, 2, 3, 4""".stripMargin.replace("\n", " ")
+      },
       // connected components of the same pair graph, computed independently:
       // recursive transitive closure (fine at oracle scale), then min
       // reachable id per doc; singletons fall out of the LEFT JOIN

@@ -276,6 +276,128 @@ object Dedup {
   }
 
   /**
+   * Exact substring-level span dedup (the Lee et al. ExactSubstr operator —
+   * "Deduplicating Training Data Makes Language Models Better", ACL'22): emit
+   * every MAXIMAL exact shared token run of length ≥ `minLen` between any two
+   * documents, with its exact boundaries `(id_a, id_b, a_start, b_start,
+   * len)` in 0-based token positions — the form production pretraining
+   * pipelines actually cut text with, where [[spanNearDup]] only says "these
+   * two docs share ≥2 winnowed fingerprints" without extents.
+   *
+   * Algorithm — no suffix array, same bucketed-equality-join shape as every
+   * other dedup here:
+   *
+   *  1. Position-indexed `gramK`-token hashes per doc: `(id, pos, h)` via one
+   *     codegen token-hash pass ([[graft.functions.TextFunctions.orderedShingleHashes]]).
+   *  2. Equality self-join on `h` (frequency-capped like the shingle join) →
+   *     matched positions `(id_a, id_b, pa, pb)`.
+   *  3. A shared token run of length L ≥ gramK matches at every window
+   *     position, so its matches form a CONSECUTIVE run along the diagonal
+   *     `d = pa − pb`. Gaps-and-islands per (pair, d) — `isl = pa −
+   *     row_number()` — groups each run; `len = max(pa) − min(pa) + gramK`
+   *     recovers the EXACT token length, and maximality is automatic
+   *     (positions outside the run don't match, so the island ends).
+   *
+   * Candidate prefilter (`winnowPrefilter`, on by default): the gram join
+   * runs only over docs/pairs sharing ≥1 winnowing fingerprint (k=3,
+   * window=4 — [[TextAnalysis.winnowFps]]). This is LOSSLESS, not
+   * approximate: winnowing guarantees any shared run of ≥ window+k−1 = 6
+   * tokens shares a fingerprint, and `minLen ≥ gramK ≥ 6` is enforced — so
+   * every pair with a qualifying span is a candidate, and ExactSpansSpec
+   * asserts prefiltered == unfiltered output. At corpus scale the prefilter
+   * is the difference between joining every token position (~n_tokens rows)
+   * and joining positions of the sliver of docs with any shared span.
+   *
+   * Scale shape: all wide ops are equality joins/aggregates on 8-byte keys
+   * (fingerprint, gram hash, id pair); the islands window partitions by
+   * (pair, diagonal) — bounded by one pair's matches, never a global sort.
+   * `maxGramFreq` caps viral grams (boilerplate) exactly like the shingle
+   * cap, byte-identically mirrored in the DuckDB oracle. 64-bit gram hashes
+   * stand in for token equality (collisions ~n²/2⁶⁵, same argument as
+   * [[ngramJaccard]]); the oracle joins raw token strings.
+   *
+   * Reference: the engine this round generalizes is single-table aggregation
+   * (`AggregationBuilder.java:74-91`); span extraction is beyond-reference
+   * (the brief's LLM-pipeline dedup mandate).
+   */
+  def exactSpans(
+      df: DataFrame,
+      gramK: Int = 8,
+      minLen: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxGramFreq: Option[Int] = Some(1000),
+      winnowPrefilter: Boolean = true): DataFrame = {
+    require(gramK >= 6,
+      s"gramK must be >= 6 (the winnowing guarantee width) for the prefilter to be lossless, got $gramK")
+    require(minLen >= gramK, s"minLen ($minLen) must be >= gramK ($gramK): shorter runs produce no gram match")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val src = Parallelism.ensure(df).filter(size(toks) >= gramK)
+
+    // lossless candidate pairs: ≥1 shared winnow fingerprint. NO frequency
+    // cap here (a cap could drop a pair whose only witness fingerprint is
+    // boilerplate-hot while its 8-gram occurrences stay under maxGramFreq —
+    // breaking the completeness proof); the gram-level cap below is the one
+    // skew guard, and it is oracle-mirrored.
+    val candOpt: Option[DataFrame] =
+      if (!winnowPrefilter) None
+      else {
+        val fps = TextAnalysis.winnowFps(src, 3, 4, idCol, textCol)
+          .select(col(idCol).as("id"), explode(array_distinct(col("fps"))).as("f"))
+          .repartition(col("f"))
+        val fa = fps.select(col("f"), col("id").as("id_a"))
+        val fb = fps.select(col("f"), col("id").as("id_b"))
+        Some(persistScoped(
+          fa.join(fb, Seq("f")).filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b").distinct()))
+      }
+
+    // position-indexed gram hashes, pre-partitioned on the join key (one
+    // exchange feeds the frequency cap and both join sides)
+    val grams = persistScoped(
+      src.select(col(idCol).as("id"), tokenHashes(toks).as("th"))
+        .select(col("id"), posexplode(orderedShingleHashes(col("th"), gramK)).as(Seq("pos", "h")))
+        .repartition(col("h")))
+    val pruned = maxGramFreq match {
+      case None => grams
+      case Some(cap) => capByFrequency(grams, "h", cap)
+    }
+    // restrict gram rows to candidate docs before the self-join
+    val restricted = candOpt match {
+      case None => pruned
+      case Some(cand) =>
+        val candDocs = cand.select(col("id_a").as("id"))
+          .union(cand.select(col("id_b").as("id"))).distinct()
+        pruned.join(candDocs, Seq("id"), "left_semi")
+    }
+    val a = restricted.select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
+    val b = restricted.select(col("h"), col("id").as("id_b"), col("pos").as("pb"))
+    val matchedAll = a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pa", "pb")
+    // pair-level restriction prunes coincidental cross-pair gram collisions
+    // before the islands window (they could never reach minLen — see the
+    // losslessness argument — but dropping them early is free)
+    val matched = candOpt.fold(matchedAll)(cand =>
+      matchedAll.join(cand, Seq("id_a", "id_b"), "left_semi"))
+
+    val diag = col("pa") - col("pb")
+    val w = Window.partitionBy(col("id_a"), col("id_b"), diag).orderBy(col("pa"))
+    matched
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), diag.as("d"), col("isl"))
+      .agg(min(col("pa")).as("a0"), min(col("pb")).as("b0"),
+        (max(col("pa")) - min(col("pa")) + lit(gramK)).as("l"))
+      .filter(col("l") >= minLen)
+      .select(col("id_a"), col("id_b"),
+        col("a0").cast("long").as("a_start"),
+        col("b0").cast("long").as("b_start"),
+        col("l").cast("long").as("len"))
+      .orderBy("id_a", "id_b", "a_start", "b_start")
+  }
+
+  /**
    * Near-dup cluster canonicalization — the step AFTER pair generation that a
    * real dedup pipeline needs: near-duplicate relations are not transitive
    * (A≈B, B≈C but A̸≈C), so keeping `min(id_a, id_b)` per pair both
