@@ -41,9 +41,27 @@ object ScaleBench {
       .withColumn("value", pmod(col("id") * lit(40503L), lit(100000L)))
       .select("ts", "value")
 
+    // per-section shuffle accounting: stage-completion metrics accumulate
+    // into one counter; each timed section reports the delta. Listener
+    // delivery is async, so a short settle precedes the read — the numbers
+    // are for order-of-magnitude plan-shape verification (is this section's
+    // shuffle O(buckets) or O(rows)?), not accounting-grade.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     def time(name: String)(f: => Unit): Unit = {
+      Thread.sleep(200) // settle listener events from the previous section
+      val s0 = shuffleBytes.get()
       val t = System.nanoTime(); f
-      println(f"[scale] $name: ${(System.nanoTime() - t) / 1e9}%.2f s ($rows%,d rows)")
+      val secs = (System.nanoTime() - t) / 1e9
+      Thread.sleep(200)
+      val sMb = (shuffleBytes.get() - s0) / 1e6
+      println(f"[scale] $name: $secs%.2f s, shuffle $sMb%.1f MB ($rows%,d rows)")
     }
 
     time("warmup (count)")(df.count())
@@ -92,6 +110,21 @@ object ScaleBench {
       val expected = ((nDocs - 2) / 50 + 1).toInt
       println(f"[scale] span recall: $planted/$expected planted pairs, ${pairs.length} total")
       assert(planted >= (expected * 0.95).toInt, s"span recall too low: $planted/$expected")
+    }
+
+    // ---- exact substring spans at corpus scale ----
+    // planted clones share exactly their first 29 tokens (the clone replaces
+    // token 30), so every planted pair must yield ONE maximal span with
+    // a_start = b_start = 0 and len = 29 — boundaries checkable, not just
+    // timeable. Random 100k-vocab docs make coincidental ≥16-token runs
+    // vanishingly unlikely, so planted pairs are the whole answer.
+    time(s"exact substring spans (winnow-seeded) over ${nDocs} docs") {
+      val spans = graft.operators.Dedup.exactSpans(docs).collect()
+      val planted = spans.count(r => r.getLong(1) == r.getLong(0) + 1 &&
+        r.getLong(0) % 50 == 0 && r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 29L)
+      val expected = ((nDocs - 2) / 50 + 1).toInt
+      println(s"[scale] exact spans: $planted/$expected planted spans exact, ${spans.length} total")
+      assert(planted >= expected, s"planted spans must all be exact: $planted/$expected")
     }
 
     // ---- cluster canonicalization: pair graph → connected components ----
