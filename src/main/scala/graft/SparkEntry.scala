@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
 import graft.functions.{Decoders, RowKeys}
 import graft.functions.expressions.BinaryCodec
 import graft.sources.Fixtures
@@ -370,6 +370,25 @@ object SparkEntry {
     "text_winnow" -> ((s, d) =>
       TextAnalysis.winnowing(documents(s, d)).orderBy("doc_id")),
 
+    // ---- scale ops: corpus curation -----------------------------------------
+    // Gopher-style repetition signals as exact integers (zero-shuffle
+    // projection; nested-lambda top counts — see Corpus.repetitionMetrics)
+    "text_repetition" -> ((s, d) =>
+      Corpus.repetitionMetrics(documents(s, d)).orderBy("doc_id")),
+    // deterministic md5-threshold split: same content → same side, any
+    // engine/parallelism reproduces it (CorpusSpec asserts invariance)
+    "split_train_val" -> ((s, d) =>
+      Corpus.splitAssign(documents(s, d)).orderBy("doc_id")),
+    // mixture accounting per (source, lang): one partial/final hash agg
+    "corpus_mix_stats" -> ((s, d) =>
+      Corpus.mixtureStats(documents(s, d)).orderBy("source", "lang")),
+    // vocabulary head: TakeOrderedAndProject, never a global sort; the
+    // trailing orderBy re-sorts only the k surviving rows for the
+    // order-sensitive hash compare
+    "vocab_top20" -> ((s, d) =>
+      Corpus.vocabTopK(documents(s, d), 20)
+        .orderBy(col("cnt").desc, col("token").asc)),
+
     // ---- scale ops: deduplication -------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d)).orderBy("text_hash")),
     // winnowing fingerprints composed into cross-doc span detection (VERDICT
@@ -728,6 +747,36 @@ object SparkEntry {
            |  ELSE 'de' END AS pred_lang
            |FROM v ORDER BY doc_id""".stripMargin.replace("\n", " ")
       },
+
+      // ---- corpus curation ----
+      // repetition signals re-derived with DuckDB list lambdas; list_max over
+      // an empty bigram list is NULL in both engines (single-token docs)
+      "text_repetition" ->
+        """WITH c AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+          |b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2
+          |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          |  ELSE CAST([] AS VARCHAR[]) END AS bg FROM c)
+          |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+          |  list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS top_token_count,
+          |  len(bg) AS n_2grams, len(list_distinct(bg)) AS n_distinct_2grams,
+          |  list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS top_2gram_count
+          |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // default split: seed = "" (md5 input is the bare text), valFrac =
+      // 1/16 → threshold "f000"; both sides compare the same 4-hex prefix
+      "split_train_val" ->
+        (s"SELECT doc_id, CASE WHEN substr(md5(text), 1, 4) >= " +
+          s"'${graft.operators.Corpus.splitThresholdHex(0.0625)}' THEN 'val' ELSE 'train' END AS split " +
+          "FROM documents ORDER BY doc_id"),
+      // DuckDB sum() is HUGEINT — cast to match Spark's BIGINT
+      "corpus_mix_stats" ->
+        ("SELECT source, lang, count(*) AS n_docs, " +
+          "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+          "CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens " +
+          "FROM documents GROUP BY 1, 2 ORDER BY 1, 2"),
+      "vocab_top20" ->
+        """WITH u AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents)
+          |SELECT token, count(*) AS cnt FROM u GROUP BY 1
+          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin.replace("\n", " "),
 
       // ---- dedup ----
       // span detection re-derived in DuckDB from the committed fingerprint

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Corpus-curation operators a pretraining data pipeline runs between dedup
+ * and packing: repetition metrics (the Gopher-style quality signals), a
+ * deterministic content-hash train/validation split, mixture accounting per
+ * (source, language) stratum, and vocabulary building.
+ *
+ * Beyond-reference surface (the reference — juwi/HBase-TAggregator — is a
+ * single-table time-series aggregator; these are the document-corpus
+ * counterparts its users need at LLM-training scale). Scale notes are on
+ * each operator; the common theme is that everything per-document is a pure
+ * projection (zero shuffles, pipelined by the Parquet reader) and everything
+ * global is either one partial/final hash aggregate or a bounded top-k that
+ * never materializes more than k rows per partition.
+ */
+object Corpus {
+
+  /**
+   * Token-level repetition metrics, the quality signals used to drop
+   * machine-generated / boilerplate documents (Rae et al., "Scaling Language
+   * Models: ... Gopher", arXiv:2112.11446, Table A1 — duplicate-n-gram and
+   * top-n-gram fractions; we emit the exact integer numerators/denominators
+   * and leave the ratio-and-threshold to the caller, keeping the
+   * oracle-compared surface integer-exact).
+   *
+   * Per document over whitespace tokens:
+   *   - `n_tokens`, `n_distinct_tokens` — duplicate-word fraction is
+   *     `1 - n_distinct/n`.
+   *   - `top_token_count` — multiplicity of the most frequent token
+   *     (top-1-gram fraction numerator). Null on an empty token list.
+   *   - `n_2grams`, `n_distinct_2grams`, `top_2gram_count` — same signals
+   *     over consecutive word pairs, the smallest n-gram Gopher thresholds.
+   *
+   * Scale shape: a pure projection — zero shuffles, column pruning reaches
+   * the scan (plan-asserted in CorpusSpec). The top-count terms are
+   * O(n_tokens × n_distinct) per document via nested higher-order functions;
+   * bounded and cache-local for web documents (≤ a few thousand tokens). For
+   * a corpus of book-length texts, explode to (doc, token) and aggregate
+   * instead — that variant shuffles, so it is not the default.
+   */
+  def repetitionMetrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def topCount(arr: Column): Column =
+      array_max(transform(array_distinct(arr), t => size(filter(arr, x => x === t))))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        // consecutive pairs (NOT distinct — multiplicity is the signal);
+        // guard: sequence(0, -1) would count DOWN, so short docs get []
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>")).as("__bg"))
+      .select(
+        col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_distinct_tokens"),
+        topCount(col("__toks")).cast("long").as("top_token_count"),
+        size(col("__bg")).cast("long").as("n_2grams"),
+        size(array_distinct(col("__bg"))).cast("long").as("n_distinct_2grams"),
+        topCount(col("__bg")).cast("long").as("top_2gram_count"))
+  }
+
+  /**
+   * Deterministic content-hash train/validation split: a document lands in
+   * `val` iff the leading 4 hex digits of `md5(seed || text)` fall in the
+   * top `valFrac` of the hash space. No RNG, no state — any engine (and any
+   * re-run, at any parallelism) reproduces the same assignment, duplicate
+   * texts land on the same side (no train/val leakage through near-copies of
+   * the same content), and `seed` re-rolls the split without touching data.
+   * Granularity is 1/65536; `valFrac` is clamped to [0, 1].
+   *
+   * Scale shape: pure projection, zero shuffles.
+   */
+  def splitAssign(df: DataFrame, valFrac: Double = 0.0625, seed: String = "",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val f = math.min(1.0, math.max(0.0, valFrac))
+    df.select(col(idCol),
+      when(substring(md5(concat(lit(seed), coalesce(col(textCol), lit("")))), 1, 4)
+        >= lit(splitThresholdHex(f)), lit("val")).otherwise(lit("train")).as("split"))
+  }
+
+  /**
+   * The 4-hex-digit cut: hashes lexicographically ≥ this land in `val`.
+   * A `valFrac` that rounds to zero returns "g" — greater than every hex
+   * digit, so no 4-hex prefix reaches it and the split is all-train (a
+   * 5-char hex threshold like "10000" would compare WRONG lexicographically
+   * against 4-char prefixes: "abcd" > "10000" char-by-char).
+   */
+  def splitThresholdHex(valFrac: Double): String = {
+    val n = math.round((1.0 - math.min(1.0, math.max(0.0, valFrac))) * 0x10000)
+    if (n >= 0x10000L) "g" else f"$n%04x"
+  }
+
+  /**
+   * Mixture accounting per (source, language) stratum — documents, exact
+   * character and token mass. The bookkeeping behind any mixture-weighting
+   * decision (what share of the training budget each domain×language cell
+   * gets) and the audit artifact a curation run publishes next to the data.
+   *
+   * Scale shape: one partial/final hash aggregate; only
+   * O(strata) pre-aggregated rows cross the wire.
+   */
+  def mixtureStats(df: DataFrame, strataCols: Seq[String] = Seq("source", "lang"),
+      textCol: String = "text"): DataFrame =
+    df.groupBy(strataCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(coalesce(col(textCol), lit(""))).cast("long")).as("n_chars"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+
+  /**
+   * Global token vocabulary, top `k` by (count desc, token asc) — the first
+   * step of tokenizer training (word-level counts feeding BPE/unigram-LM
+   * fitting) and of stopword/hot-token diagnostics.
+   *
+   * Scale shape: explode → one partial/final hash aggregate on the token
+   * (map-side combine collapses each partition to its distinct tokens), then
+   * `orderBy(...).limit(k)` — Catalyst plans TakeOrderedAndProject, a
+   * per-partition top-k + driver merge of k×partitions rows, NOT a global
+   * sort (plan-asserted in CorpusSpec). The (count, token) order is total,
+   * so the cut is deterministic under ties at rank k.
+   */
+  def vocabTopK(df: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    Parallelism.ensure(df)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** Corpus-curation operators: repetition metrics, hash split, mixture, vocab. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs: DataFrame = graft.sources.Tables.documents(spark, sf)
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("repetitionMetrics: hand-computed counts, bigram multiplicity, 1-token doc") {
+    val df = Seq(
+      (1L, "a b a b a"), // toks: a×3 b×2; bigrams: "a b"×2 "b a"×2
+      (2L, "x"), //          1 token → zero bigrams, null top_2gram_count
+      (3L, "c c c c") //     bigrams: "c c"×3
+    ).toDF("doc_id", "text")
+    val got = Corpus.repetitionMetrics(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    assert(got(1L) == ((5L, 2L, 3L, 4L, 2L, 2L)))
+    assert(got(2L) == ((1L, 1L, 1L, 0L, 0L, -1L)))
+    assert(got(3L) == ((4L, 1L, 4L, 3L, 1L, 3L)))
+  }
+
+  test("repetitionMetrics plan: pure projection — no exchange, pruned scan") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"over-read:\n$p")
+  }
+
+  test("splitAssign: exhaustive, deterministic, duplicate texts co-assigned") {
+    val a = Corpus.splitAssign(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Corpus.splitAssign(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    assert(a.values.forall(s => s == "train" || s == "val"))
+    // duplicate texts land on the same side — no leakage through copies
+    val dup = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    assert(Corpus.splitAssign(dup).select("split").distinct().count() == 1)
+  }
+
+  test("splitAssign: val share tracks valFrac, seed re-rolls the assignment") {
+    val n = docs.count().toDouble
+    val nVal = Corpus.splitAssign(docs, valFrac = 0.25)
+      .filter(col("split") === "val").count().toDouble
+    assert(nVal / n > 0.10 && nVal / n < 0.40, s"val share ${nVal / n} far from 0.25")
+    val s0 = Corpus.splitAssign(docs, valFrac = 0.25).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = Corpus.splitAssign(docs, valFrac = 0.25, seed = "roll-2").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s0 != s1, "a new seed must re-roll the split")
+  }
+
+  test("splitThresholdHex edges: 0 → all-train sentinel, 1 → all-val") {
+    assert(Corpus.splitThresholdHex(0.0) == "g") // no hex prefix reaches it
+    assert(Corpus.splitThresholdHex(1.0) == "0000") // every prefix does
+    assert(Corpus.splitThresholdHex(0.0625) == "f000")
+    val allTrain = Corpus.splitAssign(docs, valFrac = 0.0)
+    assert(allTrain.filter(col("split") === "val").count() == 0)
+    val allVal = Corpus.splitAssign(docs, valFrac = 1.0)
+    assert(allVal.filter(col("split") === "train").count() == 0)
+  }
+
+  test("mixtureStats: exact doc/char/token mass per stratum") {
+    val df = Seq(
+      ("web", "en", 101L, "aa bb"),
+      ("web", "en", 102L, "cc"),
+      ("web", "de", 103L, "dd ee ff"),
+      ("book", "en", 104L, "x")
+    ).toDF("source", "lang", "doc_id", "text")
+    val got = Corpus.mixtureStats(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("web", "en")) == ((2L, 7L, 3L)))
+    assert(got(("web", "de")) == ((1L, 8L, 3L)))
+    assert(got(("book", "en")) == ((1L, 1L, 1L)))
+  }
+
+  test("vocabTopK: (count desc, token asc) total order, deterministic tie cut") {
+    val df = Seq("b b b a a c", "a d d").map(t => (1L, t)).toDF("doc_id", "text")
+    // counts: a×3 b×3 d×2 c×1 — k=3 cuts inside the d/c tail; the a/b tie
+    // at the top resolves by token asc
+    val got = Corpus.vocabTopK(df, 3).orderBy(col("cnt").desc, col("token").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L), ("d", 2L)))
+  }
+
+  test("vocabTopK plan: per-partition top-k merge, never a global sort") {
+    val p = plan("vocab_top20")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+}
