@@ -406,6 +406,14 @@ object SparkEntry {
     // a gram-position equality join + gaps-and-islands. Oracle re-derives
     // maximal runs relationally from raw token strings.
     "dedup_exact_spans" -> ((s, d) => Dedup.exactSpans(documents(s, d))),
+    // the CUT step over those spans (Lee et al. §4): every duplicated run
+    // keeps only the lowest-id copy; higher-id docs get their covered token
+    // positions removed and the survivors rejoined. Oracle rebuilds the
+    // cleaned text from the SAME relational span derivation with DuckDB
+    // index lambdas — detection and surgery both cross-checked.
+    "dedup_cut_spans" -> ((s, d) =>
+      Dedup.cutSpans(documents(s, d), Dedup.exactSpans(documents(s, d)))
+        .orderBy("doc_id")),
     // cluster canonicalization over the exact-Jaccard pairs: near-dup is not
     // transitive, so "keep one per cluster" needs connected components, not
     // per-pair min. Oracle = DuckDB recursive-CTE transitive closure over the
@@ -809,21 +817,22 @@ object SparkEntry {
       // pa − row_number() is constant exactly within one maximal run. The
       // 1000-occurrence gram cap mirrors the engine's maxGramFreq
       // byte-identically (count of OCCURRENCES, not docs).
-      "dedup_exact_spans" -> {
-        val k = 8; val minLen = 16
-        s"""WITH t0 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
-           |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks)-${k - 2})) AS i FROM t0 WHERE len(toks) >= $k),
-           |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+${k - 1}], ' ') AS s FROM g0),
-           |ok AS (SELECT s FROM g GROUP BY s HAVING count(*) <= 1000),
-           |g2 AS (SELECT g.* FROM g JOIN ok USING (s)),
-           |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
-           |  FROM g2 a JOIN g2 b ON a.s = b.s AND a.doc_id < b.doc_id),
-           |r AS (SELECT *, pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl FROM m)
-           |SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start, CAST(min(pb) AS BIGINT) AS b_start,
-           |  CAST(max(pa) - min(pa) + $k AS BIGINT) AS len
-           |FROM r GROUP BY id_a, id_b, pa - pb, isl
-           |HAVING max(pa) - min(pa) + $k >= $minLen ORDER BY 1, 2, 3, 4""".stripMargin.replace("\n", " ")
-      },
+      "dedup_exact_spans" ->
+        s"WITH ${exactSpansOracleCtes()} SELECT * FROM spans ORDER BY 1, 2, 3, 4",
+      // cut rebuild: removed positions per higher-id doc from the SAME span
+      // CTEs, then an indexed list_filter (DuckDB lambdas are 1-based, the
+      // span positions 0-based — hence i - 1)
+      "dedup_cut_spans" ->
+        s"""WITH ${exactSpansOracleCtes()},
+           |rmp AS (SELECT id_b AS doc_id, unnest(generate_series(b_start, b_start + len - 1)) AS rm FROM spans),
+           |rms AS (SELECT doc_id, array_agg(DISTINCT rm) AS rm FROM rmp GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CASE WHEN rms.rm IS NULL THEN d.text
+           |    ELSE coalesce(array_to_string(list_filter(regexp_split_to_array(lower(trim(d.text)), '\\s+'),
+           |      (x, i) -> NOT list_contains(rms.rm, i - 1)), ' '), '') END AS clean_text,
+           |  CAST(coalesce(len(rms.rm), 0) AS BIGINT) AS n_removed
+           |FROM documents d LEFT JOIN rms ON d.doc_id = rms.doc_id
+           |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
       // connected components of the same pair graph, computed independently:
       // recursive transitive closure (fine at oracle scale), then min
       // reachable id per doc; singletons fall out of the LEFT JOIN
@@ -969,4 +978,29 @@ object SparkEntry {
   /** Render a stopword list as a SQL IN-list. */
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
+
+  /**
+   * CTE chain re-deriving [[graft.operators.Dedup.exactSpans]] relationally
+   * on RAW token strings (the engine joins 64-bit gram hashes; extents agree
+   * because combination collisions are ~n²/2⁶⁵). Defines `spans(id_a, id_b,
+   * a_start, b_start, len)`; shared by the detection oracle and the cut
+   * oracle so both check against ONE derivation. Same gaps-and-islands
+   * identity as the engine: run matches are consecutive along the diagonal
+   * pa−pb, so pa − row_number() is constant exactly within one maximal run;
+   * the 1000-occurrence gram cap mirrors maxGramFreq byte-identically
+   * (count of OCCURRENCES, not docs).
+   */
+  private def exactSpansOracleCtes(k: Int = 8, minLen: Int = 16): String =
+    s"""t0 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks)-${k - 2})) AS i FROM t0 WHERE len(toks) >= $k),
+       |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+${k - 1}], ' ') AS s FROM g0),
+       |ok AS (SELECT s FROM g GROUP BY s HAVING count(*) <= 1000),
+       |g2 AS (SELECT g.* FROM g JOIN ok USING (s)),
+       |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+       |  FROM g2 a JOIN g2 b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |r AS (SELECT *, pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl FROM m),
+       |spans AS (SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start, CAST(min(pb) AS BIGINT) AS b_start,
+       |  CAST(max(pa) - min(pa) + $k AS BIGINT) AS len
+       |  FROM r GROUP BY id_a, id_b, pa - pb, isl
+       |  HAVING max(pa) - min(pa) + $k >= $minLen)""".stripMargin.replace("\n", " ")
 }

@@ -398,6 +398,50 @@ object Dedup {
   }
 
   /**
+   * The CUT step that makes [[exactSpans]] actionable (Lee et al., ACL'22,
+   * §4: "we remove all but one copy of each duplicated span"): given the
+   * span frame, rewrite each document's token stream with the duplicated
+   * positions removed, keeping the LOWEST-id document's copy — a position in
+   * doc X is cut iff X appears as `id_b` for a span covering it, so in any
+   * duplicated group the minimum id survives intact and every higher id
+   * loses its copy. Deterministic: a pure function of (docs, spans).
+   *
+   * Output per input document (untouched docs pass through): `(idCol,
+   * clean_text, n_removed)`. A cut document's `clean_text` is its surviving
+   * tokens rejoined with single spaces — token-level surgery necessarily
+   * re-emits the tokenized normalization (lowercased, whitespace-collapsed),
+   * exactly what a tokenizer consumes next; untouched documents keep their
+   * original bytes.
+   *
+   * Scale shape: the position explode is O(duplicated token mass) 12-byte
+   * rows — proportional to exactly the volume being deleted, not the corpus;
+   * per-doc removal sets are bounded by document length (`collect_set` on a
+   * grouped doc id); the only joins are doc-id equality. The token rewrite
+   * is one indexed higher-order `filter` per cut document.
+   */
+  def cutSpans(
+      df: DataFrame,
+      spans: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // removed 0-based token positions, per higher-id doc of each span
+    val removed = spans
+      .select(col("id_b").as(idCol),
+        explode(sequence(col("b_start"), col("b_start") + col("len") - 1)).as("rm"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("rm")).as("rm"))
+    val toks = tokens(col(textCol))
+    df.join(removed, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(col("rm").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(toks, (t, i) => !array_contains(col("rm"), i.cast("long")))))
+          .as("clean_text"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /**
    * Near-dup cluster canonicalization — the step AFTER pair generation that a
    * real dedup pipeline needs: near-duplicate relations are not transitive
    * (A≈B, B≈C but A̸≈C), so keeping `min(id_a, id_b)` per pair both

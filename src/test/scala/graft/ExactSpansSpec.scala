@@ -78,4 +78,41 @@ class ExactSpansSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"span extraction must stay an equality join:\n$plan")
   }
+
+  test("cutSpans: higher-id doc loses the covered tokens, lower-id and bystanders keep theirs") {
+    val got = Dedup.cutSpans(docs, Dedup.exactSpans(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 2 loses b_start=3 .. 3+16-1 (its copy of w2..w17), keeps x0 x1 x2 y0 y1
+    assert(got(2L) == (("x0 x1 x2 y0 y1", 16L)))
+    // doc 1 (lowest id of the pair) and doc 3 (no span) keep original bytes
+    assert(got(1L) == ((tok(0 until 20).mkString(" "), 0L)))
+    assert(got(3L) == ((tok(100 until 130, "z").mkString(" "), 0L)))
+  }
+
+  test("cutSpans: overlapping spans on one doc remove the position UNION, once") {
+    // synthetic span frame: doc 9 covered by [2,6) and [4,9) → union [2,9), 7 tokens
+    val d = Seq((9L, tok(0 until 12).mkString(" "))).toDF("doc_id", "text")
+    val sp = Seq((1L, 9L, 0L, 2L, 4L), (1L, 9L, 0L, 4L, 5L))
+      .toDF("id_a", "id_b", "a_start", "b_start", "len")
+    val got = Dedup.cutSpans(d, sp).collect()
+      .map(r => (r.getString(1), r.getLong(2))).head
+    assert(got == (("w0 w1 w9 w10 w11", 7L)))
+  }
+
+  test("cutSpans: a doc cut to nothing yields empty text, full token count removed") {
+    val d = Seq((1L, tok(0 until 16).mkString(" ")),
+      (2L, tok(0 until 16).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.cutSpans(d, Dedup.exactSpans(d)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L)._2 == 0L)
+    assert(got(2L) == (("", 16L)))
+  }
+
+  test("cutSpans: transitive triple keeps exactly the minimum-id copy intact") {
+    val t = tok(0 until 18).mkString(" ")
+    val d = Seq((5L, t), (6L, t), (7L, t)).toDF("doc_id", "text")
+    val got = Dedup.cutSpans(d, Dedup.exactSpans(d)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(5L -> 0L, 6L -> 18L, 7L -> 18L))
+  }
 }
