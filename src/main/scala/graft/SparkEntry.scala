@@ -465,6 +465,11 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.topKDot(e, e.filter(col("vec_id") < 10), k = 5)
     },
+    // embedding health: per-dimension integer-quantized distribution — one
+    // partial/final hash agg over the posexplode (O(partitions × dim) rows
+    // cross the exchange)
+    "embedding_dim_stats" -> ((s, d) =>
+      Similarity.embeddingDimStats(embeddings(s, d)).orderBy("dim")),
     "ann_topk_cosine_lsh" -> { (s, d) => // golden-checked: approximate by design
       val e = embeddings(s, d)
       // 16 tables × 4 planes: tuned for unclustered (random) vectors where
@@ -921,6 +926,14 @@ object SparkEntry {
           |SELECT qid, nid, dot_q, rank FROM (
           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin.replace("\n", " "),
+      // same widen→scale→round quantization path as the engine (scale 1000);
+      // generate_subscripts/unnest zip per row, dims re-based to 0
+      "embedding_dim_stats" ->
+        """WITH u0 AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v FROM embeddings),
+          |u AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q FROM u0)
+          |SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+          |  min(q) AS min_q, max(q) AS max_q, CAST(sum(q*q) AS BIGINT) AS sum_q2
+          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
 
       // ---- temporal joins ----
       // DuckDB's NATIVE ASOF LEFT JOIN vs the engine's union+window plan:

@@ -240,4 +240,34 @@ object Similarity {
       .select("qid", "nid", "cosine")
     topK(scored, k, "cosine", longScore = false)
   }
+
+  /**
+   * Per-dimension distribution stats over an embedding column — the health
+   * check an embedding pipeline runs before indexing: a dimension whose
+   * range collapses (dead unit), saturates (clipped activations), or drifts
+   * between corpus snapshots flags a broken encoder long before ANN recall
+   * quietly degrades. Components are exact integers at [[quantize]]'s fixed
+   * scale (the identical IEEE widen→scale→round path as the quantized dot
+   * product), so the output is bit-reproducible across engines and partition
+   * orders: `(dim, n, sum_q, min_q, max_q, sum_q2)` — mean and variance are
+   * one deterministic division away.
+   *
+   * Scale shape: posexplode to (dim, q) then ONE partial/final hash
+   * aggregate — map-side combine collapses every partition to `dim` rows, so
+   * the exchange carries O(partitions × dim) pre-aggregated rows no matter
+   * the corpus size. `sum_q2` holds while n_vectors ≤ ~9×10¹²/dim at the
+   * default scale (|q| ≤ scale ⇒ q² ≤ 10⁶ against the 9.2×10¹⁸ long range).
+   */
+  def embeddingDimStats(
+      embs: DataFrame, scale: Int = 1000,
+      vecCol: String = "embedding"): DataFrame =
+    Parallelism.ensure(embs)
+      .select(posexplode(quantize(col(vecCol), scale)).as(Seq("dim", "q")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"),
+        sum(col("q") * col("q")).as("sum_q2"))
 }

@@ -197,4 +197,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     val scored = TextAnalysis.qualityScore(docs).select("quality_score").collect().map(_.getDouble(0))
     assert(scored.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("embeddingDimStats: hand-computed quantized components, partition-invariant") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.25f)),
+      // 0.0005f widens to 0.0005000000237...×1000 = 0.50000002 → q = 1: the
+      // float-exact widen-then-round path, NOT decimal 0.0005 (which would
+      // tie-round to 1 anyway, but for the HALF_UP reason — this pins IEEE)
+      (2L, Seq(0.0005f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.embeddingDimStats(d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    val got = run(df)
+    // dim 0: q = {500, 1};  dim 1: q = {-1250, 2000}
+    assert(got(0L) == ((2L, 501L, 1L, 500L, 250001L)))
+    assert(got(1L) == ((2L, 750L, -1250L, 2000L, 5562500L)))
+    assert(run(df.repartition(5)) == got)
+  }
+
+  test("embedding_dim_stats plan: one aggregation exchange over the explode") {
+    val p = SparkEntry.queries("embedding_dim_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    def cnt(n: String) = p.sliding(n.length).count(_ == n)
+    assert(cnt("Exchange hashpartitioning") == 1, s"agg shuffle count:\n$p")
+    assert(p.contains("Generate explode") || p.contains("Generate posexplode"),
+      s"expected explode:\n$p")
+  }
 }
