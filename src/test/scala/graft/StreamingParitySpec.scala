@@ -179,4 +179,38 @@ class StreamingParitySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(registered.nonEmpty && streamed == registered)
   }
+
+  test("stateless corpus projections stream as-is: repetition + split == batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // repetitionMetrics and splitAssign are pure projections, so the SAME
+    // operator call compiles to a stateless streaming plan — no wrapper
+    // needed; this pins that property (a groupBy sneaking in would fail the
+    // append-mode start() loudly)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    val in = ms.toDF().toDF("doc_id", "text")
+    val qRep = graft.operators.Corpus.repetitionMetrics(in)
+      .writeStream.outputMode("append").format("memory").queryName("parity_rep").start()
+    val qSplit = graft.operators.Corpus.splitAssign(in)
+      .writeStream.outputMode("append").format("memory").queryName("parity_split").start()
+    try {
+      chunks(docs, 3).foreach { c =>
+        ms.addData(c: _*); qRep.processAllAvailable(); qSplit.processAllAvailable()
+      }
+    } finally { qRep.stop(); qSplit.stop() }
+    val streamedRep = spark.table("parity_rep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val streamedSplit = spark.table("parity_split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchDf = docs.toDF("doc_id", "text")
+    val batchRep = graft.operators.Corpus.repetitionMetrics(batchDf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val batchSplit = graft.operators.Corpus.splitAssign(batchDf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchRep.nonEmpty && streamedRep == batchRep)
+    assert(batchSplit.nonEmpty && streamedSplit == batchSplit)
+  }
 }
