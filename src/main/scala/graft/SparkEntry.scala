@@ -128,6 +128,12 @@ object SparkEntry {
         spec900.copy(valueCol = "value_cents"),
         Seq((sum(col("value_cents")).cast("double") / count(lit(1)) / lit(100.0))
           .as("avg_value")))),
+    // exact per-bucket median over integer cents: p=0.5 interpolation is
+    // bit-exact across engines (integer endpoints, exact 0.5 products) — the
+    // only percentile that belongs under the hash gate; see TsAgg.percentile
+    "ts_median_900" -> ((s, d) =>
+      TsAgg.median(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"))),
     // all five aggregates in ONE scan + one shuffle (the reference needs one
     // coprocessor round-trip per metric — SURVEY §3; this is the Spark win)
     "ts_summary_900" -> ((s, d) =>
@@ -388,6 +394,16 @@ object SparkEntry {
     "vocab_top20" -> ((s, d) =>
       Corpus.vocabTopK(documents(s, d), 20)
         .orderBy(col("cnt").desc, col("token").asc)),
+    // distribution drift between the train and benchmark splits (same splits
+    // as decontaminate_ngram): exact cross-product rate comparison, top-20
+    // divergent tokens; re-sorted by the output columns for the hash gate
+    "token_shift_top20" -> { (s, d) =>
+      val docs = documents(s, d)
+      Corpus.tokenShift(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), 20)
+        .orderBy(col("cnt_a").desc, col("token").asc)
+    },
 
     // ---- scale ops: deduplication -------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d)).orderBy("text_hash")),
@@ -632,6 +648,10 @@ object SparkEntry {
       "ts_avg_900" -> tsAggSql(
         s"CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
         T0_EVENTS, e900, 900 * MS),
+      // DuckDB median == quantile_cont(0.5): same (n-1)*p rank convention as
+      // Spark percentile; exact halves of integer cents → bit-equal doubles
+      "ts_median_900" -> tsAggSql(
+        s"median($cents) AS median_value", T0_EVENTS, e900, 900 * MS),
       "ts_summary_900" -> tsAggSql(
         s"max(value) AS max_value, min(value) AS min_value, CAST(sum($cents) AS BIGINT) AS sum_value, " +
           s"count(*) AS count_value, CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
@@ -790,6 +810,21 @@ object SparkEntry {
         """WITH u AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents)
           |SELECT token, count(*) AS cnt FROM u GROUP BY 1
           |ORDER BY cnt DESC, token LIMIT 20""".stripMargin.replace("\n", " "),
+      // exact cross-product rate divergence (DuckDB HUGEINT side of the
+      // engine's decimal(38) arithmetic); top-20 set cut by (shift, token),
+      // then re-sorted by the output columns like the engine
+      "token_shift_top20" ->
+        """WITH a0 AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents WHERE doc_id % 20 <> 0),
+          |ca AS (SELECT token, count(*) AS cnt_a FROM a0 GROUP BY 1),
+          |b0 AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents WHERE doc_id % 20 = 0),
+          |cb AS (SELECT token, count(*) AS cnt_b FROM b0 GROUP BY 1),
+          |j AS (SELECT coalesce(ca.token, cb.token) AS token, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+          |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+          |t AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM j),
+          |top AS (SELECT token, cnt_a, cnt_b FROM j, t
+          |  ORDER BY abs(cnt_a*tb - cnt_b*ta) DESC, token LIMIT 20)
+          |SELECT token, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b
+          |FROM top ORDER BY cnt_a DESC, token""".stripMargin.replace("\n", " "),
 
       // ---- dedup ----
       // span detection re-derived in DuckDB from the committed fingerprint

@@ -133,4 +133,40 @@ object Corpus {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
+
+  /**
+   * Token-distribution drift between two corpora: the `k` tokens whose RATES
+   * diverge most between `a` and `b` — the χ²-flavoured check a pipeline
+   * runs between corpus snapshots (did a scraper change shift the language?)
+   * or between a training mix and a target domain. Rates are compared
+   * exactly as cross-products: `|cnt_a·total_b − cnt_b·total_a|` over
+   * decimal(38) — integer arithmetic end-to-end, so the top-k SET is
+   * bit-deterministic (no float epsilon deciding rank k), with `token` as
+   * the total tie-break. Output rows carry `(token, cnt_a, cnt_b)`; the
+   * caller derives any normalized statistic it likes.
+   *
+   * Scale shape: one partial/final hash aggregate per corpus (vocab-sized
+   * results), a full-outer join on the token key, a broadcast of the 1-row
+   * totals, then TakeOrderedAndProject for the cut — nothing wide ever
+   * carries more than the vocabulary.
+   */
+  def tokenShift(a: DataFrame, b: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, name: String) =
+      Parallelism.ensure(df)
+        .select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(name))
+    val joined = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum("cnt_a").as("ta"), sum("cnt_b").as("tb"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("shift", abs(
+        col("cnt_a").cast("decimal(38,0)") * col("tb")
+          - col("cnt_b").cast("decimal(38,0)") * col("ta")))
+      .orderBy(col("shift").desc, col("token").asc)
+      .limit(k)
+      .select("token", "cnt_a", "cnt_b")
+  }
 }

@@ -216,6 +216,42 @@ object TsAgg {
       Seq(functions.approx_count_distinct(col(keyCol), rsd).as("n_distinct_approx")))
 
   /**
+   * Per-bucket exact percentile (interpolated, `(n-1)*p` rank convention —
+   * the same convention as DuckDB `quantile_cont`/Postgres
+   * `percentile_cont`). At `p = 0.5` over integer-valued columns the result
+   * is bit-exact across engines with no caveats: every intermediate —
+   * integer endpoints, the 0.5 fraction, their products and sum — is exactly
+   * representable in double. Other `p` interpolate as `lo*(1-f) + hi*f`,
+   * whose IEEE sequence engines may phrase differently (sub-ulp divergence);
+   * those belong under golden/tolerance checks, not the hash gate.
+   *
+   * Scale: Spark's exact `percentile` buffers each group's values — bounded
+   * by cells per (series, bucket), which a time-bucketed spec keeps small
+   * (it is the per-bucket sample count, not the corpus). For huge groups or
+   * wide sweeps use [[approxPercentile]]: constant-size sketch, partial/final
+   * merge, the 100 TB form.
+   */
+  def percentile(df: DataFrame, spec: TsAggSpec, p: Double): DataFrame =
+    aggregate(df, spec,
+      Seq(functions.percentile(v(spec), functions.lit(p)).as(s"p${(p * 100).toInt}_value")))
+
+  /** Per-bucket median: the `p = 0.5` bit-exact case of [[percentile]]. */
+  def median(df: DataFrame, spec: TsAggSpec): DataFrame =
+    aggregate(df, spec, Seq(functions.median(v(spec)).as("median_value")))
+
+  /**
+   * Approximate per-bucket percentile (Greenwald-Khanna sketch,
+   * `approx_percentile`) — constant memory per bucket, mergeable partials.
+   * Merge-order-dependent, hence neither oracle- nor golden-comparable;
+   * `TsAggGoldenSpec` bounds it against the exact form instead.
+   */
+  def approxPercentile(df: DataFrame, spec: TsAggSpec, p: Double,
+      accuracy: Int = 10000): DataFrame =
+    aggregate(df, spec,
+      Seq(functions.approx_percentile(v(spec), functions.lit(p), functions.lit(accuracy))
+        .as(s"p${(p * 100).toInt}_approx")))
+
+  /**
    * Per-bucket difference vs the previous bucket — README's planned `diff`
    * operator (`README.md:33-34`): SUM per bucket, then `value - lag(value)`
    * over bucket order. The window runs on post-aggregate rows (O(#buckets),

@@ -98,4 +98,21 @@ class CorpusSpec extends AnyFunSuite {
     val p = plan("vocab_top20")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
+
+  test("tokenShift: exact cross-product ranking, absent tokens count zero") {
+    // a: x×2 y×1 (ta=3);  b: y×1 z×1 (tb=2)
+    // shift: x |2·2−0·3|=4,  z |0·2−1·3|=3,  y |1·2−1·3|=1  → top2 = x, z
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "y z")).toDF("doc_id", "text")
+    val got = Corpus.tokenShift(a, b, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("x", 2L, 0L), ("z", 0L, 1L)))
+  }
+
+  test("tokenShift plan: top-k cut, totals broadcast, no wide row beyond vocab") {
+    val p = plan("token_shift_top20")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k cut:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must broadcast:\n$p")
+  }
 }

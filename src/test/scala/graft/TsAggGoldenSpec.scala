@@ -257,4 +257,27 @@ class TsAggGoldenSpec extends AnyFunSuite {
         s"bucket $bucket: approx $a vs exact $n")
     }
   }
+
+  test("median/percentile are exact; the GK sketch form stays within accuracy") {
+    import spark.implicits._
+    // bucket 0: 1..100 (even count: median = (50+51)/2); bucket 1: {3,7,11}
+    val df = ((1 to 100).map(i => (BaseMs + 1L + i % 7, i.toLong)) ++
+      Seq(3L, 7L, 11L).map(v => (BaseMs + 900001L, v))).toDF("ts", "cents")
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 1800000L),
+      valueCol = "cents")
+    val med = collectMap(TsAgg.median(df, spec))
+      .map { case (k, v) => k -> v.asInstanceOf[Double] }
+    assert(med == Map(BaseMs -> 50.5, (BaseMs + 900000L) -> 7.0))
+    // p-interpolation at the (n-1)*p rank: p95 over 1..100 → rank 94.05 →
+    // 95 + 0.05*(96-95)
+    val p95 = collectMap(TsAgg.percentile(df, spec, 0.95))
+      .map { case (k, v) => k -> v.asInstanceOf[Double] }
+    assert(math.abs(p95(BaseMs) - 95.05) < 1e-9)
+    // GK sketch: within rank error n/accuracy of the exact answer, and
+    // always one of the actual values
+    val approx = collectMap(TsAgg.approxPercentile(df, spec, 0.5, accuracy = 100))
+      .map { case (k, v) => k -> v.asInstanceOf[Long] }
+    assert(math.abs(approx(BaseMs) - 50L) <= 2, s"got ${approx(BaseMs)}")
+    assert(approx(BaseMs + 900000L) == 7L)
+  }
 }
