@@ -255,6 +255,26 @@ object SparkEntry {
     // this exact form in TsAggGoldenSpec
     "ts_distinct_users_900" -> ((s, d) =>
       TsAgg.distinctCount(events(s, d, spec900), spec900, keyCol = "user_id")),
+    // per-bucket heavy hitters: two bounded aggregate levels (exact sums,
+    // then a k-entry TopK partial/final), NEVER a row_number window — the
+    // window form funnels every (bucket, key) row through one reducer per
+    // bucket; ties rank lower user_id first, deterministic at any parallelism
+    "ts_top3_users_900" -> ((s, d) =>
+      TsAgg.topKPerBucket(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), keyCol = "user_id", k = 3)),
+    // gap-based sessions over the same 7-day window via Spark's NATIVE
+    // session_window (streaming-capable form); oracle re-derives sessions
+    // with the classic lag/cumulative-break SQL — two different algorithms,
+    // one answer (diff >= gap splits; session_end = last event + gap)
+    "sessionize_30m" -> ((s, d) =>
+      TsAgg.sessionWindows(
+        events(s, d, spec900)
+          .filter(unix_millis(col("ts")) >= T0_EVENTS
+            && unix_millis(col("ts")) < T0_EVENTS + 7 * DAY)
+          .withColumn("value_cents", centsCol),
+        gapMs = 1800000L, keyCols = Seq("user_id"),
+        aggExprs = Seq(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("sum_cents")))),
 
     // series-grouped diff (VERDICT r2 #7): the same bucket-delta operator,
     // windowed PER SERIES — each event_type's lag runs in its own window
@@ -660,6 +680,32 @@ object SparkEntry {
         T0_ODD, specTrailing.scanEndMs, 900 * MS),
       "ts_distinct_users_900" -> tsAggSql(
         "count(DISTINCT user_id) AS n_distinct", T0_EVENTS, e900, 900 * MS),
+      "ts_top3_users_900" -> {
+        val b = bucketSql(T0_EVENTS, 900 * MS, "ms")
+        s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, $cents AS c FROM events
+           |  WHERE epoch_ms(ts) >= $T0_EVENTS AND epoch_ms(ts) < $e900),
+           |s AS (SELECT $b AS bucket_start, user_id,
+           |  CAST(sum(c) AS BIGINT) AS sum_value FROM e GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_start
+           |  ORDER BY sum_value DESC, user_id) AS rank FROM s)
+           |SELECT bucket_start, user_id, sum_value, rank FROM r
+           |WHERE rank <= 3 ORDER BY bucket_start, rank""".stripMargin.replace("\n", " ")
+      },
+      // independent algorithm: lag/cumulative-break sessions (the engine uses
+      // session_window merge). Spark merges TOUCHING windows — an event at
+      // exactly prev + gap joins the session — so the split condition is
+      // strictly diff > gap; session_end = last + gap
+      "sessionize_30m" ->
+        s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, $cents AS c FROM events
+           |  WHERE epoch_ms(ts) >= $T0_EVENTS AND epoch_ms(ts) < ${T0_EVENTS + 7 * DAY}),
+           |b AS (SELECT user_id, ms, c, CASE WHEN lag(ms) OVER w IS NULL
+           |  OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+           |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
+           |SELECT user_id, count(*) AS n_events, CAST(sum(c) AS BIGINT) AS sum_cents,
+           |  min(ms) AS session_start, max(ms) + 1800000 AS session_end
+           |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
       "ts_avg_28800" -> tsAggSql(
         s"CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",
         T0_EVENTS, T0_EVENTS + 30 * DAY, 28800 * MS),

@@ -252,6 +252,69 @@ object TsAgg {
         .as(s"p${(p * 100).toInt}_approx")))
 
   /**
+   * Per-bucket heavy hitters: the `k` keys with the largest per-bucket value
+   * sums, ranked — "top users per window", the companion every per-window
+   * aggregate stack grows. Two bounded levels: exact sums per (bucket, key)
+   * — partial aggregation collapses raw cells map-side — then a k-entry
+   * [[graft.functions.TopK]] AGGREGATE per bucket. Never a `row_number`
+   * window: the window form shuffles every (bucket, key) row into one
+   * reducer per bucket and sorts it; the aggregate form's partials cap what
+   * leaves each map task at k entries. Ties rank lower id first (TopK's
+   * total order), so output is deterministic at any parallelism. Null sums
+   * (all-null value groups) are not candidates, per TopK's non-null
+   * contract.
+   */
+  def topKPerBucket(df: DataFrame, spec: TsAggSpec, keyCol: String, k: Int): DataFrame = {
+    val summed = withBuckets(df, spec)
+      .groupBy((spec.seriesCols :+ "bucket_start").map(col) :+ col(keyCol): _*)
+      .agg(functions.sum(v(spec)).as("key_sum"))
+      .filter(col("key_sum").isNotNull)
+    val grpKeys = (spec.seriesCols :+ "bucket_start").map(col)
+    summed.groupBy(grpKeys: _*)
+      .agg(graft.functions.TopK.topKLong(k)(col("key_sum"), col(keyCol)).as("tk"))
+      .select(grpKeys :+ posexplode(col("tk.entries")).as(Seq("r0", "e")): _*)
+      .select(grpKeys ++ Seq(col("e.id").as(keyCol), col("e.score").as("sum_value"),
+        (col("r0") + 1).cast("long").as("rank")): _*)
+      .orderBy(grpKeys :+ col("rank"): _*)
+  }
+
+  /**
+   * Gap-based sessionization via Spark's native `session_window` (the
+   * Spark-first form — the same call runs under Structured Streaming with
+   * watermark-merged session state): events of one key belong to one session
+   * while each is within `gapMs` of the previous, INCLUSIVE — Spark merges
+   * touching windows, so an event at exactly `prev + gapMs` joins the
+   * session and only a strictly larger gap splits (pinned by a
+   * TsAggGoldenSpec boundary case; the registered oracle mirrors it with
+   * `diff > gap`). `session_end` is last event + gap, Spark's window.end.
+   * Emits one row per session: `keyCols..., session_start, session_end` +
+   * `aggExprs`.
+   *
+   * Scale shape: session assembly is a keyed aggregation (merging window
+   * state per key), not a global sort; skew is bounded by a single key's
+   * event count, the same exposure as any per-key window, and the output is
+   * O(sessions), not O(events).
+   */
+  def sessionWindows(
+      df: DataFrame, gapMs: Long, keyCols: Seq[String], tsCol: String = "ts",
+      aggExprs: Seq[Column] = Seq(functions.count(lit(1)).as("n_events"))): DataFrame = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    val ts = df.schema(tsCol).dataType match {
+      case TimestampType => col(tsCol)
+      case LongType      => timestamp_millis(col(tsCol))
+      case other => throw new IllegalArgumentException(
+        s"tsCol '$tsCol' must be TimestampType or LongType epoch millis, got $other")
+    }
+    df.withColumn("__sw_ts", ts)
+      .groupBy(session_window(col("__sw_ts"), s"$gapMs milliseconds") +: keyCols.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .withColumn("session_start", unix_millis(col("session_window.start")))
+      .withColumn("session_end", unix_millis(col("session_window.end")))
+      .drop("session_window")
+      .orderBy(keyCols.map(col) :+ col("session_start"): _*)
+  }
+
+  /**
    * Per-bucket difference vs the previous bucket — README's planned `diff`
    * operator (`README.md:33-34`): SUM per bucket, then `value - lag(value)`
    * over bucket order. The window runs on post-aggregate rows (O(#buckets),

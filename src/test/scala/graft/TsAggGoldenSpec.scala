@@ -280,4 +280,47 @@ class TsAggGoldenSpec extends AnyFunSuite {
     assert(math.abs(approx(BaseMs) - 50L) <= 2, s"got ${approx(BaseMs)}")
     assert(approx(BaseMs + 900000L) == 7L)
   }
+
+  test("topKPerBucket: k cut, tie toward lower id, null sums excluded, no window exec") {
+    import spark.implicits._
+    // bucket 0: u1 sums 30, u2 sums 30 (tie → u1 first), u3 sums 10, u4 all-null
+    val df = Seq(
+      (BaseMs + 1L, 1L, Some(10L)), (BaseMs + 2L, 1L, Some(20L)),
+      (BaseMs + 3L, 2L, Some(30L)), (BaseMs + 4L, 3L, Some(10L)),
+      (BaseMs + 5L, 4L, None),
+      (BaseMs + 900001L, 9L, Some(5L))
+    ).toDF("ts", "user", "cents")
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 1800000L), valueCol = "cents")
+    val out = TsAgg.topKPerBucket(df, spec, "user", 2)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (BaseMs, 1L, 30L, 1L), (BaseMs, 2L, 30L, 2L),
+      (BaseMs + 900000L, 9L, 5L, 1L)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"heavy hitters must never plan a window:\n$p")
+  }
+
+  test("sessionWindows: touching windows MERGE (diff == gap), strict excess splits") {
+    import spark.implicits._
+    val gap = 1000L
+    // u1: t0, t0+999 merge; t0+1999 touches the window end EXACTLY → still
+    // merges (Spark's rule — the boundary case that distinguishes > from >=);
+    // t0+3000 is 1001 past the last event → new session
+    // u2: single event, its own session
+    val df = Seq(
+      (BaseMs, 1L, 10L), (BaseMs + 999L, 1L, 20L), (BaseMs + 1999L, 1L, 40L),
+      (BaseMs + 3000L, 1L, 80L),
+      (BaseMs + 5L, 2L, 7L)
+    ).toDF("ts", "user", "cents")
+    val got = TsAgg.sessionWindows(df, gap, Seq("user"),
+        aggExprs = Seq(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+          org.apache.spark.sql.functions.sum(col("cents")).as("sum_cents")))
+      .select("user", "session_start", "session_end", "n_events", "sum_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, BaseMs, BaseMs + 1999L + gap, 3L, 70L),
+      (1L, BaseMs + 3000L, BaseMs + 3000L + gap, 1L, 80L),
+      (2L, BaseMs + 5L, BaseMs + 5L + gap, 1L, 7L)))
+  }
 }
