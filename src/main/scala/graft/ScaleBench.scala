@@ -77,6 +77,27 @@ object ScaleBench {
       TsAgg.count(df.withColumn("series", pmod(col("value"), lit(100L))),
         spec.copy(seriesCols = Seq("series"))).collect()
     }
+    // heavy hitters: per-(bucket, key) exact sums (the O(groups) level), then
+    // the k-entry TopK partial/final caps everything after at k per bucket
+    time("top-3 keys per bucket (10k keys, bounded TopK aggregate)") {
+      val out = TsAgg.topKPerBucket(
+        df.withColumn("user", pmod(col("value"), lit(10000L))), spec, "user", 3)
+      val n = out.count()
+      println(s"[scale] top-3: $n rows (expect 3 × non-empty buckets)")
+      assert(n > 0 && n <= 3L * 673)
+    }
+    // sessionization: the one op whose exchange is necessarily O(events) —
+    // a user's events must co-locate (true in any engine); keys are 8 bytes.
+    // Verified by conservation: every in-range event lands in exactly one
+    // session (sum of session sizes == input rows).
+    time("sessionize 100k users (30 min gap, native session_window)") {
+      val ev = df.select(col("value").as("user"), col("ts")) // value ∈ [0, 100k)
+      val sess = TsAgg.sessionWindows(ev, 1800000L, Seq("user"))
+      val agg = sess.agg(sum("n_events"), count(lit(1))).collect().head
+      val total = ev.count()
+      println(s"[scale] sessions: ${agg.getLong(1)} sessions over $total events")
+      assert(agg.getLong(0) == total, s"event conservation: ${agg.getLong(0)} != $total")
+    }
 
     // ---- corpus-scale dedup: synthetic docs with planted near-duplicates ----
     // 30 tokens over a 100k-word vocab; every id ≡ 1 (mod 50) clones id-1 with
@@ -118,14 +139,30 @@ object ScaleBench {
     // a_start = b_start = 0 and len = 29 — boundaries checkable, not just
     // timeable. Random 100k-vocab docs make coincidental ≥16-token runs
     // vanishingly unlikely, so planted pairs are the whole answer.
+    val spansDf = graft.operators.Dedup.exactSpans(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expectedSpans = ((nDocs - 2) / 50 + 1).toInt
     time(s"exact substring spans (winnow-seeded) over ${nDocs} docs") {
-      val spans = graft.operators.Dedup.exactSpans(docs).collect()
+      val spans = spansDf.collect()
       val planted = spans.count(r => r.getLong(1) == r.getLong(0) + 1 &&
         r.getLong(0) % 50 == 0 && r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 29L)
-      val expected = ((nDocs - 2) / 50 + 1).toInt
-      println(s"[scale] exact spans: $planted/$expected planted spans exact, ${spans.length} total")
-      assert(planted >= expected, s"planted spans must all be exact: $planted/$expected")
+      println(s"[scale] exact spans: $planted/$expectedSpans planted spans exact, ${spans.length} total")
+      assert(planted >= expectedSpans, s"planted spans must all be exact: $planted/$expectedSpans")
     }
+    // the cut step over the persisted span frame: every clone (id ≡ 1 mod 50)
+    // loses exactly its 29 shared tokens; originals and bystanders lose none
+    time(s"cut spans (keep lowest-id copy) over ${nDocs} docs") {
+      val cut = graft.operators.Dedup.cutSpans(docs, spansDf)
+      val stats = cut.agg(
+        sum(when(col("n_removed") === 29L, 1L).otherwise(0L)),
+        sum(when(col("n_removed") =!= 0L && col("n_removed") =!= 29L, 1L).otherwise(0L)),
+        sum(col("n_removed"))).collect().head
+      println(s"[scale] cut: ${stats.getLong(0)} docs lost their 29-token clone run, " +
+        s"total ${stats.getLong(2)} tokens removed")
+      assert(stats.getLong(0) >= expectedSpans, "every clone must be cut")
+      assert(stats.getLong(1) == 0L, "no doc may lose a partial/other span")
+    }
+    spansDf.unpersist()
 
     // ---- cluster canonicalization: pair graph → connected components ----
     // (timed together with its pair generator: the operator's input IS a pair

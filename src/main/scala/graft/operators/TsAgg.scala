@@ -299,19 +299,25 @@ object TsAgg {
       df: DataFrame, gapMs: Long, keyCols: Seq[String], tsCol: String = "ts",
       aggExprs: Seq[Column] = Seq(functions.count(lit(1)).as("n_events"))): DataFrame = {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    // session_window takes the column DIRECTLY (no intermediate alias): under
+    // streaming the caller's withWatermark metadata rides on tsCol, and a
+    // rebuilt column would shed it
     val ts = df.schema(tsCol).dataType match {
       case TimestampType => col(tsCol)
       case LongType      => timestamp_millis(col(tsCol))
       case other => throw new IllegalArgumentException(
         s"tsCol '$tsCol' must be TimestampType or LongType epoch millis, got $other")
     }
-    df.withColumn("__sw_ts", ts)
-      .groupBy(session_window(col("__sw_ts"), s"$gapMs milliseconds") +: keyCols.map(col): _*)
+    val sessions = df
+      .groupBy(session_window(ts, s"$gapMs milliseconds") +: keyCols.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
       .withColumn("session_start", unix_millis(col("session_window.start")))
       .withColumn("session_end", unix_millis(col("session_window.end")))
       .drop("session_window")
-      .orderBy(keyCols.map(col) :+ col("session_start"): _*)
+    // a streaming frame cannot sort (append mode emits as watermark closes
+    // sessions); batch output is ordered for the deterministic hash gate
+    if (df.isStreaming) sessions
+    else sessions.orderBy(keyCols.map(col) :+ col("session_start"): _*)
   }
 
   /**

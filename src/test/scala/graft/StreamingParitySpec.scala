@@ -213,4 +213,41 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batchRep.nonEmpty && streamedRep == batchRep)
     assert(batchSplit.nonEmpty && streamedSplit == batchSplit)
   }
+
+  test("sessionWindows under watermarked streaming == batch sessions on the same rows") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = 1800000L
+    val rows = graft.sources.Tables.events(spark, Sf)
+      .select(unix_millis(col("ts")).as("ms"), col("user_id"))
+      .filter(col("ms") >= T0 && col("ms") < T0 + 7 * Day)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val maxMs = rows.map(_._1).max
+    // sentinel user −1 far past every real session end: after the watermark
+    // (7-day delay, so interleaved chunks are never "late") advances past it,
+    // every REAL session has closed and emitted
+    val flush = (maxMs + gap + 15L * Day, -1L)
+    val ms = MemoryStream[(Long, Long)]
+    val in = ms.toDF().toDF("ms", "user_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "7 days")
+    val q = graft.operators.TsAgg.sessionWindows(in, gap, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("parity_sess").start()
+    try {
+      chunks(rows, 3).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      ms.addData(flush); q.processAllAvailable()
+      ms.addData((flush._1 + 30L * Day, -1L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity_sess")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.TsAgg.sessionWindows(
+        rows.toDF("ms", "user_id").withColumn("ts", timestamp_millis(col("ms"))),
+        gap, Seq("user_id"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} sessions")
+  }
 }
