@@ -86,6 +86,16 @@ object ScaleBench {
       println(s"[scale] top-3: $n rows (expect 3 × non-empty buckets)")
       assert(n > 0 && n <= 3L * 673)
     }
+    // the sketch form of the same question: ≤ m counters per bucket cross
+    // the exchange regardless of key cardinality; heavy keys must agree
+    time("approx top-3 per bucket (SpaceSaving m=256 vs exact)") {
+      val keyed = df.withColumn("user", pmod(col("value"), lit(10000L)))
+      val approx = TsAgg.approxTopKPerBucket(keyed, spec, "user", k = 3, m = 256)
+        .collect()
+      println(s"[scale] approx top-3: ${approx.length} rows, " +
+        s"max err ${approx.map(_.getLong(3)).max}")
+      assert(approx.length > 0 && approx.length <= 3 * 673)
+    }
     // sessionization: the one op whose exchange is necessarily O(events) —
     // a user's events must co-locate (true in any engine); keys are 8 bytes.
     // Verified by conservation: every in-range event lands in exactly one

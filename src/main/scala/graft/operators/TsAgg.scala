@@ -279,6 +279,34 @@ object TsAgg {
   }
 
   /**
+   * Approximate per-bucket heavy hitters via the mergeable SpaceSaving
+   * sketch — the 100 TB form of [[topKPerBucket]]: the exact form's first
+   * level materializes every (bucket, key) sum (O(distinct keys) exchange
+   * rows — SCALE.md measures it as the dominant cost at 10k keys), while the
+   * sketch holds at most `m` counters per bucket NO MATTER the key
+   * cardinality, so the exchange carries O(partitions × buckets × m) rows at
+   * a billion distinct keys. Guarantee: every key with total weight > W/m
+   * per bucket is present; `count − err ≤ true ≤ count`. Like every counter
+   * sketch the estimates are observation-order-dependent, so coverage is
+   * bound-based (TsAggGoldenSpec), never bit-compared. Weights must be
+   * positive (`weightCol = None` ranks by event count).
+   */
+  def approxTopKPerBucket(
+      df: DataFrame, spec: TsAggSpec, keyCol: String, k: Int,
+      m: Int = 256, weightCol: Option[String] = None): DataFrame = {
+    val grpKeys = (spec.seriesCols :+ "bucket_start").map(col)
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    withBuckets(df, spec)
+      .groupBy(grpKeys: _*)
+      .agg(graft.functions.SpaceSaving.topKByWeight(k, m)(col(keyCol), w).as("tk"))
+      .select(grpKeys :+ posexplode(col("tk.entries")).as(Seq("r0", "e")): _*)
+      .select(grpKeys ++ Seq(col("e.id").as(keyCol),
+        col("e.count").as("est_weight"), col("e.err").as("err"),
+        (col("r0") + 1).cast("long").as("rank")): _*)
+      .orderBy(grpKeys :+ col("rank"): _*)
+  }
+
+  /**
    * Gap-based sessionization via Spark's native `session_window` (the
    * Spark-first form — the same call runs under Structured Streaming with
    * watermark-merged session state): events of one key belong to one session

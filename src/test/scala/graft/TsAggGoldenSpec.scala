@@ -300,6 +300,28 @@ class TsAggGoldenSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"heavy hitters must never plan a window:\n$p")
   }
 
+  test("approxTopKPerBucket: SpaceSaving contains every heavy key, bounds its count") {
+    import spark.implicits._
+    // skewed stream: key 1 ×600, key 2 ×300, key 3 ×100, tail keys 100..599
+    // ×1 each (N=1500, m=64 → guarantee threshold N/m ≈ 23.4: keys 1,2,3
+    // MUST surface; the tail cannot displace them)
+    val obs = Seq.fill(600)(1L) ++ Seq.fill(300)(2L) ++ Seq.fill(100)(3L) ++
+      (100L until 600L)
+    val df = obs.zipWithIndex
+      .map { case (u, i) => (BaseMs + 1L + (i % 800), u) }.toDF("ts", "user")
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 900000L), valueCol = "user")
+    for (parts <- Seq(1, 7)) {
+      val got = TsAgg.approxTopKPerBucket(df.repartition(parts), spec, "user", k = 3, m = 64)
+        .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got.keySet == Set(1L, 2L, 3L), s"heavy keys must surface: ${got.keySet}")
+      for ((id, truth) <- Seq(1L -> 600L, 2L -> 300L, 3L -> 100L)) {
+        val (est, err) = got(id)
+        assert(est >= truth && est - err <= truth,
+          s"key $id: estimate $est err $err must bracket true $truth")
+      }
+    }
+  }
+
   test("sessionWindows: touching windows MERGE (diff == gap), strict excess splits") {
     import spark.implicits._
     val gap = 1000L
