@@ -50,4 +50,38 @@ class EdgeCaseSpec extends AnyFunSuite {
     val wide = TsAggSpec(86400, TimeMode.CellTs(t0, t0 + 60000L)) // 1-day bucket, 1-min range
     assert(TsAggClient.max(df, wide) == scala.collection.SortedMap(t0 -> 9L))
   }
+
+  test("empty and degenerate inputs flow through the corpus-curation operators") {
+    import graft.operators.Corpus
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Corpus.repetitionMetrics(empty).count() == 0)
+    assert(Corpus.splitAssign(empty).count() == 0)
+    assert(Corpus.vocabTopK(empty, 5).count() == 0)
+    assert(Corpus.mixtureStats(empty.withColumn("source", lit("s"))
+      .withColumn("lang", lit("l"))).count() == 0)
+    // drift against an empty side: every token of the non-empty side ranks
+    val a = Seq((1L, "x y")).toDF("doc_id", "text")
+    val shift = Corpus.tokenShift(a, empty, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shift == Set(("x", 1L, 0L), ("y", 1L, 0L)))
+    // null text: splitAssign coalesces to "" — both docs get a side
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("doc_id", "text")
+    assert(Corpus.splitAssign(nulls).count() == 2)
+  }
+
+  test("empty inputs flow through spans, cut, sessions, and heavy hitters") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactSpans(docs).count() == 0)
+    val noSpans = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("id_a", "id_b", "a_start", "b_start", "len")
+    val d = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val cut = Dedup.cutSpans(d, noSpans).collect().head
+    assert(cut.getString(1) == "a b c" && cut.getLong(2) == 0L)
+    val ev = Seq.empty[(Long, Long)].toDF("ts", "user")
+    assert(TsAgg.sessionWindows(ev, 1000L, Seq("user")).count() == 0)
+    assert(TsAgg.topKPerBucket(ev.withColumnRenamed("user", "value")
+      .withColumn("user", col("value")), spec, "user", 3).count() == 0)
+    assert(TsAgg.approxTopKPerBucket(ev.withColumn("value", col("user")),
+      spec, "user", 3).count() == 0)
+  }
 }
