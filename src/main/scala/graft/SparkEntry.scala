@@ -134,6 +134,13 @@ object SparkEntry {
     "ts_median_900" -> ((s, d) =>
       TsAgg.median(events(s, d, spec900).withColumn("value_cents", centsCol),
         spec900.copy(valueCol = "value_cents"))),
+    // p95: empirically bit-identical to DuckDB quantile_cont — both engines
+    // phrase the interpolation as lo*(1-f) + hi*f over integer cents (649
+    // buckets × ~15 samples at sf0.01 all hash-match; a (hi-lo)*f+lo
+    // phrasing differs in the last ulp and would fail this gate)
+    "ts_p95_900" -> ((s, d) =>
+      TsAgg.percentile(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), 0.95)),
     // all five aggregates in ONE scan + one shuffle (the reference needs one
     // coprocessor round-trip per metric — SURVEY §3; this is the Spark win)
     "ts_summary_900" -> ((s, d) =>
@@ -672,6 +679,8 @@ object SparkEntry {
       // Spark percentile; exact halves of integer cents → bit-equal doubles
       "ts_median_900" -> tsAggSql(
         s"median($cents) AS median_value", T0_EVENTS, e900, 900 * MS),
+      "ts_p95_900" -> tsAggSql(
+        s"quantile_cont($cents, 0.95) AS p95_value", T0_EVENTS, e900, 900 * MS),
       "ts_summary_900" -> tsAggSql(
         s"max(value) AS max_value, min(value) AS min_value, CAST(sum($cents) AS BIGINT) AS sum_value, " +
           s"count(*) AS count_value, CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",

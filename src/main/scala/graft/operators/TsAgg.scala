@@ -218,12 +218,14 @@ object TsAgg {
   /**
    * Per-bucket exact percentile (interpolated, `(n-1)*p` rank convention —
    * the same convention as DuckDB `quantile_cont`/Postgres
-   * `percentile_cont`). At `p = 0.5` over integer-valued columns the result
-   * is bit-exact across engines with no caveats: every intermediate —
-   * integer endpoints, the 0.5 fraction, their products and sum — is exactly
-   * representable in double. Other `p` interpolate as `lo*(1-f) + hi*f`,
-   * whose IEEE sequence engines may phrase differently (sub-ulp divergence);
-   * those belong under golden/tolerance checks, not the hash gate.
+   * `percentile_cont`). Bit-exact vs DuckDB at ANY `p`: both engines phrase
+   * the interpolation as `lo*(1-f) + hi*f`, the identical IEEE sequence
+   * (ts_median_900 AND ts_p95_900 sit under the hash gate — 649 buckets of
+   * real data each). `p = 0.5` is additionally exact by construction
+   * (integer endpoints, exact 0.5 products). Caveat for OTHER oracles: an
+   * engine phrasing the same quantile as `(hi-lo)*f + lo` (e.g. numpy
+   * 'linear') diverges in the last ulp — hash-compare only against the
+   * `lo*(1-f) + hi*f` family.
    *
    * Scale: Spark's exact `percentile` buffers each group's values — bounded
    * by cells per (series, bucket), which a time-bucketed spec keeps small

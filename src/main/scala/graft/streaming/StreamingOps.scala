@@ -245,6 +245,38 @@ object StreamingOps {
    * processing-time timers keep scheduling wake-up batches, which prevents
    * `processAllAvailable`-style finite drains from settling.
    */
+  /**
+   * Streaming trending keys: per tumbling event-time window, the top-k keys
+   * by occurrence count via the mergeable
+   * [[graft.functions.SpaceSaving]] sketch — the live "what's hot right
+   * now" board over an unbounded key space. State per open window is the
+   * sketch's ≤ m counters, NOT one row per distinct key (the exact
+   * per-(window, key) count state grows with cardinality — at web scale
+   * that state IS the outage); the watermark closes windows, emits their
+   * top-k once (append mode), and evicts the sketch. Micro-batch partials
+   * merge through the same pairwise-sum reduction as batch, so the
+   * guarantee carries: any key with count > W/m in a window surfaces, with
+   * `count − err ≤ true ≤ count`.
+   *
+   * Output per closed window: `(window_start, window_end, keyCol,
+   * est_count, err, rank)` — unsorted, as streaming sinks order themselves.
+   */
+  def trendingKeysStream(
+      events: DataFrame, windowMs: Long, watermarkDelay: String,
+      keyCol: String, k: Int, m: Int = 256, tsCol: String = "ts"): DataFrame = {
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$windowMs milliseconds"))
+      .agg(graft.functions.SpaceSaving.topKByWeight(k, m)(col(keyCol), lit(1L)).as("tk"))
+      .select(
+        unix_millis(col("window.start")).as("window_start"),
+        unix_millis(col("window.end")).as("window_end"),
+        posexplode(col("tk.entries")).as(Seq("r0", "e")))
+      .select(col("window_start"), col("window_end"),
+        col("e.id").as(keyCol), col("e.count").as("est_count"),
+        col("e.err").as("err"), (col("r0") + 1).cast("long").as("rank"))
+  }
+
   def runningSumPerSeries(events: Dataset[SeriesEvent]): Dataset[SeriesRunning] = {
     import events.sparkSession.implicits._
     events

@@ -214,6 +214,46 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batchSplit.nonEmpty && streamedSplit == batchSplit)
   }
 
+  test("trendingKeysStream: per-window heavy keys surface with bracketing bounds, state evicts") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val win = 10000L
+    // window 1: key 1 ×200, key 2 ×100, tail 1000..1299 ×1
+    // window 2: key 3 ×150, tail 2000..2299 ×1 — the hot key CHANGES
+    val w1 = Seq.fill(200)(1L) ++ Seq.fill(100)(2L) ++ (1000L until 1300L)
+    val w2 = Seq.fill(150)(3L) ++ (2000L until 2300L)
+    val rows =
+      w1.zipWithIndex.map { case (u, i) => (T0 + (i % 100) * 100L, u) } ++
+      w2.zipWithIndex.map { case (u, i) => (T0 + win + (i % 100) * 100L, u) }
+    val ms = MemoryStream[(Long, Long)]
+    val in = ms.toDF().toDF("ms", "user")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    // watermark delay exceeds the whole fixture's time span, so the
+    // INTERLEAVED chunks (each batch carries both windows' timestamps) are
+    // never late — this is the configuration that exercises cross-batch
+    // sketch merging; a 0-second watermark here would close window 1 after
+    // batch 0 and silently drop the rest (found the hard way)
+    val q = StreamingOps.trendingKeysStream(in, win, "60 seconds", "user", k = 2, m = 64)
+      .writeStream.outputMode("append").format("memory").queryName("parity_trend").start()
+    try {
+      chunks(rows, 3).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      // flushes sit past every window end + the 60 s delay so both close
+      ms.addData((T0 + 30 * win, -1L)); q.processAllAvailable()
+      ms.addData((T0 + 60 * win, -1L)); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("parity_trend")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val win1 = emitted.filter(_._1 == T0).map(t => t._2 -> (t._3, t._4)).toMap
+    assert(win1.keySet == Set(1L, 2L), s"window-1 heavy keys: ${win1.keySet}")
+    for ((id, truth) <- Seq(1L -> 200L, 2L -> 100L)) {
+      val (est, err) = win1(id)
+      assert(est >= truth && est - err <= truth, s"key $id: $est/$err vs $truth")
+    }
+    val win2 = emitted.filter(_._1 == T0 + win).map(t => t._2 -> (t._3, t._4)).toMap
+    assert(win2.contains(3L) && win2(3L)._1 >= 150L && win2(3L)._1 - win2(3L)._2 <= 150L,
+      s"window-2 hot key: $win2")
+  }
+
   test("sessionWindows under watermarked streaming == batch sessions on the same rows") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
