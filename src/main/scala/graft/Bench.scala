@@ -118,7 +118,13 @@ object Bench {
     // 2.8 kB, window start landed mid-line). So stdout gets ONE compact line
     // (3-decimal seconds, no medians/rows); the full-precision detail
     // (median-of-3, row counts — VERDICT r2 #8) goes to bench.json.
-    val compactQs = field(r => sec3(r.min))
+    // 2-decimal per-query seconds on stdout: at 64 registered queries the
+    // 3-decimal map crossed the ~2000-char tail window (1816 chars) and the
+    // fallback dropped per-query numbers entirely; 10 ms stdout precision
+    // keeps the map visible (full 3-decimal detail stays in bench.json)
+    def sec2(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val compactQs = field(r => sec2(r.min))
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sf":"$sfDir","detail":"bench.json"}"""
     // belt-and-braces: if the query map itself ever outgrows the tail window,

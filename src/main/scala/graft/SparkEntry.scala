@@ -262,6 +262,12 @@ object SparkEntry {
     // this exact form in TsAggGoldenSpec
     "ts_distinct_users_900" -> ((s, d) =>
       TsAgg.distinctCount(events(s, d, spec900), spec900, keyCol = "user_id")),
+    // wide-format report: one row per bucket, one NULL-when-absent count
+    // column per event type; both pivot exchanges carry only per-
+    // (bucket, type) partials (values explicit — schema-stable at any scale)
+    "ts_pivot_types_900" -> ((s, d) =>
+      TsAgg.pivotCounts(events(s, d, spec900), spec900, "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))),
     // per-bucket heavy hitters: two bounded aggregate levels (exact sums,
     // then a k-entry TopK partial/final), NEVER a row_number window — the
     // window form funnels every (bucket, key) row through one reducer per
@@ -415,6 +421,12 @@ object SparkEntry {
     // mixture accounting per (source, lang): one partial/final hash agg
     "corpus_mix_stats" -> ((s, d) =>
       Corpus.mixtureStats(documents(s, d)).orderBy("source", "lang")),
+    // every rollup level in one pass: CUBE + grouping_id (bit order matches
+    // DuckDB/Postgres GROUPING); explicit NULLS FIRST on both engines since
+    // their default null order differs
+    "corpus_mix_cube" -> ((s, d) =>
+      Corpus.mixtureCube(documents(s, d))
+        .orderBy(col("gid"), col("source").asc_nulls_first, col("lang").asc_nulls_first)),
     // vocabulary head: TakeOrderedAndProject, never a global sort; the
     // trailing orderBy re-sorts only the k surviving rows for the
     // order-sensitive hash compare
@@ -689,6 +701,14 @@ object SparkEntry {
         T0_ODD, specTrailing.scanEndMs, 900 * MS),
       "ts_distinct_users_900" -> tsAggSql(
         "count(DISTINCT user_id) AS n_distinct", T0_EVENTS, e900, 900 * MS),
+      // NULL (not 0) for absent cells on both sides: Spark pivot leaves the
+      // cell null; sum(CASE ...) over no rows is NULL too (count FILTER
+      // would give 0 and hash-mismatch)
+      "ts_pivot_types_900" -> tsAggSql(
+        Seq("click", "error", "purchase", "signup", "view")
+          .map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS \"$t\"")
+          .mkString(", "),
+        T0_EVENTS, e900, 900 * MS),
       "ts_top3_users_900" -> {
         val b = bucketSql(T0_EVENTS, 900 * MS, "ms")
         s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, $cents AS c FROM events
@@ -855,6 +875,12 @@ object SparkEntry {
         (s"SELECT doc_id, CASE WHEN substr(md5(text), 1, 4) >= " +
           s"'${graft.operators.Corpus.splitThresholdHex(0.0625)}' THEN 'val' ELSE 'train' END AS split " +
           "FROM documents ORDER BY doc_id"),
+      "corpus_mix_cube" ->
+        ("SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid, " +
+          "count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+          "CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens " +
+          "FROM documents GROUP BY CUBE(source, lang) " +
+          "ORDER BY gid, source NULLS FIRST, lang NULLS FIRST"),
       // DuckDB sum() is HUGEINT — cast to match Spark's BIGINT
       "corpus_mix_stats" ->
         ("SELECT source, lang, count(*) AS n_docs, " +

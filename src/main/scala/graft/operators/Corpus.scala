@@ -135,6 +135,24 @@ object Corpus {
       .limit(k)
 
   /**
+   * Mixture accounting at EVERY rollup level in one pass: `CUBE(strata)`
+   * emits the per-cell, per-margin, and grand-total rows together (the
+   * audit table a curation run publishes: per (source, lang), per source,
+   * per lang, overall), disambiguated by `grouping_id()` — aggregated-out
+   * dimensions are NULL with the matching bit set, so a NULL-valued stratum
+   * and a rolled-up one can't be confused. One shuffle: Catalyst expands
+   * the grouping sets map-side and runs a single partial/final aggregate.
+   */
+  def mixtureCube(df: DataFrame, strataCols: Seq[String] = Seq("source", "lang"),
+      textCol: String = "text"): DataFrame =
+    df.cube(strataCols.map(col): _*)
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(length(coalesce(col(textCol), lit(""))).cast("long")).as("n_chars"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+
+  /**
    * Token-distribution drift between two corpora: the `k` tokens whose RATES
    * diverge most between `a` and `b` — the χ²-flavoured check a pipeline
    * runs between corpus snapshots (did a scraper change shift the language?)

@@ -281,6 +281,30 @@ object TsAgg {
   }
 
   /**
+   * Per-bucket counts pivoted into one column per category value — the
+   * wide-format report (one row per window, one column per event type) BI
+   * layers ask of a time-series store. `values` must be EXPLICIT: an
+   * unlisted-values pivot makes Spark run a distinct-scan job at plan time
+   * and yields a data-dependent schema — both wrong for a 100 TB pipeline
+   * (and for any oracle). Absent (bucket, value) cells are NULL, Spark's
+   * pivot convention (= SQL `sum(CASE WHEN ...)` over no rows), not 0.
+   * Two bounded aggregate levels (plan-asserted): counts per (bucket,
+   * value), then PivotFirst folds values into columns per bucket — BOTH
+   * exchanges carry only pre-aggregated rows, O(buckets × values), never
+   * raw cells.
+   */
+  def pivotCounts(df: DataFrame, spec: TsAggSpec, pivotCol: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivot values must be explicit (schema-stable at scale)")
+    val keys = (spec.seriesCols :+ "bucket_start").map(col)
+    withBuckets(df, spec)
+      .groupBy(keys: _*)
+      .pivot(pivotCol, values)
+      .agg(functions.count(lit(1)))
+      .orderBy(keys: _*)
+  }
+
+  /**
    * Approximate per-bucket heavy hitters via the mergeable SpaceSaving
    * sketch — the 100 TB form of [[topKPerBucket]]: the exact form's first
    * level materializes every (bucket, key) sum (O(distinct keys) exchange

@@ -109,6 +109,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Set(("x", 2L, 0L), ("z", 0L, 1L)))
   }
 
+  test("mixtureCube: gid separates a NULL-valued stratum from a rolled-up one") {
+    val df = Seq(
+      ("web", "en", 1L, "a b"),
+      ("web", null.asInstanceOf[String], 2L, "c"), // real NULL lang
+      ("book", "en", 3L, "d e f")
+    ).toDF("source", "lang", "doc_id", "text")
+    val got = Corpus.mixtureCube(df).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // cell rows (gid 0): the real-NULL lang keeps gid 0
+    assert(got((Some("web"), Some("en"), 0L)) == 1L)
+    assert(got((Some("web"), None, 0L)) == 1L) // NULL datum, NOT a rollup
+    // lang rolled up (gid 1): web covers both its docs
+    assert(got((Some("web"), None, 1L)) == 2L)
+    // grand total (gid 3)
+    assert(got((None, None, 3L)) == 3L)
+  }
+
   test("tokenShift plan: top-k cut, totals broadcast, no wide row beyond vocab") {
     val p = plan("token_shift_top20")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k cut:\n$p")

@@ -281,6 +281,29 @@ class TsAggGoldenSpec extends AnyFunSuite {
     assert(approx(BaseMs + 900000L) == 7L)
   }
 
+  test("pivotCounts: wide per-type columns, NULL absent cells, two bounded exchanges") {
+    import spark.implicits._
+    val df = Seq(
+      (BaseMs + 1L, "click"), (BaseMs + 2L, "click"), (BaseMs + 3L, "view"),
+      (BaseMs + 900001L, "view")
+    ).toDF("ts", "event_type")
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 1800000L),
+      valueCol = "event_type")
+    // plan read BEFORE execution (AQE's final plan duplicates stage text)
+    val fresh = TsAgg.pivotCounts(df, spec, "event_type", Seq("click", "view", "purchase"))
+    val p = fresh.queryExecution.executedPlan.toString
+    def cnt(n: String) = p.sliding(n.length).count(_ == n)
+    // two bounded levels: (bucket, type) counts + PivotFirst fold — and the
+    // orderBy's range exchange; nothing shuffles raw cells
+    assert(cnt("Exchange hashpartitioning") == 2,
+      s"pivot must stay two pre-aggregated exchanges:\n$p")
+    assert(p.contains("pivotfirst"), s"expected PivotFirst fold:\n$p")
+    val rows = fresh.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows(BaseMs) == ((Some(2L), Some(1L), None))) // no purchases → NULL
+    assert(rows(BaseMs + 900000L) == ((None, Some(1L), None)))
+  }
+
   test("topKPerBucket: k cut, tie toward lower id, null sums excluded, no window exec") {
     import spark.implicits._
     // bucket 0: u1 sums 30, u2 sums 30 (tie → u1 first), u3 sums 10, u4 all-null
