@@ -414,6 +414,11 @@ object SparkEntry {
     // projection; nested-lambda top counts — see Corpus.repetitionMetrics)
     "text_repetition" -> ((s, d) =>
       Corpus.repetitionMetrics(documents(s, d)).orderBy("doc_id")),
+    // the metrics USED as a gate: duplicate-token ≤ 1/2 and top-token ≤ 1/10
+    // by exact integer cross-multiplication — no float decides a doc's fate
+    // (keeps 79/500 docs at sf0.01: both conditions genuinely bite)
+    "filter_repetition" -> ((s, d) =>
+      Corpus.repetitionFilter(documents(s, d)).orderBy("doc_id")),
     // deterministic md5-threshold split: same content → same side, any
     // engine/parallelism reproduces it (CorpusSpec asserts invariance)
     "split_train_val" -> ((s, d) =>
@@ -860,15 +865,14 @@ object SparkEntry {
       // repetition signals re-derived with DuckDB list lambdas; list_max over
       // an empty bigram list is NULL in both engines (single-token docs)
       "text_repetition" ->
-        """WITH c AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
-          |b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2
-          |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-          |  ELSE CAST([] AS VARCHAR[]) END AS bg FROM c)
-          |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
-          |  list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS top_token_count,
-          |  len(bg) AS n_2grams, len(list_distinct(bg)) AS n_distinct_2grams,
-          |  list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS top_2gram_count
-          |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        s"WITH $repetitionOracleCtes SELECT * FROM m ORDER BY doc_id",
+      // the same metrics as a gate: exact integer cross-multiplied
+      // thresholds, mirroring Corpus.repetitionFilter's defaults (dup ≤ 1/2,
+      // top token ≤ 1/10)
+      "filter_repetition" ->
+        (s"WITH $repetitionOracleCtes SELECT * FROM m " +
+          "WHERE (n_tokens - n_distinct_tokens) * 2 <= n_tokens * 1 " +
+          "AND top_token_count * 10 <= n_tokens * 1 ORDER BY doc_id"),
       // default split: seed = "" (md5 input is the bare text), valFrac =
       // 1/16 → threshold "f000"; both sides compare the same 4-hex prefix
       "split_train_val" ->
@@ -1107,6 +1111,21 @@ object SparkEntry {
   /** Render a stopword list as a SQL IN-list. */
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
+
+  /** CTE chain for the repetition-metric oracles: defines `m` with the full
+    * [[graft.operators.Corpus.repetitionMetrics]] column set, shared by the
+    * metrics query and the threshold-gate query so both check ONE
+    * derivation. */
+  private def repetitionOracleCtes: String =
+    """c AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      |b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2
+      |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |  ELSE CAST([] AS VARCHAR[]) END AS bg FROM c),
+      |m AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+      |  list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS top_token_count,
+      |  len(bg) AS n_2grams, len(list_distinct(bg)) AS n_distinct_2grams,
+      |  list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS top_2gram_count
+      |  FROM b)""".stripMargin.replace("\n", " ")
 
   /**
    * CTE chain re-deriving [[graft.operators.Dedup.exactSpans]] relationally

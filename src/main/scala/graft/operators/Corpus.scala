@@ -67,6 +67,35 @@ object Corpus {
   }
 
   /**
+   * The Gopher repetition GATE composed from [[repetitionMetrics]]: keep
+   * documents whose duplicate-token fraction and top-token fraction sit at
+   * or under rational thresholds, compared by exact integer
+   * cross-multiplication — `(n − distinct)·den ≤ n·num` — so no float
+   * epsilon ever decides a document's fate and any engine reproduces the
+   * same survivor set bit-for-bit. Defaults: duplicate fraction ≤ 1/2,
+   * top-token fraction ≤ 1/10 (tune per corpus; Rae et al. run a battery
+   * of such thresholds, arXiv:2112.11446 Table A1).
+   *
+   * Output: the surviving documents with their metric columns (audit
+   * trail). Scale shape: pure projection + filter, zero shuffles.
+   */
+  def repetitionFilter(
+      df: DataFrame,
+      maxDupFrac: (Int, Int) = (1, 2),
+      maxTopTokenFrac: (Int, Int) = (1, 10),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (dn, dd) = maxDupFrac
+    val (tn, td) = maxTopTokenFrac
+    require(dn >= 0 && dd > 0 && tn >= 0 && td > 0,
+      s"thresholds must be non-negative rationals, got $maxDupFrac, $maxTopTokenFrac")
+    repetitionMetrics(df, idCol, textCol)
+      .filter(
+        (col("n_tokens") - col("n_distinct_tokens")) * lit(dd.toLong)
+          <= col("n_tokens") * lit(dn.toLong))
+      .filter(col("top_token_count") * lit(td.toLong) <= col("n_tokens") * lit(tn.toLong))
+  }
+
+  /**
    * Deterministic content-hash train/validation split: a document lands in
    * `val` iff the leading 4 hex digits of `md5(seed || text)` fall in the
    * top `valFrac` of the hash space. No RNG, no state — any engine (and any

@@ -109,6 +109,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Set(("x", 2L, 0L), ("z", 0L, 1L)))
   }
 
+  test("repetitionFilter: exact rational gates, boundary docs kept at equality") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, 10 distinct, top 1 → passes
+      (2L, "a a b c d e f g h i"), // dup frac 1/10 ok, top 2/10 > 1/10 → cut
+      (3L, "a b a b c d e f g h"), // top 2/10 → cut by the top-token gate
+      (4L, "a b c d e a b c d e") // dup 5/10 = 1/2 boundary ok; top 2/10 → cut
+    ).toDF("doc_id", "text")
+    val got = Corpus.repetitionFilter(df).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+    // relax the top-token gate to 1/5: equality holds (2*5 == 10*1), docs
+    // 2-4 all pass — the ≤ boundary is inclusive on both gates
+    val relaxed = Corpus.repetitionFilter(df, maxTopTokenFrac = (1, 5))
+      .collect().map(_.getLong(0)).toSet
+    assert(relaxed == Set(1L, 2L, 3L, 4L))
+  }
+
   test("mixtureCube: gid separates a NULL-valued stratum from a rolled-up one") {
     val df = Seq(
       ("web", "en", 1L, "a b"),
