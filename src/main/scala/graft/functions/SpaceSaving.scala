@@ -34,7 +34,8 @@ object SpaceSaving {
 
   case class SSEntry(id: Long, count: Long, err: Long)
 
-  /** One observation: a key with a POSITIVE weight (1 = plain frequency). */
+  /** One observation: a key with a non-negative weight (1 = plain frequency;
+    * 0 = no-op). */
   case class KW(id: Long, w: Long)
 
   /**
@@ -73,7 +74,12 @@ object SpaceSaving {
     def zero: SSBuf = SSBuf(mutable.ArrayBuffer.empty[SSEntry])
 
     def reduce(b: SSBuf, v: KW): SSBuf = {
-      require(v.w > 0, s"SpaceSaving weights must be positive, got ${v.w} for id ${v.id}")
+      require(v.w >= 0, s"SpaceSaving weights must be non-negative, got ${v.w} for id ${v.id}")
+      // zero weight adds no mass: a no-op for every count and bound (the one
+      // observable difference vs the exact form — a key whose EVERY
+      // observation is zero-weight never enters the sketch — is the correct
+      // heavy-hitter answer for a key with zero total weight)
+      if (v.w == 0) return b
       val (ab, idx) = b.mutable_!
       val at = idx.getOrElse(v.id, -1)
       if (at >= 0) {
@@ -102,12 +108,29 @@ object SpaceSaving {
     def merge(a: SSBuf, b: SSBuf): SSBuf = {
       if (a.entries.isEmpty) return b
       if (b.entries.isEmpty) return a
-      // pairwise sum on the id union (counts and error bounds both add),
-      // then keep the m largest — the standard mergeable-summary reduction
-      val merged = (a.entries ++ b.entries)
-        .groupBy(_.id).valuesIterator
-        .map(es => SSEntry(es.head.id, es.map(_.count).sum, es.map(_.err).sum))
-        .toSeq
+      // Parallel SpaceSaving merge (Cafaro, Pulimeno, Tempesta, "A parallel
+      // space saving algorithm for frequent items", Inf. Sci. 2016): a key
+      // ABSENT from one sketch may still have accrued up to that sketch's
+      // minimum count there unseen (min = 0 while the sketch is under
+      // capacity — then every observed key is present), so the absent side
+      // contributes its minimum to BOTH count and err. Keys present in both
+      // simply add counts and error bounds. This keeps the invariants
+      // count − err ≤ true ≤ count and "every key with true weight > W/m
+      // survives" across distributed / streaming micro-batch merges; the
+      // previous plain pairwise-sum-on-the-union dropped the absent-side
+      // minimum and could under-estimate after a merge.
+      val minA = if (a.entries.size < m) 0L else a.entries.iterator.map(_.count).min
+      val minB = if (b.entries.size < m) 0L else b.entries.iterator.map(_.count).min
+      val inA = a.entries.iterator.map(e => e.id -> e).toMap
+      val inB = b.entries.iterator.map(e => e.id -> e).toMap
+      val merged = (inA.keySet ++ inB.keySet).iterator.map { id =>
+        (inA.get(id), inB.get(id)) match {
+          case (Some(x), Some(y)) => SSEntry(id, x.count + y.count, x.err + y.err)
+          case (Some(x), None)    => SSEntry(id, x.count + minB, x.err + minB)
+          case (None, Some(y))    => SSEntry(id, y.count + minA, y.err + minA)
+          case _                  => throw new IllegalStateException("unreachable")
+        }
+      }.toSeq
       SSBuf(mutable.ArrayBuffer.from(merged.sorted(ordOut).take(m)))
     }
 

@@ -203,10 +203,14 @@ object Corpus {
       Parallelism.ensure(df)
         .select(explode(tokens(col(textCol))).as("token"))
         .groupBy("token").agg(count(lit(1)).as(name))
-    val joined = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
-        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    // `joined` feeds BOTH the totals aggregate and the shift ranking; the
+    // scoped persist (vocab-sized rows — tiny) evaluates the two explode+count
+    // aggregations and the full-outer join ONCE instead of twice (ADVICE r6)
+    val joined = Dedup.persistScoped(
+      counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b")))
     val totals = joined.agg(sum("cnt_a").as("ta"), sum("cnt_b").as("tb"))
     joined.crossJoin(broadcast(totals))
       .withColumn("shift", abs(

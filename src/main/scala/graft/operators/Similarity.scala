@@ -189,25 +189,60 @@ object Similarity {
    */
   def annCosineIvf(
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 16, nprobe: Int = 4, nassign: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = trainIvfCentroids(corpus, dim, nlist, idCol = idCol, vecCol = vecCol)
     import graft.functions.expressions.NearestCentroids
-    val cSide = corpus.select(
-      element_at(NearestCentroids(col(vecCol), cents, nlist, dim, 1), 1).as("cell"),
-      col(idCol).as("nid"), col(vecCol).as("cvec"),
-      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
-    val qSide = queries.select(
-      explode(NearestCentroids(col(vecCol), cents, nlist, dim, nprobe)).as("cell"),
-      col(idCol).as("qid"), col(vecCol).as("qvec"),
-      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
-    val scored = cSide
-      .join(broadcast(qSide), Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine",
-        ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
-      .select("qid", "nid", "cosine")
-    topK(scored, k, "cosine", longScore = false)
+    if (nassign <= 1) {
+      // classic IVF: each corpus vector lives in exactly one cell, so the
+      // cell join yields each (query, neighbor) pair at most once — no
+      // dedup exchange needed, the corpus never shuffles at all
+      val cSide = corpus.select(
+        element_at(NearestCentroids(col(vecCol), cents, nlist, dim, 1), 1).as("cell"),
+        col(idCol).as("nid"), col(vecCol).as("cvec"),
+        sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+      val qSide = queries.select(
+        explode(NearestCentroids(col(vecCol), cents, nlist, dim, nprobe)).as("cell"),
+        col(idCol).as("qid"), col(vecCol).as("qvec"),
+        sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
+      val scored = cSide
+        .join(broadcast(qSide), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cosine",
+          ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+        .select("qid", "nid", "cosine")
+      topK(scored, k, "cosine", longScore = false)
+    } else {
+      // REDUNDANT ASSIGNMENT (VERDICT r6 #2 — recall was 0.76 under the 0.9
+      // floor): index each corpus vector in its `nassign` nearest cells, the
+      // standard IVF spill move for boundary vectors — a true neighbor whose
+      // best cell the query missed is still found through its 2nd cell, so
+      // misses need EVERY assignment outside the probe set. Candidate volume
+      // grows ×nassign but stays ≈ corpus × nassign × nprobe / nlist per
+      // query, never n². A pair can now surface through several shared
+      // cells, so candidates dedup on bare (qid, nid) ids — 16 B/row, the
+      // same shape as the LSH path — and vectors rejoin after the distinct.
+      val cCells = corpus.select(
+        explode(NearestCentroids(col(vecCol), cents, nlist, dim, nassign)).as("cell"),
+        col(idCol).as("nid"))
+      val qCells = queries.select(
+        explode(NearestCentroids(col(vecCol), cents, nlist, dim, nprobe)).as("cell"),
+        col(idCol).as("qid"))
+      val candidates = cCells.join(broadcast(qCells), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .select("qid", "nid").distinct()
+      val cSide = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"),
+        sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+      val qSide = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
+      val scored = candidates
+        .join(cSide, Seq("nid"))
+        .join(broadcast(qSide), Seq("qid"))
+        .withColumn("cosine",
+          ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+        .select("qid", "nid", "cosine")
+      topK(scored, k, "cosine", longScore = false)
+    }
   }
 
   /**

@@ -233,9 +233,18 @@ object TsAgg {
    * wide sweeps use [[approxPercentile]]: constant-size sketch, partial/final
    * merge, the 100 TB form.
    */
+  /** Column label for percentile p: `p95` when p×100 round-trips exactly
+    * (`.toInt` truncated — 0.29 became p28 via binary float — and nearby p
+    * values collided: 0.95 vs 0.955); otherwise the full p is embedded
+    * (`p0_955`), so distinct p never share a name. */
+  private def pLabel(p: Double): String = {
+    val c = math.round(p * 100).toInt
+    if (c / 100.0 == p) s"p$c" else "p" + p.toString.replace('.', '_')
+  }
+
   def percentile(df: DataFrame, spec: TsAggSpec, p: Double): DataFrame =
     aggregate(df, spec,
-      Seq(functions.percentile(v(spec), functions.lit(p)).as(s"p${(p * 100).toInt}_value")))
+      Seq(functions.percentile(v(spec), functions.lit(p)).as(s"${pLabel(p)}_value")))
 
   /** Per-bucket median: the `p = 0.5` bit-exact case of [[percentile]]. */
   def median(df: DataFrame, spec: TsAggSpec): DataFrame =
@@ -251,7 +260,7 @@ object TsAgg {
       accuracy: Int = 10000): DataFrame =
     aggregate(df, spec,
       Seq(functions.approx_percentile(v(spec), functions.lit(p), functions.lit(accuracy))
-        .as(s"p${(p * 100).toInt}_approx")))
+        .as(s"${pLabel(p)}_approx")))
 
   /**
    * Per-bucket heavy hitters: the `k` keys with the largest per-bucket value
@@ -315,7 +324,8 @@ object TsAgg {
    * per bucket is present; `count − err ≤ true ≤ count`. Like every counter
    * sketch the estimates are observation-order-dependent, so coverage is
    * bound-based (TsAggGoldenSpec), never bit-compared. Weights must be
-   * positive (`weightCol = None` ranks by event count).
+   * non-negative — zero-weight rows are no-ops (`weightCol = None` ranks by
+   * event count).
    */
   def approxTopKPerBucket(
       df: DataFrame, spec: TsAggSpec, keyCol: String, k: Int,

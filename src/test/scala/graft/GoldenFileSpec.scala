@@ -31,7 +31,8 @@ class GoldenFileSpec extends AnyFunSuite {
   /** Queries with no oracle entry: everything else is DuckDB-checked. */
   private val goldenQueries =
     Seq("ann_topk_cosine_lsh", "ann_topk_cosine_ivf", "dedup_minhash",
-      "dedup_simhash", "text_fingerprint", "text_winnow", "multimodal_features")
+      "dedup_incremental_near", "dedup_simhash", "text_fingerprint",
+      "text_winnow", "multimodal_features")
 
   private lazy val inputFingerprint: String = {
     val md = MessageDigest.getInstance("MD5")

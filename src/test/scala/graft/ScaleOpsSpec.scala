@@ -138,18 +138,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     val truth = Similarity.topKCosine(embs, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     // Same adversarial regime as the LSH test: random vectors give centroids
-    // nothing to adapt to, so nprobe must cover half the cells (8/16) for
-    // recall — measured 0.85+ here; clustered corpora probe ~5-10% of cells.
-    val approx = Similarity.annCosineIvf(embs, queries, 5, dim = 64, nlist = 16, nprobe = 8)
+    // nothing to adapt to, so nprobe covers half the cells (8/16) AND each
+    // corpus vector spills into its 2 nearest cells (nassign=2 — a boundary
+    // neighbor the probe set misses through its best cell is still reached
+    // through its second). The registered query runs this exact
+    // configuration; Bench gates its recall at the same 0.9 floor asserted
+    // here (VERDICT r6 #2 — single-assignment recall was 0.76 at sf0.1).
+    val approx = Similarity.annCosineIvf(embs, queries, 5, dim = 64,
+      nlist = 16, nprobe = 8, nassign = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     val recalls = truth.map { case (q, t) =>
       (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.7, s"mean recall@5 = $mean")
+    assert(mean >= 0.9, s"mean recall@5 = $mean (Bench floor is 0.9 too)")
     // partitioning must not change the result (hash-ordered centroid sample)
     val repart = Similarity.annCosineIvf(embs.repartition(7), queries, 5, dim = 64,
-      nlist = 16, nprobe = 8)
+      nlist = 16, nprobe = 8, nassign = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert(repart.toMap == approx.toMap)
   }
