@@ -113,7 +113,9 @@ object ScaleBench {
     // 30 tokens over a 100k-word vocab; every id ≡ 1 (mod 50) clones id-1 with
     // its last token replaced → expected pair set = {(50k, 50k+1)}.
     val nDocs = rows / 1000 // e.g. 100k docs for the default 100M run
-    val docs = spark.range(nDocs)
+    // generator is a def so the incremental-dedup section below can build a
+    // SMALLER base corpus that is an exact prefix of the big one (same seeds)
+    def mkDocs(n: Long) = spark.range(n)
       .withColumn("seed",
         when(pmod(col("id"), lit(50L)) === 1L, col("id") - 1L).otherwise(col("id")))
       .withColumn("text",
@@ -123,6 +125,7 @@ object ScaleBench {
           when(pmod(col("id"), lit(50L)) === 1L, lit("zz"))
             .otherwise(concat(lit("w"), pmod(xxhash64(col("seed") * lit(31L) + lit(29L)), lit(100000L))))))
       .select(col("id").as("doc_id"), col("text"))
+    val docs = mkDocs(nDocs)
     time(s"minhash near-dup over ${nDocs} synthetic docs") {
       val pairs = graft.operators.Dedup.minhashNearDup(docs).collect()
       val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 50 == 0)
@@ -187,6 +190,68 @@ object ScaleBench {
       val expected = ((nDocs - 2) / 50 + 1).toInt
       println(s"[scale] clusters: $merged docs folded into canonicals (planted $expected)")
       assert(merged >= (expected * 0.93).toInt, s"too few merges: $merged/$expected")
+    }
+
+    // ---- incremental (delta-vs-index) dedup: probe cost vs base size ----
+    // The production claim under measurement: deduplicating a crawl
+    // increment against a PERSISTED index must cost ~the delta, not the
+    // base — the same 1000-doc delta probes an index a tenth the size and
+    // the full-size one; if probe wall-clock scaled with the base, the
+    // second probe would run ~10× slower. Planted ground truth: every
+    // 10th delta doc is an exact copy of a base doc (both bases contain the
+    // target — the small base is a prefix of the big one), every 10th+1 a
+    // near copy (one token changed), the rest fresh. Exact copies must
+    // resolve to their base keep_id through the index; near copies must
+    // surface as MinHash matches of their target.
+    if (nDocs >= 10000) {
+      import graft.operators.Dedup
+      val deltaN = 1000L
+      val nTargets = (nDocs / 10) / 50 // targets live in the SMALL base too
+      val delta = spark.range(deltaN)
+        .withColumn("target", pmod(col("id"), lit(nTargets)) * 50L + 2L)
+        .withColumn("kind", pmod(col("id"), lit(10L))) // 0 exact, 1 near, else fresh
+        .withColumn("seed",
+          when(col("kind") <= 1L, col("target")).otherwise(col("id") + lit(nDocs)))
+        .withColumn("text",
+          concat_ws(" ",
+            concat_ws(" ", (0 until 29).map(j =>
+              concat(lit("w"), pmod(xxhash64(col("seed") * lit(31L) + lit(j.toLong)), lit(100000L)))): _*),
+            // near copies get a PER-DOC unique trailing token: with a small
+            // target space two near copies of the same target must not
+            // become exact duplicates of each other (that would leak
+            // intra-delta dups into the exact-tier count under test)
+            when(col("kind") === 1L, concat(lit("qq"), col("id")))
+              .otherwise(concat(lit("w"), pmod(xxhash64(col("seed") * lit(31L) + lit(29L)), lit(100000L))))))
+        .select((col("id") + lit(nDocs)).as("doc_id"), col("text"), col("target"), col("kind"))
+      val probeDocs = delta.select("doc_id", "text")
+      val probeTimes = Seq(nDocs / 10, nDocs).map { baseN =>
+        val idxDir = s"/tmp/graft-fixtures/scalebench-incidx-v1-$baseN"
+        time(s"build+write dedup index over $baseN docs (index construction, O(base))") {
+          Dedup.writeIndex(Dedup.buildIndex(mkDocs(baseN)), idxDir)
+        }
+        val idx = Dedup.readIndex(spark, idxDir)
+        val t = System.nanoTime()
+        time(s"incremental probe: $deltaN-doc delta vs $baseN-doc index") {
+          val ex = Dedup.incrementalExact(probeDocs, idx).collect()
+          val dups = ex.filter(_.getBoolean(2))
+          assert(dups.length == deltaN / 10, s"exact copies flagged: ${dups.length}")
+          assert(dups.forall(r =>
+            r.getLong(1) == ((r.getLong(0) - nDocs) % nTargets) * 50L + 2L),
+            "every exact copy must keep its base target id")
+          val near = Dedup.incrementalNearDup(probeDocs, idx)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val found = (0L until deltaN).count(i => i % 10 == 1 &&
+            near.contains((nDocs + i, (i % nTargets) * 50L + 2L)))
+          println(s"[scale] incremental near recall: $found/${deltaN / 10} planted near copies")
+          assert(found >= (deltaN / 10 * 0.95).toInt, s"near recall too low: $found")
+        }
+        (System.nanoTime() - t) / 1e9
+      }
+      // the flat-probe claim, asserted: 10× the base must not mean ~10× the
+      // probe (generous 3× headroom for fixed overheads and noise)
+      println(f"[scale] probe cost at 1× vs 10× base: ${probeTimes.head}%.2f s vs ${probeTimes.last}%.2f s")
+      assert(probeTimes.last <= probeTimes.head * 3 + 2.0,
+        s"delta probe must not scale with base size: $probeTimes")
     }
 
     // ---- training-set assembly at corpus scale ----
