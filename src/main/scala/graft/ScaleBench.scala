@@ -418,6 +418,24 @@ object ScaleBench {
       println(f"[scale] embedding recall: $planted/$truePlanted planted pairs, ${pairs.length} total")
       assert(planted >= (truePlanted * 0.95).toInt, s"recall too low: $planted/$truePlanted")
     }
+    // ---- SemDeDup at corpus scale: k-means cells sized so intra-cell pair
+    // volume stays ~n × cellSize (n²/nlist), the paper's scaling lever (50k
+    // cells at 5B docs → here 256 cells at 100k vectors). Planted redundancy:
+    // the id ≡ 1 (mod 50) clones (cos ≈ 0.999 to id-1) must fall — a clone
+    // and its original land in the same argmax cell except at degenerate
+    // boundaries — and nothing else may fall (random 64-dim directions never
+    // meet cos ≥ 0.9 by chance).
+    if (nVecs >= 10000) {
+      time(s"semantic dedup (SemDeDup, 256 cells, cos ≥ 0.9) over ${nVecs} vectors") {
+        val out = graft.operators.Dedup.semanticDedup(vecs, dim = 64, nlist = 256)
+          .filter(!col("keep")).collect()
+        val planted = out.count(_.getLong(0) % 50 == 1)
+        println(s"[scale] semdedup: ${out.length} pruned, $planted/$truePlanted planted clones")
+        assert(planted >= (truePlanted * 0.95).toInt,
+          s"semantic recall too low: $planted/$truePlanted")
+        assert(out.length == planted, s"only planted clones may fall: ${out.length} != $planted")
+      }
+    }
     spark.stop()
   }
 }

@@ -287,6 +287,15 @@ object SparkEntry {
       TsAgg.approxTopKPerBucket(events(s, d, spec900).withColumn("value_cents", centsCol),
         spec900, keyCol = "user_id", k = 3, m = 256,
         weightCol = Some("value_cents"))),
+    // the ADAPTIVE front door (VERDICT r6 #8): one approx_count_distinct
+    // probe picks exact vs sketch at the measured crossover (936 MB vs
+    // 41 MB level-1 shuffle at 10k keys — SCALE.md). Form-independent
+    // schema; at sf0.01's cardinality the probe picks the exact branch, so
+    // the same SQL oracle as the exact query verifies it (err ≡ 0);
+    // TsAggGoldenSpec pins the sketch branch by forcing maxExactKeys = 1
+    "ts_top3_auto_900" -> ((s, d) =>
+      TsAgg.topKAuto(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), keyCol = "user_id", k = 3)),
     // gap-based sessions over the same 7-day window via Spark's NATIVE
     // session_window (streaming-capable form); oracle re-derives sessions
     // with the classic lag/cumulative-break SQL — two different algorithms,
@@ -526,6 +535,18 @@ object SparkEntry {
     // the small-corpus oracle of the same answer (EmbeddingLshSpec asserts
     // equality; the DuckDB oracle below is the all-pairs computation).
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(embeddings(s, d), dim = 64)),
+    // SemDeDup (Abbas et al. 2023): k-means cells → keep-one among same-cell
+    // vectors with cosine ≥ 0.9 — prunes semantic redundancy, not just
+    // near-copies. Assignment and threshold are exact integer arithmetic
+    // (NearestCentroidQ argmax + rational cosine compare), so the DuckDB
+    // oracle replays every step bit-identically from the committed
+    // centroid export (golden: semdedup_centroids_sf0.01.tsv — trained
+    // deterministically, so Spark re-derives the same centroids at runtime).
+    // CAVEAT like span_near_dup: the oracle is defined at sf0.01, the sf
+    // the driver's gate runs; elsewhere the committed centroids describe a
+    // different corpus.
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(embeddings(s, d), dim = 64, nlist = 16)),
 
     // ---- scale ops: training-set assembly -----------------------------------
     // GPT-3-style benchmark decontamination: distinct-3-gram overlap between
@@ -589,6 +610,15 @@ object SparkEntry {
     // ---- scale ops: multimodal binary-column pipeline (rows-only: synthetic
     // media payloads; decode is a documented stub — see Multimodal.MediaCodec)
     "multimodal_features" -> ((s, _) => Multimodal.mediaPipeline(s, 1000)),
+    // perceptual image dedup (VERDICT r6 #5): 64-bit dHash over the REAL
+    // decoded pixel grid (BMP/PNG/JPEG), SimHash-style 16-bit-chunk
+    // pigeonhole candidates, exact Hamming verify. Synthetic corpus plants
+    // a near-duplicate re-render (brightness shift / JPEG requant) of every
+    // 10th image. Golden-pinned: DuckDB decodes no images; the JDK's JPEG
+    // IDCT is tolerance-specified, so regenerate after a JDK change (same
+    // caveat as multimodal_features).
+    "dedup_image_phash" -> ((s, _) =>
+      Multimodal.imageDHashNearDup(Multimodal.syntheticImageDups(s, 300))),
 
     // ---- temporal joins (beyond-reference: the reference is single-table,
     // SURVEY §2.2; these are the first two join shapes its users need) ------
@@ -761,6 +791,20 @@ object SparkEntry {
            |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_start
            |  ORDER BY sum_value DESC, user_id) AS rank FROM s)
            |SELECT bucket_start, user_id, sum_value, rank FROM r
+           |WHERE rank <= 3 ORDER BY bucket_start, rank""".stripMargin.replace("\n", " ")
+      },
+      // the adaptive front door resolves to the EXACT branch at this
+      // cardinality (sf0.01 events ≪ maxExactKeys), so the oracle is the
+      // same top-3 ranking with the form-independent column names (err ≡ 0)
+      "ts_top3_auto_900" -> {
+        val b = bucketSql(T0_EVENTS, 900 * MS, "ms")
+        s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, $cents AS c FROM events
+           |  WHERE epoch_ms(ts) >= $T0_EVENTS AND epoch_ms(ts) < $e900),
+           |s AS (SELECT $b AS bucket_start, user_id,
+           |  CAST(sum(c) AS BIGINT) AS est_weight FROM e GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_start
+           |  ORDER BY est_weight DESC, user_id) AS rank FROM s)
+           |SELECT bucket_start, user_id, est_weight, CAST(0 AS BIGINT) AS err, rank FROM r
            |WHERE rank <= 3 ORDER BY bucket_start, rank""".stripMargin.replace("\n", " ")
       },
       // independent algorithm: lag/cumulative-break sessions (the engine uses
@@ -1026,6 +1070,38 @@ object SparkEntry {
           |    a.n2 AS n2a, b.n2 AS n2b
           |  FROM n a JOIN n b ON a.id < b.id)
           |WHERE dot > 0 AND dot*dot*400 >= 81 * n2a * n2b ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      // SemDeDup replayed end-to-end: committed quantized centroids →
+      // integer-dot cell ranking (ties toward the lower cell, exactly
+      // NearestCentroidsQ's rule; each vector spills into its top-2 cells
+      // for pair generation, nassign = 2) → intra-cell integer-cosine
+      // ≥ 9/10 keep-lowest-id, reported cell = the argmax (rank-1) cell.
+      // Every quantity is a BIGINT, so ranking and threshold cannot drift
+      // between engines.
+      "dedup_semantic" ->
+        """WITH cent AS (
+          |  SELECT cell, list_transform(string_split(c, ','), x -> CAST(x AS BIGINT)) AS qc
+          |  FROM read_csv('/root/repo/src/test/resources/golden/semdedup_centroids_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false, columns={'cell': 'INTEGER', 'c': 'VARCHAR'})),
+          |q AS (SELECT vec_id AS id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |n AS (SELECT id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM q),
+          |dots AS (SELECT n.id, cent.cell,
+          |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qc[i])) AS BIGINT) AS dq
+          |  FROM n CROSS JOIN cent),
+          |assign AS (SELECT id, cell, rn FROM (
+          |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dq DESC, cell ASC) AS rn
+          |    FROM dots) WHERE rn <= 2),
+          |pc AS (SELECT n.id, a.cell, n.qv, n.n2 FROM n JOIN assign a USING (id)),
+          |rm AS (SELECT DISTINCT id FROM (
+          |    SELECT b.id AS id,
+          |      CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
+          |      a.n2 AS n2a, b.n2 AS n2b
+          |    FROM pc a JOIN pc b ON a.cell = b.cell AND a.id < b.id)
+          |  WHERE dot > 0 AND dot*dot*100 >= 81 * n2a * n2b),
+          |top1 AS (SELECT id, cell FROM assign WHERE rn = 1)
+          |SELECT t.id AS vec_id, CAST(t.cell AS BIGINT) AS cell, (rm.id IS NULL) AS keep
+          |FROM top1 t LEFT JOIN rm USING (id) ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
       // ---- training-set assembly ----
       // decontamination: DuckDB re-derives the distinct 3-gram overlap on raw

@@ -133,3 +133,116 @@ object NearestCentroids {
     GraftBridge.toColumn(
       NearestCentroids(GraftBridge.toExpression(vec), centroids, nlist, dim, nprobe))
 }
+
+/**
+ * Integer-exact cell assignment: the indexes of the `nprobe` centroids with
+ * the highest EXACT integer dot products against a quantized vector
+ * (`array<long>`), descending, ties toward the lower index. The integer twin
+ * of [[NearestCentroids]] for operators whose assignment must be
+ * bit-reproducible across engines and partition orders (semantic dedup's
+ * oracle re-derives the same ranking in DuckDB — float-sum association
+ * order can flip an argmax near a cell boundary, integer sums cannot).
+ * Centroids are pre-quantized longs (plan-time constant, shipped once);
+ * per-term products stay ≪ 2⁶³ for unit-norm data at the default scales
+ * (|qv| ≤ ~10³, |qc| ≤ 10⁶, dim ≤ 10⁴).
+ */
+case class NearestCentroidsQ(child: Expression, centroids: Array[Long],
+    nlist: Int, dim: Int, nprobe: Int) extends UnaryExpression {
+  require(nlist > 0 && dim > 0 && nprobe > 0 && nprobe <= nlist,
+    s"invalid shape: nlist=$nlist dim=$dim nprobe=$nprobe")
+  require(centroids.length == nlist * dim,
+    s"centroid matrix size ${centroids.length} != nlist*dim ${nlist * dim}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroids_q requires array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, vec.numElements())
+    val scores = new Array[Long](nlist)
+    var c = 0
+    while (c < nlist) {
+      var dot = 0L
+      var i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i)) dot += vec.getLong(i) * centroids(c * dim + i)
+        i += 1
+      }
+      scores(c) = dot
+      c += 1
+    }
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < nprobe) {
+      var best = -1
+      var bestScore = Long.MinValue
+      var j = 0
+      while (j < nlist) {
+        if (!taken(j) && (best == -1 || scores(j) > bestScore)) {
+          best = j; bestScore = scores(j)
+        }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("qCentroids", centroids, "long[]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      val n = ctx.freshName("n")
+      val scores = ctx.freshName("scores")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val taken = ctx.freshName("taken")
+      val r = ctx.freshName("r")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = java.lang.Math.min($dim, $vec.numElements());
+         |long[] $scores = new long[$nlist];
+         |for (int $c = 0; $c < $nlist; $c++) {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$vec.isNullAt($i)) $dot += $vec.getLong($i) * $cRef[$c * $dim + $i];
+         |  }
+         |  $scores[$c] = $dot;
+         |}
+         |int[] $out = new int[$nprobe];
+         |boolean[] $taken = new boolean[$nlist];
+         |for (int $r = 0; $r < $nprobe; $r++) {
+         |  int $best = -1;
+         |  long $bestScore = Long.MIN_VALUE;
+         |  for (int $j = 0; $j < $nlist; $j++) {
+         |    if (!$taken[$j] && ($best == -1 || $scores[$j] > $bestScore)) {
+         |      $best = $j; $bestScore = $scores[$j];
+         |    }
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$r] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidsQ {
+  def apply(vec: Column, centroids: Array[Long], nlist: Int, dim: Int, nprobe: Int): Column =
+    GraftBridge.toColumn(
+      NearestCentroidsQ(GraftBridge.toExpression(vec), centroids, nlist, dim, nprobe))
+}

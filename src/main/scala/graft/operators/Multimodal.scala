@@ -317,9 +317,16 @@ object Multimodal {
      * [[pixelStats]] descriptor as BMP/PNG, in RGB order. Unreadable or
      * absurd-geometry payloads return None → stub fallback.
      */
-    private def jpegFeatures(payload: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
+    private def jpegFeatures(payload: Array[Byte], meta: MediaMeta): Option[Array[Float]] =
+      jpegPixels(payload, meta).map { case (w, h, px) => pixelStats(px, 0, w * 3, w * 3, h) }
+
+    /** The decode body of [[jpegFeatures]], exposed as packed interleaved
+      * pixels `(width, height, rgb)` — same sharing rationale as
+      * [[pngPixels]]. */
+    private[operators] def jpegPixels(
+        payload: Array[Byte], meta: MediaMeta): Option[(Int, Int, Array[Byte])] = {
       // bound via the already-parsed SOF geometry BEFORE handing bytes to
-      // ImageIO — same principle as pngFeatures' pre-allocation guard
+      // ImageIO — same principle as pngPixels' pre-allocation guard
       if (meta.width <= 0 || meta.height <= 0 ||
         meta.width.toLong * meta.height * 3 > (1L << 26)) return None
       try {
@@ -343,7 +350,7 @@ object Multimodal {
           }
           y += 1
         }
-        Some(pixelStats(pixels, 0, w * 3, w * 3, h))
+        Some((w, h, pixels))
       } catch {
         // ImageIO's JPEG reader surfaces malformed input as more than
         // IOException (CMMException on bad ICC profiles, IAE/AIOOBE on
@@ -439,6 +446,99 @@ object Multimodal {
       pixelStats(payload, off, rowBytes, rowStride, rows)
     }
 
+    /**
+     * 8×9 grid of mean grayscale values over the decoded image — the
+     * classic dHash sampling grid (9 columns so each of the 8 rows yields 8
+     * horizontal-gradient bits). Decodes through the SAME per-format paths
+     * as featurization (conforming-BMP walk with bottom-up row flip,
+     * [[pngPixels]], [[jpegPixels]]), so the hash sees visual row order in
+     * every container. Gray = (c0+c1+c2)/3 — channel-order invariant, so
+     * BGR (BMP) and RGB (PNG/JPEG) renderings of the same pixels grid
+     * identically. Areal (not point) sampling: each cell is the mean of its
+     * whole pixel region, which is what makes the hash robust to noise and
+     * resampling. Non-image or undecodable payloads → None.
+     */
+    private[operators] def grayGrid(payload: Array[Byte]): Option[Array[Long]] = {
+      val px: Option[(Int, Int, (Int, Int) => Int)] = probe(payload).flatMap { meta =>
+        def packed(w: Int, h: Int, buf: Array[Byte]) =
+          (w, h, (x: Int, y: Int) => {
+            val base = (y * w + x) * 3
+            ((buf(base) & 0xff) + (buf(base + 1) & 0xff) + (buf(base + 2) & 0xff)) / 3
+          })
+        meta.codec match {
+          case "bmp" =>
+            val off = le32(payload, 10)
+            val width = le32(payload, 18)
+            val rawH = le32(payload, 22)
+            val height = math.abs(rawH)
+            val stride = if (width > 0) (width * 3 + 3) & ~3 else 0
+            val conforming = width > 0 && height > 0 && off > 0 &&
+              stride.toLong * height == (payload.length - off).toLong
+            if (!conforming) None
+            else Some((width, height, (x: Int, y: Int) => {
+              // positive height = bottom-up storage: flip to visual order
+              val row = if (rawH > 0) height - 1 - y else y
+              val base = off + row * stride + x * 3
+              ((payload(base) & 0xff) + (payload(base + 1) & 0xff) +
+                (payload(base + 2) & 0xff)) / 3
+            }))
+          case "png" => pngPixels(payload).map((packed _).tupled)
+          case "jpeg" => jpegPixels(payload, meta).map((packed _).tupled)
+          case _ => None
+        }
+      }
+      px.collect { case (w, h, g) if w >= 2 && h >= 1 =>
+        val grid = new Array[Long](72)
+        var r = 0
+        while (r < 8) {
+          val y0 = r * h / 8
+          val y1 = math.min(math.max((r + 1) * h / 8, y0 + 1), h)
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9
+            val x1 = math.min(math.max((c + 1) * w / 9, x0 + 1), w)
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += g(x, y); x += 1 }
+              y += 1
+            }
+            grid(r * 9 + c) = s / ((y1 - y0).toLong * (x1 - x0))
+            c += 1
+          }
+          r += 1
+        }
+        grid
+      }
+    }
+
+    /**
+     * 64-bit perceptual difference hash (dHash — the row-gradient variant of
+     * pHash popularized by Krawetz, "Kind of Like That", 2013): bit
+     * `r·8 + c` is set iff grid cell (r, c+1) is brighter than (r, c).
+     * Gradient signs are invariant to uniform brightness shifts EXACTLY
+     * (cell means move together, integer arithmetic end-to-end) and robust
+     * to local noise (areal cell means); visually distinct images land ~32
+     * bits apart. Near-duplicate detection = Hamming distance ≤ k, served
+     * at scale by the same 4 × 16-bit pigeonhole blocking as SimHash
+     * ([[graft.operators.Dedup.simhashNearDup]]).
+     */
+    def dHash64(payload: Array[Byte]): Option[Long] =
+      grayGrid(payload).map { g =>
+        var h = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (g(r * 9 + c + 1) > g(r * 9 + c)) h |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        h
+      }
+
     /** Color-moment + histogram descriptor over 3-channel interleaved pixel
       * rows: `[mean(c0..c2), std(c0..c2), min, max, 8-bin intensity
       * histogram]` — channel order is the container's natural order (BGR for
@@ -488,7 +588,13 @@ object Multimodal {
      * anything else — palette, alpha, 16-bit, Adam7, corrupt or foreign
      * zlib — returns None and the caller falls back to the stub.
      */
-    private def pngFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    private def pngFeatures(payload: Array[Byte]): Option[Array[Float]] =
+      pngPixels(payload).map { case (w, h, px) => pixelStats(px, 0, w * 3, w * 3, h) }
+
+    /** The decode body of [[pngFeatures]], exposed as packed interleaved
+      * pixels `(width, height, rgb)` so perceptual hashing shares the exact
+      * same decode as featurization. */
+    private[operators] def pngPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       try {
         // probe() only guarantees 24 bytes; the full IHDR chunk (sig 8 +
         // len/tag 8 + data 13 + CRC 4) needs 33 — a header truncated between
@@ -559,7 +665,7 @@ object Multimodal {
           }
           y += 1
         }
-        Some(pixelStats(pixels, 0, rowBytes, rowBytes, height))
+        Some((width, height, pixels))
       } catch { case _: java.util.zip.DataFormatException => None }
     }
 
@@ -804,6 +910,94 @@ object Multimodal {
       MediaRecord(id, kind, payload,
         MediaMeta(width = 0, height = 0, sampleRate = 0,
           durationMs = 0, codec = "raw"))
+    }
+  }
+
+  /**
+   * Perceptual image near-dup over a binary media column: 64-bit dHash per
+   * decodable image ([[MediaCodec.dHash64]] — BMP/PNG/JPEG through the real
+   * decoders, payload bytes never leave the map task), candidates via the
+   * same 4 × 16-bit chunk pigeonhole as [[Dedup.simhashNearDup]] (any pair
+   * within Hamming distance 3 agrees on ≥1 chunk), exact `bit_count(xor)`
+   * verify on candidates only. Output `(id_a, id_b, hamming)`, ordered —
+   * re-encodes, brightness shifts and local edits of the same picture
+   * collide; visually distinct images sit ~32 bits apart.
+   *
+   * Scale shape: the only wide ops are the 16-bit-chunk equality join
+   * (24 B rows) and the candidate distinct — identical budget to SimHash;
+   * undecodable payloads (raw video, corrupt files) are dropped, not
+   * stubbed, because a byte-fold hash has no perceptual meaning.
+   */
+  def imageDHashNearDup(
+      media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashed = media
+      .mapPartitions(_.flatMap(r => MediaCodec.dHash64(r.payload).map(h => (r.media_id, h))))
+      .toDF("id", "h")
+    val chunked = hashed.select(
+      col("id"), col("h"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("h"), col("ck.chunk"), col("ck.ckey"))
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("h").as("h_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("h").as("h_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * Fixture for the image-dedup query and its tests: `n` SMOOTH low-frequency
+   * images, each the sum of two seed-keyed DIAGONAL sine waves. Diagonal
+   * (xy-coupled) waves are the fixture shape dHash actually distinguishes:
+   * a plain ramp makes every horizontal gradient the same sign (near-all-ones
+   * hash — everything collides), and an x-only wave repeats the same 8 bits
+   * in all 8 rows; coupling y into the phase makes each grid row a shifted
+   * pattern, so the 64 bits carry the full (freq, phase) identity and
+   * distinct seeds land far apart. Low frequency keeps cell-mean gradients
+   * tens of levels wide — stable under JPEG requantization, unlike noise
+   * whose dHash bits are coin flips. `StrictMath` so pixels (and the
+   * committed golden) are bit-identical on any JVM/platform.
+   *
+   * Format rotates BMP/JPEG/PNG on seed % 3. Every id ≡ 1 (mod 10)
+   * re-renders id-1's pixels as a NEAR DUPLICATE: +6 uniform brightness for
+   * BMP/PNG (dHash-invariant by construction; PNG also switches row filters
+   * — the filter must not matter after decode), a plain re-encode of the
+   * identical pixels for JPEG (requantization noise only).
+   */
+  def syntheticImageDups(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).repartition(4).map { r =>
+      val id = r.longValue()
+      val isDup = id % 10 == 1
+      val seed = if (isDup) id - 1 else id
+      val bright = if (isDup && seed % 3 != 1) 6 else 0
+      val w = 24 + (seed % 8).toInt * 4 // multiple of 4: conforming BMP stride
+      val h = 16 + (seed % 5).toInt * 4
+      val f1x = 1 + (seed % 5).toInt; val f1y = 1 + (seed % 7).toInt % 5
+      val f2x = 1 + (seed % 11).toInt % 5; val f2y = 1 + (seed % 13).toInt % 5
+      val p1 = (seed % 101).toDouble / 101.0; val p2 = (seed % 103).toDouble / 103.0
+      val tau = 2 * math.Pi
+      val rgb = Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; val x = p % w; val y = p / w
+        val v = 100.0 +
+          40.0 * StrictMath.sin(tau * (f1x * x.toDouble / w + f1y * y.toDouble / h + p1)) +
+          40.0 * StrictMath.sin(tau * (f2x * x.toDouble / w + f2y * y.toDouble / h + p2))
+        (v.toInt + (i % 3) * 5 + bright).toByte
+      }
+      val payload = (seed % 3) match {
+        case 0 => MediaCodec.wrapBmp(w, h, rgb)
+        case 1 => MediaCodec.encodeJpeg(w, h, rgb)
+        case _ => MediaCodec.wrapPng(w, h, rgb, rowFilter = y => ((id + y) % 5).toInt)
+      }
+      MediaRecord(id, "image", payload,
+        MediaMeta(width = 0, height = 0, sampleRate = 0, durationMs = 0, codec = "raw"))
     }
   }
 

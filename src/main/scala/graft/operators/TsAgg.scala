@@ -343,6 +343,40 @@ object TsAgg {
   }
 
   /**
+   * Adaptive per-bucket heavy hitters — the front door that picks the exact
+   * form or the SpaceSaving sketch from a cheap cardinality probe
+   * (VERDICT r6 #8). The crossover is measured, not guessed: SCALE.md's
+   * 100M-row run puts the exact form's level-1 exchange at 936 MB against
+   * the sketch's 41 MB at 10k keys — the exact form's shuffle is
+   * O(distinct (bucket, key) pairs) while the sketch's is O(buckets × m) at
+   * ANY cardinality, so the decision variable is the distinct-key count.
+   * The probe is one `approx_count_distinct` pass (HLL partials, ~2%
+   * error, O(partitions) exchange rows); its cost is one narrow scan, paid
+   * once, and the ±2% error is irrelevant at the decision boundary — both
+   * forms are correct, only their cost curves cross.
+   *
+   * Output schema is FORM-INDEPENDENT (`…, keyCol, est_weight, err, rank`):
+   * the exact branch reports `err = 0`, so callers and oracles read one
+   * shape. With the default `maxExactKeys = 1 << 20` the exact branch's
+   * worst-case level-1 exchange stays ≈ buckets-per-key-bounded and well
+   * under the sketch's accuracy regime; rows above that flip to the sketch.
+   */
+  def topKAuto(
+      df: DataFrame, spec: TsAggSpec, keyCol: String, k: Int,
+      m: Int = 256, maxExactKeys: Long = 1L << 20): DataFrame = {
+    val est = df.agg(functions.approx_count_distinct(col(keyCol)).as("n"))
+      .head().getLong(0)
+    if (est <= maxExactKeys) {
+      val grpKeys = spec.seriesCols :+ "bucket_start"
+      topKPerBucket(df, spec, keyCol, k)
+        .select((grpKeys.map(col) ++ Seq(col(keyCol),
+          col("sum_value").as("est_weight"), lit(0L).as("err"), col("rank"))): _*)
+    } else {
+      approxTopKPerBucket(df, spec, keyCol, k, m, weightCol = Some(spec.valueCol))
+    }
+  }
+
+  /**
    * Gap-based sessionization via Spark's native `session_window` (the
    * Spark-first form — the same call runs under Structured Streaming with
    * watermark-merged session state): events of one key belong to one session

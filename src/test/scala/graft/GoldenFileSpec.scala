@@ -31,8 +31,8 @@ class GoldenFileSpec extends AnyFunSuite {
   /** Queries with no oracle entry: everything else is DuckDB-checked. */
   private val goldenQueries =
     Seq("ann_topk_cosine_lsh", "ann_topk_cosine_ivf", "dedup_minhash",
-      "dedup_incremental_near", "dedup_simhash", "text_fingerprint",
-      "text_winnow", "multimodal_features")
+      "dedup_incremental_near", "dedup_simhash", "dedup_image_phash",
+      "text_fingerprint", "text_winnow", "multimodal_features")
 
   private lazy val inputFingerprint: String = {
     val md = MessageDigest.getInstance("MD5")
@@ -94,5 +94,26 @@ class GoldenFileSpec extends AnyFunSuite {
     }
     checkGolden(new File(s"$goldenDir/text_winnow_sf0.01.tsv"),
       render(SparkEntry.queries("text_winnow")(spark, sf01)), fp01)
+  }
+
+  // The sf0.01 SemDeDup centroids are committed the same way: they are the
+  // ORACLE INPUT for dedup_semantic — its oracleSql reads this TSV and
+  // replays cell assignment (integer argmax) + intra-cell integer-cosine
+  // keep-one in DuckDB. Training is deterministic (hash-ordered sample,
+  // fixed Lloyd iterations), so this export only changes when the trainer
+  // or the corpus does — and the fingerprint catches the latter.
+  test("golden: semdedup centroids at sf0.01 (dedup_semantic oracle input)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val fp01 = {
+      val md = MessageDigest.getInstance("MD5")
+      md.update(Files.readAllBytes(Paths.get(s"$sf01/embeddings.parquet")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val cents = graft.operators.Similarity.trainIvfCentroids(
+      graft.sources.Tables.embeddings(spark, sf01), dim = 64, nlist = 16)
+    val qCents = cents.map(x => math.round(x * 1e6))
+    val lines = "cell:int\tc:string" +:
+      (0 until 16).map(c => s"$c\t" + qCents.slice(c * 64, (c + 1) * 64).mkString(","))
+    checkGolden(new File(s"$goldenDir/semdedup_centroids_sf0.01.tsv"), lines, fp01)
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/**
+ * SemDeDup (semantic dedup) — planted-redundancy ground truth: well-separated
+ * direction clusters with exact near-copies inside them. Every near-copy must
+ * fall (keep = false, same cell as its original), every original and every
+ * isolated vector must survive, and the answer must be invariant under
+ * repartitioning (the integer argmax + integer cosine leave nothing to float
+ * or order luck).
+ */
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** unit-ish basis direction d with a small deterministic wobble */
+  private def vec(d: Int, wobble: Float = 0f): Array[Float] =
+    Array.tabulate(dim)(i => (if (i == d) 1f else 0f) + (if (i == (d + 1) % dim) wobble else 0f))
+
+  test("planted near-copies fall, originals and isolates survive, cells agree") {
+    // 4 direction clusters; ids 0..3 originals, 10..13 near-copies (cos≈0.999),
+    // 20..23 FAR vectors in the same directions but negated (cos = -1: same
+    // argmax never, they get their own cells or survive regardless)
+    val rows =
+      (0 until 4).map(d => (d.toLong, vec(d))) ++
+      (0 until 4).map(d => (10L + d, vec(d, wobble = 0.02f))) ++
+      (0 until 4).map(d => (20L + d, vec(d).map(-_)))
+    val df = rows.toDF("vec_id", "embedding")
+    // centroids pinned to the 4 directions + their negations → assignment is
+    // unambiguous; threshold 9/10 catches the 0.999 copies, not the isolates
+    val cents = ((0 until 4).map(d => vec(d).map(_.toDouble)) ++
+      (0 until 4).map(d => vec(d).map(x => -x.toDouble))).flatten.toArray
+    val out = Dedup.semanticDedup(df, dim, nlist = 8, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val keep = out.map(t => t._1 -> t._3).toMap
+    val cell = out.map(t => t._1 -> t._2).toMap
+    for (d <- 0 until 4) {
+      assert(keep(d.toLong), s"original $d must survive")
+      assert(!keep(10L + d), s"near-copy ${10 + d} must fall")
+      assert(cell(d.toLong) == cell(10L + d), s"copy must share its original's cell")
+      assert(keep(20L + d), s"negated isolate ${20 + d} must survive")
+    }
+  }
+
+  test("deterministic under repartitioning") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 7 + j * 3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity.trainIvfCentroids(df, dim, nlist = 4)
+    val a = Dedup.semanticDedup(df, dim, nlist = 4, centroids = Some(cents))
+      .collect().map(_.toSeq)
+    val b = Dedup.semanticDedup(df.repartition(7), dim, nlist = 4, centroids = Some(cents))
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("keep-lowest-id policy: within a redundant group exactly the minimum id survives") {
+    // 5 copies of one direction — one survivor, the smallest id
+    val rows = Seq(3L, 9L, 4L, 7L, 5L).map(id => (id, vec(0, wobble = 0.001f * id)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = vec(0).map(_.toDouble) ++ vec(4).map(_.toDouble)
+    val out = Dedup.semanticDedup(df, dim, nlist = 2, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.filter(_._2).map(_._1).toSeq == Seq(3L), s"only id 3 survives: ${out.mkString(",")}")
+  }
+}

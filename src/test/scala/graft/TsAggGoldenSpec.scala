@@ -345,6 +345,28 @@ class TsAggGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("topKAuto: exact branch == topKPerBucket with err 0; forced sketch branch == approx form") {
+    import spark.implicits._
+    val df = Seq(
+      (BaseMs + 1L, 1L, 10L), (BaseMs + 2L, 1L, 20L),
+      (BaseMs + 3L, 2L, 30L), (BaseMs + 4L, 3L, 10L),
+      (BaseMs + 900001L, 9L, 5L)
+    ).toDF("ts", "user", "cents")
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 1800000L), valueCol = "cents")
+    // cardinality far below the threshold → exact branch, err all 0
+    val auto = TsAgg.topKAuto(df, spec, "user", 2)
+    assert(auto.columns.toSeq == Seq("bucket_start", "user", "est_weight", "err", "rank"))
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val exact = TsAgg.topKPerBucket(df, spec, "user", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 0L, r.getLong(3)))
+    assert(got.toSeq == exact.toSeq)
+    // maxExactKeys = 1 forces the sketch branch: same schema, same answer
+    // here (sketch under capacity is exact), err still 0
+    val forced = TsAgg.topKAuto(df, spec, "user", 2, maxExactKeys = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(forced.toSeq == got.toSeq)
+  }
+
   test("sessionWindows: touching windows MERGE (diff == gap), strict excess splits") {
     import spark.implicits._
     val gap = 1000L
