@@ -167,15 +167,19 @@ object Bench {
     val sketchFails = sketchQ.toSeq.collect {
       case (c, _) if c < ContainmentFloor => "ts_trending_approx"
     }
+    sketchFails.foreach(n => System.err.println(
+      s"[bench] $n top-1 containment below floor $ContainmentFloor — marked failed " +
+        "(no key clears the W/m guarantee on this data: heavy-hitter sketches " +
+        "need skew; see SCALE.md sf1 sweep)"))
     // RECALL GATE (VERDICT r6 #2): an approximate ANN query below the same
     // 0.9 recall floor the specs assert is a FAILURE in the artifact, not a
     // footnote — a fast ANN query that stopped finding neighbors must never
     // read as green.
     val RecallFloor = 0.9
-    val recallFails = recall.collect { case (n, v) if v < RecallFloor => n } ++ sketchFails
+    val recallFails = recall.collect { case (n, v) if v < RecallFloor => n }
     recallFails.foreach(n => System.err.println(
       s"[bench] $n recall below floor $RecallFloor — marked failed"))
-    val failed = (results.collect { case r if !r.ok => r.name } ++ recallFails)
+    val failed = (results.collect { case r if !r.ok => r.name } ++ recallFails ++ sketchFails)
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unstable = results.collect { case r if r.unstable => "\"" + r.name + "\"" }.mkString("[", ",", "]")
     val recallJson = recall

@@ -27,6 +27,33 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /**
+   * Streaming delta-vs-index exact dedup — the continuous-crawl form of
+   * [[graft.operators.Dedup.incrementalExact]]: each micro-batch's content
+   * hashes probe the PERSISTED base-corpus index via a stream-static left
+   * join. Completely STATE-FREE (the "state" is the index on disk, shared
+   * with the batch path and refreshed by re-planning each batch), so it
+   * runs indefinitely with zero watermark bookkeeping. Emits the stream
+   * columns + `keep_id`/`is_dup` vs the base corpus.
+   *
+   * Intra-stream duplicates are deliberately out of scope here — that is
+   * [[dedupExact]]'s watermarked job, and the two COMPOSE in order:
+   * `incrementalExactStream(dedupExact(stream), index)` first drops
+   * within-horizon stream repeats, then flags what the base corpus already
+   * has. At 100 TB the production layout buckets the index parquet on
+   * `text_hash` so each micro-batch join prunes to matching buckets.
+   */
+  def incrementalExactStream(
+      stream: DataFrame, index: graft.operators.Dedup.DedupIndex,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stream
+      .withColumn("text_hash", md5(col(textCol)))
+      .join(index.exact.select(col("text_hash"), col("keep_id").as("base_keep")),
+        Seq("text_hash"), "left")
+      .withColumn("keep_id", least(coalesce(col("base_keep"), col(idCol)), col(idCol)))
+      .withColumn("is_dup", col("keep_id") < col(idCol))
+      .drop("base_keep", "text_hash")
+
   final case class CellVersion(cellKey: String, versionMs: Long, value: Long)
   /** One changelog advance. `nVersions` = versions seen AS OF THIS EMIT — a
     * LOWER BOUND on the cell's true version count between advances: a stale

@@ -180,6 +180,34 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(registered.nonEmpty && streamed == registered)
   }
 
+  test("incrementalExactStream over micro-batches == batch incrementalExact vs the same index") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val base = docs.filter(_._1 % 5 != 0).toDF("doc_id", "text")
+    val delta = docs.filter(_._1 % 5 == 0)
+    val index = graft.operators.Dedup.buildIndex(base)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalExactStream(ms.toDF().toDF("doc_id", "text"), index)
+      .select("doc_id", "keep_id", "is_dup")
+      .writeStream.outputMode("append").format("memory").queryName("parity_inc").start()
+    try {
+      chunks(delta, 3).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("parity_inc").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // the batch operator ALSO folds intra-delta duplicates; the sf0.01 delta
+    // has none (verified here), so the two semantics coincide on this corpus
+    // and the stream must reproduce the oracle-green batch answer exactly
+    val batch = graft.operators.Dedup.incrementalExact(delta.toDF("doc_id", "text"), index)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val intraDelta = delta.groupBy(_._2).values.count(_.size > 1)
+    assert(intraDelta == 0, "fixture assumption: no intra-delta duplicate texts")
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stateless corpus projections stream as-is: repetition + split == batch") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
