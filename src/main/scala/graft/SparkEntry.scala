@@ -529,6 +529,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         Dedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0)))
     },
+    // span tier of the delta-vs-index probe: delta docs sharing ≥2 winnowing
+    // fingerprints with a base doc. Oracle re-derives the same pairs from
+    // the COMMITTED sf0.01 fingerprint TSV (the span_near_dup pattern),
+    // restricted to delta×base and with the frequency cap on the BASE side
+    // only — exactly what indexing the base at build time means.
+    "dedup_incremental_spans" -> { (s, d) =>
+      val docs = documents(s, d)
+      Dedup.incrementalSpanNearDup(
+        docs.filter(col("doc_id") % 5 === 0),
+        Dedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0)))
+    },
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(documents(s, d))),
     // LSH-blocked + exact-verified (the scale path; no cartesian anywhere in
     // the plan — PlanContractSpec asserts it). The all-pairs form remains as
@@ -1015,6 +1026,22 @@ object SparkEntry {
       "dedup_exact" ->
         ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups " +
           "FROM documents GROUP BY 1 ORDER BY 1"),
+      // span-tier incremental probe replayed from the same committed
+      // fingerprint TSV as span_near_dup, restricted to delta×base pairs;
+      // the ≤1000-doc fingerprint cap counts BASE docs only (build-time cap)
+      "dedup_incremental_spans" ->
+        """WITH fp AS (SELECT doc_id, CAST(unnest(string_split(fingerprints, ',')) AS BIGINT) AS f
+          |  FROM read_csv('/root/repo/src/test/resources/golden/text_winnow_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false,
+          |    columns={'doc_id': 'BIGINT', 'n_fp': 'BIGINT', 'fingerprints': 'VARCHAR'})),
+          |d AS (SELECT DISTINCT doc_id, f FROM fp),
+          |base AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+          |delta AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+          |ok AS (SELECT f FROM base GROUP BY f HAVING count(*) <= 1000),
+          |b2 AS (SELECT base.doc_id, base.f FROM base JOIN ok USING (f))
+          |SELECT delta.doc_id AS doc_id, b2.doc_id AS match_id, count(*) AS n_shared
+          |FROM delta JOIN b2 ON delta.f = b2.f
+          |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
       // incremental exact tier == full-corpus dedup semantics READ OFF the
       // delta rows: keep_id is the min doc_id over EVERYONE (base ∪ delta)
       // sharing the content — the delta-vs-index engine path must agree with

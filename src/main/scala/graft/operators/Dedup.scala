@@ -887,11 +887,12 @@ object Dedup {
       docs: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16,
-      winnowK: Int = 5,
+      winnowK: Int = 3,
       winnowWindow: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxBandBucket: Int = 1000): DedupIndex = {
+      maxBandBucket: Int = 1000,
+      maxFpFreq: Int = 1000): DedupIndex = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val toks = tokens(col(textCol))
     val exactIdx = docs
@@ -909,10 +910,14 @@ object Dedup {
       .filter(col("bucket_n") <= maxBandBucket)
       .select("band", "bkey")
     val bandIdx = banded.join(okBuckets, Seq("band", "bkey"))
-    val fps = TextAnalysis
-      .winnowFps(Parallelism.ensure(docs), winnowK, winnowWindow, idCol, textCol)
-      .select(explode(col("fps")).as("fp"), col(idCol).as("id"))
-      .distinct() // index keys: one (fp, id) row even if the fp recurs in-doc
+    // same defaults as spanNearDup (k=3, window=4, ≤1000-doc fingerprints):
+    // the span probe must meet the base through the identical key space
+    val fps = capByFrequency(
+      TextAnalysis
+        .winnowFps(Parallelism.ensure(docs), winnowK, winnowWindow, idCol, textCol)
+        .select(explode(array_distinct(col("fps"))).as("f"), col(idCol).as("id")),
+      "f", maxFpFreq)
+      .select(col("f").as("fp"), col("id"))
     DedupIndex(exactIdx, bandIdx, sigs.select("id", "sig"), fps)
   }
 
@@ -1025,6 +1030,38 @@ object Dedup {
       .withColumn("est_jaccard", minhashSimilarity(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= lit(estThreshold))
       .select(col("delta_id").as("doc_id"), col("match_id"), col("est_jaccard"))
+      .orderBy("doc_id", "match_id")
+  }
+
+  /**
+   * Span-tier incremental dedup — the third key space the index persists:
+   * delta docs' winnowing-fingerprint matches AGAINST THE BASE INDEX,
+   * `(doc_id, match_id, n_shared)` for every (delta, base) pair sharing
+   * ≥ `minShared` distinct fingerprints, ordered. Matches [[spanNearDup]]'s
+   * semantics restricted to delta×base pairs (same k/window grams, same
+   * per-doc-distinct sets; the ≤1000-doc fingerprint cap is applied to the
+   * base at INDEX BUILD time, where the frequency is known).
+   *
+   * Scale shape: the delta's fingerprints broadcast into the equality join;
+   * `index.fps` (8-byte keys) is scanned, never shuffled; the aggregate
+   * runs on delta-sized pair rows.
+   */
+  def incrementalSpanNearDup(
+      delta: DataFrame, index: DedupIndex,
+      k: Int = 3,
+      window: Int = 4,
+      minShared: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dFps = TextAnalysis
+      .winnowFps(Parallelism.ensure(delta), k, window, idCol, textCol)
+      .select(explode(array_distinct(col("fps"))).as("fp"), col(idCol).as("delta_id"))
+    index.fps
+      .join(broadcast(dFps), Seq("fp"))
+      .filter(col("id") =!= col("delta_id"))
+      .groupBy(col("delta_id").as("doc_id"), col("id").as("match_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= lit(minShared))
       .orderBy("doc_id", "match_id")
   }
 }

@@ -57,6 +57,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must exercise the near tier")
   }
 
+  test("incrementalSpanNearDup == full-corpus spanNearDup restricted to delta×base pairs") {
+    val idx = Dedup.buildIndex(base)
+    val got = Dedup.incrementalSpanNearDup(delta, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.spanNearDup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = full.flatMap { case (a, b, n) =>
+      val (aDelta, bDelta) = (a % 5 == 0, b % 5 == 0)
+      if (aDelta && !bDelta) Some((a, b, n))
+      else if (!aDelta && bDelta) Some((b, a, n))
+      else None
+    }.toSet
+    assert(got == want, s"incremental span pairs ${got.size} != restricted full ${want.size}")
+    assert(got.nonEmpty, "fixture must exercise the span tier")
+  }
+
   test("persisted index round-trips and the probe never shuffles the index side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
     try {

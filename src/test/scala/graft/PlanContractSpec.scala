@@ -60,7 +60,8 @@ class PlanContractSpec extends AnyFunSuite {
 
   test("no dedup query cross-joins — embedding dedup is LSH-blocked (r2)") {
     Seq("dedup_embedding", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-      "span_near_dup").foreach { q =>
+      "span_near_dup", "dedup_semantic", "dedup_image_phash",
+      "dedup_incremental_near", "dedup_incremental_spans").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must not cross-join:\n$p")
