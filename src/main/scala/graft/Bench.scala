@@ -164,13 +164,34 @@ object Bench {
           None
       }
     val ContainmentFloor = 0.95
+    // HLL++ QUALITY: worst per-bucket relative error of the approx-distinct
+    // query vs its exact twin, gated at 3× the sketch's configured rsd
+    // (0.05) — the same treatment as containment/recall.
+    val hllQ: Option[Double] =
+      if (!selected.exists(_._1 == "ts_distinct_approx_900") ||
+          !selected.exists(_._1 == "ts_distinct_users_900")) None
+      else try {
+        val exact = SparkEntry.queries("ts_distinct_users_900")(spark, sfDir)
+          .select("bucket_start", "n_distinct").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val errs = SparkEntry.queries("ts_distinct_approx_900")(spark, sfDir)
+          .select("bucket_start", "n_distinct_approx").collect()
+          .flatMap(r => exact.get(r.getLong(0))
+            .map(e => math.abs(r.getLong(1) - e).toDouble / math.max(1L, e)))
+        if (errs.isEmpty) None else Some(errs.max)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] hll quality computation failed: ${e.getMessage}")
+          None
+      }
+    val HllErrCeiling = 0.15
     val sketchFails = sketchQ.toSeq.collect {
       case (c, _) if c < ContainmentFloor => "ts_trending_approx"
-    }
+    } ++ hllQ.toSeq.collect { case e if e > HllErrCeiling => "ts_distinct_approx_900" }
     sketchFails.foreach(n => System.err.println(
-      s"[bench] $n top-1 containment below floor $ContainmentFloor — marked failed " +
-        "(no key clears the W/m guarantee on this data: heavy-hitter sketches " +
-        "need skew; see SCALE.md sf1 sweep)"))
+      s"[bench] $n sketch quality below floor — marked failed " +
+        s"(containment < $ContainmentFloor or HLL rel-err > $HllErrCeiling; " +
+        "see SCALE.md sf1 sweep for when this fires legitimately)"))
     // RECALL GATE (VERDICT r6 #2): an approximate ANN query below the same
     // 0.9 recall floor the specs assert is a FAILURE in the artifact, not a
     // footnote — a fast ANN query that stopped finding neighbors must never
@@ -185,12 +206,16 @@ object Bench {
     val recallJson = recall
       .map { case (n, v) => "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
-    val sketchJson = sketchQ match {
-      case Some((c, e)) =>
+    val sketchJson = {
+      val parts = sketchQ.toSeq.map { case (c, e) =>
         val cs = String.format(java.util.Locale.ROOT, "%.3f", Double.box(c))
         val es = String.format(java.util.Locale.ROOT, "%.4f", Double.box(e))
-        s"""{"ts_trending_approx":{"top1_containment":$cs,"max_err_ratio":$es}}"""
-      case None => "{}"
+        s""""ts_trending_approx":{"top1_containment":$cs,"max_err_ratio":$es}"""
+      } ++ hllQ.toSeq.map { e =>
+        val es = String.format(java.util.Locale.ROOT, "%.4f", Double.box(e))
+        s""""ts_distinct_approx_900":{"max_rel_err":$es}"""
+      }
+      parts.mkString("{", ",", "}")
     }
     val total = results.collect { case r if r.ok => r.min }.sum
     // STDOUT CONTRACT: the driver captures only the LAST ~2000 chars of the
@@ -212,8 +237,9 @@ object Bench {
     // (it crossed the line at 71 registered queries — ~19 chars of name per
     // entry dominate, no precision trick wins that back), stdout falls back
     // to the 15 slowest queries — the ones a judge audits for regressions —
-    // and the COMMITTED bench.json keeps the full-precision per-query map,
-    // medians, spreads and row counts for everything else.
+    // and bench.json keeps the full-precision per-query map, medians,
+    // spreads and row counts for everything else (regenerate with one Bench
+    // run; the file is a gitignored working artifact).
     val slowestJson = results.filter(_.ok).sortBy(-_.min).take(15)
       .map(r => "\"" + r.name + "\":" + sec2(r.min)).mkString("{", ",", "}")
     val stdoutLine = if (line.length <= 1800) line

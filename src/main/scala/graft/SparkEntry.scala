@@ -262,6 +262,13 @@ object SparkEntry {
     // this exact form in TsAggGoldenSpec
     "ts_distinct_users_900" -> ((s, d) =>
       TsAgg.distinctCount(events(s, d, spec900), spec900, keyCol = "user_id")),
+    // the HLL++ sketch twin, now driver-graded (rows-only: merge-order-
+    // dependent); Bench measures its max relative error against the exact
+    // twin EVERY RUN and fails the query past 3× the configured rsd — the
+    // same artifact-visible quality gate ANN recall and SpaceSaving
+    // containment get
+    "ts_distinct_approx_900" -> ((s, d) => // rows-only: sketch by design
+      TsAgg.approxDistinctCount(events(s, d, spec900), spec900, keyCol = "user_id")),
     // wide-format report: one row per bucket, one NULL-when-absent count
     // column per event type; both pivot exchanges carry only per-
     // (bucket, type) partials (values explicit — schema-stable at any scale)
@@ -513,21 +520,22 @@ object SparkEntry {
     // tier: per delta doc, the global keep id over base ∪ delta — identical
     // to full-corpus Dedup.exact restricted to delta rows, which is the
     // DuckDB oracle verbatim.
+    // all three probes read the CACHED persisted index (Fixtures.dedupIndex,
+    // built once per corpus fingerprint — the production shape): inline
+    // rebuilds made the bench time index CONSTRUCTION instead of the probe
+    // whose base-size-independence is the operator's claim (ScaleBench times
+    // construction as its own O(base) section)
     "dedup_incremental" -> { (s, d) =>
-      val docs = documents(s, d)
       Dedup.incrementalExact(
-        docs.filter(col("doc_id") % 5 === 0),
-        Dedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0)))
+        documents(s, d).filter(col("doc_id") % 5 === 0), Fixtures.dedupIndex(s, d))
     },
     // near-dup tier of the same delta-vs-index probe: seeded MinHash
     // signatures are not oracle-portable (same treatment as dedup_minhash),
     // so this is golden-pinned at sf0.001 AND cross-checked in DedupSpec:
     // its pairs must equal full-corpus minhashNearDup's delta×base pairs.
     "dedup_incremental_near" -> { (s, d) => // rows-only: seeded permutations
-      val docs = documents(s, d)
       Dedup.incrementalNearDup(
-        docs.filter(col("doc_id") % 5 === 0),
-        Dedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0)))
+        documents(s, d).filter(col("doc_id") % 5 === 0), Fixtures.dedupIndex(s, d))
     },
     // span tier of the delta-vs-index probe: delta docs sharing ≥2 winnowing
     // fingerprints with a base doc. Oracle re-derives the same pairs from
@@ -535,10 +543,8 @@ object SparkEntry {
     // restricted to delta×base and with the frequency cap on the BASE side
     // only — exactly what indexing the base at build time means.
     "dedup_incremental_spans" -> { (s, d) =>
-      val docs = documents(s, d)
       Dedup.incrementalSpanNearDup(
-        docs.filter(col("doc_id") % 5 === 0),
-        Dedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0)))
+        documents(s, d).filter(col("doc_id") % 5 === 0), Fixtures.dedupIndex(s, d))
     },
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(documents(s, d))),
     // LSH-blocked + exact-verified (the scale path; no cartesian anywhere in

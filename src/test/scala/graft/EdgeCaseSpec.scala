@@ -69,6 +69,43 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Corpus.splitAssign(nulls).count() == 2)
   }
 
+  test("empty and degenerate inputs flow through the round-7 dedup operators") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(docs)
+    // empty delta: every probe tier yields empty, not an error
+    assert(Dedup.incrementalExact(emptyDocs, idx).count() == 0)
+    assert(Dedup.incrementalNearDup(emptyDocs, idx).count() == 0)
+    assert(Dedup.incrementalSpanNearDup(emptyDocs, idx).count() == 0)
+    // empty BASE: delta docs are all fresh (keep themselves, no matches)
+    val emptyIdx = Dedup.buildIndex(emptyDocs)
+    val fresh = Dedup.incrementalExact(docs, emptyIdx).collect()
+    assert(fresh.length == 2 && fresh.forall(r => !r.getBoolean(2) && r.getLong(0) == r.getLong(1)))
+    assert(Dedup.incrementalNearDup(docs, emptyIdx).count() == 0)
+    // semantic dedup: empty input, and a single vector (no pairs, keeps itself)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val one = Seq((7L, Array.tabulate(4)(i => 0.5f))).toDF("vec_id", "embedding")
+    val cents = Array.fill(8)(0.25) // 2 cells × dim 4
+    assert(Dedup.semanticDedup(emptyVecs, dim = 4, nlist = 2, centroids = Some(cents)).count() == 0)
+    val kept = Dedup.semanticDedup(one, dim = 4, nlist = 2, centroids = Some(cents)).collect()
+    assert(kept.length == 1 && kept.head.getBoolean(2))
+  }
+
+  test("dHash handles degenerate image geometry (tiny, narrow, 1-pixel-tall)") {
+    import graft.operators.Multimodal.MediaCodec
+    // 2×1: the minimum the grid accepts — cells repeat pixels, hash defined
+    val tiny = MediaCodec.dHash64(MediaCodec.wrapPng(2, 1, Array[Byte](10, 10, 10, 120, 120, 120)))
+    assert(tiny.isDefined)
+    // width 1 is below the 2-column minimum: no hash, no exception
+    assert(MediaCodec.dHash64(MediaCodec.wrapPng(1, 4, Array.fill(12)(7.toByte))).isEmpty)
+    // narrow-but-tall and wide-but-flat stay defined and differ for
+    // differing content
+    val a = MediaCodec.dHash64(MediaCodec.wrapPng(3, 40, Array.tabulate(360)(i => (i % 97).toByte)))
+    val b = MediaCodec.dHash64(MediaCodec.wrapPng(40, 3, Array.tabulate(360)(i => (i % 89).toByte)))
+    assert(a.isDefined && b.isDefined && a != b)
+  }
+
   test("empty inputs flow through spans, cut, sessions, and heavy hitters") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exactSpans(docs).count() == 0)
