@@ -60,6 +60,23 @@ object GraftFunctions {
   }
   private def arity(args: Seq[Expression], fn: String, n: Int): Unit =
     require(args.length == n, s"$fn takes $n args, got ${args.length}")
+  /** Constant long-array parameters (centroid matrices): any FOLDABLE
+    * integer-array expression qualifies — `array(1, 2, ...)` in SQL folds at
+    * plan time — because the values size plan-time reference objects. */
+  private def litLongArray(e: Expression, fn: String, arg: String): Array[Long] = {
+    import org.apache.spark.sql.types.ArrayType
+    e.dataType match {
+      case ArrayType(LongType | IntegerType, _) if e.foldable =>
+        val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(ad != null, s"$fn: $arg must not be null")
+        e.dataType.asInstanceOf[ArrayType].elementType match {
+          case LongType => ad.toLongArray()
+          case _ => ad.toIntArray().map(_.toLong)
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a foldable integer-array expression, got $other")
+    }
+  }
 
   /** (name, usage, builder) for every injectable expression function. */
   val expressionFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -97,7 +114,23 @@ object GraftFunctions {
     ("long_bits_to_double",
       "long_bits_to_double(bits) - IEEE-754 bit pattern -> double",
       (args: Seq[Expression]) => { arity(args, "long_bits_to_double", 1)
-        LongBitsToDouble(args(0)) })
+        LongBitsToDouble(args(0)) }),
+    ("winnow_fingerprints",
+      "winnow_fingerprints(gramHashes, window) - MOSS winnowing fingerprints of an ordered gram-hash array",
+      (args: Seq[Expression]) => { arity(args, "winnow_fingerprints", 2)
+        WinnowFingerprints(args(0), litInt(args(1), "winnow_fingerprints", "window")) }),
+    ("nearest_centroids_q",
+      "nearest_centroids_q(qv, centroids, nlist, dim, nprobe) - integer-exact top-n cell assignment (quantized vector vs foldable centroid array)",
+      (args: Seq[Expression]) => { arity(args, "nearest_centroids_q", 5)
+        NearestCentroidsQ(args(0),
+          litLongArray(args(1), "nearest_centroids_q", "centroids"),
+          litInt(args(2), "nearest_centroids_q", "nlist"),
+          litInt(args(3), "nearest_centroids_q", "dim"),
+          litInt(args(4), "nearest_centroids_q", "nprobe")) }),
+    ("image_dhash",
+      "image_dhash(payload) - 64-bit perceptual difference hash of an encoded image (NULL when undecodable)",
+      (args: Seq[Expression]) => { arity(args, "image_dhash", 1)
+        ImageDHash(args(0)) })
   )
 
   def register(spark: SparkSession): Unit = {

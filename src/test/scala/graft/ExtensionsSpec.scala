@@ -66,6 +66,35 @@ class ExtensionsSpec extends AnyFunSuite {
         s.sql("SELECT bytes_be_to_long(long_to_bytes_be(1, 8), CAST(id AS INT) + 7, true) FROM range(1)")
           .collect())
       assert(err.getMessage.contains("literal integer"))
+
+      // winnowing from pure SQL: any run >= window+k-1 grams shares a
+      // fingerprint, and here the whole array is one run
+      val fps = s.sql(
+        "SELECT winnow_fingerprints(array(5L, 3L, 9L, 1L, 7L, 2L), 3) AS f")
+        .collect().head.getSeq[Long](0)
+      assert(fps.nonEmpty && fps.toSet.subsetOf(Set(5L, 3L, 9L, 1L, 7L, 2L)))
+
+      // integer-exact cell assignment with a FOLDABLE centroid matrix:
+      // qv = (10, 0) scores 10 against cell 0 = (1, 0) and 0 against
+      // cell 1 = (0, 1) → probe order (0, 1)
+      val cells = s.sql(
+        "SELECT nearest_centroids_q(array(10L, 0L), array(1L, 0L, 0L, 1L), 2, 2, 2) AS c")
+        .collect().head.getSeq[Int](0)
+      assert(cells == Seq(0, 1))
+
+      // perceptual hash from pure SQL: identical pixels through PNG → a
+      // defined hash; garbage bytes → NULL (no invented identity)
+      val png = graft.operators.Multimodal.MediaCodec.wrapPng(
+        16, 8, Array.tabulate(16 * 8 * 3)(i => (i % 130).toByte))
+      s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(png, Array.fill(40)(9.toByte))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("img", org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("junk", org.apache.spark.sql.types.BinaryType))))
+        .createOrReplaceTempView("media_sql")
+      val dh = s.sql("SELECT image_dhash(img) AS h, image_dhash(junk) AS j FROM media_sql")
+        .collect().head
+      assert(!dh.isNullAt(0) && dh.isNullAt(1))
     }
   }
 }
