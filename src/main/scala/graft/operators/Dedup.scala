@@ -809,6 +809,24 @@ object Dedup {
    * ~n × cellSize, never n². Centroids train driver-side on a deterministic
    * sample ([[Similarity.trainIvfCentroids]]) exactly like the IVF index.
    */
+  /** Which member of a redundant pair survives [[semanticDedup]]. Both are
+    * TOTAL orders (ties always break toward the lower id), so within any
+    * redundant group the order-minimum never loses a comparison and exactly
+    * one member is guaranteed to survive. */
+  sealed trait SemKeep
+  object SemKeep {
+    /** Deterministic repo convention, shared with every other dedup
+      * operator and SQL-expressible for the oracle. */
+    case object LowestId extends SemKeep
+    /** The paper's rule (Abbas et al. §3): keep the member with the LOWEST
+      * cosine to its cluster centroid — pruning toward the centroid keeps
+      * the cluster's outliers, preserving diversity. Compared exactly via
+      * sign-split cross-multiplication over decimal(38) (centroid dots
+      * reach ~10¹¹ at the quantization scales, so long squaring would
+      * overflow; decimals keep the compare engine-exact). */
+    case object FarthestFromCentroid extends SemKeep
+  }
+
   def semanticDedup(
       embs: DataFrame,
       dim: Int,
@@ -817,6 +835,7 @@ object Dedup {
       thresholdDen: Long = 10,
       nassign: Int = 2,
       centroids: Option[Array[Double]] = None,
+      keep: SemKeep = SemKeep.LowestId,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > 0 && thresholdNum <= thresholdDen,
@@ -825,20 +844,47 @@ object Dedup {
     val cents = centroids.getOrElse(
       Similarity.trainIvfCentroids(embs, dim, nlist, idCol = idCol, vecCol = vecCol))
     val qCents: Array[Long] = cents.map(x => math.round(x * 1e6))
+    // dc = integer dot against the ARGMAX cell's centroid — the ranking key
+    // of the FarthestFromCentroid policy (computed for both policies; it is
+    // one more codegen'd array dot in the same projection)
+    val centsLit = typedLit((0 until nlist).map(c => qCents.slice(c * dim, (c + 1) * dim).toSeq))
     val q = persistScoped( // read by both pair-join sides and the output join
       quantized(Parallelism.ensure(embs), idCol, vecCol)
         .withColumn("cells",
-          graft.functions.expressions.NearestCentroidsQ(col("q"), qCents, nlist, dim, nassign)))
-    val spilled = q.select(col("id"), col("q"), col("norm2"), explode(col("cells")).as("cell"))
-    val a = spilled.select(col("cell"), col("id").as("id_a"), col("q").as("q_a"), col("norm2").as("n2_a"))
-    val b = spilled.select(col("cell"), col("id").as("id_b"), col("q").as("q_b"), col("norm2").as("n2_b"))
-    val removed = a.join(b, Seq("cell"))
+          graft.functions.expressions.NearestCentroidsQ(col("q"), qCents, nlist, dim, nassign))
+        .withColumn("dc", graft.functions.expressions.ArrayDotProduct(
+          col("q"), element_at(centsLit, element_at(col("cells"), 1) + 1))))
+    val spilled = q.select(col("id"), col("q"), col("norm2"), col("dc"), explode(col("cells")).as("cell"))
+    val a = spilled.select(col("cell"), col("id").as("id_a"), col("q").as("q_a"),
+      col("norm2").as("n2_a"), col("dc").as("dc_a"))
+    val b = spilled.select(col("cell"), col("id").as("id_b"), col("q").as("q_b"),
+      col("norm2").as("n2_b"), col("dc").as("dc_b"))
+    val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot", graft.functions.expressions.ArrayDotProduct(col("q_a"), col("q_b")))
       .filter(col("dot") > lit(0L) &&
         col("dot") * col("dot") * lit(thresholdDen * thresholdDen) >=
           lit(thresholdNum * thresholdNum) * col("n2_a") * col("n2_b"))
-      .select(col("id_b").as("id")).distinct()
+    val removed = (keep match {
+      case SemKeep.LowestId => pairs.select(col("id_b").as("id"))
+      case SemKeep.FarthestFromCentroid =>
+        // keep the pair member with the strictly LOWER cos-to-centroid;
+        // exact compare: sign split, then dc²·n2(other) cross-multiplied in
+        // decimal(38). cos_a == cos_b falls through to keep-lowest-id.
+        val da = col("dc_a").cast("decimal(38,0)")
+        val db = col("dc_b").cast("decimal(38,0)")
+        val la = da * da * col("n2_b").cast("decimal(38,0)")
+        val lb = db * db * col("n2_a").cast("decimal(38,0)")
+        val aLess = (col("dc_a") < 0 && col("dc_b") >= 0) ||
+          (col("dc_a") >= 0 && col("dc_b") >= 0 && la < lb) ||
+          (col("dc_a") < 0 && col("dc_b") < 0 && la > lb)
+        val bLess = (col("dc_b") < 0 && col("dc_a") >= 0) ||
+          (col("dc_b") >= 0 && col("dc_a") >= 0 && lb < la) ||
+          (col("dc_b") < 0 && col("dc_a") < 0 && lb > la)
+        pairs.select(
+          when(aLess, col("id_b")).when(bLess, col("id_a"))
+            .otherwise(greatest(col("id_a"), col("id_b"))).as("id"))
+    }).distinct()
     q.select(col("id"), element_at(col("cells"), 1).as("cell"))
       .join(removed.withColumn("hit", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cell").cast("long").as("cell"),

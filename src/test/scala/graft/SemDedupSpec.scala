@@ -61,6 +61,31 @@ class SemDedupSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("FarthestFromCentroid policy keeps the outlier regardless of ids (the paper's rule)") {
+    // centroid = e0. id 1 sits EXACTLY on the centroid (cos 1), id 2 is the
+    // wobbled outlier (cos < 1). Under keep-lowest-id, 1 survives; under the
+    // paper's farthest-from-centroid rule, 2 must survive DESPITE the higher
+    // id — diversity beats recency/order.
+    val rows = Seq((1L, vec(0)), (2L, vec(0, wobble = 0.05f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = vec(0).map(_.toDouble) ++ vec(4).map(_.toDouble)
+    val far = Dedup.semanticDedup(df, dim, nlist = 2, centroids = Some(cents),
+      keep = Dedup.SemKeep.FarthestFromCentroid)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(far == Map(1L -> false, 2L -> true), s"outlier must survive: $far")
+    val low = Dedup.semanticDedup(df, dim, nlist = 2, centroids = Some(cents))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(low == Map(1L -> true, 2L -> false))
+    // within a redundant GROUP the order-minimum survives: three copies at
+    // increasing distance from the centroid → only the farthest remains
+    val trio = Seq((10L, vec(0, 0.01f)), (11L, vec(0, 0.06f)), (12L, vec(0, 0.03f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(trio, dim, nlist = 2, centroids = Some(cents),
+      keep = Dedup.SemKeep.FarthestFromCentroid)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
+    assert(got == Seq(11L), s"only the farthest copy survives: $got")
+  }
+
   test("keep-lowest-id policy: within a redundant group exactly the minimum id survives") {
     // 5 copies of one direction — one survivor, the smallest id
     val rows = Seq(3L, 9L, 4L, 7L, 5L).map(id => (id, vec(0, wobble = 0.001f * id)))
