@@ -1080,6 +1080,45 @@ object Dedup {
   }
 
   /**
+   * Index maintenance — the step after a delta is probed and accepted: fold
+   * the delta's keys INTO the index so the next crawl probes against
+   * base ∪ delta, without ever rebuilding from the full corpus. The exact
+   * tier re-reduces only the union'd hash groups (delta-sized collisions;
+   * everything else is a pass-through of 8–24-byte key rows); band/sig/fp
+   * tables are plain unions. Parameters must match the original build —
+   * same seeds, same band split, same gram shape — or the key spaces
+   * diverge silently, hence they are re-taken here and forwarded to the
+   * delta's buildIndex.
+   *
+   * Cap semantics: frequency caps (band buckets, fingerprints) are applied
+   * PER BUILD — appending never retroactively un-caps or re-caps the other
+   * side. A bucket that only crosses the cap across snapshots keeps both
+   * halves; `buildIndex` over the full corpus would drop it. IncrementalDedupSpec
+   * pins equality on corpora where caps don't bind (the normal regime) and
+   * this divergence is the documented trade for never re-shuffling the base.
+   */
+  def appendIndex(
+      index: DedupIndex, delta: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      winnowK: Int = 3,
+      winnowWindow: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBandBucket: Int = 1000,
+      maxFpFreq: Int = 1000): DedupIndex = {
+    val d = buildIndex(delta, numHashes, bands, winnowK, winnowWindow,
+      idCol, textCol, maxBandBucket, maxFpFreq)
+    DedupIndex(
+      exact = index.exact.unionByName(d.exact)
+        .groupBy("text_hash")
+        .agg(min("keep_id").as("keep_id"), sum("n_docs").as("n_docs")),
+      bands = index.bands.unionByName(d.bands),
+      sigs = index.sigs.unionByName(d.sigs),
+      fps = index.fps.unionByName(d.fps))
+  }
+
+  /**
    * Span-tier incremental dedup — the third key space the index persists:
    * delta docs' winnowing-fingerprint matches AGAINST THE BASE INDEX,
    * `(doc_id, match_id, n_shared)` for every (delta, base) pair sharing

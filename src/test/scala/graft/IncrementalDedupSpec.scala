@@ -73,6 +73,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must exercise the span tier")
   }
 
+  test("appendIndex == rebuilding from the union: the next crawl probes base ∪ delta") {
+    // crawl 1 (doc_id % 5 == 0) is probed, accepted, APPENDED; crawl 2
+    // (doc_id % 10 == 1) then probes the grown index. Every tier must
+    // answer exactly as an index rebuilt from base ∪ crawl1 would (caps
+    // never bind at this corpus size — the documented equivalence regime).
+    val crawl1 = delta
+    val crawl2 = docs.filter(col("doc_id") % 10 === 1)
+    val grown = Dedup.appendIndex(Dedup.buildIndex(base), crawl1)
+    // base ∪ crawl1 = (%5 != 0) ∪ (%5 == 0) = the whole corpus
+    val rebuiltFull = Dedup.buildIndex(docs)
+    for ((probe, name) <- Seq(
+        (Dedup.incrementalExact(crawl2, grown), "exact"),
+        (Dedup.incrementalNearDup(crawl2, grown), "near"),
+        (Dedup.incrementalSpanNearDup(crawl2, grown), "spans"))) {
+      val want = name match {
+        case "exact" => Dedup.incrementalExact(crawl2, rebuiltFull)
+        case "near" => Dedup.incrementalNearDup(crawl2, rebuiltFull)
+        case _ => Dedup.incrementalSpanNearDup(crawl2, rebuiltFull)
+      }
+      assert(probe.collect().map(_.toSeq).toSeq == want.collect().map(_.toSeq).toSeq,
+        s"$name tier diverged after append")
+    }
+  }
+
   test("persisted index round-trips and the probe never shuffles the index side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
     try {
