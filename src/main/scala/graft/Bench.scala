@@ -243,7 +243,7 @@ object Bench {
     val slowestJson = results.filter(_.ok).sortBy(-_.min).take(15)
       .map(r => "\"" + r.name + "\":" + sec2(r.min)).mkString("{", ",", "}")
     val stdoutLine = if (line.length <= 1800) line
-      else s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":$slowestJson,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","detail":"bench.json (committed: full per-query map)"}"""
+      else s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":$slowestJson,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","detail":"bench.json holds the full per-query map (one Bench run regenerates it)"}"""
     println(stdoutLine)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${field(_.min.toString)},"queries_median":${field(_.median.toString)},"queries_spread":${field(r => sec3(r.spread))},"rows":${field(_.rows.toString)},"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir"}"""
