@@ -452,6 +452,21 @@ object SparkEntry {
     // engine/parallelism reproduces it (CorpusSpec asserts invariance)
     "split_train_val" -> ((s, d) =>
       Corpus.splitAssign(documents(s, d)).orderBy("doc_id")),
+    // PII scrub (detect + redact emails/IPv4/phones) over docs with
+    // DETERMINISTICALLY PLANTED PII (the synthetic corpus has none): every
+    // 7th doc gains an email, 11th an IP, 13th a phone — the oracle plants
+    // the identical strings, and the patterns use only the regex subset
+    // Java and RE2 interpret identically (see Corpus.piiScrub), so counts
+    // AND the redacted text sit under the byte-exact hash gate
+    "pii_scrub" -> { (s, d) =>
+      val planted = documents(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact u"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" from 10.1.2.3")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" call 555-123-4567")).otherwise(lit(""))))
+      Corpus.piiScrub(planted).orderBy("doc_id")
+    },
     // mixture accounting per (source, lang): one partial/final hash agg
     "corpus_mix_stats" -> ((s, d) =>
       Corpus.mixtureStats(documents(s, d)).orderBy("source", "lang")),
@@ -978,6 +993,27 @@ object SparkEntry {
         (s"SELECT doc_id, CASE WHEN substr(md5(text), 1, 4) >= " +
           s"'${graft.operators.Corpus.splitThresholdHex(0.0625)}' THEN 'val' ELSE 'train' END AS split " +
           "FROM documents ORDER BY doc_id"),
+      // PII scrub replay: identical planted strings, identical patterns
+      // (the Java/RE2-common subset), 'g' flag because DuckDB's
+      // regexp_replace is first-match by default where Spark's is global;
+      // n_ips counts on the email-redacted text exactly as the engine does
+      "pii_scrub" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        val phone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+        s"""WITH d AS (SELECT doc_id,
+           |  text || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+           |       || CASE WHEN doc_id % 11 = 0 THEN ' from 10.1.2.3' ELSE '' END
+           |       || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+           |    '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS clean_text,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$ip')) AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones
+           |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
       "corpus_mix_cube" ->
         ("SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid, " +
           "count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars, " +

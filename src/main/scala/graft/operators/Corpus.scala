@@ -182,6 +182,43 @@ object Corpus {
         sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
 
   /**
+   * PII detection + redaction — the scrub stage a pretraining pipeline runs
+   * before anything leaves the raw store: emails, IPv4 addresses and
+   * US-style phone numbers are counted and replaced with typed placeholders
+   * (`<EMAIL>`, `<IP>`, `<PHONE>`). Output per document:
+   * `(idCol, clean_text, n_emails, n_ips, n_phones)`.
+   *
+   * CROSS-ENGINE CONTRACT: the patterns deliberately use only the regex
+   * subset Java's engine (Spark) and RE2 (DuckDB) interpret identically —
+   * character classes, bounded repetition, non-capturing groups, `\b` word
+   * boundaries; no lookaround, no backreferences — so the DuckDB oracle
+   * replays detection AND redaction byte-identically (DuckDB needs the 'g'
+   * flag: its regexp_replace is first-match by default where Spark's is
+   * global). Redaction order (emails → IPs → phones) is part of the
+   * contract: an email's host part must not be half-eaten by the IP pass.
+   *
+   * Scale shape: pure projection — zero shuffles, pipelined by the scan;
+   * regex evaluation is per-row CPU, the classic map-side scrub.
+   */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  def piiScrub(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("clean_text"),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"))
+
+  /**
    * Token-distribution drift between two corpora: the `k` tokens whose RATES
    * diverge most between `a` and `b` — the χ²-flavoured check a pipeline
    * runs between corpus snapshots (did a scraper change shift the language?)

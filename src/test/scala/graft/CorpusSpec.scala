@@ -31,6 +31,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(3L) == ((4L, 1L, 4L, 3L, 1L, 3L)))
   }
 
+  test("piiScrub: hand-written detections, redaction order, untouched text passes through") {
+    val df = Seq(
+      (1L, "write to alice.b+test@sub.example.co.uk today"),
+      (2L, "server 192.168.0.1 and backup 10.0.0.2"),
+      (3L, "call 555-123-4567 or 555.987.6543"),
+      (4L, "mixed bob@x.io at 8.8.8.8 phone 111-222-3333"),
+      (5L, "nothing to see here"),
+      // an IP-like fragment INSIDE an email's host must not be double-cut:
+      // the email pass runs first and swallows the whole address
+      (6L, "edge a@1.2.3.4ab.com end")
+    ).toDF("doc_id", "text")
+    val got = Corpus.piiScrub(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((1L, "write to <EMAIL> today", 1L, 0L, 0L)))
+    assert(got(1) == ((2L, "server <IP> and backup <IP>", 0L, 2L, 0L)))
+    assert(got(2) == ((3L, "call <PHONE> or <PHONE>", 0L, 0L, 2L)))
+    assert(got(3) == ((4L, "mixed <EMAIL> at <IP> phone <PHONE>", 1L, 1L, 1L)))
+    assert(got(4) == ((5L, "nothing to see here", 0L, 0L, 0L)))
+    assert(got(5) == ((6L, "edge <EMAIL> end", 1L, 0L, 0L)))
+  }
+
+  test("piiScrub plan: pure projection — no exchange") {
+    val p = Corpus.piiScrub(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
   test("repetitionMetrics plan: pure projection — no exchange, pruned scan") {
     val p = plan("text_repetition")
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
