@@ -996,7 +996,9 @@ object SparkEntry {
       // PII scrub replay: identical planted strings, identical patterns
       // (the Java/RE2-common subset), 'g' flag because DuckDB's
       // regexp_replace is first-match by default where Spark's is global;
-      // n_ips counts on the email-redacted text exactly as the engine does
+      // n_ips counts on the email-redacted text and n_phones on the
+      // email+IP-redacted text, exactly the intermediates the engine's
+      // redaction passes consume (ADVICE r7)
       "pii_scrub" -> {
         val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
         val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
@@ -1011,7 +1013,7 @@ object SparkEntry {
            |    '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS clean_text,
            |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
            |  CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$ip')) AS BIGINT) AS n_ips,
-           |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones
+           |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone')) AS BIGINT) AS n_phones
            |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")
       },
       "corpus_mix_cube" ->

@@ -205,18 +205,21 @@ object Corpus {
   val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
   def piiScrub(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    // every count runs on the SAME intermediate its redaction pass consumes
+    // (ADVICE r7: n_phones counted on the original text, so a phone swallowed
+    // by the email pass — hyphens/dots are valid in a local part, e.g.
+    // '555-123-4567@x.com' — was counted but never produced a <PHONE>; n_ips
+    // already had the post-email treatment, n_phones now matches)
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
     df.select(
       col(idCol),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-          Ipv4Pattern, "<IP>"),
-        PhonePattern, "<PHONE>").as("clean_text"),
+      regexp_replace(afterIp, PhonePattern, "<PHONE>").as("clean_text"),
       regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-        lit(Ipv4Pattern)).cast("long").as("n_ips"),
-      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"))
+      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(PhonePattern)).cast("long").as("n_phones"))
+  }
 
   /**
    * Token-distribution drift between two corpora: the `k` tokens whose RATES

@@ -601,6 +601,12 @@ object Dedup {
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // pigeonhole completeness bound (ADVICE r7): 4 chunks guarantee a shared
+    // chunk only for pairs ≤ 3 bits apart — larger radii silently lose recall
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"maxHamming must be in [0, 3]: the 4-chunk pigeonhole blocking is only " +
+        s"complete for Hamming <= 3 (got $maxHamming); for a wider radius use " +
+        "more chunks (maxHamming + 1) or brute-force verification")
     val toks = tokens(col(textCol))
     // One codegen'd map-side pass per document (SimHashPacked expression):
     // bit votes accumulate in a tight loop, packed into two 32-bit words so
@@ -822,8 +828,13 @@ object Dedup {
       * cosine to its cluster centroid — pruning toward the centroid keeps
       * the cluster's outliers, preserving diversity. Compared exactly via
       * sign-split cross-multiplication over decimal(38) (centroid dots
-      * reach ~10¹¹ at the quantization scales, so long squaring would
-      * overflow; decimals keep the compare engine-exact). */
+      * reach ~10⁹ at the quantization scales, so long squaring would
+      * overflow; decimals keep the compare engine-exact). Each side is
+      * cross-multiplied by the OTHER member's vector norm² AND centroid
+      * norm² — the centroid term matters exactly for the nassign-spill
+      * pairs whose argmax cells differ (ADVICE r7: without it the compare
+      * ranked cos·|centroid|, so a boundary-straddle pair could keep the
+      * wrong member when the two quantized centroid norms differ). */
     case object FarthestFromCentroid extends SemKeep
   }
 
@@ -848,17 +859,25 @@ object Dedup {
     // of the FarthestFromCentroid policy (computed for both policies; it is
     // one more codegen'd array dot in the same projection)
     val centsLit = typedLit((0 until nlist).map(c => qCents.slice(c * dim, (c + 1) * dim).toSeq))
+    // per-cell centroid norm² (≈10¹² at scale 10⁶) — the FarthestFromCentroid
+    // compare needs it because the two pair members' argmax centroids can
+    // differ (exactly the nassign spill's boundary-straddle pairs)
+    val cn2Lit = typedLit((0 until nlist).map { c =>
+      qCents.slice(c * dim, (c + 1) * dim).map(x => x * x).sum
+    })
     val q = persistScoped( // read by both pair-join sides and the output join
       quantized(Parallelism.ensure(embs), idCol, vecCol)
         .withColumn("cells",
           graft.functions.expressions.NearestCentroidsQ(col("q"), qCents, nlist, dim, nassign))
         .withColumn("dc", graft.functions.expressions.ArrayDotProduct(
-          col("q"), element_at(centsLit, element_at(col("cells"), 1) + 1))))
-    val spilled = q.select(col("id"), col("q"), col("norm2"), col("dc"), explode(col("cells")).as("cell"))
+          col("q"), element_at(centsLit, element_at(col("cells"), 1) + 1)))
+        .withColumn("cn2", element_at(cn2Lit, element_at(col("cells"), 1) + 1)))
+    val spilled = q.select(col("id"), col("q"), col("norm2"), col("dc"), col("cn2"),
+      explode(col("cells")).as("cell"))
     val a = spilled.select(col("cell"), col("id").as("id_a"), col("q").as("q_a"),
-      col("norm2").as("n2_a"), col("dc").as("dc_a"))
+      col("norm2").as("n2_a"), col("dc").as("dc_a"), col("cn2").as("cn2_a"))
     val b = spilled.select(col("cell"), col("id").as("id_b"), col("q").as("q_b"),
-      col("norm2").as("n2_b"), col("dc").as("dc_b"))
+      col("norm2").as("n2_b"), col("dc").as("dc_b"), col("cn2").as("cn2_b"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot", graft.functions.expressions.ArrayDotProduct(col("q_a"), col("q_b")))
@@ -869,12 +888,16 @@ object Dedup {
       case SemKeep.LowestId => pairs.select(col("id_b").as("id"))
       case SemKeep.FarthestFromCentroid =>
         // keep the pair member with the strictly LOWER cos-to-centroid;
-        // exact compare: sign split, then dc²·n2(other) cross-multiplied in
-        // decimal(38). cos_a == cos_b falls through to keep-lowest-id.
+        // exact compare: sign split, then dc²·n2(other)·cn2(other)
+        // cross-multiplied in decimal(38) — cos_x = dc_x/(|x|·|c_x|), so
+        // BOTH other-side norms multiply in (ADVICE r7: dropping cn2 ranked
+        // cos·|centroid| and could mis-keep cross-cell spill pairs).
+        // Magnitudes: dc² ≤ ~10¹⁸ × n2 ~10⁶ × cn2 ~10¹² = 10³⁶ < 10³⁸.
+        // cos_a == cos_b falls through to keep-lowest-id.
         val da = col("dc_a").cast("decimal(38,0)")
         val db = col("dc_b").cast("decimal(38,0)")
-        val la = da * da * col("n2_b").cast("decimal(38,0)")
-        val lb = db * db * col("n2_a").cast("decimal(38,0)")
+        val la = da * da * col("n2_b").cast("decimal(38,0)") * col("cn2_b").cast("decimal(38,0)")
+        val lb = db * db * col("n2_a").cast("decimal(38,0)") * col("cn2_a").cast("decimal(38,0)")
         val aLess = (col("dc_a") < 0 && col("dc_b") >= 0) ||
           (col("dc_a") >= 0 && col("dc_b") >= 0 && la < lb) ||
           (col("dc_a") < 0 && col("dc_b") < 0 && la > lb)

@@ -930,6 +930,14 @@ object Multimodal {
    */
   def imageDHashNearDup(
       media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame = {
+    // pigeonhole completeness bound (ADVICE r7): 4 chunks guarantee a shared
+    // chunk only for pairs ≤ 3 bits apart — a larger maxHamming would
+    // silently lose recall (a pair differing in ≥1 bit per chunk never
+    // becomes a candidate), so fail loud instead
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"maxHamming must be in [0, 3]: the 4-chunk pigeonhole blocking is only " +
+        s"complete for Hamming <= 3 (got $maxHamming); for a wider radius use " +
+        "more chunks (maxHamming + 1) or brute-force verification")
     import media.sparkSession.implicits._
     val hashed = media
       .mapPartitions(_.flatMap(r => MediaCodec.dHash64(r.payload).map(h => (r.media_id, h))))

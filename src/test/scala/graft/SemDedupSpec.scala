@@ -86,6 +86,30 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got == Seq(11L), s"only the farthest copy survives: $got")
   }
 
+  test("FarthestFromCentroid is exact for CROSS-CELL (nassign spill) pairs with unequal centroid norms") {
+    // The ADVICE r7 regression shape: the pair's two members have DIFFERENT
+    // argmax cells (a boundary-straddle pair, visible only through the
+    // nassign=2 spill) and the two centroids have different norms (|c0| = 1,
+    // |c1| = 0.5). id 1 sits at cos 0.95 to ITS centroid c1, id 2 at cos 0.90
+    // to c0 — the paper's rule keeps the farther member, id 2. The old
+    // compare (no centroid-norm² term) ranked cos·|centroid| — 0.475 vs
+    // 0.90 — and kept id 1; the lowest-id tie fallthrough would ALSO keep
+    // id 1, so survivor == 2 discriminates both failure modes.
+    val b1 = Array(0.3122f, 0.95f, 0f, 0f, 0f, 0f, 0f, 0f) // argmax cell 1 (dot 0.475 vs 0.312)
+    val a2 = Array(0.9f, 0.4359f, 0f, 0f, 0f, 0f, 0f, 0f) // argmax cell 0 (dot 0.90 vs 0.218)
+    val df = Seq((1L, b1), (2L, a2)).toDF("vec_id", "embedding")
+    val cents = Array(1.0, 0, 0, 0, 0, 0, 0, 0, /* c1 = 0.5·e1 */ 0, 0.5, 0, 0, 0, 0, 0, 0)
+    // pair cosine = 0.695, so threshold 1/2 qualifies it; cells differ, so
+    // only the nassign=2 spill can generate the pair at all
+    val out = Dedup.semanticDedup(df, dim, nlist = 2, centroids = Some(cents),
+      thresholdNum = 1, thresholdDen = 2, keep = Dedup.SemKeep.FarthestFromCentroid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(t => t._1 -> t._2).toMap == Map(1L -> 1L, 2L -> 0L),
+      s"argmax cells must differ (the cross-cell shape): ${out.mkString(",")}")
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(2L),
+      s"the farther-from-centroid member must survive the cross-cell compare: ${out.mkString(",")}")
+  }
+
   test("keep-lowest-id policy: within a redundant group exactly the minimum id survives") {
     // 5 copies of one direction — one survivor, the smallest id
     val rows = Seq(3L, 9L, 4L, 7L, 5L).map(id => (id, vec(0, wobble = 0.001f * id)))
