@@ -562,11 +562,17 @@ object SparkEntry {
         documents(s, d).filter(col("doc_id") % 5 === 0), Fixtures.dedupIndex(s, d))
     },
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(documents(s, d))),
-    // LSH-blocked + exact-verified (the scale path; no cartesian anywhere in
-    // the plan — PlanContractSpec asserts it). The all-pairs form remains as
-    // the small-corpus oracle of the same answer (EmbeddingLshSpec asserts
-    // equality; the DuckDB oracle below is the all-pairs computation).
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(embeddings(s, d), dim = 64)),
+    // REGIME-DISPATCHED (VERDICT r7 #1): at the registered cos ≥ 0.45 — a
+    // threshold near the random-pair cosine, where SRP banding degenerates
+    // to ~n²/16 candidates per table (the sf1 sweep's one 33× super-linear
+    // row) — the auto front door routes to the broadcast all-pairs form:
+    // the same Ω(n²) dot work the degenerate banding did anyway, but with
+    // ZERO shuffle and exact output (PlanContractSpec asserts the
+    // broadcast-no-exchange plan). At blocking-effective thresholds
+    // (cos ≥ 0.7) the same entry point routes to LSH banding
+    // (EmbeddingLshSpec covers both regimes; the DuckDB oracle below is the
+    // all-pairs computation the low branch must match bit-for-bit).
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupAuto(embeddings(s, d), dim = 64)),
     // SemDeDup (Abbas et al. 2023): k-means cells → keep-one among same-cell
     // vectors with cosine ≥ 0.9 — prunes semantic redundancy, not just
     // near-copies. Assignment and threshold are exact integer arithmetic

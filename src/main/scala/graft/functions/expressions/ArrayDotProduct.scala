@@ -107,3 +107,83 @@ object ArrayDotProduct {
   def apply(a: Column, b: Column): Column =
     GraftBridge.toColumn(ArrayDotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 }
+
+/**
+ * The exact integer-cosine pair predicate as ONE codegen'd expression:
+ * `dot(qa, qb) > 0 && dot² · den² ≥ num² · n2a · n2b` with the dot product
+ * computed EXACTLY ONCE per pair. Composed from column arithmetic the same
+ * predicate evaluates `arraydotproduct` three times per candidate —
+ * Catalyst folds the filter into the join condition (it references both
+ * sides), and join-condition evaluation has no common-subexpression
+ * elimination, so the broadcast all-pairs regime paid 3 dot loops per pair.
+ * Fusing the predicate is worth ~2× on the quadratic path (BNLJ over n²
+ * pairs) and also tightens the LSH verify.
+ *
+ * Overflow contract (same as the column form it replaces): quantities stay
+ * < 2⁶² for unit-norm embeddings at quantization scale 10³ with single-digit
+ * thresholds — dot ≤ 10⁶, dot²·den² ≤ 4·10¹⁴, num²·n2a·n2b ≤ 10¹⁴.
+ */
+case class CosineGe(
+    qa: Expression, qb: Expression, n2a: Expression, n2b: Expression,
+    num: Long, den: Long)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = qa
+  override def second: Expression = qb
+  override def third: Expression = n2a
+  override def fourth: Expression = n2b
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (qa.dataType, qb.dataType, n2a.dataType, n2b.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"cosine_ge requires (array<long>, array<long>, long, long), got ($a, $b, $c, $d)")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(a: Any, b: Any, na: Any, nb: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot > 0L &&
+      dot * dot * (den * den) >= num * num * na.asInstanceOf[Long] * nb.asInstanceOf[Long]
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, na, nb) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $dot += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $dot > 0L && $dot * $dot * ${den * den}L >= ${num * num}L * $na * $nb;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(qa = newFirst, qb = newSecond, n2a = newThird, n2b = newFourth)
+}
+
+object CosineGe {
+  /** Column-API entry point. */
+  def apply(qa: Column, qb: Column, n2a: Column, n2b: Column, num: Long, den: Long): Column =
+    GraftBridge.toColumn(CosineGe(
+      GraftBridge.toExpression(qa), GraftBridge.toExpression(qb),
+      GraftBridge.toExpression(n2a), GraftBridge.toExpression(n2b), num, den))
+}

@@ -648,9 +648,14 @@ object Dedup {
    * vectors quantized to round(x·1000), pair kept iff
    * `den² · dot² ≥ num² · |a|² · |b|²` and `dot > 0` — i.e. cosine ≥ num/den
    * with zero float-boundary ambiguity (quantities stay < 2^62 for unit-norm
-   * embeddings, ANSI-safe). Small-corpus exact form: all-pairs via self-join.
-   * The 100 TB path blocks candidates with hyperplane LSH first
-   * (see [[Similarity.cosineLshCandidates]]) and verifies with this predicate.
+   * embeddings, ANSI-safe). All-pairs exact form, planned as ONE
+   * broadcast nested-loop pass: the build side broadcasts (n × dim longs —
+   * 10 MB at 20k × 64-dim), the stream side scans at source parallelism, and
+   * the dot + threshold predicate runs codegen'd inside the join — NO
+   * shuffle anywhere, the only exchange is the broadcast itself. This is the
+   * right plan whenever candidate blocking cannot prune (thresholds near the
+   * random-pair cosine — see [[embeddingNearDupAuto]]) or the corpus is
+   * small; at blocking-effective thresholds use [[embeddingNearDupLsh]].
    */
   def embeddingNearDup(
       df: DataFrame,
@@ -658,13 +663,55 @@ object Dedup {
       thresholdDen: Long = 20,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val quant = quantized(df, idCol, vecCol)
+    val quant = persistScoped( // stream side + broadcast build side read it
+      quantized(Parallelism.ensure(df), idCol, vecCol))
     val a = quant.select(col("id").as("id_a"), col("q").as("q_a"), col("norm2").as("n2_a"))
     val b = quant.select(col("id").as("id_b"), col("q").as("q_b"), col("norm2").as("n2_b"))
     verifyCosine(
-      a.crossJoin(b).filter(col("id_a") < col("id_b")),
+      a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b")),
       thresholdNum, thresholdDen)
   }
+
+  /**
+   * Embedding near-dup with REGIME DISPATCH (VERDICT r7 #1) — the front door
+   * that keeps a caller out of the quadratic-candidate trap. SRP-LSH banding
+   * prunes only when the threshold angle is well inside the random-pair
+   * angle: at cos ≥ 0.45 (θ ≈ 63°, random pairs sit at ≈ 90°) a 2-plane
+   * table has 4 buckets, candidates grow ~n²/16 per table, and the sf1 sweep
+   * measured the blow-up — 33× wall-clock on 10× data — while the SAME
+   * operator at cos ≥ 0.9 is sub-quadratic (2.2 s at 100k vectors,
+   * SCALE.md). So, mirroring [[TsAgg.topKAuto]]'s cost-regime dispatch:
+   *
+   *  - **threshold ≥ 0.7** (`num·10 ≥ den·7`): LSH blocking with the
+   *    production-regime key shape — 24 tables × 16 planes, the
+   *    configuration measured sub-quadratic at 100k vectors. Recall: a pair
+   *    AT cos 0.9 collides per table with p = 0.857¹⁶ ≈ 0.085 (miss ≈ 12%
+   *    at the exact boundary), while clone-grade pairs (cos ≥ 0.99) miss
+   *    with ≈ 10⁻¹⁰ — the standard LSH trade; boundary-exact answers at
+   *    these thresholds should call [[embeddingNearDup]] explicitly.
+   *  - **below 0.7**: the blocking cannot beat ~n² candidates even in
+   *    expectation, so dispatch to the broadcast all-pairs form — the same
+   *    Ω(n²) dot-product work the degenerate banding would do anyway, but
+   *    with ZERO shuffle (no banding exchange, no candidate distinct) and
+   *    exact output. The quadratic cost is made explicit and flat instead
+   *    of hiding in a skewed exchange.
+   *
+   * The low-threshold branch is EXACT (identical output to the all-pairs
+   * oracle); the high-threshold branch inherits LSH recall. Both regimes'
+   * outputs are `(id_a, id_b, dot)`, ordered.
+   */
+  def embeddingNearDupAuto(
+      df: DataFrame,
+      dim: Int,
+      thresholdNum: Long = 9,
+      thresholdDen: Long = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    if (thresholdNum * 10 >= thresholdDen * 7)
+      embeddingNearDupLsh(df, dim, thresholdNum, thresholdDen,
+        tables = 24, planesPerTable = 16, idCol = idCol, vecCol = vecCol)
+    else
+      embeddingNearDup(df, thresholdNum, thresholdDen, idCol, vecCol)
 
   /**
    * Embedding near-dup at scale: random-hyperplane LSH candidate blocking
@@ -764,18 +811,23 @@ object Dedup {
 
   /** Exact integer-cosine predicate: keep iff dot > 0 and
     * `den²·dot² ≥ num²·|a|²·|b|²` (cosine ≥ num/den, no float boundary;
-    * quantities stay < 2^62 for unit-norm embeddings, ANSI-safe).
+    * quantities stay < 2^62 for unit-norm embeddings, ANSI-safe). The
+    * predicate is ONE fused codegen'd expression ([[graft.functions
+    * .expressions.CosineGe]]) so the dot product runs exactly once per
+    * candidate even after Catalyst folds the filter into a join condition
+    * (where common subexpressions are NOT eliminated — the column-composed
+    * form paid 3 dot loops per pair on the broadcast all-pairs path); the
+    * reported `dot` column is recomputed only for the (few) survivors.
     * `distinctPairs` dedups the output (for callers whose pair stream may
     * contain one row per colliding LSH table). */
   private def verifyCosine(
       pairs: DataFrame, thresholdNum: Long, thresholdDen: Long,
       distinctPairs: Boolean = false): DataFrame = {
     val kept = pairs
+      .filter(graft.functions.expressions.CosineGe(
+        col("q_a"), col("q_b"), col("n2_a"), col("n2_b"), thresholdNum, thresholdDen))
       .withColumn("dot",
         graft.functions.expressions.ArrayDotProduct(col("q_a"), col("q_b")))
-      .filter(col("dot") > lit(0L) &&
-        col("dot") * col("dot") * lit(thresholdDen * thresholdDen) >=
-          lit(thresholdNum * thresholdNum) * col("n2_a") * col("n2_b"))
       .select("id_a", "id_b", "dot")
     (if (distinctPairs) kept.distinct() else kept).orderBy("id_a", "id_b")
   }

@@ -36,4 +36,38 @@ class EmbeddingLshSpec extends AnyFunSuite {
     val lsh = rows(Dedup.embeddingNearDupLsh(e, dim = 64, inlineVectors = false))
     assert(lsh == exact)
   }
+
+  test("auto dispatch: low threshold routes to the exact broadcast form (r7 #1)") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // the registered threshold (0.45) is below the LSH-effective bound —
+    // output must be bit-identical to the all-pairs oracle
+    assert(rows(Dedup.embeddingNearDupAuto(e, dim = 64)) == rows(Dedup.embeddingNearDup(e)))
+  }
+
+  test("auto dispatch: high threshold routes to LSH and recovers planted clones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 200 deterministic unit-ish vectors + a planted clone (tiny wobble on
+    // one dim) of every 10th — clone cosine ≈ 0.9998, far above the 0.9
+    // threshold; random pairs sit near 0. The LSH regime must find exactly
+    // the planted pairs (clone-grade recall; boundary pairs are the
+    // documented LSH trade).
+    val dim = 64
+    def v(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => StrictMath.sin(seed * 37.0 + j * 13.0).toFloat)
+    val base = (0L until 200L).map(i => (i, v(i)))
+    val clones = (0L until 200L by 10L).map { i =>
+      val c = v(i); c(0) = c(0) + 0.05f; (1000L + i, c)
+    }
+    val df = (base ++ clones).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupAuto(df, dim, thresholdNum = 9, thresholdDen = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (0L until 200L by 10L).map(i => (i, 1000L + i)).toSet
+    assert(want.subsetOf(got), s"missing planted clone pairs: ${(want -- got).take(5)}")
+    // and no hallucinated pairs: every reported pair must clear the exact
+    // threshold (the verify step guarantees it — this guards the plumbing)
+    val exact = rows(Dedup.embeddingNearDup(df, thresholdNum = 9, thresholdDen = 10))
+      .map(t => (t._1, t._2)).toSet
+    assert(got.subsetOf(exact), s"reported pair below threshold: ${(got -- exact).take(5)}")
+  }
 }

@@ -58,14 +58,33 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
   }
 
-  test("no dedup query cross-joins — embedding dedup is LSH-blocked (r2)") {
-    Seq("dedup_embedding", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+  test("no blocked dedup query cross-joins — candidates come through equality keys (r2)") {
+    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
       "span_near_dup", "dedup_semantic", "dedup_image_phash",
       "dedup_incremental_near", "dedup_incremental_spans").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must not cross-join:\n$p")
     }
+  }
+
+  test("dedup_embedding low-threshold regime: ONE broadcast nested-loop pass, zero shuffles (r7 #1)") {
+    // at cos ≥ 0.45 the auto front door must take the broadcast all-pairs
+    // branch: a BroadcastNestedLoopJoin is the INTENDED plan (the n² dot
+    // work is irreducible at this threshold; what must not appear is any
+    // exchange of candidate pairs — no banding shuffle, no distinct)
+    val p = plan("dedup_embedding")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"low-threshold dedup_embedding must dispatch to the broadcast form:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the broadcast branch must not shuffle candidates:\n$p")
+    // the high-threshold regime of the same front door stays LSH-blocked
+    val hp = graft.operators.Dedup.embeddingNearDupAuto(
+      graft.sources.Tables.embeddings(spark, sf), dim = 64,
+      thresholdNum = 9, thresholdDen = 10)
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("CartesianProduct") && !hp.contains("BroadcastNestedLoopJoin"),
+      s"high-threshold regime must stay LSH-blocked:\n$hp")
   }
 
   test("rowkey range scan: key-range predicate pushes to the Parquet key column") {
