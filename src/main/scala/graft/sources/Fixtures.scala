@@ -35,7 +35,9 @@ import graft.functions.expressions.LongToBytesBE
  */
 object Fixtures {
 
-  private val Version = "v2"
+  // v3: dedup-index schema gained probe-time frequency columns
+  // (bands.bucket_n, fps.fp_freq) — r8 compaction support
+  private val Version = "v3"
   private val lock = new Object
 
   /** Fingerprint of a source parquet (length + mtime): cache paths are

@@ -97,6 +97,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("compactIndex: append + compact == fresh buildIndex even when caps bind only ACROSS snapshots") {
+    // A fingerprint/band bucket can cross a probe's cap only when both
+    // snapshots' occurrences are summed — the exact regime append-only
+    // frequencies get wrong (each union side carries per-build counts).
+    // Construction: one boilerplate sentence shared by 4 base docs and
+    // 4 delta docs + a unique tail per doc. With maxFpFreq/maxBandBucket
+    // = 6 the shared keys sit under the cap in each snapshot (4 ≤ 6) but
+    // over it globally (8 > 6), so a fresh build over the union and the
+    // compacted append must agree — and the UN-compacted append must not.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    def mk(ids: Range) = ids.map(i => (i.toLong, s"$boiler unique tail $i " +
+      s"alpha${i}a beta${i}b gamma${i}c delta${i}d epsilon${i}e zeta${i}f")).toDF("doc_id", "text")
+    val baseC = mk(0 until 4)
+    val deltaC = mk(100 until 104)
+    val appended = Dedup.appendIndex(Dedup.buildIndex(baseC), deltaC)
+    val compacted = Dedup.compactIndex(appended)
+    val fresh = Dedup.buildIndex(baseC.unionByName(deltaC))
+    def normFps(idx: Dedup.DedupIndex) =
+      idx.fps.select("fp", "id", "fp_freq").collect().map(_.toSeq).toSet
+    def normBands(idx: Dedup.DedupIndex) =
+      idx.bands.select("band", "bkey", "id", "bucket_n").collect().map(_.toSeq).toSet
+    def normExact(idx: Dedup.DedupIndex) =
+      idx.exact.collect().map(_.toSeq).toSet
+    assert(normFps(compacted) == normFps(fresh), "compacted fps must equal fresh build")
+    assert(normBands(compacted) == normBands(fresh), "compacted bands must equal fresh build")
+    assert(normExact(compacted) == normExact(fresh), "compacted exact tier must equal fresh build")
+    assert(normFps(appended) != normFps(fresh),
+      "fixture must actually exercise cross-snapshot frequencies (per-build counts differ)")
+    // and the thing the counts are FOR: a probe capping at 6 sees the
+    // boilerplate fingerprints only through the compacted index's global
+    // frequencies — same pairs as probing a fresh full build
+    val probe = mk(200 until 202)
+    val gotCompacted = Dedup.incrementalSpanNearDup(probe, compacted, maxFpFreq = 6)
+      .collect().map(_.toSeq).toSeq
+    val gotFresh = Dedup.incrementalSpanNearDup(probe, fresh, maxFpFreq = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(gotCompacted == gotFresh)
+  }
+
   test("persisted index round-trips and the probe never shuffles the index side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
     try {
