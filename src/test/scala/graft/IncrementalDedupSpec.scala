@@ -97,6 +97,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalCutSpans == full-corpus uncapped exactSpans+cutSpans restricted to delta rows") {
+    val idx = Dedup.buildIndex(base)
+    val got = Dedup.incrementalCutSpans(delta, idx, base)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    // independent full-corpus derivation: uncapped spans over ALL docs, cut
+    // everything, read off the delta rows
+    val fullSpans = Dedup.exactSpans(docs, maxGramFreq = None)
+    val want = Dedup.cutSpans(docs, fullSpans)
+      .filter(col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // the fixture must exercise the cut path (some delta doc loses tokens)
+    assert(got.exists(r => r(2).asInstanceOf[Long] > 0L),
+      "fixture must contain at least one cut delta doc")
+  }
+
   test("compactIndex: append + compact == fresh buildIndex even when caps bind only ACROSS snapshots") {
     // A fingerprint/band bucket can cross a probe's cap only when both
     // snapshots' occurrences are summed — the exact regime append-only
