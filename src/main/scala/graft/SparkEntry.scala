@@ -625,6 +625,38 @@ object SparkEntry {
       graft.operators.TrainingSet.buildTrainingSet(
         docs, docs.filter(col("doc_id") % 20 === 0)).orderBy("doc_id")
     },
+    // the CRAWL ROUND-TRIP (VERDICT r7 #4): exact probe → span cut → PII
+    // scrub → repetition gate against the persisted base index, one oracle.
+    // Delta = 5% of the corpus (a crawl increment is small relative to its
+    // base — and the span-cut stage's uncapped gram join is sized by the
+    // delta, so registering a 20% delta would bench the wrong regime).
+    // The synthetic corpus has no delta-vs-base exact dups or PII at the
+    // gate sf, so the query PLANTS both deterministically (mirrored in the
+    // oracle): every 5th delta doc becomes an exact copy of base doc
+    // id−49; every 7th/11th/13th non-copy delta doc gains an email/IP/
+    // phone — all four stages verifiably live. appendIndex (stage 5) is
+    // exercised by IncrementalDedupSpec's round-trip test (re-crawling the
+    // accepted output against the grown index finds only exact dups).
+    "pipeline_crawl_increment" -> { (s, d) =>
+      val docs = documents(s, d)
+      val base = docs.filter(col("doc_id") % 20 =!= 0)
+      val dupSrc = docs.select(col("doc_id").as("__src_id"), col("text").as("__src_text"))
+      val noPlant = col("doc_id") % 100 =!= 0
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .join(dupSrc, col("doc_id") % 100 === 0 && col("__src_id") === col("doc_id") - 49, "left")
+        .select(col("doc_id"),
+          concat(
+            coalesce(col("__src_text"), col("text")),
+            when(noPlant && col("doc_id") % 7 === 0,
+              concat(lit(" contact u"), col("doc_id"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(noPlant && col("doc_id") % 11 === 0, lit(" from 10.1.2.3")).otherwise(lit("")),
+            when(noPlant && col("doc_id") % 13 === 0, lit(" call 555-123-4567")).otherwise(lit("")))
+            .as("text"))
+      graft.operators.TrainingSet
+        .crawlIncrement(planted, Fixtures.dedupIndex(s, d), base)._1
+        .orderBy("doc_id")
+    },
 
     // ---- scale ops: similarity search over `embeddings` ---------------------
     "ann_topk_dot" -> { (s, d) =>
@@ -1260,6 +1292,51 @@ object SparkEntry {
           "SELECT doc_id, lang, n_tokens, start_offset, start_offset // 512 AS bin_start " +
           "FROM c ORDER BY doc_id"
       },
+      // the crawl round-trip replayed relationally, stage by stage: planted
+      // delta (every 5th delta doc (ids % 100 = 0) = exact copy of base doc id−49, every
+      // 7th/11th/13th non-copy doc gains planted PII) → exact keep = min id
+      // over base ∪ delta per content hash → UNCAPPED spans over base ∪
+      // surviving delta, removal restricted to delta id_b → PII scrub with
+      // each count on the intermediate its redaction pass consumes →
+      // repetition gate by exact integer cross-multiplication
+      "pipeline_crawl_increment" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        val phone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+        s"""WITH pd AS (SELECT d.doc_id,
+           |  coalesce(b.text, d.text)
+           |  || CASE WHEN d.doc_id % 100 <> 0 AND d.doc_id % 7 = 0 THEN ' contact u' || d.doc_id || '@example.com' ELSE '' END
+           |  || CASE WHEN d.doc_id % 100 <> 0 AND d.doc_id % 11 = 0 THEN ' from 10.1.2.3' ELSE '' END
+           |  || CASE WHEN d.doc_id % 100 <> 0 AND d.doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+           |  FROM documents d LEFT JOIN documents b ON d.doc_id % 100 = 0 AND b.doc_id = d.doc_id - 49
+           |  WHERE d.doc_id % 20 = 0),
+           |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0 UNION ALL SELECT doc_id, text FROM pd),
+           |h AS (SELECT doc_id, md5(text) AS hh FROM corpus),
+           |keep AS (SELECT d.doc_id FROM h d JOIN h a USING (hh) WHERE d.doc_id % 20 = 0 GROUP BY d.doc_id HAVING min(a.doc_id) = d.doc_id),
+           |sd AS (SELECT c.doc_id, c.text FROM corpus c WHERE c.doc_id % 20 <> 0 OR c.doc_id IN (SELECT doc_id FROM keep)),
+           |${exactSpansOracleCtes(maxGramFreq = None, srcTable = "sd")},
+           |rmp AS (SELECT id_b AS doc_id, unnest(generate_series(b_start, b_start + len - 1)) AS rm FROM spans WHERE id_b % 20 = 0),
+           |rms AS (SELECT doc_id, array_agg(DISTINCT rm) AS rm FROM rmp GROUP BY 1),
+           |cut AS (SELECT p.doc_id,
+           |  CASE WHEN rms.rm IS NULL THEN p.text
+           |    ELSE coalesce(array_to_string(list_filter(regexp_split_to_array(lower(trim(p.text)), '\\s+'),
+           |      (x, i) -> NOT list_contains(rms.rm, i - 1)), ' '), '') END AS ct,
+           |  CAST(coalesce(len(rms.rm), 0) AS BIGINT) AS n_removed
+           |  FROM pd p JOIN keep USING (doc_id) LEFT JOIN rms ON p.doc_id = rms.doc_id),
+           |scrub AS (SELECT doc_id, n_removed,
+           |  regexp_replace(regexp_replace(regexp_replace(ct, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS clean_text,
+           |  CAST(len(regexp_extract_all(ct, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(regexp_replace(ct, '$email', '<EMAIL>', 'g'), '$ip')) AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(ct, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone')) AS BIGINT) AS n_phones
+           |  FROM cut),
+           |tk AS (SELECT *, regexp_split_to_array(lower(trim(clean_text)), '\\s+') AS toks FROM scrub),
+           |met AS (SELECT doc_id, clean_text, n_removed, n_emails, n_ips, n_phones,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+           |  list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS top_token_count FROM tk)
+           |SELECT doc_id, clean_text, n_removed, n_emails, n_ips, n_phones, n_tokens
+           |FROM met WHERE (n_tokens - n_distinct_tokens) * 2 <= n_tokens * 1 AND top_token_count * 10 <= n_tokens * 1
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
       // quota sampling: rank = row_number over (md5(text), doc_id) per lang —
       // the engine's bottom-k aggregate must reproduce it exactly
       "sample_quota_lang" ->
@@ -1369,7 +1446,8 @@ object SparkEntry {
    * (count of OCCURRENCES, not docs).
    */
   private def exactSpansOracleCtes(
-      k: Int = 8, minLen: Int = 16, maxGramFreq: Option[Int] = Some(1000)): String = {
+      k: Int = 8, minLen: Int = 16, maxGramFreq: Option[Int] = Some(1000),
+      srcTable: String = "documents"): String = {
     val (capCtes, gramSrc) = maxGramFreq match {
       case Some(cap) =>
         (s"""ok AS (SELECT s FROM g GROUP BY s HAVING count(*) <= $cap),
@@ -1377,7 +1455,7 @@ object SparkEntry {
             |""".stripMargin, "g2")
       case None => ("", "g")
     }
-    s"""t0 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+    s"""t0 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM $srcTable),
        |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks)-${k - 2})) AS i FROM t0 WHERE len(toks) >= $k),
        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+${k - 1}], ' ') AS s FROM g0),
        |${capCtes}m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb

@@ -983,7 +983,7 @@ object Dedup {
   // ------------------------------------------------------------------------
 
   /**
-   * The persistent dedup index of a corpus: four deterministic key tables,
+   * The persistent dedup index of a corpus: five deterministic key tables,
    * each O(docs) rows of 8–24-byte keys.
    *  - `exact`   — one row per distinct content: `(text_hash, keep_id, n_docs)`
    *  - `bands`   — MinHash LSH band keys: `(band, bkey, id, bucket_n)` —
@@ -993,12 +993,30 @@ object Dedup {
    *                build decision, and [[compactIndex]] can re-derive
    *                exact global counts after appends
    *  - `sigs`    — MinHash signatures for candidate verification: `(id, sig)`
-   *  - `fps`     — winnowing fingerprints for span-level checks:
-   *                `(fp, id, fp_freq)` — uncapped with per-fingerprint
-   *                frequency, same probe-time-cap contract as `bands`
+   *  - `fps`     — winnowing fingerprints for span-level NEAR-dup checks:
+   *                `(fp, id, fp_freq)` — 3-gram/window-4 keys, uncapped
+   *                with per-fingerprint frequency, same probe-time-cap
+   *                contract as `bands`
+   *  - `cutFps`  — winnowing fingerprints for the span CUT probe:
+   *                `(fp, id, fp_freq)` over `cutGramK`-gram keys with
+   *                window `cutMinLen − cutGramK + 1`, so the winnowing
+   *                guarantee threshold w + k − 1 lands EXACTLY on the cut's
+   *                `minLen`. The small-k `fps` space is deliberately
+   *                promiscuous (near-dup probes COUNT shared keys), which
+   *                makes it useless as a cut prefilter — on natural text a
+   *                shared 3-gram exists between almost any two documents,
+   *                so an any-shared-key probe matches ~the whole base (r8
+   *                measured 3797 of 4750 docs) and the "delta-sized subset"
+   *                collapses to a full-corpus re-scan. A shared winnowed
+   *                8-gram, by contrast, is evidence of a near-`minLen`
+   *                verbatim run; probing this space keeps the cut both
+   *                LOSSLESS (any ≥`cutMinLen`-token shared run shares a
+   *                fingerprint) and selective (matched ids ≈ docs that
+   *                actually share spans).
    */
   final case class DedupIndex(
-      exact: DataFrame, bands: DataFrame, sigs: DataFrame, fps: DataFrame)
+      exact: DataFrame, bands: DataFrame, sigs: DataFrame, fps: DataFrame,
+      cutFps: DataFrame)
 
   /**
    * Reduce a base corpus to its [[DedupIndex]]. All four tables derive
@@ -1024,9 +1042,13 @@ object Dedup {
       bands: Int = 16,
       winnowK: Int = 3,
       winnowWindow: Int = 4,
+      cutGramK: Int = 8,
+      cutMinLen: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DedupIndex = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    require(cutMinLen >= cutGramK,
+      s"cutMinLen ($cutMinLen) must be >= cutGramK ($cutGramK)")
     val toks = tokens(col(textCol))
     val exactIdx = docs
       .groupBy(md5(col(textCol)).as("text_hash"))
@@ -1046,7 +1068,16 @@ object Dedup {
         .winnowFps(Parallelism.ensure(docs), winnowK, winnowWindow, idCol, textCol)
         .select(explode(array_distinct(col("fps"))).as("fp"), col(idCol).as("id")),
       Seq("fp"), "fp_freq")
-    DedupIndex(exactIdx, bandIdx, sigs.select("id", "sig"), fps)
+    // same (k, window) identity contract as the MinHash permutations: the
+    // cut probe must meet the base through this exact key space, so the
+    // parameters are build-time constants, not probe-time knobs
+    val cutFps = withFreq(
+      TextAnalysis
+        .winnowFps(Parallelism.ensure(docs), cutGramK, cutMinLen - cutGramK + 1,
+          idCol, textCol)
+        .select(explode(array_distinct(col("fps"))).as("fp"), col(idCol).as("id")),
+      Seq("fp"), "fp_freq")
+    DedupIndex(exactIdx, bandIdx, sigs.select("id", "sig"), fps, cutFps)
   }
 
   /** Annotate each row with its key's global row count (one partial/final
@@ -1076,6 +1107,7 @@ object Dedup {
     idx.bands.write.mode("overwrite").parquet(s"$path/bands")
     idx.sigs.write.mode("overwrite").parquet(s"$path/sigs")
     idx.fps.write.mode("overwrite").parquet(s"$path/fps")
+    idx.cutFps.write.mode("overwrite").parquet(s"$path/cutfps")
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex =
@@ -1083,7 +1115,8 @@ object Dedup {
       spark.read.parquet(s"$path/exact"),
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/sigs"),
-      spark.read.parquet(s"$path/fps"))
+      spark.read.parquet(s"$path/fps"),
+      spark.read.parquet(s"$path/cutfps"))
 
   /**
    * Exact-tier incremental dedup: for each delta doc, the global keep id —
@@ -1199,16 +1232,20 @@ object Dedup {
       bands: Int = 16,
       winnowK: Int = 3,
       winnowWindow: Int = 4,
+      cutGramK: Int = 8,
+      cutMinLen: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DedupIndex = {
-    val d = buildIndex(delta, numHashes, bands, winnowK, winnowWindow, idCol, textCol)
+    val d = buildIndex(delta, numHashes, bands, winnowK, winnowWindow,
+      cutGramK, cutMinLen, idCol, textCol)
     DedupIndex(
       exact = index.exact.unionByName(d.exact)
         .groupBy("text_hash")
         .agg(min("keep_id").as("keep_id"), sum("n_docs").as("n_docs")),
       bands = index.bands.unionByName(d.bands),
       sigs = index.sigs.unionByName(d.sigs),
-      fps = index.fps.unionByName(d.fps))
+      fps = index.fps.unionByName(d.fps),
+      cutFps = index.cutFps.unionByName(d.cutFps))
   }
 
   /**
@@ -1234,7 +1271,8 @@ object Dedup {
         .agg(min("keep_id").as("keep_id"), sum("n_docs").as("n_docs")),
       bands = withFreq(index.bands.select("band", "bkey", "id"), Seq("band", "bkey"), "bucket_n"),
       sigs = index.sigs,
-      fps = withFreq(index.fps.select("fp", "id"), Seq("fp"), "fp_freq"))
+      fps = withFreq(index.fps.select("fp", "id"), Seq("fp"), "fp_freq"),
+      cutFps = withFreq(index.cutFps.select("fp", "id"), Seq("fp"), "fp_freq"))
 
   /**
    * Span-tier incremental dedup — the third key space the index persists:
@@ -1282,11 +1320,18 @@ object Dedup {
    * produces when restricted to delta rows (the relational oracle, and
    * IncrementalDedupSpec's pinned equality).
    *
-   * Why the restriction is LOSSLESS: a span needs ≥ `minLen ≥ gramK ≥ 6` =
-   * winnowWindow+k−1 shared tokens, so winnowing guarantees the pair shares
-   * ≥1 fingerprint; the index's fingerprint table is stored UNCAPPED (r8),
-   * so every base doc sharing a qualifying run with a delta doc is in the
-   * probe's match set, and delta↔delta spans form inside the subset. Spans
+   * Why the restriction is LOSSLESS: the probe reads the index's `cutFps`
+   * space — winnowed `gramK`-gram fingerprints with window
+   * `minLen − gramK + 1` — whose winnowing guarantee threshold
+   * w + k − 1 = `minLen` exactly, so ANY shared token run long enough to
+   * become a span shares ≥1 fingerprint; the table is stored UNCAPPED, so
+   * every base doc sharing a qualifying run with a delta doc is in the
+   * probe's match set, and delta↔delta spans form inside the subset. And
+   * why it is SELECTIVE (r8 — this is what makes the cut delta-sized in
+   * practice, not just in the big-O): a shared winnowed `gramK`-gram is
+   * already near-`minLen` verbatim evidence, unlike the 3-gram `fps` space,
+   * where any-shared-key matched ~80% of the base corpus and the subset
+   * degenerated to a full re-scan (the r8 profile that motivated `cutFps`). Spans
    * whose cut side (`id_b`) is a base doc are discarded — an already-
    * accepted document is never rewritten; the delta doc (as the lower-id
    * `id_a`) keeps its copy exactly as full-corpus semantics dictates. The
@@ -1310,12 +1355,14 @@ object Dedup {
       minLen: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // k=3/window=4 = the index's fingerprint key space (buildIndex defaults)
+    require(minLen >= gramK, s"minLen ($minLen) must be >= gramK ($gramK)")
+    // (gramK, minLen−gramK+1) = the index's cutFps key space (buildIndex's
+    // cutGramK/cutMinLen defaults — the probe must use the same values)
     val dFps = TextAnalysis
-      .winnowFps(Parallelism.ensure(delta), 3, 4, idCol, textCol)
+      .winnowFps(Parallelism.ensure(delta), gramK, minLen - gramK + 1, idCol, textCol)
       .select(explode(array_distinct(col("fps"))).as("fp"))
       .distinct()
-    val matchedIds = index.fps
+    val matchedIds = index.cutFps
       .join(broadcast(dFps), Seq("fp"))
       .select(col("id").as(idCol)).distinct()
     val matchedBase = base

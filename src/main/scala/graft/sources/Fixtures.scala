@@ -78,13 +78,15 @@ object Fixtures {
    * construction, not the probe the operator's scale claim is about
    * (ScaleBench times construction as its own O(base) section). Cached with
    * the same fingerprint + lock + promote protocol as [[keyedEvents]]; the
-   * `_OK` marker is written only after all four index tables landed.
+   * `_OK` marker is written only after all five index tables landed (the
+   * cache key is versioned — `_v2` added the `cutfps` table — so a stale
+   * pre-upgrade cache is rebuilt, not read with a missing table).
    */
   def dedupIndex(s: SparkSession, dir: String): graft.operators.Dedup.DedupIndex =
     graft.operators.Dedup.readIndex(s, dedupIndexPath(s, dir))
 
   def dedupIndexPath(s: SparkSession, dir: String): String = {
-    val out = cachePathFor(dir, "documents", "dedup_index")
+    val out = cachePathFor(dir, "documents", "dedup_index_v2")
     lock.synchronized {
       if (!new java.io.File(s"$out/_OK").exists()) buildIndex(s, dir, out)
     }

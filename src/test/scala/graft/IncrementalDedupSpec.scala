@@ -136,7 +136,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
       idx.bands.select("band", "bkey", "id", "bucket_n").collect().map(_.toSeq).toSet
     def normExact(idx: Dedup.DedupIndex) =
       idx.exact.collect().map(_.toSeq).toSet
+    def normCutFps(idx: Dedup.DedupIndex) =
+      idx.cutFps.select("fp", "id", "fp_freq").collect().map(_.toSeq).toSet
     assert(normFps(compacted) == normFps(fresh), "compacted fps must equal fresh build")
+    assert(normCutFps(compacted) == normCutFps(fresh), "compacted cutFps must equal fresh build")
     assert(normBands(compacted) == normBands(fresh), "compacted bands must equal fresh build")
     assert(normExact(compacted) == normExact(fresh), "compacted exact tier must equal fresh build")
     assert(normFps(appended) != normFps(fresh),
@@ -150,6 +153,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val gotFresh = Dedup.incrementalSpanNearDup(probe, fresh, maxFpFreq = 6)
       .collect().map(_.toSeq).toSeq
     assert(gotCompacted == gotFresh)
+  }
+
+  test("crawlIncrement round-trip: accepted output re-crawled against the grown index is all exact dups") {
+    val idx = Dedup.buildIndex(base)
+    val (accepted, grown) = graft.operators.TrainingSet.crawlIncrement(delta, idx, base)
+    val out = accepted.collect()
+    assert(out.nonEmpty, "fixture must accept some delta docs")
+    // collective stage liveness at this sf: the gates dropped something
+    // (per-stage liveness — planted dups, cuts, PII — is the registered
+    // pipeline_crawl_increment query's job at the oracle sf)
+    assert(out.length < delta.count(), "the pipeline must filter some delta docs")
+    // the round-trip property appendIndex exists for: the SAME content
+    // arriving in the NEXT crawl (fresh ids) is flagged as already-present
+    // by the exact tier of the grown index
+    val spark2 = spark
+    import spark2.implicits._
+    val recrawl = accepted.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("clean_text").as("text"))
+    val probe = Dedup.incrementalExact(recrawl, grown).collect()
+    assert(probe.nonEmpty && probe.forall(_.getAs[Boolean]("is_dup")),
+      s"every re-crawled accepted doc must be an exact dup of the grown index " +
+        s"(${probe.count(!_.getAs[Boolean]("is_dup"))} of ${probe.length} were not)")
+    // and the grown index answers like a fresh build over base ∪ accepted
+    val freshFull = Dedup.buildIndex(
+      base.select(col("doc_id"), col("text"))
+        .unionByName(accepted.select(col("doc_id"), col("clean_text").as("text"))))
+    val got = Dedup.incrementalExact(recrawl, grown).collect().map(_.toSeq).toSeq
+    val want = Dedup.incrementalExact(recrawl, freshFull).collect().map(_.toSeq).toSeq
+    assert(got == want)
   }
 
   test("persisted index round-trips and the probe never shuffles the index side") {
