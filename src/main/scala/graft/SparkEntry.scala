@@ -516,7 +516,8 @@ object SparkEntry {
     // cleaned text from the SAME relational span derivation with DuckDB
     // index lambdas — detection and surgery both cross-checked.
     "dedup_cut_spans" -> ((s, d) =>
-      Dedup.cutSpans(documents(s, d), Dedup.exactSpans(documents(s, d)))
+      Dedup.cutSpans(documents(s, d),
+          Dedup.exactSpans(documents(s, d), sorted = false))
         .orderBy("doc_id")),
     // cluster canonicalization over the exact-Jaccard pairs: near-dup is not
     // transitive, so "keep one per cluster" needs connected components, not

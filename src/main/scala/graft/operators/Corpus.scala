@@ -43,27 +43,34 @@ object Corpus {
    * bounded and cache-local for web documents (≤ a few thousand tokens). For
    * a corpus of book-length texts, explode to (doc, token) and aggregate
    * instead — that variant shuffles, so it is not the default.
+   *
+   * `passthrough` columns ride along unchanged — composing pipelines
+   * ([[graft.operators.TrainingSet.crawlIncrement]]) stay a single
+   * projection chain instead of re-joining metrics back to their input
+   * (an id join whose only job is column transport is a pointless
+   * exchange, and at bench scale a measurable per-action AQE job).
    */
   def repetitionMetrics(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", passthrough: Seq[String] = Nil): DataFrame = {
     def topCount(arr: Column): Column =
       array_max(transform(array_distinct(arr), t => size(filter(arr, x => x === t))))
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"),
+    val extra = passthrough.map(col)
+    df.select(col(idCol) +: tokens(col(textCol)).as("__toks") +: extra: _*)
+      .select(col(idCol) +: col("__toks") +:
         // consecutive pairs (NOT distinct — multiplicity is the signal);
         // guard: sequence(0, -1) would count DOWN, so short docs get []
         when(size(col("__toks")) >= 2,
           transform(sequence(lit(0), size(col("__toks")) - 2),
             i => concat_ws(" ", slice(col("__toks"), i + 1, lit(2)))))
-          .otherwise(array().cast("array<string>")).as("__bg"))
+          .otherwise(array().cast("array<string>")).as("__bg") +: extra: _*)
       .select(
-        col(idCol),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("__toks"))).cast("long").as("n_distinct_tokens"),
-        topCount(col("__toks")).cast("long").as("top_token_count"),
-        size(col("__bg")).cast("long").as("n_2grams"),
-        size(array_distinct(col("__bg"))).cast("long").as("n_distinct_2grams"),
-        topCount(col("__bg")).cast("long").as("top_2gram_count"))
+        col(idCol) +:
+        size(col("__toks")).cast("long").as("n_tokens") +:
+        size(array_distinct(col("__toks"))).cast("long").as("n_distinct_tokens") +:
+        topCount(col("__toks")).cast("long").as("top_token_count") +:
+        size(col("__bg")).cast("long").as("n_2grams") +:
+        size(array_distinct(col("__bg"))).cast("long").as("n_distinct_2grams") +:
+        topCount(col("__bg")).cast("long").as("top_2gram_count") +: extra: _*)
   }
 
   /**
@@ -205,7 +212,7 @@ object Corpus {
   val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
   def piiScrub(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", passthrough: Seq[String] = Nil): DataFrame = {
     // every count runs on the SAME intermediate its redaction pass consumes
     // (ADVICE r7: n_phones counted on the original text, so a phone swallowed
     // by the email pass — hyphens/dots are valid in a local part, e.g.
@@ -214,11 +221,12 @@ object Corpus {
     val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
     df.select(
-      col(idCol),
-      regexp_replace(afterIp, PhonePattern, "<PHONE>").as("clean_text"),
-      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ips"),
-      regexp_count(afterIp, lit(PhonePattern)).cast("long").as("n_phones"))
+      col(idCol) +:
+      regexp_replace(afterIp, PhonePattern, "<PHONE>").as("clean_text") +:
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails") +:
+      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ips") +:
+      regexp_count(afterIp, lit(PhonePattern)).cast("long").as("n_phones") +:
+      passthrough.map(col): _*)
   }
 
   /**

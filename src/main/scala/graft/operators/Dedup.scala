@@ -327,7 +327,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxGramFreq: Option[Int] = Some(1000),
-      winnowPrefilter: Boolean = true): DataFrame = {
+      winnowPrefilter: Boolean = true,
+      sorted: Boolean = true): DataFrame = {
     require(gramK >= 6,
       s"gramK must be >= 6 (the winnowing guarantee width) for the prefilter to be lossless, got $gramK")
     require(minLen >= gramK, s"minLen ($minLen) must be >= gramK ($gramK): shorter runs produce no gram match")
@@ -384,7 +385,7 @@ object Dedup {
 
     val diag = col("pa") - col("pb")
     val w = Window.partitionBy(col("id_a"), col("id_b"), diag).orderBy(col("pa"))
-    matched
+    val spans = matched
       .withColumn("isl", col("pa") - row_number().over(w))
       .groupBy(col("id_a"), col("id_b"), diag.as("d"), col("isl"))
       .agg(min(col("pa")).as("a0"), min(col("pb")).as("b0"),
@@ -394,7 +395,9 @@ object Dedup {
         col("a0").cast("long").as("a_start"),
         col("b0").cast("long").as("b_start"),
         col("l").cast("long").as("len"))
-      .orderBy("id_a", "id_b", "a_start", "b_start")
+    // `sorted=false` for composing consumers ([[cutSpans]] re-aggregates by
+    // doc immediately — a global range-exchange sort would be pure waste)
+    if (sorted) spans.orderBy("id_a", "id_b", "a_start", "b_start") else spans
   }
 
   /**
@@ -1362,15 +1365,23 @@ object Dedup {
       .winnowFps(Parallelism.ensure(delta), gramK, minLen - gramK + 1, idCol, textCol)
       .select(explode(array_distinct(col("fps"))).as("fp"))
       .distinct()
+    // no .distinct() on the match set: the left-semi hash build dedups ids
+    // anyway, so a distinct here is one more exchange for nothing
     val matchedIds = index.cutFps
       .join(broadcast(dFps), Seq("fp"))
-      .select(col("id").as(idCol)).distinct()
+      .select(col("id").as(idCol))
     val matchedBase = base
       .join(broadcast(matchedIds), Seq(idCol), "left_semi")
       .select(col(idCol), col(textCol))
     val subset = matchedBase.unionByName(delta.select(col(idCol), col(textCol)))
+    // winnowPrefilter=false: every subset doc already matched ≥1 cutFps
+    // fingerprint, so the prefilter's pre-join doc restriction is a no-op
+    // here — it would only re-derive the selection this probe just made,
+    // and its candidate machinery (a second winnow pass, a fingerprint
+    // self-join, two distincts) is pure fixed cost on a delta-sized frame.
+    // Lossless either way: ExactSpansSpec pins prefiltered == unfiltered.
     val spans = exactSpans(subset, gramK, minLen, idCol, textCol,
-      maxGramFreq = None)
+      maxGramFreq = None, winnowPrefilter = false, sorted = false)
     val deltaSpans = spans.join(
       broadcast(delta.select(col(idCol).as("id_b"))), Seq("id_b"), "left_semi")
     cutSpans(delta, deltaSpans, idCol, textCol)

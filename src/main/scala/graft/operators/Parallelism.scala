@@ -17,18 +17,35 @@ object Parallelism {
    */
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // Two-tier decision. Tier 1 is a pure file listing (no physical
+    // Three-tier decision. Tier 1 is a pure file listing (no physical
     // planning): ≥ target files always yields ≥ target parallel units, so
-    // the guard is a FREE no-op on the many-files production path. Tier 2 —
+    // the guard is a FREE no-op on the many-files production path. Tier 2
+    // is a static plan inspection: any frame downstream of a wide operator
+    // (join/aggregate/window/distinct/repartition/sort) is partitioned by
+    // its exchange — `spark.sql.shuffle.partitions` ≥ the session's
+    // parallelism (or AQE has deliberately coalesced a small shuffle), so
+    // the rebalance is never needed AND asking the planner would be
+    // actively harmful: under AQE, materializing `.rdd` on a derived frame
+    // EXECUTES its upstream shuffle stages eagerly at plan-construction
+    // time, then again at action time (r8 measured this as a visible slice
+    // of the crawl pipeline's job count). Tier 3 — a leaf-only plan over
     // few/no files — asks the planner for the real partition count; that
-    // pays a throwaway planning pass, but only in exactly the cases where
-    // it's cheap (a compact corpus) or unavoidable (non-file test frames).
-    // Crucially the planner answer stays authoritative there: one LARGE file
-    // splits into many partitions (maxPartitionBytes), and blindly
-    // repartitioning it to `target` would both shuffle the corpus and REDUCE
-    // its parallelism.
+    // pays a throwaway planning pass, but only where it's cheap (a compact
+    // corpus) or unavoidable (non-file test frames). Crucially the planner
+    // answer stays authoritative there: one LARGE file splits into many
+    // partitions (maxPartitionBytes), and blindly repartitioning it to
+    // `target` would both shuffle the corpus and REDUCE its parallelism.
     if (df.inputFiles.length >= target) df
-    else if (df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
+    else {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val hasWideOp = df.queryExecution.analyzed.exists {
+        case _: Join | _: Aggregate | _: Window | _: Distinct => true
+        case _: RepartitionOperation | _: Sort => true
+        case _ => false
+      }
+      if (hasWideOp) df
+      else if (df.rdd.getNumPartitions < target) df.repartition(target)
+      else df
+    }
   }
 }

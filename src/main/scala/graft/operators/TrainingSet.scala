@@ -268,22 +268,23 @@ object TrainingSet {
       Dedup.incrementalExact(delta, index, idCol, textCol)
         .filter(!col("is_dup")).select(col(idCol)),
       Seq(idCol), "left_semi")
-    // 2. span cut vs base ∪ delta survivors; persisted — the scrub/gate
-    // projection and the n_removed rejoin both read it
-    val cut = Dedup.persistScoped(
-      Dedup.incrementalCutSpans(survivors, index, base, idCol = idCol, textCol = textCol))
-    // 3. PII scrub over the cut text (n_removed rides along via a
-    // delta-sized id join)
-    val scrubbed = Corpus.piiScrub(cut, idCol, "clean_text")
-      .join(cut.select(col(idCol), col("n_removed")), Seq(idCol))
-    // 4. repetition gate on the SCRUBBED text — exact integer thresholds
-    val kept = Corpus.repetitionMetrics(scrubbed, idCol, "clean_text")
+    // 2. span cut vs base ∪ delta survivors
+    val cut = Dedup.incrementalCutSpans(
+      survivors, index, base, idCol = idCol, textCol = textCol)
+    // 3.+4. scrub, then the repetition gate on the SCRUBBED text — both are
+    // pure projections, so stages 3–4 are ONE narrow chain over the cut:
+    // `passthrough` carries the audit columns instead of id-joining each
+    // stage back to its input (r8: at bench scale those transport joins were
+    // pure AQE job overhead — the whole post-cut pipeline now adds zero
+    // exchanges)
+    val scrubbed = Corpus.piiScrub(cut, idCol, "clean_text",
+      passthrough = Seq("n_removed"))
+    val accepted = Corpus.repetitionMetrics(scrubbed, idCol, "clean_text",
+        passthrough = Seq("clean_text", "n_removed", "n_emails", "n_ips", "n_phones"))
       .filter(
         (col("n_tokens") - col("n_distinct_tokens")) * lit(dd.toLong)
           <= col("n_tokens") * lit(dn.toLong))
       .filter(col("top_token_count") * lit(td.toLong) <= col("n_tokens") * lit(tn.toLong))
-      .select(col(idCol), col("n_tokens"))
-    val accepted = scrubbed.join(kept, Seq(idCol))
       .select(col(idCol), col("clean_text"), col("n_removed"),
         col("n_emails"), col("n_ips"), col("n_phones"), col("n_tokens"))
     // 5. the next crawl probes base ∪ this increment
