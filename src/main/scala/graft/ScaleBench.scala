@@ -254,6 +254,58 @@ object ScaleBench {
         s"delta probe must not scale with base size: $probeTimes")
     }
 
+    // ---- incremental SEMANTIC dedup: probe cost vs base size ----
+    // Same flat-probe claim for the fourth key space: a 1000-vector delta
+    // probed against a base-built SemIndex must cost ~the delta whether the
+    // base holds nDocs/10 or nDocs vectors. Planted ground truth: every
+    // 10th delta vector is an EXACT copy of a base vector living in both
+    // bases (cos = 1 → must fall); the rest are fresh hash-random 64-dim
+    // vectors. Centroids are trained once on the SMALL base and shared, so
+    // the cell space — the index identity — is constant across the compare.
+    if (nDocs >= 10000) {
+      import graft.operators.Dedup
+      val dim = 64
+      val deltaN = 1000L
+      val nTargets = (nDocs / 10) / 50
+      def mkVecs(n: Long, idOffset: Long, seedOf: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+        spark.range(n)
+          .withColumn("vec_id", col("id") + lit(idOffset))
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(dim - 1)),
+              j => ((pmod(xxhash64(seedOf * lit(31L) + j), lit(2001L)) - lit(1000L))
+                / lit(1000.0)).cast("float")))
+          .select("vec_id", "embedding", "id")
+      val deltaVecs = mkVecs(deltaN, nDocs,
+          when(pmod(col("id"), lit(10L)) === 0L, pmod(col("id"), lit(nTargets)) * 50L + 2L)
+            .otherwise(col("id") + lit(2L * nDocs)))
+        .select("vec_id", "embedding")
+      val cents = graft.operators.Similarity.trainIvfCentroids(
+        mkVecs(nDocs / 10, 0L, col("id")).select("vec_id", "embedding"), dim, nlist = 64)
+      val semTimes = Seq(nDocs / 10, nDocs).map { baseN =>
+        val idxDir = s"/tmp/graft-fixtures/scalebench-semidx-v1-$baseN"
+        val baseVecs = mkVecs(baseN, 0L, col("id")).select("vec_id", "embedding")
+        time(s"build+write semantic index over $baseN vectors (construction, O(base))") {
+          Dedup.writeSemIndex(
+            Dedup.buildSemIndex(baseVecs, dim, nlist = 64, centroids = Some(cents)), idxDir)
+        }
+        val idx = Dedup.readSemIndex(spark, idxDir)
+        val t = System.nanoTime()
+        time(s"semantic probe: $deltaN-vec delta vs $baseN-vec index") {
+          val out = Dedup.incrementalSemantic(deltaVecs, idx)
+            .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+          val copies = (0L until deltaN).filter(_ % 10 == 0).map(_ + nDocs)
+          val caught = copies.count(id => !out(id))
+          println(s"[scale] semantic probe: $caught/${copies.size} planted exact-cos copies flagged")
+          assert(caught == copies.size,
+            s"identical-vector copies must all fall (same cells, cos 1): $caught/${copies.size}")
+        }
+        (System.nanoTime() - t) / 1e9
+      }
+      println(f"[scale] semantic probe at 1× vs 10× base: ${semTimes.head}%.2f s vs ${semTimes.last}%.2f s")
+      assert(semTimes.last <= semTimes.head * 3 + 2.0,
+        s"semantic delta probe must not scale with base size: $semTimes")
+    }
+
     // ---- training-set assembly at corpus scale ----
     // guarded like the bucket assertions above: a tiny CLI run (nDocs < 100)
     // has too few planted clones / docs for the recall and invariant checks

@@ -597,6 +597,18 @@ object SparkEntry {
     // different corpus.
     "dedup_semantic" -> ((s, d) =>
       Dedup.semanticDedup(embeddings(s, d), dim = 64, nlist = 16)),
+    // the SEMANTIC incremental tier (VERDICT r7 missing #2): a delta of
+    // vectors probed against a base-built SemIndex — cell assignment with
+    // the INDEX's (base-trained, committed) centroids, partners = index
+    // cells scanned with the delta broadcast, never re-clustering the base.
+    // Oracle replays from semdedup_centroids_base_sf0.01.tsv; same
+    // sf0.01-committed-centroids caveat as dedup_semantic.
+    "dedup_incremental_semantic" -> { (s, d) =>
+      val embs = embeddings(s, d)
+      Dedup.incrementalSemantic(
+        embs.filter(col("vec_id") % 10 === 0),
+        Dedup.buildSemIndex(embs.filter(col("vec_id") % 10 =!= 0), dim = 64, nlist = 16))
+    },
 
     // ---- scale ops: training-set assembly -----------------------------------
     // GPT-3-style benchmark decontamination: distinct-3-gram overlap between
@@ -1240,6 +1252,37 @@ object SparkEntry {
           |top1 AS (SELECT id, cell FROM assign WHERE rn = 1)
           |SELECT t.id AS vec_id, CAST(t.cell AS BIGINT) AS cell, (rm.id IS NULL) AS keep
           |FROM top1 t LEFT JOIN rm USING (id) ORDER BY vec_id""".stripMargin.replace("\n", " "),
+      // the incremental tier replayed relationally: identical pipeline, but
+      // centroids are the BASE-trained committed export (the index's cell
+      // space), removal pairs keep only delta (id % 10 = 0) victims, and the
+      // output is restricted to delta rows — full-corpus-with-fixed-
+      // centroids semantics restricted to the delta, which is exactly what
+      // incrementalSemantic promises.
+      "dedup_incremental_semantic" ->
+        """WITH cent AS (
+          |  SELECT cell, list_transform(string_split(c, ','), x -> CAST(x AS BIGINT)) AS qc
+          |  FROM read_csv('/root/repo/src/test/resources/golden/semdedup_centroids_base_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false, columns={'cell': 'INTEGER', 'c': 'VARCHAR'})),
+          |q AS (SELECT vec_id AS id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |n AS (SELECT id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2 FROM q),
+          |dots AS (SELECT n.id, cent.cell,
+          |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qc[i])) AS BIGINT) AS dq
+          |  FROM n CROSS JOIN cent),
+          |assign AS (SELECT id, cell, rn FROM (
+          |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dq DESC, cell ASC) AS rn
+          |    FROM dots) WHERE rn <= 2),
+          |pc AS (SELECT n.id, a.cell, n.qv, n.n2 FROM n JOIN assign a USING (id)),
+          |rm AS (SELECT DISTINCT id FROM (
+          |    SELECT b.id AS id,
+          |      CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
+          |      a.n2 AS n2a, b.n2 AS n2b
+          |    FROM pc a JOIN pc b ON a.cell = b.cell AND a.id < b.id AND b.id % 10 = 0)
+          |  WHERE dot > 0 AND dot*dot*100 >= 81 * n2a * n2b),
+          |top1 AS (SELECT id, cell FROM assign WHERE rn = 1)
+          |SELECT t.id AS vec_id, CAST(t.cell AS BIGINT) AS cell, (rm.id IS NULL) AS keep
+          |FROM top1 t LEFT JOIN rm USING (id) WHERE t.id % 10 = 0 ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
       // ---- training-set assembly ----
       // decontamination: DuckDB re-derives the distinct 3-gram overlap on raw

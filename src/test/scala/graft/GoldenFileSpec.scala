@@ -116,4 +116,25 @@ class GoldenFileSpec extends AnyFunSuite {
       (0 until 16).map(c => s"$c\t" + qCents.slice(c * 64, (c + 1) * 64).mkString(","))
     checkGolden(new File(s"$goldenDir/semdedup_centroids_sf0.01.tsv"), lines, fp01)
   }
+
+  // dedup_incremental_semantic's oracle input: centroids trained on the BASE
+  // split only (vec_id % 10 != 0) — the incremental probe's cell space is
+  // the base-built index's, so its oracle must replay with base-trained
+  // centroids, not full-corpus ones.
+  test("golden: base-split semdedup centroids at sf0.01 (dedup_incremental_semantic oracle input)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val fp01 = {
+      val md = MessageDigest.getInstance("MD5")
+      md.update(Files.readAllBytes(Paths.get(s"$sf01/embeddings.parquet")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val cents = graft.operators.Similarity.trainIvfCentroids(
+      graft.sources.Tables.embeddings(spark, sf01)
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 0),
+      dim = 64, nlist = 16)
+    val qCents = cents.map(x => math.round(x * 1e6))
+    val lines = "cell:int\tc:string" +:
+      (0 until 16).map(c => s"$c\t" + qCents.slice(c * 64, (c + 1) * 64).mkString(","))
+    checkGolden(new File(s"$goldenDir/semdedup_centroids_base_sf0.01.tsv"), lines, fp01)
+  }
 }
