@@ -41,6 +41,75 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.embeddings(s, dir)
 
+  /** documents + a DETERMINISTICALLY derived messy URL (the synthetic corpus
+    * has no URL column): mixed-case scheme/host, www on some, default and
+    * explicit ports, tracking params in first/middle/last position,
+    * fragments — every [[Corpus.urlNormalize]] step fires on a subset, and
+    * the DuckDB oracle rebuilds the identical string from doc_id/source. */
+  private def docUrls(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val https = id % 3 === 0
+    documents(s, dir).withColumn("url", concat(
+      when(https, lit("HTTPS")).otherwise(lit("Http")), lit("://"),
+      when(id % 4 === 0, lit("WWW.")).otherwise(lit("")),
+      upper(col("source")), lit(".Example."),
+      element_at(array(lit("com"), lit("org"), lit("net"), lit("io"), lit("co.uk")),
+        (id % 5 + 1).cast("int")),
+      when(id % 7 === 0, when(https, lit(":443")).otherwise(lit(":80")))
+        .when(id % 7 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Docs/Page-"), id.cast("string"),
+      when(id % 11 === 0, concat(lit("?utm_campaign=Spring&id="), id.cast("string")))
+        .otherwise(concat(lit("?id="), id.cast("string"))),
+      when(id % 2 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+      when(id % 5 === 0, lit("&ref=rss")).otherwise(lit("")),
+      when(id % 3 === 1, lit("&page=2")).otherwise(lit("")),
+      when(id % 4 === 1, concat(lit("#Sec-"), (id % 9).cast("string")))
+        .otherwise(lit(""))))
+  }
+
+  /** The messy-URL fixture replayed in DuckDB — WITH-clause body shared by
+    * the three curate_* oracles (`urls`: doc_id, text, url; `norm`: + the
+    * normalized URL and its domain, each regex step mirroring
+    * [[Corpus.urlNormalize]]/[[Corpus.urlDomain]] in RE2 spelling). */
+  private val urlOracleCte =
+    """urls AS (SELECT doc_id, text,
+      |    (CASE WHEN doc_id%3=0 THEN 'HTTPS' ELSE 'Http' END) || '://' ||
+      |    (CASE WHEN doc_id%4=0 THEN 'WWW.' ELSE '' END) ||
+      |    upper(source) || '.Example.' ||
+      |    (CASE doc_id%5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+      |                   WHEN 3 THEN 'io' ELSE 'co.uk' END) ||
+      |    (CASE WHEN doc_id%7=0 THEN (CASE WHEN doc_id%3=0 THEN ':443' ELSE ':80' END)
+      |          WHEN doc_id%7=1 THEN ':8080' ELSE '' END) ||
+      |    '/Docs/Page-' || doc_id ||
+      |    (CASE WHEN doc_id%11=0 THEN '?utm_campaign=Spring&id=' || doc_id
+      |          ELSE '?id=' || doc_id END) ||
+      |    (CASE WHEN doc_id%2=0 THEN '&utm_source=feed' ELSE '' END) ||
+      |    (CASE WHEN doc_id%5=0 THEN '&ref=rss' ELSE '' END) ||
+      |    (CASE WHEN doc_id%3=1 THEN '&page=2' ELSE '' END) ||
+      |    (CASE WHEN doc_id%4=1 THEN '#Sec-' || (doc_id%9) ELSE '' END) AS url
+      |  FROM documents),
+      |steps AS (SELECT doc_id, text,
+      |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS head,
+      |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS tail
+      |  FROM (SELECT doc_id, text, regexp_replace(url, '#.*', '') AS nofrag FROM urls)),
+      |norm AS (SELECT doc_id, text, url_norm,
+      |    regexp_replace(regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+      |                   '^www\.', '') AS domain
+      |  FROM (SELECT doc_id, text,
+      |      regexp_replace(regexp_replace(head, '^(http://[^:/]*):80$', '\1'),
+      |                     '^(https://[^:/]*):443$', '\1') ||
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(tail, '[?&](utm_[A-Za-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+      |          '^([^?]*)&', '\1?'),
+      |        '[?&]$', '') AS url_norm
+      |    FROM steps))""".stripMargin
+
+  /** Blocklisted domain patterns for `curate_blocklist` — one exact host,
+    * one TLD-wide suffix, one exact host under a two-label public suffix
+    * (hosts-file semantics: a pattern blocks itself and its subdomains). */
+  private val blockedDomains = Seq("src1.example.com", "example.io", "src3.example.co.uk")
+
   /** events.value (2-decimal double) as exact integer cents. */
   private def centsCol = expr("CAST(round(value * 100) AS BIGINT)")
 
@@ -466,6 +535,37 @@ object SparkEntry {
           when(col("doc_id") % 11 === 0, lit(" from 10.1.2.3")).otherwise(lit("")),
           when(col("doc_id") % 13 === 0, lit(" call 555-123-4567")).otherwise(lit(""))))
       Corpus.piiScrub(planted).orderBy("doc_id")
+    },
+    // ---- domain/URL curation (CCNet/RefinedWeb-style) ----
+    // URL canonicalization over the deterministic messy-URL fixture (see
+    // docUrls): fragment, case, default ports, tracking params — a pure
+    // zero-shuffle projection whose oracle replays every regex step
+    "curate_url_normalize" -> { (s, d) =>
+      val norm = Corpus.urlNormalize(col("url"))
+      docUrls(s, d)
+        .select(col("doc_id"), norm.as("url_norm"),
+          Corpus.urlDomain(norm).as("domain"))
+        .orderBy("doc_id")
+    },
+    // per-domain quota (3 smallest content hashes per domain — binds at
+    // every SF: ~100 domains over ≥500 docs): bounded bottom-k aggregate,
+    // no window, map output capped at domains × quota
+    "curate_domain_quota" -> { (s, d) =>
+      Corpus.domainQuota(
+        docUrls(s, d).withColumn(
+          "domain", Corpus.urlDomain(Corpus.urlNormalize(col("url")))),
+        quota = 3).orderBy("domain", "rk")
+    },
+    // domain blocklist (exact host or subdomain-of): the list rides the
+    // plan as ONE broadcast array row, the test is a codegen'd map-side
+    // exists — docs never shuffle (plan-asserted in CorpusSpec)
+    "curate_blocklist" -> { (s, d) =>
+      import s.implicits._
+      Corpus.blocklistFilter(
+        docUrls(s, d).withColumn(
+          "domain", Corpus.urlDomain(Corpus.urlNormalize(col("url"))))
+          .select("doc_id", "domain"),
+        blockedDomains.toDF("pattern")).orderBy("doc_id")
     },
     // mixture accounting per (source, lang): one partial/final hash agg
     "corpus_mix_stats" -> ((s, d) =>
@@ -1387,6 +1487,25 @@ object SparkEntry {
         ("SELECT lang, rk, doc_id FROM (SELECT lang, doc_id, " +
           "row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk " +
           "FROM documents) WHERE rk <= 50 ORDER BY lang, rk"),
+
+      // ---- domain/URL curation ----
+      // the urlOracleCte WITH-body rebuilds the messy-URL fixture and
+      // replays urlNormalize/urlDomain step-by-step in RE2 spelling
+      "curate_url_normalize" ->
+        (s"WITH $urlOracleCte " +
+          "SELECT doc_id, url_norm, domain FROM norm ORDER BY doc_id")
+          .replace("\n", " "),
+      "curate_domain_quota" ->
+        (s"WITH $urlOracleCte " +
+          "SELECT domain, rk, doc_id FROM (SELECT domain, doc_id, " +
+          "row_number() OVER (PARTITION BY domain ORDER BY md5(text), doc_id) AS rk " +
+          "FROM norm) WHERE rk <= 3 ORDER BY domain, rk").replace("\n", " "),
+      "curate_blocklist" ->
+        (s"WITH $urlOracleCte " +
+          "SELECT doc_id, domain FROM norm WHERE NOT EXISTS (SELECT 1 FROM (VALUES " +
+          blockedDomains.map(p => s"('$p')").mkString(", ") +
+          ") bl(pattern) WHERE domain = pattern OR ends_with(domain, '.' || pattern)) " +
+          "ORDER BY doc_id").replace("\n", " "),
 
       // ---- similarity search ----
       "ann_topk_dot" ->

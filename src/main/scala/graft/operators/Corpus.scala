@@ -268,4 +268,99 @@ object Corpus {
       .limit(k)
       .select("token", "cnt_a", "cnt_b")
   }
+
+  // -------------------------------------------------------------------------
+  // Domain / URL curation — the CCNet / RefinedWeb-style stages a web-crawl
+  // corpus runs before any content-level filtering (Wenzek et al.
+  // arXiv:1911.00359; Penedo et al. arXiv:2306.01116): canonicalize URLs,
+  // bound any one domain's share of the mix, drop blocklisted hosts.
+  // -------------------------------------------------------------------------
+
+  /** Query params that identify a click, not a resource — stripped by
+    * [[urlNormalize]] (the standard tracking set: UTM campaign tags, Google
+    * / Facebook click ids, referrer tags). The leading `[?&]` separator is
+    * part of the match (consumed with the param) — without it, `ref=` would
+    * also fire inside an innocent `href=` param. Shared regex subset (no
+    * lookaround, no backreferences) so the DuckDB oracle replays it. */
+  val TrackingParamPattern = "[?&](?:utm_[A-Za-z]+|gclid|fbclid|ref)=[^&#]*"
+
+  /**
+   * Canonicalize a URL so that trivially-distinct spellings of the same
+   * resource key identically (dedup by URL, domain quotas, and blocklists
+   * all join on this form). Steps, in order:
+   *
+   *   1. drop the fragment (`#...` — client-side only);
+   *   2. lowercase scheme and authority (RFC 3986 §6.2.2.1 — case there is
+   *      insignificant; path/query case is significant and kept);
+   *   3. strip the scheme's default port (`:80` http, `:443` https);
+   *   4. remove tracking params ([[TrackingParamPattern]], separator
+   *      included) and mend what removal leaves behind: if the leading
+   *      `?` went with a removed first param, promote the now-first `&`
+   *      (`/p&id=4` → `/p?id=4`); strip a dangling `?`/`&`.
+   *
+   * Pure projection — zero shuffles; every step is a codegen'd regex over
+   * the common Java-regex/RE2 subset, so the oracle replays it
+   * byte-identically (DuckDB side needs the `'g'` flag and `\1`-style
+   * backreferences — dialect spelling, same semantics).
+   */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val headPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val head = lower(regexp_extract(noFrag, s"($headPat)", 1))
+    val tail = regexp_replace(noFrag, headPat, "")
+    val noDefPort = regexp_replace(
+      regexp_replace(head, "^(http://[^:/]*):80$", "$1"),
+      "^(https://[^:/]*):443$", "$1")
+    val noTrack = regexp_replace(tail, TrackingParamPattern, "")
+    val mended = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    concat(noDefPort, regexp_replace(mended, "[?&]$", ""))
+  }
+
+  /** The host of a [[urlNormalize]]d URL, with a leading `www.` dropped —
+    * the key domain quotas and blocklists join on. (Registrable-domain
+    * (eTLD+1) extraction needs the Public Suffix List shipped as a lookup
+    * table; host-level keys are what CCNet's own pipeline uses.) */
+  def urlDomain(urlNorm: Column): Column =
+    regexp_replace(
+      regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
+      "^www\\.", "")
+
+  /**
+   * Per-domain quota sampling — bound any single domain's share of the
+   * corpus (RefinedWeb caps URLs per domain so link-farms and mirror hosts
+   * can't dominate the mix). Delegates to [[TrainingSet.quotaSample]]
+   * stratified on the domain column: the `quota` docs with the smallest
+   * content hash per domain, rank included — deterministic, auditable, and
+   * a bounded bottom-k AGGREGATE (partial aggregation caps map-task output
+   * at `domains × quota`, so the one mega-domain in a skewed crawl never
+   * funnels through a single reducer).
+   */
+  def domainQuota(docs: DataFrame, quota: Int, domainCol: String = "domain",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    TrainingSet.quotaSample(docs, quota, strataCol = domainCol,
+      idCol = idCol, textCol = textCol)
+
+  /**
+   * Drop documents whose domain is blocklisted — blocked iff the domain
+   * EQUALS a blocklist entry or is a SUBDOMAIN of one (hosts-file
+   * semantics: `example.org` blocks `a.example.org` but not
+   * `notexample.org`). Returns the survivors.
+   *
+   * Scale shape: the blocklist collapses to a single sorted-array row
+   * broadcast to every task (`BroadcastNestedLoopJoin` of one row — docs
+   * never shuffle), and the membership test is a codegen'd higher-order
+   * `exists` — a pure map-side filter, the cheapest possible plan for the
+   * ~10³–10⁵-entry lists pipelines actually ship (UT1, CCNet). The scan is
+   * O(|blocklist|) per row; for a 10⁷-entry list, explode each domain into
+   * its ≤ ~6 label-suffixes and broadcast-HASH-join those against the list
+   * instead — same semantics, equi-keyed.
+   */
+  def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
+      domainCol: String = "domain", patternCol: String = "pattern"): DataFrame = {
+    val pats = blocklist.agg(sort_array(collect_set(col(patternCol))).as("__pats"))
+    docs.crossJoin(broadcast(pats))
+      .filter(!exists(col("__pats"),
+        b => col(domainCol) === b || endswith(col(domainCol), concat(lit("."), b))))
+      .drop("__pats")
+  }
 }

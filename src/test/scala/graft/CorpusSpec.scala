@@ -175,4 +175,61 @@ class CorpusSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"totals must broadcast:\n$p")
   }
+
+  // ---- domain / URL curation ----
+
+  private def norm(url: String): String = {
+    val out = Seq(url).toDF("url")
+      .select(Corpus.urlNormalize(col("url")).as("n")).collect()
+    out(0).getString(0)
+  }
+
+  test("urlNormalize: hand-written edge cases for every step") {
+    // case, default port, fragment, mid-position tracking param
+    assert(norm("HTTPS://WWW.Site.COM:443/Path/A?id=4&utm_source=x#frag")
+      == "https://www.site.com/Path/A?id=4")
+    // http default port; path/query case preserved
+    assert(norm("Http://Site.org:80/CaseKept?Q=Mixed") == "http://site.org/CaseKept?Q=Mixed")
+    // non-default port survives
+    assert(norm("http://site.org:8080/a") == "http://site.org:8080/a")
+    // tracking param FIRST: the '&' of the next param is promoted to '?'
+    assert(norm("http://s.io/p?utm_campaign=X&id=4&gclid=z") == "http://s.io/p?id=4")
+    // tracking param ONLY: no dangling '?'
+    assert(norm("http://s.io/p?ref=rss") == "http://s.io/p")
+    // 'ref=' inside an innocent 'href=' param is NOT eaten (separator is
+    // part of the match)
+    assert(norm("http://s.io/p?href=ref=keep&ref=drop") == "http://s.io/p?href=ref=keep")
+    // ':80' on https (not the scheme's default) survives
+    assert(norm("https://s.io:80/p") == "https://s.io:80/p")
+  }
+
+  test("urlDomain: host key, www stripped, port/path/query ignored") {
+    val got = Seq(
+      "https://www.site.co.uk/a?b=1", "http://site.org:8080/x", "https://sub.www.site.io/")
+      .toDF("u").select(Corpus.urlDomain(col("u")).as("d")).collect().map(_.getString(0)).toSeq
+    // only a LEADING www. label is stripped; an interior one is part of the host
+    assert(got == Seq("site.co.uk", "site.org", "sub.www.site.io"))
+  }
+
+  test("blocklistFilter: exact-or-subdomain semantics, hand-checked") {
+    val d = Seq(
+      (1L, "bad.com"), (2L, "a.bad.com"), (3L, "notbad.com"),
+      (4L, "good.org"), (5L, "bad.com.evil.net")).toDF("doc_id", "domain")
+    val bl = Seq("bad.com").toDF("pattern")
+    val kept = Corpus.blocklistFilter(d, bl).collect().map(_.getLong(0)).toSet
+    // bad.com and its subdomain fall; notbad.com (suffix without dot
+    // boundary) and bad.com.evil.net (prefix, not suffix) survive
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("curate plans: normalize is a pure projection; blocklist broadcasts one row, docs never shuffle") {
+    val pn = plan("curate_url_normalize")
+    assert(!pn.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$pn")
+    val pb = plan("curate_blocklist")
+    assert(pb.contains("BroadcastNestedLoopJoin") || pb.contains("BroadcastExchange"),
+      s"blocklist must broadcast:\n$pb")
+    // the docs side is filtered map-side: the only hash exchange allowed is
+    // none (sort for orderBy is a range exchange)
+    assert(!pb.contains("Exchange hashpartitioning"), s"docs must not shuffle:\n$pb")
+  }
 }
