@@ -567,6 +567,17 @@ object SparkEntry {
           .select("doc_id", "domain"),
         blockedDomains.toDF("pattern")).orderBy("doc_id")
     },
+    // CCNet-style LM quality score: backoff-bigram model trained on the
+    // md5-split train side, docs scored by integer floor-log2 surprisal
+    // (bin-length — exact in both engines, no float log), kept iff mean
+    // surprisal ≤ corpus mean (decimal(38) cross-multiplication). Splits
+    // ~50/50 at every SF — the gate genuinely bites.
+    "filter_lm_score" -> { (s, d) =>
+      val docs = documents(s, d)
+      Corpus.lmScore(docs,
+        docs.filter(substring(md5(col("text")), 1, 4)
+          < lit(Corpus.splitThresholdHex(0.0625))))
+    },
     // mixture accounting per (source, lang): one partial/final hash agg
     "corpus_mix_stats" -> ((s, d) =>
       Corpus.mixtureStats(documents(s, d)).orderBy("source", "lang")),
@@ -1487,6 +1498,42 @@ object SparkEntry {
         ("SELECT lang, rk, doc_id FROM (SELECT lang, doc_id, " +
           "row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk " +
           "FROM documents) WHERE rk <= 50 ORDER BY lang, rk"),
+
+      // LM quality score: the whole model replayed relationally — unigram/
+      // bigram counts on the train split (bigrams pruned at count ≥ 2),
+      // floor-log2 via bin-length, backoff CASE identical to Corpus.lmScore,
+      // relative keep via integer cross-multiplication (HUGEINT side of the
+      // engine's decimal(38))
+      "filter_lm_score" ->
+        """WITH tr AS (SELECT text FROM documents WHERE substr(md5(text),1,4) < 'f000'),
+          |u0 AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM tr),
+          |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM u0 GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS T FROM uni),
+          |bt AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM tr),
+          |b0 AS (SELECT unnest(CASE WHEN len(t)>=2 THEN list_transform(range(1,len(t)), i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS bg FROM bt),
+          |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cuv FROM b0 GROUP BY 1 HAVING count(*) >= 2),
+          |dt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+          |  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 1),
+          |pos AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          |    unnest(list_transform(range(1, len(t)+1),
+          |      i -> struct_pack(w := t[i], prev := CASE WHEN i > 1 THEN t[i-1] ELSE NULL END))) AS p
+          |  FROM dt),
+          |sc AS (SELECT doc_id, n_tokens,
+          |    CASE WHEN (p).prev IS NULL THEN
+          |           CASE WHEN uni.cw IS NOT NULL THEN (length(bin(T))-1) - (length(bin(uni.cw))-1)
+          |                ELSE length(bin(T)) END
+          |         WHEN big.cuv IS NOT NULL THEN (length(bin(up.cw))-1) - (length(bin(big.cuv))-1)
+          |         WHEN uni.cw IS NOT NULL THEN 1 + (length(bin(T))-1) - (length(bin(uni.cw))-1)
+          |         ELSE length(bin(T)) END AS bits
+          |  FROM pos CROSS JOIN tot
+          |  LEFT JOIN uni ON (p).w = uni.w
+          |  LEFT JOIN uni up ON (p).prev = up.w
+          |  LEFT JOIN big ON (p).prev || ' ' || (p).w = big.bg),
+          |pd AS (SELECT doc_id, n_tokens, CAST(sum(bits) AS BIGINT) AS lm_bits FROM sc GROUP BY 1,2),
+          |ct AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok, CAST(sum(lm_bits) AS BIGINT) AS tot_bits FROM pd)
+          |SELECT doc_id, n_tokens, lm_bits,
+          |  (lm_bits*tot_tok*1 <= n_tokens*tot_bits*1) AS keep
+          |FROM pd CROSS JOIN ct ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
       // ---- domain/URL curation ----
       // the urlOracleCte WITH-body rebuilds the messy-URL fixture and

@@ -363,4 +363,99 @@ object Corpus {
         b => col(domainCol) === b || endswith(col(domainCol), concat(lit("."), b))))
       .drop("__pats")
   }
+
+  /**
+   * CCNet-style n-gram LM quality score (Wenzek et al. arXiv:1911.00359
+   * §4.4 score documents by the perplexity of an LM trained on clean text
+   * and keep the low-perplexity head). The LM here is a backoff bigram
+   * model trained on `train` (pass the corpus's own clean split), and the
+   * "log" is the INTEGER floor-log2 — `length(bin(x)) - 1`, exact in both
+   * Spark and DuckDB — because the oracle gate is bit-exact and a float
+   * `ln` diverges in ULPs across engines. Within ±1 bit/token of the true
+   * log2 surprisal, which a keep-threshold never notices.
+   *
+   * Model: unigram counts `c(w)` (total `T`), bigram counts `c(u,v)`
+   * pruned to `c ≥ minBigramCount` (standard count-pruning — hapax bigrams
+   * are most of a web-scale table and carry no signal). Per-token surprisal
+   * in bits, with `fl = floor-log2`:
+   *
+   *   - first token, unigram seen:    `fl(T) − fl(c(w))`
+   *   - bigram seen:                  `fl(c(u)) − fl(c(u,v))`
+   *   - bigram unseen, unigram seen:  `1 + fl(T) − fl(c(w))` (backoff bit)
+   *   - unigram unseen:               `fl(T) + 1` (past the rarest possible)
+   *
+   * Output per non-empty doc: `(idCol, n_tokens, lm_bits, keep)` with
+   * `keep ⇔ meanBits(doc) ≤ (keepNum/keepDen) · meanBits(corpus)` — CCNet
+   * cuts at perplexity PERCENTILES per bucket, not an absolute constant
+   * (an absolute bits/token cut is not scale-stable here anyway: `fl(T)`
+   * steps up a bit every time the training corpus doubles); the
+   * corpus-mean multiple is the same relative idea with an exact integer
+   * witness: `lm_bits·totTok·keepDen ≤ n_tokens·totBits·keepNum` over
+   * decimal(38) cross-multiplication, no float ever deciding a doc's fate.
+   * An absolute cut, when wanted, is a trivial filter on the output.
+   *
+   * Scale shape: the model is two vocab-sized hash aggregates BROADCAST to
+   * the scoring side (unigrams ~10⁶ rows at web scale; the bigram table is
+   * what `minBigramCount` bounds); token rows never shuffle — every join is
+   * broadcast, so the only exchange over the corpus is the final per-doc
+   * partial/final aggregate, O(docs) rows of 24 B. The one-row total rides
+   * a broadcast cross join like [[tokenShift]]'s.
+   */
+  def lmScore(
+      docs: DataFrame,
+      train: DataFrame,
+      keepNum: Long = 1,
+      keepDen: Long = 1,
+      minBigramCount: Long = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(keepNum > 0 && keepDen > 0, "threshold must be a positive rational")
+    require(minBigramCount >= 1, "minBigramCount must be >= 1")
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    def toks = tokens(col(textCol))
+    def bigrams(t: Column): Column = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val uni = Parallelism.ensure(train)
+      .select(explode(toks).as("w")).groupBy("w").agg(count(lit(1)).as("cw"))
+    val big = Parallelism.ensure(train)
+      .select(explode(bigrams(toks)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cuv"))
+      .filter(col("cuv") >= minBigramCount)
+    val total = uni.agg(sum("cw").as("T"))
+    val pos = Parallelism.ensure(docs)
+      .select(col(idCol).as("__id"), toks.as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("__id"), size(col("t")).cast("long").as("n_tokens"),
+        explode(transform(col("t"), (w, i) => struct(
+          w.as("w"),
+          when(i > 0, element_at(col("t"), i)).otherwise(lit(null)).as("prev"))))
+          .as("p"))
+    val perDoc = Dedup.persistScoped( // feeds the totals agg AND the output
+      pos
+        .crossJoin(broadcast(total))
+        .join(broadcast(uni), pos("p.w") === uni("w"), "left")
+        .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("cprev"))),
+          pos("p.prev") === col("w2"), "left")
+        .join(broadcast(big),
+          concat(pos("p.prev"), lit(" "), pos("p.w")) === big("bg"), "left")
+        .withColumn("bits",
+          when(col("p.prev").isNull,
+            when(col("cw").isNotNull, flog2(col("T")) - flog2(col("cw")))
+              .otherwise(flog2(col("T")) + 1))
+            .when(col("cuv").isNotNull, flog2(col("cprev")) - flog2(col("cuv")))
+            .when(col("cw").isNotNull, lit(1L) + flog2(col("T")) - flog2(col("cw")))
+            .otherwise(flog2(col("T")) + 1))
+        .groupBy(col("__id"), col("n_tokens"))
+        .agg(sum("bits").as("lm_bits")))
+    val corpusTotals =
+      perDoc.agg(sum("n_tokens").as("tot_tok"), sum("lm_bits").as("tot_bits"))
+    perDoc.crossJoin(broadcast(corpusTotals))
+      .select(col("__id").as(idCol), col("n_tokens"), col("lm_bits"),
+        (col("lm_bits").cast("decimal(38,0)") * col("tot_tok") * keepDen
+          <= col("n_tokens").cast("decimal(38,0)") * col("tot_bits") * keepNum)
+          .as("keep"))
+      .orderBy(idCol)
+  }
 }

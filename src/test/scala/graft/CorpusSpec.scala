@@ -222,6 +222,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L, 5L))
   }
 
+  test("lmScore: hand-computed backoff bigram surprisal, pruning, relative keep") {
+    // train: unigrams a:3 b:2 c:1 (T=6); bigram 'a b':2 kept, 'a c':1 pruned
+    // fl(6)=2 fl(3)=1 fl(2)=1 fl(1)=0
+    val train = Seq((10L, "a b"), (11L, "a b"), (12L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"), // 'a' first: fl(T)-fl(3)=1; 'a b' seen: fl(cprev 3)-fl(2)=0 → 1
+      (2L, "a c"), // 'a'=1; 'a c' PRUNED → backoff 1+fl(T)-fl(c 1)=3       → 4
+      (3L, "z a")  // 'z' unseen: fl(T)+1=3; 'z a' unseen, 'a' seen: 1+2-1=2 → 5
+    ).toDF("doc_id", "text")
+    val got = Corpus.lmScore(score, train)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // totals: tot_tok=6, tot_bits=10 → keep ⇔ lm_bits·6 ≤ n_tokens·10
+    assert(got == Seq((1L, 2L, 1L, true), (2L, 2L, 4L, false), (3L, 2L, 5L, false)))
+  }
+
+  test("lmScore plan: model broadcast to the scoring side, no sort-merge join") {
+    val p = plan("filter_lm_score")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"count tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token rows must never shuffle for a join:\n$p")
+  }
+
   test("curate plans: normalize is a pure projection; blocklist broadcasts one row, docs never shuffle") {
     val pn = plan("curate_url_normalize")
     assert(!pn.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$pn")
