@@ -801,7 +801,7 @@ object Dedup {
     * (all-pairs, inline LSH, id-only LSH must stay bit-identical).
     * `keepVecCol` retains the raw vector column for callers that still need
     * it (LSH key derivation). */
-  private def quantized(
+  private[graft] def quantized(
       df: DataFrame, idCol: String, vecCol: String,
       keepVecCol: Option[String] = None): DataFrame = {
     val q = transform(col(vecCol), x => round(x.cast("double") * lit(1000)).cast("long"))

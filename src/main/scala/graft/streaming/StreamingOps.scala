@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -53,6 +53,69 @@ object StreamingOps {
       .withColumn("keep_id", least(coalesce(col("base_keep"), col(idCol)), col(idCol)))
       .withColumn("is_dup", col("keep_id") < col(idCol))
       .drop("base_keep", "text_hash")
+
+  /**
+   * Streaming delta-vs-index SEMANTIC dedup — the continuous-crawl form of
+   * [[graft.operators.Dedup.incrementalSemantic]], and the fourth key
+   * space's serving path next to [[incrementalExactStream]]. Each streamed
+   * vector is quantized and assigned its top-2 spill cells MAP-SIDE (the
+   * index's committed centroids — same codegen'd integer argmax as batch),
+   * then probes a per-cell MEMBERS layout of the static index
+   * (`cell → array[(id, q, norm2)]`, built once at stream construction)
+   * through TWO stream-static equi left joins — one per spill rank, NO
+   * explode, so every input row stays exactly one output row and the plan is
+   * completely STATE-FREE: no watermark, no aggregation state, runs
+   * indefinitely. Partner existence is an array-side `exists` with the same
+   * exact integer-cosine cross-multiplication as batch ([[graft.functions
+   * .expressions.CosineGe]]'s arithmetic inlined over builtin higher-order
+   * functions, quantities < 2⁶² for unit-norm embeddings).
+   *
+   * Emits `(idCol, cell, keep)` — batch [[graft.operators.Dedup
+   * .incrementalSemantic]]'s columns under vs-BASE-only semantics:
+   * intra-stream near-duplicates are deliberately out of scope (state over
+   * an unbounded vector stream is the windowed-ANN family's job; compose
+   * with a watermarked upstream dedup when needed), exactly as
+   * [[incrementalExactStream]] scopes itself. StreamingParitySpec pins
+   * stream ≡ batch on a delta with no intra-delta pairs.
+   *
+   * Scale shape: the members table is the index re-keyed one row per cell —
+   * Spark broadcasts it when it fits (the "index resident on every serving
+   * node" model); beyond broadcast size the cell equi-join
+   * shuffle-partitions the STREAM side only (micro-batch-sized), still
+   * stateless. A skew-hot cell's row carries its whole member array;
+   * `nassign`/cell-count sizing keeps cells ≈ n/nlist as in batch.
+   */
+  def incrementalSemanticStream(
+      stream: DataFrame, index: graft.operators.Dedup.SemIndex,
+      thresholdNum: Long = 9, thresholdDen: Long = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.operators.Dedup
+    require(thresholdNum > 0 && thresholdDen > 0 && thresholdNum <= thresholdDen,
+      s"threshold must be a rational in (0, 1]: $thresholdNum/$thresholdDen")
+    val members = index.cells.groupBy("cell")
+      .agg(collect_list(struct(col("id"), col("q"), col("norm2"))).as("ms"))
+    val qCents = index.centroids.map(x => math.round(x * 1e6))
+    val probed = Dedup.quantized(stream, idCol, vecCol)
+      .withColumn("cells", graft.functions.expressions.NearestCentroidsQ(
+        col("q"), qCents, index.nlist, index.dim, 2))
+    def anyPartner(ms: Column): Column = coalesce(
+      exists(ms, m => {
+        val dot = aggregate(
+          zip_with(col("q"), m.getField("q"), (a, b) => a * b), lit(0L), _ + _)
+        m.getField("id") < col("id") && dot > 0 &&
+          dot * dot * lit(thresholdDen * thresholdDen) >=
+            lit(thresholdNum * thresholdNum) * col("norm2") * m.getField("norm2")
+      }),
+      lit(false))
+    probed
+      .withColumn("cell", element_at(col("cells"), 1))
+      .join(members.withColumnRenamed("ms", "m1"), Seq("cell"), "left")
+      .withColumn("cell2", element_at(col("cells"), 2))
+      .join(members.withColumnRenamed("ms", "m2")
+        .withColumnRenamed("cell", "cell2"), Seq("cell2"), "left")
+      .select(col("id").as(idCol), col("cell").cast("long").as("cell"),
+        !(anyPartner(col("m1")) || anyPartner(col("m2"))).as("keep"))
+  }
 
   final case class CellVersion(cellKey: String, versionMs: Long, value: Long)
   /** One changelog advance. `nVersions` = versions seen AS OF THIS EMIT — a

@@ -208,6 +208,45 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("incrementalSemanticStream over micro-batches == batch incrementalSemantic vs the same index") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 8
+    // signed basis directions (IncrementalSemanticSpec's fixture): distinct
+    // directions are orthogonal, a wobbled copy is cos ≈ 0.999
+    def v(d: Int, wobble: Float = 0f): Array[Float] = {
+      val sign = if (d >= dim) -1f else 1f
+      val ax = d % dim
+      Array.tabulate(dim)(i =>
+        sign * ((if (i == ax) 1f else 0f) + (if (i == (ax + 1) % dim) wobble else 0f)))
+    }
+    val cents: Array[Double] = (0 until 16).flatMap(d => v(d).map(_.toDouble)).toArray
+    val base = (0 until 12).map(i => (i.toLong, v(i % 6, wobble = 0.02f * (i / 6))))
+    val delta = (0 until 3).map(i => (100L + i, v(i, wobble = 0.01f))) ++
+      Seq((110L, v(6)), (111L, v(7)), (112L, v(14)), (113L, v(15)))
+    val idx = graft.operators.Dedup.buildSemIndex(
+      base.toDF("vec_id", "embedding"), dim, nlist = 16, centroids = Some(cents))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.incrementalSemanticStream(
+        ms.toDF().toDF("vec_id", "embedding"), idx)
+      .writeStream.outputMode("append").format("memory").queryName("parity_sem").start()
+    try {
+      chunks(delta, 3).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("parity_sem").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // the batch operator ALSO folds intra-delta pairs; this delta has none
+    // (distinct directions are orthogonal, 14/15 are NEGATED 6/7 — cos −1),
+    // so vs-base-only streaming semantics must reproduce batch exactly
+    val batch = graft.operators.Dedup.incrementalSemantic(
+        delta.toDF("vec_id", "embedding"), idx)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(batch.nonEmpty && streamed == batch)
+    // liveness: the planted near-copies fall, the novel directions survive
+    assert((0 until 3).forall(i => !streamed(100L + i)._2))
+    assert(Seq(110L, 111L, 112L, 113L).forall(id => streamed(id)._2))
+  }
+
   test("stateless corpus projections stream as-is: repetition + split == batch") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
