@@ -923,31 +923,23 @@ object Multimodal {
    * re-encodes, brightness shifts and local edits of the same picture
    * collide; visually distinct images sit ~32 bits apart.
    *
-   * Scale shape: the only wide ops are the 16-bit-chunk equality join
+   * Scale shape: the only wide ops are the chunk equality join
    * (24 B rows) and the candidate distinct — identical budget to SimHash;
    * undecodable payloads (raw video, corrupt files) are dropped, not
-   * stubbed, because a byte-fold hash has no perceptual meaning.
+   * stubbed, because a byte-fold hash has no perceptual meaning. The chunk
+   * count derives from the radius ([[Dedup.hammingChunkKeys]]) so any
+   * `maxHamming` in [0, 63] is complete; wider radii fan the candidate join
+   * out rather than silently losing recall.
    */
   def imageDHashNearDup(
       media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame = {
-    // pigeonhole completeness bound (ADVICE r7): 4 chunks guarantee a shared
-    // chunk only for pairs ≤ 3 bits apart — a larger maxHamming would
-    // silently lose recall (a pair differing in ≥1 bit per chunk never
-    // becomes a candidate), so fail loud instead
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"maxHamming must be in [0, 3]: the 4-chunk pigeonhole blocking is only " +
-        s"complete for Hamming <= 3 (got $maxHamming); for a wider radius use " +
-        "more chunks (maxHamming + 1) or brute-force verification")
     import media.sparkSession.implicits._
     val hashed = media
       .mapPartitions(_.flatMap(r => MediaCodec.dHash64(r.payload).map(h => (r.media_id, h))))
       .toDF("id", "h")
     val chunked = hashed.select(
       col("id"), col("h"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("h"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
-      }: _*)).as("ck"))
+      explode(Dedup.hammingChunkKeys(col("h"), maxHamming)).as("ck"))
       .select(col("id"), col("h"), col("ck.chunk"), col("ck.ckey"))
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("h").as("h_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("h").as("h_b"))
