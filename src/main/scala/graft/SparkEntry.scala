@@ -101,7 +101,7 @@ object SparkEntry {
       |      regexp_replace(
       |        regexp_replace(
       |          regexp_replace(tail, '[?&](utm_[A-Za-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
-      |          '^([^?]*)&', '\1?'),
+      |          '^([^?&]*)&', '\1?'),
       |        '[?&]$', '') AS url_norm
       |    FROM steps))""".stripMargin
 
@@ -754,6 +754,11 @@ object SparkEntry {
     // Delta = 5% of the corpus (a crawl increment is small relative to its
     // base — and the span-cut stage's uncapped gram join is sized by the
     // delta, so registering a 20% delta would bench the wrong regime).
+    // INVARIANT (ADVICE r8): the base split MUST equal the corpus the
+    // fixture index was built over — Fixtures.buildIndex uses
+    // doc_id % 5 != 0 — or docs present in the oracle's corpus would be
+    // invisible to the engine's probes (the gate then holds only while no
+    // fixture pair crosses the difference set).
     // The synthetic corpus has no delta-vs-base exact dups or PII at the
     // gate sf, so the query PLANTS both deterministically (mirrored in the
     // oracle): every 5th delta doc becomes an exact copy of base doc
@@ -763,7 +768,8 @@ object SparkEntry {
     // accepted output against the grown index finds only exact dups).
     "pipeline_crawl_increment" -> { (s, d) =>
       val docs = documents(s, d)
-      val base = docs.filter(col("doc_id") % 20 =!= 0)
+      val base = docs.filter(col("doc_id") % 5 =!= 0) // = the index's corpus
+
       val dupSrc = docs.select(col("doc_id").as("__src_id"), col("text").as("__src_text"))
       val noPlant = col("doc_id") % 100 =!= 0
       val planted = docs.filter(col("doc_id") % 20 === 0)
@@ -1465,10 +1471,10 @@ object SparkEntry {
            |  || CASE WHEN d.doc_id % 100 <> 0 AND d.doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
            |  FROM documents d LEFT JOIN documents b ON d.doc_id % 100 = 0 AND b.doc_id = d.doc_id - 49
            |  WHERE d.doc_id % 20 = 0),
-           |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0 UNION ALL SELECT doc_id, text FROM pd),
+           |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0 UNION ALL SELECT doc_id, text FROM pd),
            |h AS (SELECT doc_id, md5(text) AS hh FROM corpus),
            |keep AS (SELECT d.doc_id FROM h d JOIN h a USING (hh) WHERE d.doc_id % 20 = 0 GROUP BY d.doc_id HAVING min(a.doc_id) = d.doc_id),
-           |sd AS (SELECT c.doc_id, c.text FROM corpus c WHERE c.doc_id % 20 <> 0 OR c.doc_id IN (SELECT doc_id FROM keep)),
+           |sd AS (SELECT c.doc_id, c.text FROM corpus c WHERE c.doc_id % 5 <> 0 OR c.doc_id IN (SELECT doc_id FROM keep)),
            |${exactSpansOracleCtes(maxGramFreq = None, srcTable = "sd")},
            |rmp AS (SELECT id_b AS doc_id, unnest(generate_series(b_start, b_start + len - 1)) AS rm FROM spans WHERE id_b % 20 = 0),
            |rms AS (SELECT doc_id, array_agg(DISTINCT rm) AS rm FROM rmp GROUP BY 1),

@@ -312,7 +312,10 @@ object Corpus {
       regexp_replace(head, "^(http://[^:/]*):80$", "$1"),
       "^(https://[^:/]*):443$", "$1")
     val noTrack = regexp_replace(tail, TrackingParamPattern, "")
-    val mended = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    // [^?&] (not [^?]): promote the FIRST '&' — a greedy prefix would grab
+    // up to the LAST '&' when >=2 params survive a removed leading param,
+    // migrating the middle params into the path (ADVICE r8)
+    val mended = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
     concat(noDefPort, regexp_replace(mended, "[?&]$", ""))
   }
 

@@ -685,20 +685,34 @@ object Dedup {
    * right plan whenever candidate blocking cannot prune (thresholds near the
    * random-pair cosine — see [[embeddingNearDupAuto]]) or the corpus is
    * small; at blocking-effective thresholds use [[embeddingNearDupLsh]].
+   *
+   * The broadcast is SIZE-GATED (ADVICE r8): the quantized frame is cached
+   * anyway, so one count + one max-dim job estimate the build side's bytes;
+   * above `broadcastMaxBytes` (default 1 GiB — comfortably under Spark's
+   * 8 GB broadcast hard limit and typical driver heaps) the plan falls back
+   * to a PARTITIONED cartesian join — same Ω(n²) dot work, one shuffle of
+   * each n-row side (never the pair space), completes at any corpus size
+   * instead of failing at the broadcast ceiling.
    */
   def embeddingNearDup(
       df: DataFrame,
       thresholdNum: Long = 9,
       thresholdDen: Long = 20,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val quant = persistScoped( // stream side + broadcast build side read it
+      vecCol: String = "embedding",
+      broadcastMaxBytes: Long = 1L << 30): DataFrame = {
+    val quant = persistScoped( // stream side + build side both read it
       quantized(Parallelism.ensure(df), idCol, vecCol))
     val a = quant.select(col("id").as("id_a"), col("q").as("q_a"), col("norm2").as("n2_a"))
     val b = quant.select(col("id").as("id_b"), col("q").as("q_b"), col("norm2").as("n2_b"))
-    verifyCosine(
-      a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b")),
-      thresholdNum, thresholdDen)
+    // build-side estimate: n × (dim longs + row overhead), on the cached frame
+    val n = quant.count()
+    val dim = if (n == 0) 0
+      else quant.select(max(size(col("q")))).head().getInt(0).max(0)
+    val estBytes = n * (dim.toLong * 8 + 56)
+    val pairs = if (estBytes <= broadcastMaxBytes) a.crossJoin(broadcast(b))
+      else a.crossJoin(b)
+    verifyCosine(pairs.filter(col("id_a") < col("id_b")), thresholdNum, thresholdDen)
   }
 
   /**
@@ -719,11 +733,14 @@ object Dedup {
    *    with ≈ 10⁻¹⁰ — the standard LSH trade; boundary-exact answers at
    *    these thresholds should call [[embeddingNearDup]] explicitly.
    *  - **below 0.7**: the blocking cannot beat ~n² candidates even in
-   *    expectation, so dispatch to the broadcast all-pairs form — the same
-   *    Ω(n²) dot-product work the degenerate banding would do anyway, but
-   *    with ZERO shuffle (no banding exchange, no candidate distinct) and
-   *    exact output. The quadratic cost is made explicit and flat instead
-   *    of hiding in a skewed exchange.
+   *    expectation, so dispatch to the all-pairs form — the same Ω(n²)
+   *    dot-product work the degenerate banding would do anyway, but with
+   *    ZERO shuffle (no banding exchange, no candidate distinct) and exact
+   *    output. The quadratic cost is made explicit and flat instead of
+   *    hiding in a skewed exchange. The build-side broadcast is size-gated
+   *    inside [[embeddingNearDup]] (falls back to a partitioned cartesian
+   *    past ~1 GiB), so this branch degrades to a shuffled-but-completing
+   *    plan instead of a broadcast failure on a huge corpus.
    *
    * The low-threshold branch is EXACT (identical output to the all-pairs
    * oracle); the high-threshold branch inherits LSH recall. Both regimes'

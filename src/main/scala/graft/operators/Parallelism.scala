@@ -38,12 +38,36 @@ object Parallelism {
     if (df.inputFiles.length >= target) df
     else {
       import org.apache.spark.sql.catalyst.plans.logical._
-      val hasWideOp = df.queryExecution.analyzed.exists {
-        case _: Join | _: Aggregate | _: Window | _: Distinct => true
+      // Exchange-forcing check on the OPTIMIZED plan (ADVICE r8): a Join is
+      // only proof of shuffle partitioning when it will actually shuffle —
+      // a broadcast join preserves the STREAM side's partitioning, so a
+      // few-file leaf enriched via broadcast join keeps ~1 partition and
+      // must still rebalance. Sizes come from the optimizer's stats (the
+      // same sizeInBytes the planner's own broadcast decision reads);
+      // when either side fits the broadcast threshold the walk continues
+      // into the PROBABLE stream side only. Distinct/Deduplicate rewrite to
+      // Aggregate during optimization, so the Aggregate case covers both
+      // DataFrame .distinct() (a Deduplicate node pre-optimization — the
+      // analyzed-plan match never saw it) and SQL DISTINCT; the explicit
+      // cases remain for plans inspected before those rules fire.
+      val broadcastThreshold =
+        df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      def shufflePartitioned(p: LogicalPlan): Boolean = p match {
+        case j: Join =>
+          val leftSmall = broadcastThreshold >= 0 &&
+            j.left.stats.sizeInBytes <= broadcastThreshold
+          val rightSmall = broadcastThreshold >= 0 &&
+            j.right.stats.sizeInBytes <= broadcastThreshold
+          if (leftSmall && !rightSmall) shufflePartitioned(j.right)
+          else if (rightSmall && !leftSmall) shufflePartitioned(j.left)
+          else if (leftSmall && rightSmall)
+            shufflePartitioned(j.left) || shufflePartitioned(j.right)
+          else true // neither side broadcast-able: shuffled equi/cartesian join
+        case _: Aggregate | _: Window | _: Distinct | _: Deduplicate => true
         case _: RepartitionOperation | _: Sort => true
-        case _ => false
+        case other => other.children.exists(shufflePartitioned)
       }
-      if (hasWideOp) df
+      if (shufflePartitioned(df.queryExecution.optimizedPlan)) df
       else if (df.rdd.getNumPartitions < target) df.repartition(target)
       else df
     }

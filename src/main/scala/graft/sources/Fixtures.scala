@@ -81,6 +81,12 @@ object Fixtures {
    * `_OK` marker is written only after all five index tables landed (the
    * cache key is versioned — `_v2` added the `cutfps` table — so a stale
    * pre-upgrade cache is rebuilt, not read with a missing table).
+   *
+   * INVARIANT: every registered query that pairs this index with a base
+   * DataFrame (`pipeline_crawl_increment`) must derive that base with the
+   * SAME `doc_id % 5 != 0` split — an index over a different corpus than
+   * the query's base makes dups against the difference set invisible to
+   * the engine while the oracle still sees them (ADVICE r8).
    */
   def dedupIndex(s: SparkSession, dir: String): graft.operators.Dedup.DedupIndex =
     graft.operators.Dedup.readIndex(s, dedupIndexPath(s, dir))

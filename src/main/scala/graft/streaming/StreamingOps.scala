@@ -58,11 +58,12 @@ object StreamingOps {
    * Streaming delta-vs-index SEMANTIC dedup — the continuous-crawl form of
    * [[graft.operators.Dedup.incrementalSemantic]], and the fourth key
    * space's serving path next to [[incrementalExactStream]]. Each streamed
-   * vector is quantized and assigned its top-2 spill cells MAP-SIDE (the
-   * index's committed centroids — same codegen'd integer argmax as batch),
-   * then probes a per-cell MEMBERS layout of the static index
+   * vector is quantized and assigned its top-`nassign` spill cells MAP-SIDE
+   * (fan-out and centroids both read from the index, so the batch-parity
+   * contract can't silently break on an index built with a different spill
+   * factor), then probes a per-cell MEMBERS layout of the static index
    * (`cell → array[(id, q, norm2)]`, built once at stream construction)
-   * through TWO stream-static equi left joins — one per spill rank, NO
+   * through one stream-static equi left join per spill rank, NO
    * explode, so every input row stays exactly one output row and the plan is
    * completely STATE-FREE: no watermark, no aggregation state, runs
    * indefinitely. Partner existence is an array-side `exists` with the same
@@ -95,9 +96,12 @@ object StreamingOps {
     val members = index.cells.groupBy("cell")
       .agg(collect_list(struct(col("id"), col("q"), col("norm2"))).as("ms"))
     val qCents = index.centroids.map(x => math.round(x * 1e6))
+    // probe fan-out derives from the INDEX's spill factor (ADVICE r8): a
+    // hardcoded 2 would silently diverge from batch for an index built with
+    // any other nassign — missed partners, no error
     val probed = Dedup.quantized(stream, idCol, vecCol)
       .withColumn("cells", graft.functions.expressions.NearestCentroidsQ(
-        col("q"), qCents, index.nlist, index.dim, 2))
+        col("q"), qCents, index.nlist, index.dim, index.nassign))
     def anyPartner(ms: Column): Column = coalesce(
       exists(ms, m => {
         val dot = aggregate(
@@ -107,14 +111,16 @@ object StreamingOps {
             lit(thresholdNum * thresholdNum) * col("norm2") * m.getField("norm2")
       }),
       lit(false))
-    probed
-      .withColumn("cell", element_at(col("cells"), 1))
-      .join(members.withColumnRenamed("ms", "m1"), Seq("cell"), "left")
-      .withColumn("cell2", element_at(col("cells"), 2))
-      .join(members.withColumnRenamed("ms", "m2")
-        .withColumnRenamed("cell", "cell2"), Seq("cell2"), "left")
-      .select(col("id").as(idCol), col("cell").cast("long").as("cell"),
-        !(anyPartner(col("m1")) || anyPartner(col("m2"))).as("keep"))
+    // one stream-static equi left join per spill rank — still explode-free
+    // (every input row stays one output row) and state-free at any nassign
+    val ranks = 1 to index.nassign
+    val joined = ranks.foldLeft(probed) { (df, r) =>
+      df.withColumn(s"cell_$r", element_at(col("cells"), r))
+        .join(members.withColumnRenamed("ms", s"m_$r")
+          .withColumnRenamed("cell", s"cell_$r"), Seq(s"cell_$r"), "left")
+    }
+    joined.select(col("id").as(idCol), col("cell_1").cast("long").as("cell"),
+      !ranks.map(r => anyPartner(col(s"m_$r"))).reduce(_ || _).as("keep"))
   }
 
   final case class CellVersion(cellKey: String, versionMs: Long, value: Long)

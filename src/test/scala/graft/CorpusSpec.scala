@@ -194,6 +194,12 @@ class CorpusSpec extends AnyFunSuite {
     assert(norm("http://site.org:8080/a") == "http://site.org:8080/a")
     // tracking param FIRST: the '&' of the next param is promoted to '?'
     assert(norm("http://s.io/p?utm_campaign=X&id=4&gclid=z") == "http://s.io/p?id=4")
+    // tracking param FIRST with TWO surviving params (ADVICE r8): the FIRST
+    // '&' must be promoted — a greedy prefix promoted the LAST one, yielding
+    // the malformed 'p&id=22?page=2' whose id migrates into the path
+    assert(norm("http://s.io/p?utm_campaign=X&id=22&page=2") == "http://s.io/p?id=22&page=2")
+    // both forms of the same resource land on the SAME canonical key
+    assert(norm("http://s.io/p?utm_campaign=X&id=22&page=2") == norm("http://s.io/p?id=22&page=2"))
     // tracking param ONLY: no dangling '?'
     assert(norm("http://s.io/p?ref=rss") == "http://s.io/p")
     // 'ref=' inside an innocent 'href=' param is NOT eaten (separator is

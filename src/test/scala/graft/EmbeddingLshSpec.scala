@@ -44,6 +44,23 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(rows(Dedup.embeddingNearDupAuto(e, dim = 64)) == rows(Dedup.embeddingNearDup(e)))
   }
 
+  test("broadcast size gate: oversized build side falls back to a partitioned cartesian (ADVICE r8)") {
+    // a separate session (own SQLConf, shared context) with auto-broadcast
+    // off: at a real over-ceiling corpus the stats would blow the planner's
+    // threshold too — the tiny test frame needs the same planner behavior
+    // forced, or Spark re-broadcasts the unhinted cross join by size
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val e = graft.sources.Tables.embeddings(s2, "/root/testdata/sf0.001")
+    val gated = Dedup.embeddingNearDup(e, broadcastMaxBytes = 0L)
+    // the fallback must shuffle the n-row sides, never broadcast them...
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct"), s"expected partitioned cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"gate must disable the broadcast:\n$plan")
+    // ...and the answer is the SAME exact all-pairs output
+    assert(rows(gated) == rows(Dedup.embeddingNearDup(e)))
+  }
+
   test("auto dispatch: high threshold routes to LSH and recovers planted clones") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
