@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Corpus, TrainingSet, TextAnalysis, Parallelism}
