@@ -251,7 +251,7 @@ object TrainingSet {
    * Scale shape: every exchange is delta-sized (the probes broadcast the
    * delta and scan the index; the scrub and gate are pure projections); the
    * base corpus is touched only by the matched-ids text fetch inside the
-   * span cut. ScaleBench measures the whole loop flat in base size.
+   * span cut.
    */
   def crawlIncrement(
       delta: DataFrame,
@@ -259,6 +259,8 @@ object TrainingSet {
       base: DataFrame,
       maxDupFrac: (Int, Int) = (1, 2),
       maxTopTokenFrac: (Int, Int) = (1, 10),
+      lmModel: Option[Corpus.LmModel] = None,
+      lmKeep: (Long, Long) = (1, 1),
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, Dedup.DedupIndex) = {
     val (dn, dd) = maxDupFrac
@@ -279,7 +281,7 @@ object TrainingSet {
     // exchanges)
     val scrubbed = Corpus.piiScrub(cut, idCol, "clean_text",
       passthrough = Seq("n_removed"))
-    val accepted = Corpus.repetitionMetrics(scrubbed, idCol, "clean_text",
+    val gated = Corpus.repetitionMetrics(scrubbed, idCol, "clean_text",
         passthrough = Seq("clean_text", "n_removed", "n_emails", "n_ips", "n_phones"))
       .filter(
         (col("n_tokens") - col("n_distinct_tokens")) * lit(dd.toLong)
@@ -287,6 +289,19 @@ object TrainingSet {
       .filter(col("top_token_count") * lit(td.toLong) <= col("n_tokens") * lit(tn.toLong))
       .select(col(idCol), col("clean_text"), col("n_removed"),
         col("n_emails"), col("n_ips"), col("n_phones"), col("n_tokens"))
+    // 4.5 (optional) LM quality gate against a FIXED persisted model
+    // (VERDICT r8 #7): score the cleaned survivors, keep relative to THIS
+    // increment's mean ([[Corpus.lmScoreModel]]'s contract) — the model is
+    // broadcast count tables, so the stage adds zero wide exchanges over
+    // the delta beyond the per-doc score aggregate
+    val accepted = lmModel match {
+      case None => gated
+      case Some(m) =>
+        gated.join(
+          Corpus.lmScoreModel(gated, m, lmKeep._1, lmKeep._2, idCol, "clean_text")
+            .filter(col("keep")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+    }
     // 5. the next crawl probes base ∪ this increment
     val grown = Dedup.appendIndex(index,
       accepted.select(col(idCol), col("clean_text").as(textCol)),

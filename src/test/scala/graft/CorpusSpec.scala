@@ -243,6 +243,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 1L, true), (2L, 2L, 4L, false), (3L, 2L, 5L, false)))
   }
 
+  test("lmScore model caps: capped-out unigrams score unseen, zero bigrams = pure backoff") {
+    // train: uni a:3 b:2 c:1, T=6 (UNCAPPED — the normalization constant
+    // must survive the cut); maxVocab=2 keeps {a,b}, drops c; maxBigrams=0
+    // removes the bigram table entirely
+    val train = Seq((10L, "a b"), (11L, "a b"), (12L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"), // 'a' first: fl(6)-fl(3)=1; 'b' backoff: 1+fl(6)-fl(2)=2 → 3
+      (2L, "a c"), // 'a'=1; 'c' CAPPED OUT → unseen fl(6)+1=3             → 4
+      (3L, "z a")  // 'z' unseen: 3; 'a' backoff: 1+fl(6)-fl(3)=2          → 5
+    ).toDF("doc_id", "text")
+    val got = Corpus.lmScore(score, train, maxVocab = 2, maxBigrams = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // totals: tot_tok=6, tot_bits=12 → keep ⇔ lm_bits·6 ≤ n_tokens·12
+    assert(got == Seq((1L, 2L, 3L, true), (2L, 2L, 4L, true), (3L, 2L, 5L, false)))
+  }
+
   test("lmScore plan: model broadcast to the scoring side, no sort-merge join") {
     val p = plan("filter_lm_score")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
