@@ -306,6 +306,97 @@ object ScaleBench {
         s"semantic delta probe must not scale with base size: $semTimes")
     }
 
+    // ---- crawl round-trip END-TO-END: whole-loop cost vs base size ----
+    // (VERDICT r8 #4 — the claim crawlIncrement's scaladoc makes, measured.)
+    // The SAME 1000-doc delta runs the full stage 1–4 loop (exact probe →
+    // span cut → PII scrub → repetition gate) against the 1× and 10× base
+    // indexes the incremental section just built; if any stage secretly
+    // re-scanned the base, the second run would be ~10× slower. Planted
+    // ground truth per delta doc (kind = id mod 10):
+    //   0 → exact copy of a base target          (must fall at stage 1)
+    //   1 → 29-token span copied from a base target + 15 unique fresh
+    //       tokens                       (survives, n_removed == 29 exactly)
+    //   2 → fresh text + one planted email      (survives, n_emails == 1)
+    //   3 → a PER-DOC token repeated 30×        (must fall at the gate)
+    //   else → fresh                    (survives untouched, n_removed == 0)
+    if (nDocs >= 10000) {
+      import graft.operators.{Dedup, TrainingSet}
+      val deltaN = 1000L
+      val nTargets = (nDocs / 10) / 50
+      val body29 = concat_ws(" ", (0 until 29).map(j =>
+        concat(lit("w"), pmod(xxhash64(col("seed") * lit(31L) + lit(j.toLong)), lit(100000L)))): _*)
+      val lastTok = concat(lit("w"), pmod(xxhash64(col("seed") * lit(31L) + lit(29L)), lit(100000L)))
+      // 15 tail tokens made unique BY CONSTRUCTION (t<id>x<j>): a hash-drawn
+      // tail can repeat a token (~0.1%/doc), and any repeat in a 15-token
+      // survivor trips the 10% top-token gate — the assertion would be flaky
+      val freshTail = concat_ws(" ", (0 until 15).map(j =>
+        concat(lit("t"), col("id"), lit(s"x$j"))): _*)
+      val crawlDelta = spark.range(deltaN)
+        .withColumn("target", pmod(col("id"), lit(nTargets)) * 50L + 2L)
+        .withColumn("kind", pmod(col("id"), lit(10L)))
+        .withColumn("seed",
+          when(col("kind") <= 1L, col("target")).otherwise(col("id") + lit(3L * nDocs)))
+        .withColumn("text",
+          when(col("kind") === 1L, concat_ws(" ", body29, freshTail))
+            .when(col("kind") === 2L,
+              concat_ws(" ", body29, concat(lit("u"), col("id"), lit("@example.com"))))
+            // per-doc repeated token (r<id>, not a shared literal): identical
+            // junk docs would be intra-delta exact-span copies of EACH OTHER,
+            // get fully cut to "" at stage 2, and an empty doc slips the
+            // repetition gate (0 <= 0) — the fixture must make the GATE the
+            // stage that kills them
+            .when(col("kind") === 3L, concat_ws(" ",
+              (0 until 30).map(_ => concat(lit("r"), col("id"))): _*))
+            .otherwise(concat_ws(" ", body29, lastTok))) // kinds 0 and 4–9
+        .select((col("id") + lit(nDocs)).as("doc_id"), col("text"), col("kind"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      crawlDelta.count()
+      val probeDelta = crawlDelta.select("doc_id", "text")
+      val crawlTimes = Seq(nDocs / 10, nDocs).map { baseN =>
+        // the index the incremental section built+wrote this run
+        val idx = Dedup.readIndex(spark, s"/tmp/graft-fixtures/scalebench-incidx-v1-$baseN")
+        val baseDocs = mkDocs(baseN)
+        // the cutFps key-space probe alone (stage 2's detection half): the
+        // r8 redesign that keeps the base-text fetch delta-sized
+        time(s"cutFps span probe: $deltaN-doc delta vs $baseN-doc index") {
+          val cut = Dedup.incrementalCutSpans(
+            crawlDelta.filter(col("kind") === 1L).select("doc_id", "text"),
+            idx, baseDocs).collect()
+          val exact29 = cut.count(_.getLong(2) == 29L)
+          println(s"[scale] cutFps: $exact29/${cut.length} span docs cut exactly 29 tokens")
+          assert(exact29 == deltaN / 10,
+            s"every planted span doc must lose exactly its 29-token run: $exact29")
+        }
+        val t = System.nanoTime()
+        time(s"crawl increment END-TO-END: $deltaN-doc delta vs $baseN-doc base") {
+          val accepted = TrainingSet.crawlIncrement(probeDelta, idx, baseDocs)._1.collect()
+          val byId = accepted.map(r => r.getLong(0) -> r).toMap
+          def kindOf(id: Long) = (id - nDocs) % 10
+          assert(!byId.keys.exists(id => kindOf(id) == 0L), "exact copies must fall at stage 1")
+          assert(!byId.keys.exists(id => kindOf(id) == 3L), "repetition junk must fall at the gate")
+          val spanRows = accepted.filter(r => kindOf(r.getLong(0)) == 1L)
+          assert(spanRows.length == (deltaN / 10).toInt &&
+            spanRows.forall(r => r.getLong(2) == 29L && r.getLong(6) == 15L),
+            s"span docs must survive with exactly 29 removed / 15 kept tokens")
+          val piiRows = accepted.filter(r => kindOf(r.getLong(0)) == 2L)
+          assert(piiRows.length == (deltaN / 10).toInt &&
+            piiRows.forall(r => r.getLong(3) == 1L && r.getString(1).contains("<EMAIL>")),
+            "pii docs must survive scrubbed with n_emails == 1")
+          val fresh = accepted.filter(r => kindOf(r.getLong(0)) >= 4L)
+          assert(fresh.length == (deltaN / 10 * 6).toInt &&
+            fresh.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
+            "fresh docs must survive untouched")
+          println(s"[scale] crawl accepted ${accepted.length}/$deltaN " +
+            s"(${spanRows.length} cut, ${piiRows.length} scrubbed)")
+        }
+        (System.nanoTime() - t) / 1e9
+      }
+      crawlDelta.unpersist()
+      println(f"[scale] crawl loop at 1× vs 10× base: ${crawlTimes.head}%.2f s vs ${crawlTimes.last}%.2f s")
+      assert(crawlTimes.last <= crawlTimes.head * 3 + 2.0,
+        s"the crawl loop must not scale with base size: $crawlTimes")
+    }
+
     // ---- training-set assembly at corpus scale ----
     // guarded like the bucket assertions above: a tiny CLI run (nDocs < 100)
     // has too few planted clones / docs for the recall and invariant checks
