@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
@@ -67,6 +67,21 @@ object SparkEntry {
         .otherwise(lit(""))))
   }
 
+  /** Deterministic host mix for `curate_reg_domain`, one case per PSL rule
+    * class (multi-label suffix / private-section / wildcard / bare-wildcard
+    * NULL case / exception / unknown-TLD default / plain), mirrored
+    * byte-for-byte in the oracle CTE. */
+  private def regDomainHost: Column = {
+    val id = col("doc_id").cast("string")
+    when(col("doc_id") % 7 === 0, concat(lit("deep.sub"), id, lit(".example.co.uk")))
+      .when(col("doc_id") % 7 === 1, concat(lit("blog"), id, lit(".blogspot.com")))
+      .when(col("doc_id") % 7 === 2, concat(lit("w"), id, lit(".weird.ck")))
+      .when(col("doc_id") % 7 === 3, lit("orphan.ck"))
+      .when(col("doc_id") % 7 === 4, concat(lit("s"), id, lit(".www.ck")))
+      .when(col("doc_id") % 7 === 5, concat(lit("x"), id, lit(".example.zz")))
+      .otherwise(concat(lit("cdn"), id, lit(".example.com")))
+  }
+
   /** The messy-URL fixture replayed in DuckDB — WITH-clause body shared by
     * the three curate_* oracles (`urls`: doc_id, text, url; `norm`: + the
     * normalized URL and its domain, each regex step mirroring
@@ -104,6 +119,39 @@ object SparkEntry {
       |          '^([^?&]*)&', '\1?'),
       |        '[?&]$', '') AS url_norm
       |    FROM steps))""".stripMargin
+
+  /** The PSL registrable-domain algorithm replayed in DuckDB: a SELECT over
+    * `srcRel` (which must expose `domain`) that carries `keep` through and
+    * appends `reg_domain`, mirroring [[graft.operators.Corpus
+    * .registrableDomain]] decision-for-decision — suffix candidates via
+    * list slicing, the three rule classes as list literals from the SAME
+    * [[graft.sources.PslSnapshot]] seqs, exception-prevails then
+    * longest-match then the implicit default rule. Probe depth =
+    * `PslSnapshot.maxRuleLabels`; the operator's default 6 probes further
+    * but beyond-depth probes can't match (no longer rule exists), so the
+    * outputs are identical. */
+  private def pslRegSql(srcRel: String, keep: String): String = {
+    import graft.sources.PslSnapshot
+    def lst(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    val K = PslSnapshot.maxRuleLabels
+    val cands = (1 to K).map { k =>
+      s"CASE WHEN __n >= $k THEN array_to_string(__ls[__n-${k - 1}:__n], '.') END AS __c$k"
+    }.mkString(", ")
+    val exc = (K to 1 by -1).map { k =>
+      s"CASE WHEN __n >= $k AND list_contains(${lst(PslSnapshot.exceptions)}, __c$k) THEN ${k - 1} END"
+    }.mkString(", ")
+    val norm = (1 to K).map { k =>
+      s"CASE WHEN __n >= $k AND list_contains(${lst(PslSnapshot.normal)}, __c$k) THEN $k ELSE 0 END"
+    }.mkString(", ")
+    val wild = (1 to K).map { k =>
+      s"CASE WHEN __n >= ${k + 1} AND list_contains(${lst(PslSnapshot.wildcardBases)}, __c$k) THEN ${k + 1} ELSE 0 END"
+    }.mkString(", ")
+    s"""SELECT $keep,
+       |  string_split(domain, '.') AS __ls, len(__ls) AS __n, $cands,
+       |  coalesce($exc, greatest($norm, $wild, 1)) AS __ps,
+       |  CASE WHEN __n > __ps THEN array_to_string(__ls[__n-__ps:__n], '.') END AS reg_domain
+       |FROM $srcRel""".stripMargin.replace("\n", " ")
+  }
 
   /** Planted crawl delta + its base split, shared by the crawl-pipeline
     * queries: delta = `doc_id % 20 == 0` with deterministic exact-copy and
@@ -591,6 +639,30 @@ object SparkEntry {
           "domain", Corpus.urlDomain(Corpus.urlNormalize(col("url"))))
           .select("doc_id", "domain"),
         blockedDomains.toDF("pattern")).orderBy("doc_id")
+    },
+    // registrable-domain (eTLD+1) extraction against the shipped PSL
+    // snapshot, over a host mix that exercises every rule class: plain
+    // multi-label suffix, private-section suffix, wildcard *.ck (incl. the
+    // no-registrable bare case), exception !www.ck, and the implicit
+    // default rule on an unknown TLD. One-row broadcast + codegen'd
+    // membership chain — zero shuffles (plan-asserted in CorpusSpec)
+    "curate_reg_domain" -> { (s, d) =>
+      Corpus.registrableDomain(
+        documents(s, d).select(col("doc_id"), regDomainHost.as("domain")),
+        graft.sources.PslSnapshot.df(s)).orderBy("doc_id")
+    },
+    // per-REGISTRANT quota: the curate_domain_quota variant keyed on
+    // eTLD+1 — the fixture's ~100 hosts collapse to 5 registrable domains
+    // (example.{com,org,net,io,co.uk}), so a "link farm" spread across
+    // subdomains of one registrant shares ONE quota instead of evading it
+    // host-by-host (RefinedWeb's stated motivation for PSL keys)
+    "curate_domain_quota_etld" -> { (s, d) =>
+      Corpus.domainQuota(
+        Corpus.registrableDomain(
+          docUrls(s, d).withColumn(
+            "domain", Corpus.urlDomain(Corpus.urlNormalize(col("url")))),
+          graft.sources.PslSnapshot.df(s)),
+        quota = 3, domainCol = "reg_domain").orderBy("reg_domain", "rk")
     },
     // CCNet-style LM quality score: backoff-bigram model trained on the
     // md5-split train side, docs scored by integer floor-log2 surprisal
@@ -1569,6 +1641,24 @@ object SparkEntry {
           blockedDomains.map(p => s"('$p')").mkString(", ") +
           ") bl(pattern) WHERE domain = pattern OR ends_with(domain, '.' || pattern)) " +
           "ORDER BY doc_id").replace("\n", " "),
+      "curate_reg_domain" ->
+        ("WITH hosts AS (SELECT doc_id, " +
+          "CASE CAST(doc_id % 7 AS INTEGER) " +
+          "WHEN 0 THEN 'deep.sub' || doc_id || '.example.co.uk' " +
+          "WHEN 1 THEN 'blog' || doc_id || '.blogspot.com' " +
+          "WHEN 2 THEN 'w' || doc_id || '.weird.ck' " +
+          "WHEN 3 THEN 'orphan.ck' " +
+          "WHEN 4 THEN 's' || doc_id || '.www.ck' " +
+          "WHEN 5 THEN 'x' || doc_id || '.example.zz' " +
+          "ELSE 'cdn' || doc_id || '.example.com' END AS domain FROM documents), " +
+          s"reg AS (${pslRegSql("hosts", "doc_id, domain")}) " +
+          "SELECT doc_id, domain, reg_domain FROM reg ORDER BY doc_id"),
+      "curate_domain_quota_etld" ->
+        (s"WITH $urlOracleCte, " +
+          s"reg AS (${pslRegSql("norm", "doc_id, text, domain")}) " +
+          "SELECT reg_domain, rk, doc_id FROM (SELECT reg_domain, doc_id, " +
+          "row_number() OVER (PARTITION BY reg_domain ORDER BY md5(text), doc_id) AS rk " +
+          "FROM reg) WHERE rk <= 3 ORDER BY reg_domain, rk"),
 
       // ---- similarity search ----
       "ann_topk_dot" ->

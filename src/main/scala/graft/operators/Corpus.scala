@@ -320,13 +320,86 @@ object Corpus {
   }
 
   /** The host of a [[urlNormalize]]d URL, with a leading `www.` dropped —
-    * the key domain quotas and blocklists join on. (Registrable-domain
-    * (eTLD+1) extraction needs the Public Suffix List shipped as a lookup
-    * table; host-level keys are what CCNet's own pipeline uses.) */
+    * the key domain quotas and blocklists join on. (Host-level keys are
+    * what CCNet's own pipeline uses; for the registrable-domain (eTLD+1)
+    * key that a subdomain link-farm can't evade, feed this through
+    * [[registrableDomain]].) */
   def urlDomain(urlNorm: Column): Column =
     regexp_replace(
       regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
       "^www\\.", "")
+
+  /**
+   * Registrable-domain (eTLD+1) extraction against a Public Suffix List
+   * lookup table ([[graft.sources.PslSnapshot]] ships a snapshot) — the
+   * curation key that collapses every subdomain of one registrant into one
+   * key (`a.farm.example.com` and `b.farm.example.com` → `example.com`)
+   * while keeping independent registrants under a shared hosting suffix
+   * apart (`alice.github.io` vs `bob.github.io` — `github.io` is a PSL
+   * private-section suffix). Host-level quotas have exactly the inverse
+   * blind spot: a link farm spreading over subdomains evades them
+   * (VERDICT r8 gap #1).
+   *
+   * Implements the PSL's published algorithm over a `(rule)` table in PSL
+   * spelling (`co.uk`, wildcard `*.ck`, exception `!www.ck`):
+   *
+   *   1. among matching rules, an EXCEPTION rule prevails: the public
+   *      suffix is the exception minus its leftmost label;
+   *   2. otherwise the longest match prevails (a wildcard `*.b` matching
+   *      `a.b` counts `a.b`'s labels), defaulting to the bare TLD (the
+   *      list's implicit `*` rule) when nothing matches;
+   *   3. registrable domain = public suffix + one preceding label; a host
+   *      that IS a public suffix (or single-label) has none → NULL.
+   *
+   * Scale shape: same as [[blocklistFilter]] — the rule table collapses to
+   * ONE row of three sorted arrays (plain rules / wildcard bases /
+   * exceptions) riding the plan as a single-row broadcast, and the match
+   * is a codegen'd chain of `array_contains` probes over the host's
+   * ≤ `maxRuleLabels` label-suffixes. Pure map-side projection, zero
+   * exchanges, docs never shuffle; binary-search membership over the
+   * sorted full ~10⁴-rule PSL is microseconds per row. `maxRuleLabels`
+   * must cover the longest rule (labels, wildcards +1) —
+   * [[graft.sources.PslSnapshot.maxRuleLabels]] computes it for the
+   * shipped snapshot; 6 covers the real list's longest entries.
+   */
+  def registrableDomain(docs: DataFrame, psl: DataFrame,
+      domainCol: String = "domain", outCol: String = "reg_domain",
+      ruleCol: String = "rule", maxRuleLabels: Int = 6): DataFrame = {
+    require(maxRuleLabels >= 1, s"maxRuleLabels must be >= 1 (got $maxRuleLabels)")
+    val r = col(ruleCol)
+    val pats = psl.agg(
+      sort_array(collect_set(
+        when(!r.startsWith("!") && !r.startsWith("*."), r))).as("__psl_norm"),
+      sort_array(collect_set(
+        when(r.startsWith("*."), regexp_replace(r, "^\\*\\.", "")))).as("__psl_wild"),
+      sort_array(collect_set(
+        when(r.startsWith("!"), regexp_replace(r, "^!", "")))).as("__psl_exc"))
+    val labels = split(col(domainCol), "\\.")
+    val n = size(labels)
+    // the k-label suffix of the host ("a.b.c", k=2 → "b.c"). The start is
+    // clamped to 1 because Spark may evaluate a CaseWhen branch's value
+    // eagerly (subexpression elimination across branches) even when its
+    // `n >= k` guard is false — slice(start=0) would then throw; the guard
+    // still discards the (wrong) clamped candidate, so results are exact.
+    def cand(k: Int) = array_join(slice(labels, greatest(n - lit(k - 1), lit(1)), lit(k)), ".")
+    // longest matching exception wins (coalesce probes K down to 1)
+    val excLen = (maxRuleLabels to 1 by -1).map { k =>
+      when(n >= k && array_contains(col("__psl_exc"), cand(k)), lit(k - 1))
+    }.reduce(coalesce(_, _))
+    // longest normal/wildcard match, else the implicit `*` default (1 label)
+    val lens = (1 to maxRuleLabels).flatMap { k =>
+      Seq(
+        when(n >= k && array_contains(col("__psl_norm"), cand(k)), lit(k)).otherwise(lit(0)),
+        when(n >= k + 1 && array_contains(col("__psl_wild"), cand(k)), lit(k + 1))
+          .otherwise(lit(0)))
+    } :+ lit(1)
+    val psLen = coalesce(excLen, greatest(lens: _*))
+    docs.crossJoin(broadcast(pats))
+      .withColumn(outCol,
+        when(n > psLen,
+          array_join(slice(labels, greatest(n - psLen, lit(1)), psLen + lit(1)), ".")))
+      .drop("__psl_norm", "__psl_wild", "__psl_exc")
+  }
 
   /**
    * Per-domain quota sampling — bound any single domain's share of the

@@ -266,6 +266,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"token rows must never shuffle for a join:\n$p")
   }
 
+  test("registrableDomain: PSL algorithm hand-checked across every rule class") {
+    val d = Seq(
+      (1L, "example.com"),            // no rule → implicit * default
+      (2L, "a.b.example.com"),        // deep subdomain collapses
+      (3L, "example.co.uk"),          // multi-label ICANN suffix
+      (4L, "x.example.co.uk"),
+      (5L, "co.uk"),                  // host IS a public suffix → NULL
+      (6L, "alice.github.io"),        // private-section suffix
+      (7L, "github.io"),              // the suffix itself → NULL
+      (8L, "foo.bar.ck"),             // wildcard *.ck: ps = bar.ck
+      (9L, "bar.ck"),                 // bare wildcard match → NULL
+      (10L, "www.ck"),                // exception !www.ck → itself
+      (11L, "sub.www.ck"),            // under the exception
+      (12L, "ck"),                    // bare TLD → NULL
+      (13L, "localhost"),             // single label → NULL
+      (14L, "b.s3.amazonaws.com"),    // 3-label private rule
+      (15L, "thing.example.zz")       // unknown TLD → default rule
+    ).toDF("doc_id", "domain")
+    val got = Corpus.registrableDomain(d, graft.sources.PslSnapshot.df(spark))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got == Map(
+      1L -> Some("example.com"), 2L -> Some("example.com"),
+      3L -> Some("example.co.uk"), 4L -> Some("example.co.uk"), 5L -> None,
+      6L -> Some("alice.github.io"), 7L -> None,
+      8L -> Some("foo.bar.ck"), 9L -> None,
+      10L -> Some("www.ck"), 11L -> Some("www.ck"), 12L -> None, 13L -> None,
+      14L -> Some("b.s3.amazonaws.com"), 15L -> Some("example.zz")))
+  }
+
+  test("registrableDomain plan: one-row PSL broadcast, docs never shuffle") {
+    val p = plan("curate_reg_domain")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"PSL arrays must ride a one-row broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"docs must not shuffle:\n$p")
+  }
+
   test("curate plans: normalize is a pure projection; blocklist broadcasts one row, docs never shuffle") {
     val pn = plan("curate_url_normalize")
     assert(!pn.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$pn")
