@@ -397,6 +397,50 @@ object ScaleBench {
         s"the crawl loop must not scale with base size: $crawlTimes")
     }
 
+    // ---- incremental IMAGE dedup: probe cost vs base size ----
+    // The fifth key space's flat-probe claim: a fixed delta of near-dup
+    // re-renders probed against a persisted MediaIndex must cost ~the delta
+    // whether the index holds nImgs/10 or nImgs hashes — base PAYLOADS are
+    // decoded once at build (the timed O(base) construction line) and never
+    // again at probe. Planted ground truth: the delta is the % 10 == 1
+    // re-renders (brightness shift / JPEG requant of id-1) drawn from the
+    // SMALL corpus, so every target original lives in both bases; each
+    // delta image must surface exactly its original within Hamming 3.
+    if (nDocs >= 10000) {
+      import graft.operators.Multimodal
+      val nImgs = (rows / 10000L).toInt // 10k images for the default 100M run
+      val deltaImgs = Multimodal.syntheticImageDups(spark, nImgs / 10)
+        .filter((r: Multimodal.MediaRecord) => r.media_id % 10 == 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deltaN = deltaImgs.count() // nImgs/100
+      val imgTimes = Seq(nImgs / 10, nImgs).map { baseN =>
+        val idxDir = s"/tmp/graft-fixtures/scalebench-mediaidx-v1-$baseN"
+        time(s"build+write media index over ~$baseN images (decode once, O(base))") {
+          Multimodal.writeMediaIndex(
+            Multimodal.buildMediaIndex(
+              Multimodal.syntheticImageDups(spark, baseN)
+                .filter((r: Multimodal.MediaRecord) => r.media_id % 10 != 1)), idxDir)
+        }
+        val idx = Multimodal.readMediaIndex(spark, idxDir)
+        val t = System.nanoTime()
+        time(s"image probe: $deltaN-image delta vs ~$baseN-image index") {
+          val got = Multimodal.incrementalImageNearDup(deltaImgs, idx)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val planted = got.count(p => p._2 == p._1 - 1)
+          println(s"[scale] image probe: $planted/$deltaN planted originals found, ${got.length} total")
+          assert(planted == deltaN, s"every re-render must find its original: $planted/$deltaN")
+          // dHash's documented false-positive floor (see ImageDedupSpec):
+          // bound accidental collisions, don't assert zero
+          assert(got.length - planted <= deltaN, s"collision blowup: ${got.length - planted}")
+        }
+        (System.nanoTime() - t) / 1e9
+      }
+      deltaImgs.unpersist()
+      println(f"[scale] image probe at 1× vs 10× base: ${imgTimes.head}%.2f s vs ${imgTimes.last}%.2f s")
+      assert(imgTimes.last <= imgTimes.head * 3 + 2.0,
+        s"image delta probe must not scale with base size: $imgTimes")
+    }
+
     // ---- training-set assembly at corpus scale ----
     // guarded like the bucket assertions above: a tiny CLI run (nDocs < 100)
     // has too few planted clones / docs for the recall and invariant checks

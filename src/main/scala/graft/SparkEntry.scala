@@ -923,6 +923,20 @@ object SparkEntry {
     // caveat as multimodal_features).
     "dedup_image_phash" -> ((s, _) =>
       Multimodal.imageDHashNearDup(Multimodal.syntheticImageDups(s, 300))),
+    // image-tier incremental dedup (VERDICT r8 gap #4 — the fifth key
+    // space): the same planted corpus split into base (the originals) and
+    // delta (the % 10 == 1 near-dup re-renders); every delta image must
+    // surface its base original through the persisted (id, h) MediaIndex,
+    // base payloads never re-decoded. Golden-pinned like dedup_image_phash
+    // (DuckDB decodes no images; JDK JPEG IDCT caveat applies). Parity
+    // with the full imageDHashNearDup recompute is pinned in MediaIndexSpec.
+    "dedup_incremental_image" -> ((s, _) => {
+      val media = Multimodal.syntheticImageDups(s, 300)
+      Multimodal.incrementalImageNearDup(
+        media.filter((r: Multimodal.MediaRecord) => r.media_id % 10 == 1),
+        Multimodal.buildMediaIndex(
+          media.filter((r: Multimodal.MediaRecord) => r.media_id % 10 != 1)))
+    }),
 
     // ---- temporal joins (beyond-reference: the reference is single-table,
     // SURVEY §2.2; these are the first two join shapes its users need) ------

@@ -32,7 +32,8 @@ class GoldenFileSpec extends AnyFunSuite {
   private val goldenQueries =
     Seq("ann_topk_cosine_lsh", "ann_topk_cosine_ivf", "dedup_minhash",
       "dedup_incremental_near", "dedup_simhash", "dedup_image_phash",
-      "text_fingerprint", "text_winnow", "multimodal_features")
+      "dedup_incremental_image", "text_fingerprint", "text_winnow",
+      "multimodal_features")
 
   private lazy val inputFingerprint: String = {
     val md = MessageDigest.getInstance("MD5")
