@@ -29,7 +29,11 @@ class PlanContractSpec extends AnyFunSuite {
 
   test("ts aggregations: column pruning reads only ts and value") {
     val p = plan("ts_max_900")
-    assert(p.contains("ReadSchema: struct<ts:bigint,value:double>"), s"over-read:\n$p")
+    // the driver's fixture has shipped ts as epoch-millis bigint and as
+    // timestamp_ntz across rounds; the contract is the PRUNING (two columns
+    // reach the scan), not the physical type of ts
+    assert("ReadSchema: struct<ts:[a-z_0-9()]+,value:double>".r.findFirstIn(p).isDefined,
+      s"over-read:\n$p")
   }
 
   test("ts aggregations: exactly one aggregation exchange (partial/final split)") {
