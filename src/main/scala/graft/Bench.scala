@@ -234,10 +234,11 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r8: fixtures unchanged since r7 (r7 planted PII/near-dup rows); " +
-      "7 queries new this round: dedup_incremental_semantic, dedup_incremental_cut, " +
-      "pipeline_crawl_increment, curate_url_normalize/domain_quota/blocklist, " +
-      "filter_lm_score - other per-query deltas vs r7 are plan or machine noise"
+    val notes = "r9: driver REGENERATED all testdata between rounds (ts column is now " +
+      "timestamp_ntz, was epoch-millis bigint; content equivalent - goldens unchanged); " +
+      "4 queries new this round: pipeline_crawl_lm_gate, curate_reg_domain, " +
+      "curate_domain_quota_etld, dedup_incremental_image - " +
+      "other per-query deltas vs r8 are plan or machine noise"
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window
