@@ -356,8 +356,15 @@ object Corpus {
    * exceptions) riding the plan as a single-row broadcast, and the match
    * is a codegen'd chain of `array_contains` probes over the host's
    * ≤ `maxRuleLabels` label-suffixes. Pure map-side projection, zero
-   * exchanges, docs never shuffle; binary-search membership over the
-   * sorted full ~10⁴-rule PSL is microseconds per row. `maxRuleLabels`
+   * exchanges, docs never shuffle. Per-row CPU: Spark's `array_contains`
+   * is a LINEAR scan (not binary search — the arrays are sorted only for
+   * plan determinism), so the full ~10⁴-rule PSL costs ≤ 18 probes ×
+   * ~10⁴ string compares ≈ tens of µs per row — map-parallel and still
+   * dwarfed by the scan at any corpus size, but it is the measured
+   * constant behind `curate_domain_quota_etld`'s 4.4× sf1 sweep ratio
+   * (sublinear; the candidate-suffix construction re-runs per probe
+   * branch). A 10⁶-rule private list should swap the probe chain for a
+   * broadcast hash join on the label-suffix. `maxRuleLabels`
    * must cover the longest rule (labels, wildcards +1) —
    * [[graft.sources.PslSnapshot.maxRuleLabels]] computes it for the
    * shipped snapshot; 6 covers the real list's longest entries.
