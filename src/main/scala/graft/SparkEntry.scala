@@ -1587,7 +1587,7 @@ object SparkEntry {
            |    CASE WHEN (p).prev IS NULL THEN
            |           CASE WHEN uni.cw IS NOT NULL THEN (length(bin(T))-1) - (length(bin(uni.cw))-1)
            |                ELSE length(bin(T)) END
-           |         WHEN big.cuv IS NOT NULL THEN (length(bin(up.cw))-1) - (length(bin(big.cuv))-1)
+           |         WHEN big.cuv IS NOT NULL AND up.cw IS NOT NULL THEN (length(bin(up.cw))-1) - (length(bin(big.cuv))-1)
            |         WHEN uni.cw IS NOT NULL THEN 1 + (length(bin(T))-1) - (length(bin(uni.cw))-1)
            |         ELSE length(bin(T)) END AS bits
            |  FROM lpos CROSS JOIN tot
@@ -1624,7 +1624,7 @@ object SparkEntry {
           |    CASE WHEN (p).prev IS NULL THEN
           |           CASE WHEN uni.cw IS NOT NULL THEN (length(bin(T))-1) - (length(bin(uni.cw))-1)
           |                ELSE length(bin(T)) END
-          |         WHEN big.cuv IS NOT NULL THEN (length(bin(up.cw))-1) - (length(bin(big.cuv))-1)
+          |         WHEN big.cuv IS NOT NULL AND up.cw IS NOT NULL THEN (length(bin(up.cw))-1) - (length(bin(big.cuv))-1)
           |         WHEN uni.cw IS NOT NULL THEN 1 + (length(bin(T))-1) - (length(bin(uni.cw))-1)
           |         ELSE length(bin(T)) END AS bits
           |  FROM pos CROSS JOIN tot

@@ -596,7 +596,16 @@ object Corpus {
           when(col("p.prev").isNull,
             when(col("cw").isNotNull, lit(tBits) - flog2(col("cw")))
               .otherwise(lit(tBits) + 1))
-            .when(col("cuv").isNotNull, flog2(col("cprev")) - flog2(col("cuv")))
+            // cprev guard: a bigram can survive the maxBigrams cut while its
+            // PREV word fell to the maxVocab cut (possible only when the caps
+            // bind — never at fixture scale). Without the guard that token's
+            // bits are NULL and sum() silently DROPS them — i.e. the token
+            // scores cheaper than the most frequent known word, inverting the
+            // "a cap only removes information" contract. With it, the token
+            // falls to the backoff branch like any other unmodelable context.
+            // The DuckDB oracles carry the same guard (both ladder copies).
+            .when(col("cuv").isNotNull && col("cprev").isNotNull,
+              flog2(col("cprev")) - flog2(col("cuv")))
             .when(col("cw").isNotNull, lit(1L) + lit(tBits) - flog2(col("cw")))
             .otherwise(lit(tBits) + 1))
         .groupBy(col("__id"), col("n_tokens"))

@@ -34,6 +34,29 @@ class LmModelSpec extends AnyFunSuite {
     assert(rows(Corpus.lmScoreModel(docs, reread)) == direct)
   }
 
+  test("binding caps only remove information: a kept bigram with a cut prev word backs off") {
+    import spark.implicits._
+    // "zz aa" is the ONLY (hence top) bigram — the single-token filler docs
+    // produce none — so it survives maxBigrams=1, while "zz" (5 occurrences)
+    // is only the 3rd word behind aa (11) and bb (7) and maxVocab=2 CUTS it:
+    // exactly the cap-binding state the cprev guard exists for. Pre-guard,
+    // the "aa" token after "zz" scored NULL bits (sum silently dropped it —
+    // cheaper than the best-known word).
+    val train = (Seq.fill(5)("zz aa") ++ Seq.fill(6)("aa") ++ Seq.fill(7)("bb")).toDF("text")
+    val m = Corpus.trainLmModel(train, minBigramCount = 1, maxVocab = 2, maxBigrams = 1)
+    assert(m.uni.select("w").collect().map(_.getString(0)).toSet == Set("aa", "bb"))
+    assert(m.big.select("bg").collect().map(_.getString(0)).toSet == Set("zz aa"),
+      "fixture must pin the cap-binding state: bigram kept, its prev word cut")
+    val scored = Corpus.lmScoreModel(Seq((1L, "zz aa")).toDF("doc_id", "text"), m)
+      .select("lm_bits").head().getLong(0)
+    // T = 23 tokens → tBits = 4. "zz" is OOV at doc start → 5 bits. "aa"
+    // after the CUT "zz": the kept bigram must NOT apply (its cprev is gone);
+    // the token backs off to 1 + tBits − floor(log2(cw=11)) = 2 bits. A
+    // dropped (NULL) second token would have read 5 total; the sound ladder
+    // reads 7 and NEVER less than the same doc under an uncapped vocab.
+    assert(scored == 7L, s"expected 5 (OOV zz) + 2 (backoff aa) = 7 bits, got $scored")
+  }
+
   test("crawl LM gate == scoring the ungated manifest against the same fixed model") {
     val model = Fixtures.lmModel(spark, sf)
     val base = docs.filter(col("doc_id") % 5 =!= 0)
