@@ -373,6 +373,130 @@ object StreamingOps {
         col("e.err").as("err"), (col("r0") + 1).cast("long").as("rank"))
   }
 
+  /**
+   * The CONTINUOUS crawl loop: [[graft.operators.TrainingSet.crawlIncrement]]
+   * run per micro-batch under `foreachBatch`, with the dedup index and the
+   * accepted-manifest store growing batch-over-batch. A crawl pipeline is
+   * inherently micro-batched — an increment is a delta BY DEFINITION — so
+   * the composition's aggregations and self-joins (illegal in a pure
+   * continuous streaming plan) run as ordinary batch plans inside each
+   * trigger, and the cross-batch "state" is exactly the artifacts a batch
+   * crawl would persist anyway: the versioned [[graft.operators.Dedup
+   * .DedupIndex]] snapshots and the per-batch accepted manifests.
+   *
+   * Layout under `indexRoot`: one `DedupIndex` snapshot per committed batch
+   * (`v-seed`, `v0`, `v1`, …) plus a `LATEST` pointer file naming the
+   * current one. Batch N reads the pointed-at snapshot, runs the full
+   * probe → cut → scrub → gate (→ LM) composition, writes its accepted
+   * manifest to `outDir/batch=N` and the grown index to `v<N>` (both
+   * `overwrite` — a replayed batch after a mid-write failure simply
+   * re-writes the same content), and updates `LATEST` last. The one
+   * non-idempotent interleaving — failure BETWEEN the pointer update and
+   * the checkpoint commit — is guarded explicitly: a replayed batch whose
+   * pointer already reads `v<N>` is a no-op (its outputs are fully on
+   * disk; re-running the composition against the already-grown index
+   * would append the delta to the index a second time). Every earlier
+   * failure point leaves the pointer at the previous snapshot, and the
+   * replay overwrites partial output byte-identically (the composition is
+   * deterministic).
+   *
+   * Base TEXTS for the span cut grow with the index (the index/corpus
+   * invariant `pipeline_crawl_increment` documents): batch N cuts against
+   * `base` ∪ the accepted manifests of batches < N, read back from
+   * `outDir` — the scrubbed `clean_text` IS the text the grown index was
+   * built on, so probe and fetch stay consistent.
+   *
+   * Scale shape per trigger = the batch operator's (measured flat in base
+   * size, SCALE.md): every exchange delta-sized, index scanned never
+   * shuffled. The O(accepted-so-far) manifest read is partition-pruned to
+   * `batch=k` dirs and touched only by matched-id fetches inside the cut.
+   * The pointer/listing side-channel uses local-filesystem `java.nio` (a
+   * driver-local metadata file, like the `_OK` markers in Fixtures); a
+   * cluster deployment points `indexRoot`/`outDir` at shared storage and
+   * swaps these two helpers for its store's conditional-put — the Spark
+   * plans are storage-agnostic already.
+   */
+  def crawlIncrementBatchFn(
+      indexRoot: String,
+      base: DataFrame,
+      outDir: String,
+      maxDupFrac: (Int, Int) = (1, 2),
+      maxTopTokenFrac: (Int, Int) = (1, 10),
+      lmModel: Option[graft.operators.Corpus.LmModel] = None,
+      lmKeep: (Long, Long) = (1, 1),
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      import graft.operators.{Dedup, TrainingSet}
+      val spark = batch.sparkSession
+      val pointer = readPointer(indexRoot)
+      if (pointer == s"v$batchId") () // committed-but-uncheckpointed replay: done
+      else {
+      val idx = Dedup.readIndex(spark, s"$indexRoot/$pointer")
+      val priorBatches = listAcceptedBatches(outDir).filter(_ < batchId)
+      val grownBase =
+        if (priorBatches.isEmpty) base
+        else base.select(col(idCol), col(textCol)).unionByName(
+          spark.read.parquet(priorBatches.map(k => s"$outDir/batch=$k"): _*)
+            .select(col(idCol), col("clean_text").as(textCol)))
+      val (accepted, grown) = TrainingSet.crawlIncrement(
+        batch, idx, grownBase, maxDupFrac, maxTopTokenFrac, lmModel, lmKeep,
+        idCol, textCol)
+      accepted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      Dedup.writeIndex(grown, s"$indexRoot/v$batchId")
+      writePointer(indexRoot, s"v$batchId")
+      }
+    }
+  }
+
+  /** Wire [[crawlIncrementBatchFn]] into a running query. The caller seeds
+    * the index store first ([[seedCrawlIndex]]) and owns the trigger/
+    * checkpoint policy beyond the mandatory checkpoint location. */
+  def crawlIncrementStream(
+      stream: DataFrame,
+      indexRoot: String,
+      base: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      lmModel: Option[graft.operators.Corpus.LmModel] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(crawlIncrementBatchFn(indexRoot, base, outDir, lmModel = lmModel))
+      .start()
+
+  /** Seed `indexRoot` with the base corpus's index as snapshot `v-seed`. */
+  def seedCrawlIndex(index: graft.operators.Dedup.DedupIndex, indexRoot: String): Unit = {
+    graft.operators.Dedup.writeIndex(index, s"$indexRoot/v-seed")
+    writePointer(indexRoot, "v-seed")
+  }
+
+  private def readPointer(indexRoot: String): String = {
+    val p = java.nio.file.Paths.get(indexRoot, "LATEST")
+    require(java.nio.file.Files.exists(p),
+      s"crawl index store not seeded: $indexRoot/LATEST missing — call seedCrawlIndex first")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+  }
+
+  /** Pointer update is write-temp + ATOMIC_MOVE: a reader never observes a
+    * torn pointer, and a crashed writer leaves the old pointer intact. */
+  private def writePointer(indexRoot: String, name: String): Unit = {
+    val dir = java.nio.file.Paths.get(indexRoot)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s"LATEST.tmp.${java.lang.ProcessHandle.current.pid}")
+    java.nio.file.Files.write(tmp, name.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def listAcceptedBatches(outDir: String): Seq[Long] = {
+    val d = new java.io.File(outDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).sorted
+  }
+
   def runningSumPerSeries(events: Dataset[SeriesEvent]): Dataset[SeriesRunning] = {
     import events.sparkSession.implicits._
     events

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingSet
+import graft.sources.{Fixtures, Tables}
+import graft.streaming.StreamingOps
+
+/**
+ * The continuous crawl loop ([[StreamingOps.crawlIncrementBatchFn]]):
+ * micro-batch N must equal the BATCH composition against the index state
+ * batch N−1 left behind — so the oracle-checked `pipeline_crawl_increment`
+ * semantics transfer to the stream — and the index must genuinely grow
+ * between batches (a doc re-crawled from an earlier batch's ACCEPTED output
+ * falls, which no static-index probe could know). The committed-replay
+ * guard is pinned too: re-running an already-committed batch id is a no-op,
+ * not a second index append.
+ */
+class StreamingCrawlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long, Long, Long, Long)] =
+    df.select("doc_id", "clean_text", "n_removed", "n_emails", "n_ips", "n_phones", "n_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+  test("two micro-batches: per-batch batch-parity, cross-batch index growth, replay no-op") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-stream").toString
+    val (root, out, ckpt) = (s"$tmp/index", s"$tmp/accepted", s"$tmp/ckpt")
+
+    val docs = Tables.documents(spark, Sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val delta1 = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    StreamingOps.seedCrawlIndex(Fixtures.dedupIndex(spark, Sf), root)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.crawlIncrementStream(
+      ms.toDF().toDF("doc_id", "text"), root, base, out, ckpt)
+    try {
+      // ---- batch 0: the registered pipeline's own delta ----
+      ms.addData(delta1: _*)
+      q.processAllAvailable()
+      val got0 = rows(spark.read.parquet(s"$out/batch=0"))
+      val expect0 = rows(TrainingSet.crawlIncrement(
+        delta1.toDF("doc_id", "text"), Fixtures.dedupIndex(spark, Sf), base)._1)
+      assert(got0 == expect0 && got0.nonEmpty,
+        "micro-batch 0 must equal the batch composition against the seed index")
+
+      // ---- batch 1: a re-crawl of batch 0's accepted output + one fresh doc ----
+      val recrawled = got0.find(_._3 == 0L).getOrElse(fail("need an untouched survivor"))
+      val fresh = (0 until 20).map(i => s"streamfresh${i}x").mkString(" ")
+      ms.addData((900001L, recrawled._2), (900002L, fresh))
+      q.processAllAvailable()
+      val got1 = rows(spark.read.parquet(s"$out/batch=1"))
+      assert(!got1.exists(_._1 == 900001L),
+        "an exact copy of an earlier batch's ACCEPTED doc must fall — only the " +
+          "grown index knows that text")
+      assert(got1.exists(r => r._1 == 900002L && r._3 == 0L && r._7 == 20L),
+        s"the fresh doc must survive untouched: $got1")
+    } finally q.stop()
+
+    // ---- pointer advanced; committed-replay guard is a no-op ----
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "LATEST")), "UTF-8").trim == "v1")
+    val exactRowsBefore = graft.operators.Dedup.readIndex(spark, s"$root/v1").exact.count()
+    StreamingOps.crawlIncrementBatchFn(root, base, out)(
+      Seq((900001L, "anything")).toDF("doc_id", "text"), 1L)
+    assert(graft.operators.Dedup.readIndex(spark, s"$root/v1").exact.count()
+      == exactRowsBefore, "replaying a committed batch must not append again")
+  }
+}
