@@ -629,6 +629,22 @@ object SparkEntry {
           "domain", Corpus.urlDomain(Corpus.urlNormalize(col("url")))),
         quota = 3).orderBy("domain", "rk")
     },
+    // CROSS-INCREMENT quota (the crawl-composing form): increment 1's
+    // accepted counts become increment 2's prior, and increment 2's keeps
+    // get cumulative ranks — the oracle replays both rounds relationally.
+    // The %10==0 round-1 split forces id%5==0, i.e. ONLY the .com-TLD
+    // domains (docUrls' TLD = id%5): those enter round 2 at prior=quota
+    // and keep ZERO (the exhausted-domain case a per-round quota can never
+    // express), every other domain enters empty and keeps quota — both
+    // regimes live in one 90-row answer, nothing vacuous.
+    "curate_quota_increment" -> { (s, d) =>
+      val docs = docUrls(s, d).withColumn(
+        "domain", Corpus.urlDomain(Corpus.urlNormalize(col("url"))))
+      val (_, counts) = Corpus.domainQuotaIncrement(
+        docs.filter(col("doc_id") % 10 === 0), Corpus.emptyDomainCounts(s), quota = 5)
+      Corpus.domainQuotaIncrement(
+        docs.filter(col("doc_id") % 10 =!= 0), counts, quota = 5)._1
+    },
     // domain blocklist (exact host or subdomain-of): the list rides the
     // plan as ONE broadcast array row, the test is a codegen'd map-side
     // exists — docs never shuffle (plan-asserted in CorpusSpec)
@@ -1649,6 +1665,18 @@ object SparkEntry {
           "SELECT domain, rk, doc_id FROM (SELECT domain, doc_id, " +
           "row_number() OVER (PARTITION BY domain ORDER BY md5(text), doc_id) AS rk " +
           "FROM norm) WHERE rk <= 3 ORDER BY domain, rk").replace("\n", " "),
+      // both crawl rounds replayed: round 1's per-domain accepted counts
+      // become round 2's prior, keeps ranked cumulatively under quota 5
+      "curate_quota_increment" ->
+        (s"WITH $urlOracleCte, " +
+          "r1 AS (SELECT domain, doc_id, row_number() OVER (PARTITION BY domain " +
+          "ORDER BY md5(text), doc_id) AS rk FROM norm WHERE doc_id % 10 = 0), " +
+          "c1 AS (SELECT domain, count(*) AS n FROM r1 WHERE rk <= 5 GROUP BY 1), " +
+          "r2 AS (SELECT domain, doc_id, row_number() OVER (PARTITION BY domain " +
+          "ORDER BY md5(text), doc_id) AS rk FROM norm WHERE doc_id % 10 <> 0) " +
+          "SELECT r2.domain, CAST(r2.rk + coalesce(c1.n, 0) AS BIGINT) AS rk, r2.doc_id " +
+          "FROM r2 LEFT JOIN c1 USING (domain) " +
+          "WHERE r2.rk + coalesce(c1.n, 0) <= 5 ORDER BY domain, rk").replace("\n", " "),
       "curate_blocklist" ->
         (s"WITH $urlOracleCte " +
           "SELECT doc_id, domain FROM norm WHERE NOT EXISTS (SELECT 1 FROM (VALUES " +

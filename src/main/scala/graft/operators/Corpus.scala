@@ -424,6 +424,79 @@ object Corpus {
       idCol = idCol, textCol = textCol)
 
   /**
+   * CROSS-INCREMENT domain quota — the form that composes with the
+   * incremental crawl ([[graft.operators.TrainingSet.crawlIncrement]] /
+   * the streaming loop). [[domainQuota]] bounds a domain's share of ONE
+   * corpus snapshot; run per increment it resets every round, so a link
+   * farm feeding `quota` docs per crawl round passes every round and still
+   * dominates the accumulated corpus. This operator carries the accepted
+   * count per domain ACROSS rounds: a delta doc is kept iff its
+   * deterministic within-delta rank (ascending content-hash, ties to lower
+   * id — [[graft.functions.TopK.bottomKString]]'s order, the same one
+   * `row_number() OVER (ORDER BY md5(text), id)` reproduces) still fits
+   * under `quota − prior_accepted` for its domain.
+   *
+   * Returns `(kept, counts′)`: `kept` is `(domainCol, rk, idCol)` with `rk`
+   * the CUMULATIVE rank (prior + within-delta position + 1 ≤ quota — the
+   * audit row says "this doc is the domain's rk-th accepted overall"), and
+   * `counts′` the updated `(domainCol, n_accepted)` table to persist for
+   * the next round ([[writeDomainCounts]] / [[readDomainCounts]], same
+   * train-once/probe-many shape as every other index in the engine). With
+   * empty prior counts the kept set equals [[domainQuota]]'s (spec-pinned).
+   *
+   * Scale shape: the per-domain candidate cut is the same bounded bottom-k
+   * AGGREGATE as [[domainQuota]] (map tasks emit ≤ domains × quota entries;
+   * a delta doc ranked ≥ quota within its own delta can never be kept at
+   * ANY prior, so capping the aggregate at `quota` is lossless). The counts
+   * join is an equi-join of two O(domains)-row frames — one row per domain
+   * on each side, so no key can be skewed; the counts update is a
+   * delta-domains-sized recount unioned onto the old table, O(domains)
+   * like [[graft.operators.Dedup.appendIndex]]'s exact-tier recount.
+   */
+  def domainQuotaIncrement(
+      delta: DataFrame,
+      counts: DataFrame,
+      quota: Int,
+      domainCol: String = "domain",
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val picked = Parallelism.ensure(delta)
+      .groupBy(col(domainCol))
+      .agg(graft.functions.TopK.bottomKString(quota)(
+        md5(coalesce(col(textCol), lit(""))), col(idCol).cast("long")).as("picked"))
+      .select(col(domainCol), posexplode(col("picked").getField("entries")))
+      .select(col(domainCol), col("pos"),
+        col("col").getField("id").as(idCol))
+    val kept = picked
+      .join(counts.select(col(domainCol),
+        col("n_accepted").cast("long").as("__prior")), Seq(domainCol), "left")
+      .withColumn("__prior", coalesce(col("__prior"), lit(0L)))
+      .filter(col("__prior") + col("pos") < lit(quota.toLong))
+      .select(col(domainCol),
+        (col("__prior") + col("pos") + 1).cast("long").as("rk"), col(idCol))
+    val newCounts = counts
+      .select(col(domainCol), col("n_accepted").cast("long").as("n_accepted"))
+      .unionByName(kept.groupBy(col(domainCol)).agg(count(lit(1)).as("n_accepted")))
+      .groupBy(col(domainCol)).agg(sum("n_accepted").as("n_accepted"))
+    (kept.orderBy(domainCol, "rk"), newCounts)
+  }
+
+  /** An empty per-domain accepted-counts table (round zero's prior). */
+  def emptyDomainCounts(spark: org.apache.spark.sql.SparkSession,
+      domainCol: String = "domain"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(domainCol, StringType), StructField("n_accepted", LongType))))
+  }
+
+  def writeDomainCounts(counts: DataFrame, path: String): Unit =
+    counts.write.mode("overwrite").parquet(path)
+
+  def readDomainCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
    * Drop documents whose domain is blocklisted — blocked iff the domain
    * EQUALS a blocklist entry or is a SUBDOMAIN of one (hosts-file
    * semantics: `example.org` blocks `a.example.org` but not

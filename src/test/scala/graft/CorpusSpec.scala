@@ -302,6 +302,64 @@ class CorpusSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"docs must not shuffle:\n$p")
   }
 
+  test("domainQuotaIncrement: empty prior == single-corpus domainQuota") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("domain", concat(lit("d"), col("doc_id") % 7))
+    val single = Corpus.domainQuota(docs, quota = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val (inc, counts) = Corpus.domainQuotaIncrement(
+      docs, Corpus.emptyDomainCounts(spark), quota = 3)
+    assert(inc.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == single)
+    // counts' = exactly the kept sizes
+    assert(counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == single.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+  }
+
+  test("domainQuotaIncrement: prior counts bind across rounds, ranks cumulative") {
+    import spark.implicits._
+    // md5 order within farm.com round 2: computed below, not assumed
+    val r1 = Seq((1L, "farm.com", "a a"), (2L, "farm.com", "b b"),
+      (10L, "lone.org", "x x")).toDF("doc_id", "domain", "text")
+    val r2 = Seq((3L, "farm.com", "c c"), (4L, "farm.com", "d d"),
+      (5L, "farm.com", "e e"), (11L, "lone.org", "y y"))
+      .toDF("doc_id", "domain", "text")
+    val (kept1, c1) = Corpus.domainQuotaIncrement(
+      r1, Corpus.emptyDomainCounts(spark), quota = 3)
+    assert(kept1.count() == 3) // under quota everywhere: all kept
+    val (kept2, c2) = Corpus.domainQuotaIncrement(r2, c1, quota = 3)
+    val got = kept2.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // farm.com enters round 2 with prior=2 → exactly ONE slot left, and it
+    // goes to the smallest (md5(text), id) — the same doc a full-corpus
+    // row_number replay would pick
+    val farmOrder = r2.filter(col("domain") === "farm.com")
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .sortBy(r => (r.getString(1), r.getLong(0))).map(_.getLong(0))
+    assert(got.count(_._1 == "farm.com") == 1)
+    assert(got.contains(("farm.com", 3L, farmOrder.head)))
+    // lone.org had prior=1 → two slots, the round-2 doc ranks 2nd overall
+    assert(got.contains(("lone.org", 2L, 11L)))
+    // a third round at full farm quota keeps nothing for that domain
+    val (kept3, _) = Corpus.domainQuotaIncrement(
+      Seq((6L, "farm.com", "f f")).toDF("doc_id", "domain", "text"), c2, quota = 3)
+    assert(kept3.count() == 0)
+  }
+
+  test("domainQuotaIncrement round-trips its counts through parquet") {
+    import spark.implicits._
+    val (_, c1) = Corpus.domainQuotaIncrement(
+      Seq((1L, "a.com", "t t")).toDF("doc_id", "domain", "text"),
+      Corpus.emptyDomainCounts(spark), quota = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-dq").toString + "/counts"
+    Corpus.writeDomainCounts(c1, path)
+    val (kept, _) = Corpus.domainQuotaIncrement(
+      Seq((2L, "a.com", "u u"), (3L, "a.com", "v v")).toDF("doc_id", "domain", "text"),
+      Corpus.readDomainCounts(spark, path), quota = 2)
+    assert(kept.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      == Set((2L, kept.collect().head.getLong(2))) && kept.count() == 1,
+      "one slot must remain after the persisted round-1 count")
+  }
+
   test("curate plans: normalize is a pure projection; blocklist broadcasts one row, docs never shuffle") {
     val pn = plan("curate_url_normalize")
     assert(!pn.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$pn")
