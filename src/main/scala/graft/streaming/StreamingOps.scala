@@ -406,6 +406,11 @@ object StreamingOps {
    * `outDir` — the scrubbed `clean_text` IS the text the grown index was
    * built on, so probe and fetch stay consistent.
    *
+   * `domainQuota = Some((domainCol, quota))` adds the cross-round
+   * per-domain quota as a final stage (see the inline note for its
+   * placement contract); with `None` the loop is byte-identical to the
+   * registered `pipeline_crawl_increment` composition per batch.
+   *
    * Scale shape per trigger = the batch operator's (measured flat in base
    * size, SCALE.md): every exchange delta-sized, index scanned never
    * shuffled. The O(accepted-so-far) manifest read is partition-pruned to
@@ -424,10 +429,11 @@ object StreamingOps {
       maxTopTokenFrac: (Int, Int) = (1, 10),
       lmModel: Option[graft.operators.Corpus.LmModel] = None,
       lmKeep: (Long, Long) = (1, 1),
+      domainQuota: Option[(String, Int)] = None,
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
-      import graft.operators.{Dedup, TrainingSet}
+      import graft.operators.{Corpus, Dedup, TrainingSet}
       val spark = batch.sparkSession
       val pointer = readPointer(indexRoot)
       if (pointer == s"v$batchId") () // committed-but-uncheckpointed replay: done
@@ -439,11 +445,36 @@ object StreamingOps {
         else base.select(col(idCol), col(textCol)).unionByName(
           spark.read.parquet(priorBatches.map(k => s"$outDir/batch=$k"): _*)
             .select(col(idCol), col("clean_text").as(textCol)))
-      val (accepted, grown) = TrainingSet.crawlIncrement(
+      val (accepted, _) = TrainingSet.crawlIncrement(
         batch, idx, grownBase, maxDupFrac, maxTopTokenFrac, lmModel, lmKeep,
         idCol, textCol)
-      accepted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      Dedup.writeIndex(grown, s"$indexRoot/v$batchId")
+      // optional stage 6: the CROSS-round domain quota ([[graft.operators
+      // .Corpus.domainQuotaIncrement]]) — prior counts ride the index
+      // snapshots ('<pointer>/domain_counts'), ranking keys on the
+      // clean_text that would enter the corpus. The quota cuts AFTER every
+      // content gate (a scrubbed/gated reject must not consume a domain
+      // slot) and BEFORE the index append below: a quota-rejected doc's
+      // content is NOT in the corpus, so a later copy — perhaps from an
+      // under-quota domain — must stay acceptable.
+      val keptFinal = domainQuota match {
+        case None => accepted
+        case Some((domainCol, quota)) =>
+          val countsPath = s"$indexRoot/$pointer/domain_counts"
+          val counts =
+            if (new java.io.File(countsPath).isDirectory)
+              Corpus.readDomainCounts(spark, countsPath)
+            else Corpus.emptyDomainCounts(spark, domainCol) // seed / quota enabled mid-stream
+          val withDomain = accepted.join(
+            batch.select(col(idCol), col(domainCol)), Seq(idCol), "left")
+          val (kept, counts2) = Corpus.domainQuotaIncrement(
+            withDomain, counts, quota, domainCol, idCol, "clean_text")
+          Corpus.writeDomainCounts(counts2, s"$indexRoot/v$batchId/domain_counts")
+          accepted.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+      }
+      keptFinal.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      Dedup.writeIndex(Dedup.appendIndex(idx,
+        keptFinal.select(col(idCol), col("clean_text").as(textCol)),
+        idCol = idCol, textCol = textCol), s"$indexRoot/v$batchId")
       writePointer(indexRoot, s"v$batchId")
       }
     }

@@ -77,4 +77,48 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.readIndex(spark, s"$root/v1").exact.count()
       == exactRowsBefore, "replaying a committed batch must not append again")
   }
+
+  test("domain quota rides the loop: cross-batch lockout, post-quota index growth") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-quota").toString
+    val (root, out, ckpt) = (s"$tmp/index", s"$tmp/accepted", s"$tmp/ckpt")
+
+    def txt(tag: String) = (0 until 18).map(i => s"$tag$i").mkString(" ")
+    val base = Seq((1L, txt("baseword"))).toDF("doc_id", "text")
+    StreamingOps.seedCrawlIndex(graft.operators.Dedup.buildIndex(base), root)
+
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "text", "domain").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingOps.crawlIncrementBatchFn(
+        root, base, out, domainQuota = Some(("domain", 1))))
+      .start()
+    try {
+      // batch 0: two clean farm docs — quota 1 keeps exactly one
+      ms.addData((10L, txt("alpha"), "farm.com"), (11L, txt("beta"), "farm.com"))
+      q.processAllAvailable()
+      val b0 = rows(spark.read.parquet(s"$out/batch=0"))
+      assert(b0.map(_._1).subsetOf(Set(10L, 11L)) && b0.size == 1,
+        s"quota 1 must keep exactly one farm doc: $b0")
+      val rejected = (Set(10L, 11L) -- b0.map(_._1)).head
+      val rejectedText = Map(10L -> txt("alpha"), 11L -> txt("beta"))(rejected)
+
+      // batch 1: the domain is LOCKED OUT across batches (the case a
+      // per-round quota can never express); other domains unaffected
+      ms.addData((12L, txt("gamma"), "farm.com"), (13L, txt("delta"), "other.org"))
+      q.processAllAvailable()
+      val b1 = rows(spark.read.parquet(s"$out/batch=1"))
+      assert(b1.map(_._1) == Set(13L), s"farm.com must be exhausted: $b1")
+
+      // batch 2: the quota-REJECTED text re-crawled under a fresh domain
+      // must be ACCEPTED — i.e. the index grew with post-quota keeps only
+      ms.addData((14L, rejectedText, "fresh.net"))
+      q.processAllAvailable()
+      val b2 = rows(spark.read.parquet(s"$out/batch=2"))
+      assert(b2.map(_._1) == Set(14L),
+        s"a quota-rejected doc's content is not in the corpus — its re-crawl " +
+          s"from an under-quota domain must survive: $b2")
+    } finally q.stop()
+  }
 }
