@@ -360,6 +360,13 @@ class CorpusSpec extends AnyFunSuite {
       "one slot must remain after the persisted round-1 count")
   }
 
+  test("curate_quota_increment plan: bounded aggregate ranking, never a window") {
+    val p = plan("curate_quota_increment")
+    assert(!p.contains("Window"),
+      s"cross-increment quota must rank via the bounded bottom-k aggregate:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"expected the TopK aggregate:\n$p")
+  }
+
   test("curate plans: normalize is a pure projection; blocklist broadcasts one row, docs never shuffle") {
     val pn = plan("curate_url_normalize")
     assert(!pn.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$pn")
