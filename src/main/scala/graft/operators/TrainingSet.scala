@@ -301,8 +301,14 @@ object TrainingSet {
     val accepted = lmModel match {
       case None => gated
       case Some(m) =>
-        gated.join(
-          Corpus.lmScoreModel(gated, m, lmKeep._1, lmKeep._2, idCol, "clean_text")
+        // the gate reads `gated` TWICE (the scoring side and the survivor
+        // side of the semi join) — without a scoped persist the whole
+        // probe→cut→scrub→gate chain above would execute twice, and the
+        // bench measured exactly that: the LM-gated pipeline ran ~2× the
+        // ungated one (6.6 s vs 3.7 s at sf0.1) when this frame recomputed
+        val g = Dedup.persistScoped(gated)
+        g.join(
+          Corpus.lmScoreModel(g, m, lmKeep._1, lmKeep._2, idCol, "clean_text")
             .filter(col("keep")).select(col(idCol)),
           Seq(idCol), "left_semi")
     }
