@@ -482,6 +482,54 @@ object ScaleBench {
         s"the crawl loop must not scale with base size: $crawlTimes")
     }
 
+    // ---- cross-increment domain quota at corpus scale ----
+    // Two crawl rounds over nDocs docs spread across nDocs/10 domains,
+    // quota 5, prior counts persisted between rounds. Ground truth is the
+    // CONSERVATION invariant the operator exists to enforce: for every
+    // domain, the accepted ranks across both rounds are exactly
+    // 1..min(quota, docs-in-domain) — no slot double-issued after the
+    // round boundary, no domain over quota, no rank gaps. Round 1 takes
+    // every 4th doc (~2-3 per domain, so most domains enter round 2
+    // PARTIALLY full — both the lockout and the remaining-slots paths run
+    // hot at scale).
+    if (nDocs >= 10000) {
+      import graft.operators.Corpus
+      val nDomains = nDocs / 10
+      val quota = 5
+      def quotaDocs(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        mkDocs(nDocs).filter(pred(col("doc_id")))
+          .withColumn("domain", concat(lit("d"), pmod(col("doc_id"), lit(nDomains.toLong))))
+      val countsDir = s"/tmp/graft-fixtures/scalebench-quota-counts-$nDocs"
+      val r1 = quotaDocs(id => pmod(id, lit(4L)) === 0L)
+      val r2 = quotaDocs(id => pmod(id, lit(4L)) =!= 0L)
+      var kept1: org.apache.spark.sql.DataFrame = null
+      time(s"cross-increment quota round 1: ${nDocs / 4} docs, $nDomains domains") {
+        val (k, c) = Corpus.domainQuotaIncrement(
+          r1, Corpus.emptyDomainCounts(spark), quota)
+        kept1 = k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kept1.count()
+        Corpus.writeDomainCounts(c, countsDir)
+      }
+      time(s"cross-increment quota round 2: ${nDocs - nDocs / 4} docs vs persisted counts") {
+        val (k2, _) = Corpus.domainQuotaIncrement(
+          r2, Corpus.readDomainCounts(spark, countsDir), quota)
+        val ranks = kept1.select("domain", "rk").unionByName(k2.select("domain", "rk"))
+        // conservation: per domain, ranks are exactly 1..min(quota, n_docs)
+        val bad = ranks.groupBy("domain")
+          .agg(count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"),
+            countDistinct("rk").as("nd"))
+          .join(quotaDocs(_ => lit(true)).groupBy("domain")
+            .agg(count(lit(1)).as("avail")), Seq("domain"))
+          .filter(col("lo") =!= 1L || col("hi") =!= col("n") || col("nd") =!= col("n") ||
+            col("n") =!= least(lit(quota.toLong), col("avail")))
+          .count()
+        val total = ranks.count()
+        println(s"[scale] quota: $total accepted across both rounds, $bad domains violate conservation")
+        assert(bad == 0L, s"$bad domains violate the cross-round quota invariant")
+      }
+      kept1.unpersist()
+    }
+
     // ---- incremental IMAGE dedup: probe cost vs base size ----
     // The fifth key space's flat-probe claim: a fixed delta of near-dup
     // re-renders probed against a persisted MediaIndex must cost ~the delta
