@@ -625,11 +625,21 @@ object Corpus {
     // top-K cut = per-partition top-K then a K-row merge (TakeOrdered) —
     // the K rows were headed for the driver-resident broadcast anyway
     val uni = uni0.orderBy(col("cw").desc, col("w").asc).limit(maxVocab)
+    // the bigram table carries its own backoff normalizer: cprev = the PREV
+    // word's capped-vocab count, resolved at TRAIN time (one join per model
+    // build instead of one broadcast join per scored increment). NULL iff
+    // the prev word fell to the maxVocab cut — precisely the cap-binding
+    // state the scoring ladder's guard backs off on, so moving the lookup
+    // into the model changes no output (LmModelSpec pins both the persisted
+    // parity and the forced-cut case).
     val big = Parallelism.ensure(train)
       .select(explode(bigramsOf(toks)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cuv"))
       .filter(col("cuv") >= minBigramCount)
       .orderBy(col("cuv").desc, col("bg").asc).limit(maxBigrams)
+      .join(uni.select(col("w").as("__pw"), col("cw").as("cprev")),
+        split_part(col("bg"), lit(" "), lit(1)) === col("__pw"), "left")
+      .drop("__pw")
     LmModel(totalTokens, uni, big)
   }
 
@@ -658,11 +668,11 @@ object Corpus {
           w.as("w"),
           when(i > 0, element_at(col("t"), i)).otherwise(lit(null)).as("prev"))))
           .as("p"))
+    // two broadcast joins, not three: `cprev` rides the bigram table (NULL
+    // when the prev word fell to the vocab cap — see trainLmModel)
     val perDoc = Dedup.persistScoped( // feeds the totals agg AND the output
       pos
         .join(broadcast(uni), pos("p.w") === uni("w"), "left")
-        .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("cprev"))),
-          pos("p.prev") === col("w2"), "left")
         .join(broadcast(big),
           concat(pos("p.prev"), lit(" "), pos("p.w")) === big("bg"), "left")
         .withColumn("bits",

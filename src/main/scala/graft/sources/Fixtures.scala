@@ -111,7 +111,9 @@ object Fixtures {
     graft.operators.Corpus.readLmModel(s, lmModelPath(s, dir))
 
   def lmModelPath(s: SparkSession, dir: String): String = {
-    val out = cachePathFor(dir, "documents", "lm_model_v1")
+    // v2: the bigram table gained the trained-in cprev column — a v1 cache
+    // read by current code would miss it and fail the schema
+    val out = cachePathFor(dir, "documents", "lm_model_v2")
     lock.synchronized {
       if (!new java.io.File(s"$out/_OK").exists()) buildLmModel(s, dir, out)
     }
