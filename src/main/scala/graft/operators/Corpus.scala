@@ -589,7 +589,10 @@ object Corpus {
    * scale as the training corpus changes under the caller. Same
    * train-once / probe-many contract as [[Dedup.DedupIndex]] /
    * [[Dedup.SemIndex]]: `totalTokens` is the UNCAPPED train token count
-   * (the normalization constant), `uni`/`big` the capped count tables
+   * (the normalization constant), `uni`/`big` the capped count tables —
+   * `big` additionally carries `cprev`, the prev word's capped-vocab count
+   * resolved at train time (NULL iff the prev word fell to the vocab cap),
+   * so scoring needs no second vocab join
    * ([[lmScore]]'s scale-shape note). Persist with [[writeLmModel]] /
    * [[readLmModel]]; LmModelSpec pins persisted ≡ retrained.
    */

@@ -238,6 +238,14 @@ object TrainingSet {
    *     text — that is what the corpus now contains) into the index, so
    *     the next crawl probes base ∪ this increment.
    *
+   * A CROSS-round domain quota ([[Corpus.domainQuotaIncrement]]) composes
+   * between stages 4.5 and 5 when the delta carries a domain column: cut
+   * AFTER the content gates (a reject must not consume a domain slot) and
+   * append only the post-quota keeps — [[graft.streaming.StreamingOps
+   * .crawlIncrementBatchFn]] wires exactly that composition, and a batch
+   * caller does the same three calls (quota, semi-join, appendIndex) on
+   * this function's `accepted` output.
+   *
    * Returns `(accepted, grownIndex)`: `accepted` is one row per surviving
    * delta doc — `(idCol, clean_text, n_removed, n_emails, n_ips, n_phones,
    * n_tokens)`, the audit manifest a crawl round publishes — and
