@@ -236,8 +236,9 @@ object Bench {
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
     val notes = "r9: driver REGENERATED all testdata between rounds (ts column is now " +
       "timestamp_ntz, was epoch-millis bigint; content equivalent - goldens unchanged); " +
-      "4 queries new this round: pipeline_crawl_lm_gate, curate_reg_domain, " +
-      "curate_domain_quota_etld, dedup_incremental_image - " +
+      "5 queries new this round: pipeline_crawl_lm_gate, curate_reg_domain, " +
+      "curate_domain_quota_etld, dedup_incremental_image, curate_quota_increment; " +
+      "pipeline_crawl_lm_gate also got the gated-frame persist fix (6.6 -> ~5 s) - " +
       "other per-query deltas vs r8 are plan or machine noise"
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
