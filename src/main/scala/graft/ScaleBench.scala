@@ -64,7 +64,16 @@ object ScaleBench {
       println(f"[scale] $name: $secs%.2f s, shuffle $sMb%.1f MB ($rows%,d rows)")
     }
 
+    // Run only matching sections: GRAFT_SCALE_ONLY=psl,soak (comma-separated
+    // substring match on section tags). Unset → everything runs (the
+    // full-sweep contract). NOTE the "crawl" section probes the index files
+    // the "incremental" section writes — run them together.
+    val only: Seq[String] = sys.env.get("GRAFT_SCALE_ONLY").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    def sectionOn(name: String): Boolean = only.isEmpty || only.exists(name.contains)
+
     time("warmup (count)")(df.count())
+    if (sectionOn("ts")) {
     time("summary (5 aggs, 1 pass)") {
       val m = TsAggClient.summary(df, spec).collect()
       // all 672 buckets populated only when rows >> buckets (coupon collector)
@@ -108,6 +117,7 @@ object ScaleBench {
       println(s"[scale] sessions: ${agg.getLong(1)} sessions over $total events")
       assert(agg.getLong(0) == total, s"event conservation: ${agg.getLong(0)} != $total")
     }
+    } // sectionOn("ts")
 
     // ---- corpus-scale dedup: synthetic docs with planted near-duplicates ----
     // 30 tokens over a 100k-word vocab; every id ≡ 1 (mod 50) clones id-1 with
@@ -126,6 +136,7 @@ object ScaleBench {
             .otherwise(concat(lit("w"), pmod(xxhash64(col("seed") * lit(31L) + lit(29L)), lit(100000L))))))
       .select(col("id").as("doc_id"), col("text"))
     val docs = mkDocs(nDocs)
+    if (sectionOn("dedup")) {
     time(s"minhash near-dup over ${nDocs} synthetic docs") {
       val pairs = graft.operators.Dedup.minhashNearDup(docs).collect()
       val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 1 && r.getLong(0) % 50 == 0)
@@ -191,6 +202,7 @@ object ScaleBench {
       println(s"[scale] clusters: $merged docs folded into canonicals (planted $expected)")
       assert(merged >= (expected * 0.93).toInt, s"too few merges: $merged/$expected")
     }
+    } // sectionOn("dedup")
 
     // ---- incremental (delta-vs-index) dedup: probe cost vs base size ----
     // The production claim under measurement: deduplicating a crawl
@@ -203,7 +215,7 @@ object ScaleBench {
     // near copy (one token changed), the rest fresh. Exact copies must
     // resolve to their base keep_id through the index; near copies must
     // surface as MinHash matches of their target.
-    if (nDocs >= 10000) {
+    if (nDocs >= 10000 && sectionOn("incremental")) {
       import graft.operators.Dedup
       val deltaN = 1000L
       val nTargets = (nDocs / 10) / 50 // targets live in the SMALL base too
@@ -262,7 +274,7 @@ object ScaleBench {
     // bases (cos = 1 → must fall); the rest are fresh hash-random 64-dim
     // vectors. Centroids are trained once on the SMALL base and shared, so
     // the cell space — the index identity — is constant across the compare.
-    if (nDocs >= 10000) {
+    if (nDocs >= 10000 && sectionOn("semantic")) {
       import graft.operators.Dedup
       val dim = 64
       val deltaN = 1000L
@@ -331,7 +343,7 @@ object ScaleBench {
     // no-cell's-land. Recall denominator = pairs that TRULY clear the
     // threshold (measured per wave with the same integer-cosine predicate
     // the operator uses), so the number is recall, not fixture luck.
-    if (nDocs >= 10000) {
+    if (nDocs >= 10000 && sectionOn("drift")) {
       import graft.operators.Dedup
       val dim = 64
       val driftBaseN = nDocs / 10
@@ -404,7 +416,7 @@ object ScaleBench {
     //   2 → fresh text + one planted email      (survives, n_emails == 1)
     //   3 → a PER-DOC token repeated 30×        (must fall at the gate)
     //   else → fresh                    (survives untouched, n_removed == 0)
-    if (nDocs >= 10000) {
+    if (nDocs >= 10000 && sectionOn("crawl")) {
       import graft.operators.{Dedup, TrainingSet}
       val deltaN = 1000L
       val nTargets = (nDocs / 10) / 50
@@ -489,10 +501,14 @@ object ScaleBench {
     // domain, the accepted ranks across both rounds are exactly
     // 1..min(quota, docs-in-domain) — no slot double-issued after the
     // round boundary, no domain over quota, no rank gaps. Round 1 takes
-    // every 4th doc (~2-3 per domain, so most domains enter round 2
-    // PARTIALLY full — both the lockout and the remaining-slots paths run
-    // hot at scale).
-    if (nDocs >= 10000) {
+    // every 4th doc BY WITHIN-DOMAIN INDEX (domain = id mod nDomains, so
+    // the within-domain index is id div nDomains — splitting on id mod 4
+    // would put every domain wholly in one round, since nDomains is
+    // divisible by 4 and id mod 4 is then constant per domain; ADVICE r9).
+    // Each domain lands ~2-3 docs in round 1 and enters round 2 PARTIALLY
+    // full — both the lockout and the remaining-slots paths run hot at
+    // scale.
+    if (nDocs >= 10000 && sectionOn("quota")) {
       import graft.operators.Corpus
       val nDomains = nDocs / 10
       val quota = 5
@@ -500,8 +516,10 @@ object ScaleBench {
         mkDocs(nDocs).filter(pred(col("doc_id")))
           .withColumn("domain", concat(lit("d"), pmod(col("doc_id"), lit(nDomains.toLong))))
       val countsDir = s"/tmp/graft-fixtures/scalebench-quota-counts-$nDocs"
-      val r1 = quotaDocs(id => pmod(id, lit(4L)) === 0L)
-      val r2 = quotaDocs(id => pmod(id, lit(4L)) =!= 0L)
+      def withinDomainIdx(id: org.apache.spark.sql.Column) =
+        ((id - pmod(id, lit(nDomains.toLong))) / lit(nDomains.toLong)).cast("long")
+      val r1 = quotaDocs(id => pmod(withinDomainIdx(id), lit(4L)) === 0L)
+      val r2 = quotaDocs(id => pmod(withinDomainIdx(id), lit(4L)) =!= 0L)
       var kept1: org.apache.spark.sql.DataFrame = null
       time(s"cross-increment quota round 1: ${nDocs / 4} docs, $nDomains domains") {
         val (k, c) = Corpus.domainQuotaIncrement(
@@ -524,10 +542,96 @@ object ScaleBench {
             col("n") =!= least(lit(quota.toLong), col("avail")))
           .count()
         val total = ranks.count()
-        println(s"[scale] quota: $total accepted across both rounds, $bad domains violate conservation")
+        // fixture sanity (ADVICE r9): the conservation assert is only a
+        // test of cross-round carry if domains actually SPAN the boundary —
+        // accepted in round 1 AND in round 2. With the within-domain split
+        // every domain should; demand at least 90% do.
+        val spanning = kept1.select("domain").distinct()
+          .join(k2.select("domain").distinct(), "domain").count()
+        assert(spanning >= nDomains * 9L / 10,
+          s"split vacuous: only $spanning/$nDomains domains span the round boundary")
+        println(s"[scale] quota: $total accepted across both rounds, $bad domains violate " +
+          s"conservation, $spanning/$nDomains span the boundary")
         assert(bad == 0L, s"$bad domains violate the cross-round quota invariant")
       }
       kept1.unpersist()
+    }
+
+    // ---- registrable-domain (eTLD+1) extraction: probe chain vs hash join ----
+    // The VERDICT r9 constant: the probe chain's per-row cost is
+    // O(maxRuleLabels × |rules|) linear string compares, the join path's is
+    // O(maxRuleLabels) hash probes — independent of rule count. Measured
+    // here at the shipped 90-rule snapshot AND a synthetic ~13.7k-rule list
+    // (real-PSL-sized), on hosts at 1× and 10×, with a correctness echo
+    // (non-null counts must agree between paths; full bit-equality is
+    // CorpusSpec's job). The numbers behind PslJoinMinRules' value.
+    if (nDocs >= 10000 && sectionOn("psl")) {
+      import graft.operators.Corpus
+      val bigRules = (0 until 9500).flatMap { i =>
+        val base = s"s$i.t${i % 200}"
+        Seq(base) ++ (if (i % 3 == 0) Seq(s"*.$base") else Nil) ++
+          (if (i % 9 == 0) Seq(s"!exc.$base") else Nil)
+      }
+      import spark.implicits._
+      val bigPsl = bigRules.toDF("rule")
+      val snapPsl = graft.sources.PslSnapshot.df(spark)
+      // hosts hit the synthetic rule space ~5/6 of the time at depths 1–6
+      def mkHosts(n: Long) = spark.range(n)
+        .withColumn("i", pmod(xxhash64(col("id")), lit(10000L)))
+        .withColumn("base", concat(lit("s"), col("i"), lit(".t"), pmod(col("i"), lit(200L))))
+        .withColumn("domain",
+          when(pmod(col("id"), lit(6L)) === 0L, col("base"))
+            .when(pmod(col("id"), lit(6L)) === 1L, concat(lit("reg."), col("base")))
+            .when(pmod(col("id"), lit(6L)) === 2L, concat(lit("a.b.reg."), col("base")))
+            .when(pmod(col("id"), lit(6L)) === 3L, concat(lit("exc."), col("base")))
+            .when(pmod(col("id"), lit(6L)) === 4L, concat(lit("x.exc."), col("base")))
+            .otherwise(concat(lit("u"), col("id"), lit(".example.org"))))
+        .select(col("id").as("doc_id"), col("domain"))
+      def measure(tag: String, f: => Long): (Double, Long) = {
+        var n = 0L
+        val t = System.nanoTime()
+        time(tag) { n = f }
+        ((System.nanoTime() - t) / 1e9, n)
+      }
+      def probe(hosts: org.apache.spark.sql.DataFrame,
+                psl: org.apache.spark.sql.DataFrame, maxK: Int): Long =
+        Corpus.registrableDomainProbe(hosts, psl, maxRuleLabels = maxK)
+          .agg(count(col("reg_domain"))).head().getLong(0)
+      def join(hosts: org.apache.spark.sql.DataFrame,
+               psl: org.apache.spark.sql.DataFrame): Long =
+        Corpus.registrableDomainJoin(hosts, psl)
+          .agg(count(col("reg_domain"))).head().getLong(0)
+      val nHosts = nDocs // 100k at the default 100M-row run
+      val h1 = mkHosts(nHosts)
+      val hSmall = mkHosts(nHosts / 10)
+      val nR = bigRules.size
+      val (p90, c90p) = measure(s"eTLD+1 probe chain: $nHosts hosts × 90 rules", probe(h1, snapPsl, 6))
+      val (j90, c90j) = measure(s"eTLD+1 hash join: $nHosts hosts × 90 rules", join(h1, snapPsl))
+      // the probe chain at real-PSL rule count runs on 10× FEWER hosts — a
+      // first cut at 1× hosts did not finish inside a 9-minute budget (the
+      // per-row constant this section exists to show); the join/probe
+      // comparison below is therefore a ≥10× claim, not a ratio estimate
+      val (pBigS, cBigPS) =
+        measure(s"eTLD+1 probe chain: ${nHosts / 10} hosts × $nR rules", probe(hSmall, bigPsl, 4))
+      val (jBigS, cBigJS) =
+        measure(s"eTLD+1 hash join: ${nHosts / 10} hosts × $nR rules", join(hSmall, bigPsl))
+      val (jBig, _) = measure(s"eTLD+1 hash join: $nHosts hosts × $nR rules", join(h1, bigPsl))
+      assert(c90j == c90p && cBigJS == cBigPS,
+        s"paths disagree: ($c90p,$c90j) ($cBigPS,$cBigJS)")
+      println(f"[scale] psl summary: 90 rules/$nHosts hosts probe $p90%.2f s vs join $j90%.2f s; " +
+        f"$nR rules probe $pBigS%.2f s (${nHosts / 10} hosts) vs join $jBigS%.2f s; " +
+        f"join at $nHosts hosts $jBig%.2f s")
+      // the dispatch's reason to exist: the join path on 10× MORE hosts must
+      // still beat the probe chain at real-PSL rule count
+      assert(jBig <= pBigS + 2.0,
+        s"join at 10x hosts must beat the probe chain at ~$nR rules: $jBig vs $pBigS")
+      // crossover evidence for PslJoinMinRules: the join wins already at the
+      // 90-rule snapshot (measured 19× in the r10 run that set the value)
+      assert(j90 <= p90, s"join must beat the probe chain even at 90 rules: $j90 vs $p90")
+      // rule-count independence: the join path at 152× the rules stays
+      // within noise of itself at 90 rules (same hosts)
+      assert(jBig <= j90 * 3 + 2.0,
+        s"join path cost must not scale with rule count: $j90 → $jBig")
     }
 
     // ---- incremental IMAGE dedup: probe cost vs base size ----
@@ -539,7 +643,7 @@ object ScaleBench {
     // re-renders (brightness shift / JPEG requant of id-1) drawn from the
     // SMALL corpus, so every target original lives in both bases; each
     // delta image must surface exactly its original within Hamming 3.
-    if (nDocs >= 10000) {
+    if (nDocs >= 10000 && sectionOn("image")) {
       import graft.operators.Multimodal
       val nImgs = (rows / 10000L).toInt // 10k images for the default 100M run
       val deltaImgs = Multimodal.syntheticImageDups(spark, nImgs / 10)
@@ -577,7 +681,7 @@ object ScaleBench {
     // ---- training-set assembly at corpus scale ----
     // guarded like the bucket assertions above: a tiny CLI run (nDocs < 100)
     // has too few planted clones / docs for the recall and invariant checks
-    if (nDocs >= 100) {
+    if (nDocs >= 100 && sectionOn("train")) {
       // decontamination: every 50th doc is the "benchmark" split; its clone
       // (id ≡ 1 mod 50, sharing 28 of 30 shingles with id-1) MUST be flagged —
       // the planted ground truth makes recall checkable, not just timeable
@@ -625,6 +729,7 @@ object ScaleBench {
       }
     }
 
+    if (sectionOn("codec")) {
     // ---- binary cell codec at scale: the LongColumnInterpreter path ----
     // encode value → 8-byte BE cell → decode → bucketed sum, all codegen'd;
     // proves the byte codec adds no measurable cost over the typed column
@@ -638,6 +743,9 @@ object ScaleBench {
       assert(m.nonEmpty)
     }
 
+    } // sectionOn("codec")
+
+    if (sectionOn("v2")) {
     // ---- V2 cell source: coprocessor-style aggregate pushdown at scale ----
     // a synthetic region directory (written once per cell count through the
     // real writer) makes the pushdown claim measurable: the pushed plan moves
@@ -691,6 +799,9 @@ object ScaleBench {
       assert(agg.length == expectGroups && agg.map(_.getLong(1)).sum == nCells)
     }
 
+    } // sectionOn("v2")
+
+    if (sectionOn("embed")) {
     // ---- embedding near-dup at a corpus size where all-pairs is infeasible ----
     // nVecs 64-dim vectors (100k default → 5·10⁹ possible pairs); every
     // id ≡ 1 (mod 50) clones id-1 with one perturbed component (cosine ≈ 0.999).
@@ -756,6 +867,7 @@ object ScaleBench {
         assert(out.length == planted, s"only planted clones may fall: ${out.length} != $planted")
       }
     }
+    } // sectionOn("embed")
     spark.stop()
   }
 }

@@ -660,8 +660,9 @@ object SparkEntry {
     // snapshot, over a host mix that exercises every rule class: plain
     // multi-label suffix, private-section suffix, wildcard *.ck (incl. the
     // no-registrable bare case), exception !www.ck, and the implicit
-    // default rule on an unknown TLD. One-row broadcast + codegen'd
-    // membership chain — zero shuffles (plan-asserted in CorpusSpec)
+    // default rule on an unknown TLD. Auto-dispatches (r10) to the
+    // label-suffix broadcast hash join — still zero shuffles, docs never
+    // leave their input partitions (plan-asserted in CorpusSpec)
     "curate_reg_domain" -> { (s, d) =>
       Corpus.registrableDomain(
         documents(s, d).select(col("doc_id"), regDomainHost.as("domain")),

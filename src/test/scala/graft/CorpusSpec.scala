@@ -295,11 +295,84 @@ class CorpusSpec extends AnyFunSuite {
       14L -> Some("b.s3.amazonaws.com"), 15L -> Some("example.zz")))
   }
 
-  test("registrableDomain plan: one-row PSL broadcast, docs never shuffle") {
+  test("registrableDomainJoin: bit-equal to the probe path on every rule class") {
+    val d = Seq(
+      (1L, "example.com"), (2L, "a.b.example.com"), (3L, "example.co.uk"),
+      (4L, "x.example.co.uk"), (5L, "co.uk"), (6L, "alice.github.io"),
+      (7L, "github.io"), (8L, "foo.bar.ck"), (9L, "bar.ck"), (10L, "www.ck"),
+      (11L, "sub.www.ck"), (12L, "ck"), (13L, "localhost"),
+      (14L, "b.s3.amazonaws.com"), (15L, "thing.example.zz")
+    ).toDF("doc_id", "domain")
+    val psl = graft.sources.PslSnapshot.df(spark)
+    def res(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(res(Corpus.registrableDomainJoin(d, psl))
+      == res(Corpus.registrableDomainProbe(d, psl)))
+    // forced through the join path via a zero threshold, the AUTO front
+    // door must give the same answers too
+    assert(res(Corpus.registrableDomain(d, psl, joinMinRules = 0))
+      == res(Corpus.registrableDomainProbe(d, psl)))
+  }
+
+  test("registrableDomainJoin: bit-equal on a synthetic multi-thousand-rule list") {
+    // ~3k rules over synthetic TLDs, every class represented, including
+    // wildcard+exception pairs and keys that are simultaneously a normal
+    // rule AND a wildcard base (t17: "s17.z17" and "*.s17.z17")
+    val rules = (0 until 1000).flatMap { i =>
+      val base = s"s$i.z${i % 40}"
+      Seq(base) ++
+        (if (i % 3 == 0) Seq(s"*.$base") else Nil) ++
+        (if (i % 9 == 0) Seq(s"!exc.$base") else Nil)
+    }
+    val psl = rules.toDF("rule")
+    assert(rules.size > 1000)
+    val rnd = new scala.util.Random(42)
+    val hosts = (0 until 2000).map { j =>
+      val i = rnd.nextInt(1100) // some hosts miss every rule
+      val base = s"s$i.z${i % 40}"
+      val host = rnd.nextInt(5) match {
+        case 0 => base                       // host IS a suffix
+        case 1 => s"reg.$base"               // one registrant label
+        case 2 => s"deep.sub.reg.$base"      // deep subdomain
+        case 3 => s"exc.$base"               // exception hit (when present)
+        case _ => s"x.exc.$base"             // under the exception
+      }
+      (j.toLong, host)
+    }.toDF("doc_id", "domain")
+    def res(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    // maxRuleLabels must cover the longest rule (4 labels incl. wildcard +1)
+    assert(res(Corpus.registrableDomainJoin(hosts, psl))
+      == res(Corpus.registrableDomainProbe(hosts, psl, maxRuleLabels = 4)))
+  }
+
+  test("registrableDomain auto-dispatch: trivial list → probe chain, snapshot → hash join") {
+    val d = Seq((1L, "a.example.com")).toDF("doc_id", "domain")
+    // ≤ PslJoinMinRules (16): the lazy one-row-broadcast probe chain
+    val tiny = Seq("co.uk", "github.io").toDF("rule")
+    val tinyP = Corpus.registrableDomain(d, tiny, maxRuleLabels = 2)
+      .queryExecution.executedPlan.toString
+    assert(tinyP.contains("BroadcastNestedLoopJoin") && !tinyP.contains("BroadcastHashJoin"),
+      s"a trivial rule list must keep the one-row-broadcast probe chain:\n$tinyP")
+    // the shipped 90-rule snapshot is already past the measured crossover
+    // (ScaleBench psl section: join 0.64 s vs probe 12.2 s on 100k hosts)
+    val joinP = Corpus.registrableDomain(d, graft.sources.PslSnapshot.df(spark))
+      .queryExecution.executedPlan.toString
+    assert(joinP.contains("BroadcastHashJoin") && !joinP.contains("BroadcastNestedLoopJoin"),
+      s"the snapshot must dispatch to the label-suffix hash join:\n$joinP")
+    // the join path must not shuffle anything — rules enter as a
+    // LocalRelation (driver-prepared), docs stay in their input partitions
+    assert(!joinP.contains("Exchange hashpartitioning"),
+      s"join path must be exchange-free:\n$joinP")
+    assert(!joinP.contains("SortMergeJoin"), s"docs must never shuffle for a join:\n$joinP")
+  }
+
+  test("registrableDomain plan: PSL rides broadcasts, docs never shuffle") {
     val p = plan("curate_reg_domain")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"PSL arrays must ride a one-row broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"PSL rules must ride a broadcast (hash join post-r10 dispatch):\n$p")
     assert(!p.contains("Exchange hashpartitioning"), s"docs must not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"docs must never shuffle for a join:\n$p")
   }
 
   test("domainQuotaIncrement: empty prior == single-corpus domainQuota") {
