@@ -370,6 +370,9 @@ object ScaleBench {
       }
       val driftBase = clustered(spark.range(driftBaseN).toDF(), 0.0, col("id"))
       val driftIdx = Dedup.buildSemIndex(driftBase, dim, nlist = 64)
+      // the monitoring signal (r10): 10%-quantile of best-cell cosine over
+      // the index's own contents, computed once per build
+      val driftBaseline = Dedup.semDriftBaseline(driftIdx)
       val qz = (c: org.apache.spark.sql.Column) =>
         transform(c, x => round(x.cast("double") * lit(1000)).cast("long"))
       val drift = Seq(0.0, 0.25, 0.5, 0.75, 1.0).map { f =>
@@ -392,15 +395,54 @@ object ScaleBench {
           .count()
         val grown = Dedup.appendSemIndex(driftIdx, wave)
         val caught = Dedup.incrementalSemantic(probes, grown).filter(!col("keep")).count()
-        (caught.toDouble / trueClear, trueClear)
+        // the delta-sized signal a crawl loop would watch before appending
+        val stat = Dedup.semDriftStat(wave, driftIdx, driftBaseline)
+        (caught.toDouble / trueClear, trueClear, stat)
       }
       println("[scale] semantic drift: recall " +
         drift.map(r => f"${r._1}%.3f").mkString(" / ") + " at f = 0 / 0.25 / 0.5 / 0.75 / 1 " +
         s"(true threshold pairs per wave: ${drift.map(_._2).mkString("/")})")
+      println(f"[scale] drift signal (baseline cos $driftBaseline%.4f = base 10%% quantile): " +
+        "stat " + drift.map(r => f"${r._3}%.3f").mkString(" / ") +
+        " at f = 0 / 0.25 / 0.5 / 0.75 / 1 — the response curve recall decisions key on")
       assert(drift.head._2 >= waveN * 9 / 10,
         s"fixture sanity: most planted pairs must clear the threshold: ${drift.head._2}/$waveN")
       assert(drift.head._1 >= 0.95,
         s"undrifted wave must probe at the section's own planted recall: ${drift.head._1}")
+      // signal validity: a base-distributed wave must score ≈ the quantile
+      // (definition of a quantile), a fully-drifted one must be flagged loudly
+      assert(drift.head._3 <= 0.3,
+        s"base-distributed wave must not trip the drift signal: ${drift.head._3}")
+      assert(drift.last._3 >= 2 * drift.head._3 + 0.2,
+        s"full drift must move the signal decisively: ${drift.head._3} → ${drift.last._3}")
+
+      // ---- the LEVER (r10): rebuild at full drift, recall must recover ----
+      // Same f=1 wave and probes as the last loop iteration (the generators
+      // are deterministic in (f, id)); rebuild re-clusters base ∪ wave and
+      // re-assigns, so the drifted region gets cells of its own.
+      val waveF1 = clustered(spark.range(waveN)
+        .withColumn("id", col("id") + lit(driftBaseN)), 1.0, col("id"))
+      val probesF1 = clustered(spark.range(waveN)
+        .withColumn("id", col("id") + lit(driftBaseN)), 1.0, col("id"), copyNoise = 0.45)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val grownF1 = Dedup.appendSemIndex(driftIdx, waveF1)
+      var recallRebuilt = 0.0
+      time(s"semantic index rebuild over ${driftBaseN + waveN} vectors + re-probe") {
+        // nlist 64 → 128: the fully-drifted wave added 64 NEW latent modes,
+        // so the rebuild doubles the cell count (the SemDeDup sizing rule —
+        // cells track corpus modes; rebuilt at the old 64 the recall only
+        // reaches 0.971 because drifted dirs still share cells)
+        val rebuilt = Dedup.rebuildSemIndex(grownF1, nlist = 128)
+        val caughtR = Dedup.incrementalSemantic(probesF1, rebuilt)
+          .filter(!col("keep")).count()
+        recallRebuilt = caughtR.toDouble / drift.last._2
+      }
+      println(f"[scale] rebuild at f=1: recall ${drift.last._1}%.3f without → " +
+        f"$recallRebuilt%.3f with rebuild (${drift.last._2} true pairs)")
+      assert(recallRebuilt >= drift.last._1,
+        s"rebuild must not lose recall: ${drift.last._1} → $recallRebuilt")
+      assert(recallRebuilt >= 0.99,
+        s"rebuild must restore the fresh-training regime (measured 0.997): $recallRebuilt")
     }
 
     // ---- crawl round-trip END-TO-END: whole-loop cost vs base size ----
