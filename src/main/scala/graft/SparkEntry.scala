@@ -431,9 +431,14 @@ object SparkEntry {
     // instead Bench measures its QUALITY against the exact twin every run
     // and emits `sketch.ts_trending_approx` (containment of the exact top-1,
     // max err/est ratio) into the artifact, and TsAggGoldenSpec bounds the
-    // guarantee on adversarial streams
+    // guarantee on adversarial streams. Since r10 the front door is
+    // trendingAuto: the sketch certifies itself from its own counters
+    // ((count − err)·m > W on each bucket's rank-1) and DISPATCHES to the
+    // exact bounded TopK when the data is too skewless for the guarantee
+    // to mean anything (the regime the r9 sf1 sweep correctly flagged at
+    // containment 0.749 — now it answers exactly instead of flagging)
     "ts_trending_approx" -> ((s, d) => // rows-only: sketch is order-dependent
-      TsAgg.approxTopKPerBucket(events(s, d, spec900).withColumn("value_cents", centsCol),
+      TsAgg.trendingAuto(events(s, d, spec900).withColumn("value_cents", centsCol),
         spec900, keyCol = "user_id", k = 3, m = 256,
         weightCol = Some("value_cents"))),
     // the ADAPTIVE front door (VERDICT r6 #8): one approx_count_distinct

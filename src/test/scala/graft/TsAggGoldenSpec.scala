@@ -367,6 +367,37 @@ class TsAggGoldenSpec extends AnyFunSuite {
     assert(forced.toSeq == got.toSeq)
   }
 
+  test("trendingAuto: certified skew keeps the sketch; skewless data dispatches to exact") {
+    import spark.implicits._
+    val spec = TsAggSpec(900, TimeMode.CellTs(BaseMs, BaseMs + 900000L), valueCol = "user")
+    // SKEWED: key 1 dominates (600 of 1500 observations ≫ W/m at m=8), a
+    // 500-key tail forces evictions — rank-1 certifies (count−err)·m > W,
+    // so the dispatch must return the sketch's answer bit-for-bit
+    val skewObs = Seq.fill(600)(1L) ++ Seq.fill(300)(2L) ++ Seq.fill(100)(3L) ++
+      (100L until 600L)
+    val skewDf = skewObs.zipWithIndex
+      .map { case (u, i) => (BaseMs + 1L + (i % 800), u) }.toDF("ts", "user")
+    val viaAuto = TsAgg.trendingAuto(skewDf, spec, "user", k = 3, m = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val viaSketch = TsAgg.approxTopKPerBucket(skewDf, spec, "user", k = 3, m = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(viaAuto.toSeq == viaSketch.toSeq, "certified skew must keep the sketch's answer")
+    assert(viaAuto.exists(_._4 > 0L),
+      "fixture sanity: the sketch must have evicted (else the regimes are indistinguishable)")
+    // SKEWLESS: 500 keys × 3 observations each — no key comes near W/m, the
+    // sketch's top-3 is arbitrary; the dispatch must discard it and return
+    // the exact bounded TopK (err ≡ 0, deterministic (count desc, id asc))
+    val flatObs = (0 until 3).flatMap(_ => 0L until 500L)
+    val flatDf = flatObs.zipWithIndex
+      .map { case (u, i) => (BaseMs + 1L + (i % 800), u) }.toDF("ts", "user")
+    val flatAuto = TsAgg.trendingAuto(flatDf, spec, "user", k = 3, m = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val flatExact = TsAgg.topKPerBucket(flatDf, spec, "user", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 0L, r.getLong(3)))
+    assert(flatAuto.toSeq == flatExact.toSeq,
+      s"skewless data must dispatch to the exact form: ${flatAuto.toSeq.take(3)}")
+  }
+
   test("sessionWindows: touching windows MERGE (diff == gap), strict excess splits") {
     import spark.implicits._
     val gap = 1000L
