@@ -27,7 +27,7 @@ object Dedup {
    */
   private val MaxLiveCaches = 4
   private val liveCaches = new java.util.ArrayDeque[DataFrame]()
-  private[operators] def persistScoped(df: DataFrame): DataFrame = {
+  private[graft] def persistScoped(df: DataFrame): DataFrame = {
     // idempotent: an already-persisted frame (iterative operators manage
     // round-by-round persistence themselves) is only TRACKED, not re-persisted
     val p =

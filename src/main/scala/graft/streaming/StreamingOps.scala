@@ -445,9 +445,14 @@ object StreamingOps {
         else base.select(col(idCol), col(textCol)).unionByName(
           spark.read.parquet(priorBatches.map(k => s"$outDir/batch=$k"): _*)
             .select(col(idCol), col("clean_text").as(textCol)))
-      val (accepted, _) = TrainingSet.crawlIncrement(
+      // scoped persist (ADVICE r9, same recompute class as the LM-gate fix
+      // inside crawlIncrement): without it the probe→cut→scrub→gate chain
+      // re-executes for the manifest write, the appendIndex action, and —
+      // with quota — the counts write
+      val (accepted0, _) = TrainingSet.crawlIncrement(
         batch, idx, grownBase, maxDupFrac, maxTopTokenFrac, lmModel, lmKeep,
         idCol, textCol)
+      val accepted = Dedup.persistScoped(accepted0)
       // optional stage 6: the CROSS-round domain quota ([[graft.operators
       // .Corpus.domainQuotaIncrement]]) — prior counts ride the index
       // snapshots ('<pointer>/domain_counts'), ranking keys on the
@@ -471,16 +476,21 @@ object StreamingOps {
           Corpus.writeDomainCounts(counts2, s"$indexRoot/v$batchId/domain_counts")
           accepted.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
       }
-      keptFinal.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      val keptPersisted =
+        if (keptFinal eq accepted) accepted else Dedup.persistScoped(keptFinal)
+      keptPersisted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       Dedup.writeIndex(Dedup.appendIndex(idx,
-        keptFinal.select(col(idCol), col("clean_text").as(textCol)),
+        keptPersisted.select(col(idCol), col("clean_text").as(textCol)),
         idCol = idCol, textCol = textCol), s"$indexRoot/v$batchId")
       writePointer(indexRoot, s"v$batchId")
       }
     }
   }
 
-  /** Wire [[crawlIncrementBatchFn]] into a running query. The caller seeds
+  /** Wire [[crawlIncrementBatchFn]] into a running query — ALL of the batch
+    * function's knobs forwarded (ADVICE r9: the quota-enabled loop used to
+    * require hand-building foreachBatch because `domainQuota` and the gate
+    * fractions were unreachable through this helper). The caller seeds
     * the index store first ([[seedCrawlIndex]]) and owns the trigger/
     * checkpoint policy beyond the mandatory checkpoint location. */
   def crawlIncrementStream(
@@ -489,10 +499,18 @@ object StreamingOps {
       base: DataFrame,
       outDir: String,
       checkpointDir: String,
-      lmModel: Option[graft.operators.Corpus.LmModel] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      lmModel: Option[graft.operators.Corpus.LmModel] = None,
+      maxDupFrac: (Int, Int) = (1, 2),
+      maxTopTokenFrac: (Int, Int) = (1, 10),
+      lmKeep: (Long, Long) = (1, 1),
+      domainQuota: Option[(String, Int)] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(crawlIncrementBatchFn(indexRoot, base, outDir, lmModel = lmModel))
+      .foreachBatch(crawlIncrementBatchFn(indexRoot, base, outDir,
+        maxDupFrac, maxTopTokenFrac, lmModel, lmKeep, domainQuota,
+        idCol, textCol))
       .start()
 
   /** Seed `indexRoot` with the base corpus's index as snapshot `v-seed`. */

@@ -89,11 +89,11 @@ class StreamingCrawlSpec extends AnyFunSuite {
     StreamingOps.seedCrawlIndex(graft.operators.Dedup.buildIndex(base), root)
 
     val ms = MemoryStream[(Long, String, String)]
-    val q = ms.toDF().toDF("doc_id", "text", "domain").writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch(StreamingOps.crawlIncrementBatchFn(
-        root, base, out, domainQuota = Some(("domain", 1))))
-      .start()
+    // through the public wiring helper — domainQuota is forwarded since
+    // ADVICE r9 (hand-building foreachBatch is no longer required)
+    val q = StreamingOps.crawlIncrementStream(
+      ms.toDF().toDF("doc_id", "text", "domain"), root, base, out, ckpt,
+      domainQuota = Some(("domain", 1)))
     try {
       // batch 0: two clean farm docs — quota 1 keeps exactly one
       ms.addData((10L, txt("alpha"), "farm.com"), (11L, txt("beta"), "farm.com"))
