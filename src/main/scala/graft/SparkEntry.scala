@@ -902,6 +902,29 @@ object SparkEntry {
           lmModel = Some(Fixtures.lmModel(s, d)))._1
         .orderBy("doc_id")
     },
+    // the crawl composition + the loop's DEFAULT quota key (VERDICT r9 gap
+    // #4): accepted docs carry a deterministic host — every doc_id % 3 != 0
+    // (two thirds of the accepted set, so the cut BITES at the sf0.01 gate:
+    // 4 farm docs vs quota 3) is a subdomain LINK FARM on one registrant
+    // (a<id>.farm.github.io, each host distinct so a host-keyed quota would
+    // pass every one — StreamingCrawlSpec pins that contrast), the rest own
+    // registrable domains (www.site<id>.net). quotaKeyEtld collapses the
+    // farm to the single key farm.github.io (github.io is a PSL
+    // private-section suffix), so quota 3 cuts it; the oracle replays
+    // pipeline → PSL → coalesce fallback → bottom-k-by-md5 ranking
+    "pipeline_crawl_quota_etld" -> { (s, d) =>
+      val (planted, base) = crawlPlantedDelta(s, d)
+      val accepted = graft.operators.TrainingSet
+        .crawlIncrement(planted, Fixtures.dedupIndex(s, d), base)._1
+      val host = when(col("doc_id") % 3 =!= 0,
+          concat(lit("a"), col("doc_id").cast("string"), lit(".farm.github.io")))
+        .otherwise(concat(lit("www.site"), col("doc_id").cast("string"), lit(".net")))
+      Corpus.domainQuota(
+        Corpus.quotaKeyEtld(
+          accepted.withColumn("domain", host), graft.sources.PslSnapshot.df(s)),
+        quota = 3, domainCol = "quota_key", textCol = "clean_text")
+        .orderBy("quota_key", "rk")
+    },
 
     // ---- scale ops: similarity search over `embeddings` ---------------------
     "ann_topk_dot" -> { (s, d) =>
@@ -1593,6 +1616,20 @@ object SparkEntry {
         s"""WITH $crawlOracleCtes
            |SELECT doc_id, clean_text, n_removed, n_emails, n_ips, n_phones, n_tokens
            |FROM acc ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // the crawl composition under the loop's default eTLD+1 quota key:
+      // same acc CTEs + the deterministic host plant, the PSL algorithm,
+      // the raw-host fallback, and the md5 bottom-k ranking — one oracle
+      // over all of it
+      "pipeline_crawl_quota_etld" ->
+        (s"WITH $crawlOracleCtes, " +
+          "hosts AS (SELECT doc_id, clean_text, CASE WHEN doc_id % 3 <> 0 " +
+          "THEN 'a' || doc_id || '.farm.github.io' " +
+          "ELSE 'www.site' || doc_id || '.net' END AS domain FROM acc), " +
+          s"reg AS (${pslRegSql("hosts", "doc_id, clean_text, domain")}), " +
+          "kq AS (SELECT doc_id, clean_text, coalesce(reg_domain, domain) AS quota_key FROM reg) " +
+          "SELECT quota_key, rk, doc_id FROM (SELECT quota_key, doc_id, " +
+          "row_number() OVER (PARTITION BY quota_key ORDER BY md5(clean_text), doc_id) AS rk " +
+          "FROM kq) WHERE rk <= 3 ORDER BY quota_key, rk").replace("\n", " "),
       // the LM-gated composition: same CTEs + the clean-split model trained
       // and replayed relationally, acc docs kept iff bits/token ≤ the
       // increment's own mean (identical cross-multiplication witness)

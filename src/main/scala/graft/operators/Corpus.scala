@@ -528,6 +528,25 @@ object Corpus {
   }
 
   /**
+   * The crawl loop's DEFAULT quota key (VERDICT r9 gap #4): eTLD+1 of a
+   * host column with raw-host fallback — `coalesce(registrableDomain(host),
+   * host)`. The fallback matters: a host that IS a public suffix (or a
+   * single label, e.g. an intranet name) has no registrable domain, and a
+   * NULL key would silently pool all such hosts into one quota bucket;
+   * falling back to the raw host keeps them individually bounded. Same
+   * plan shape as [[registrableDomain]] (broadcast-only, docs never
+   * shuffle); the quota/blocklist composition downstream is unchanged —
+   * only the key column it groups on.
+   */
+  def quotaKeyEtld(docs: DataFrame, psl: DataFrame,
+      hostCol: String = "domain", outCol: String = "quota_key",
+      ruleCol: String = "rule"): DataFrame =
+    registrableDomain(docs, psl, domainCol = hostCol, outCol = "__qke_rd",
+        ruleCol = ruleCol)
+      .withColumn(outCol, coalesce(col("__qke_rd"), col(hostCol)))
+      .drop("__qke_rd")
+
+  /**
    * Per-domain quota sampling — bound any single domain's share of the
    * corpus (RefinedWeb caps URLs per domain so link-farms and mirror hosts
    * can't dominate the mix). Delegates to [[TrainingSet.quotaSample]]

@@ -430,6 +430,8 @@ object StreamingOps {
       lmModel: Option[graft.operators.Corpus.LmModel] = None,
       lmKeep: (Long, Long) = (1, 1),
       domainQuota: Option[(String, Int)] = None,
+      quotaKeyEtld: Boolean = true,
+      quotaPsl: Option[DataFrame] = None,
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
@@ -469,8 +471,20 @@ object StreamingOps {
             if (new java.io.File(countsPath).isDirectory)
               Corpus.readDomainCounts(spark, countsPath)
             else Corpus.emptyDomainCounts(spark, domainCol) // seed / quota enabled mid-stream
-          val withDomain = accepted.join(
+          val withHost = accepted.join(
             batch.select(col(idCol), col(domainCol)), Seq(idCol), "left")
+          // DEFAULT since r10 (VERDICT r9 gap #4): the quota keys on the
+          // REGISTRABLE domain (eTLD+1, raw-host fallback) of the caller's
+          // column, so a link farm spreading one registrant's docs over
+          // subdomains shares one quota instead of evading it host-by-host.
+          // The persisted counts then hold eTLD+1 keys — consistent across
+          // rounds by construction. quotaKeyEtld = false restores raw keys
+          // for callers whose column is already a final key.
+          val withDomain =
+            if (!quotaKeyEtld) withHost
+            else Corpus.quotaKeyEtld(withHost,
+              quotaPsl.getOrElse(graft.sources.PslSnapshot.df(spark)),
+              hostCol = domainCol, outCol = domainCol)
           val (kept, counts2) = Corpus.domainQuotaIncrement(
             withDomain, counts, quota, domainCol, idCol, "clean_text")
           Corpus.writeDomainCounts(counts2, s"$indexRoot/v$batchId/domain_counts")
@@ -504,13 +518,15 @@ object StreamingOps {
       maxTopTokenFrac: (Int, Int) = (1, 10),
       lmKeep: (Long, Long) = (1, 1),
       domainQuota: Option[(String, Int)] = None,
+      quotaKeyEtld: Boolean = true,
+      quotaPsl: Option[DataFrame] = None,
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(crawlIncrementBatchFn(indexRoot, base, outDir,
         maxDupFrac, maxTopTokenFrac, lmModel, lmKeep, domainQuota,
-        idCol, textCol))
+        quotaKeyEtld, quotaPsl, idCol, textCol))
       .start()
 
   /** Seed `indexRoot` with the base corpus's index as snapshot `v-seed`. */

@@ -121,4 +121,43 @@ class StreamingCrawlSpec extends AnyFunSuite {
           s"from an under-quota domain must survive: $b2")
     } finally q.stop()
   }
+
+  test("eTLD+1 default quota key: a subdomain link farm is cut that host keys would pass") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def txt(tag: String) = (0 until 18).map(i => s"$tag$i").mkString(" ")
+    // farm: one registrant (github.io is a PSL private suffix, so
+    // farm.github.io is the registrable domain) spread over DISTINCT hosts;
+    // plus one independent doc
+    val farm = Seq(
+      (10L, txt("alpha"), "a1.farm.github.io"),
+      (11L, txt("beta"), "a2.farm.github.io"),
+      (12L, txt("gamma"), "www.other.net"))
+    def run(etld: Boolean): Set[Long] = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-crawl-etld-$etld").toString
+      val base = Seq((1L, txt("baseword"))).toDF("doc_id", "text")
+      StreamingOps.seedCrawlIndex(graft.operators.Dedup.buildIndex(base), s"$tmp/index")
+      val ms = MemoryStream[(Long, String, String)]
+      val q = StreamingOps.crawlIncrementStream(
+        ms.toDF().toDF("doc_id", "text", "domain"), s"$tmp/index", base,
+        s"$tmp/accepted", s"$tmp/ckpt",
+        domainQuota = Some(("domain", 1)), quotaKeyEtld = etld)
+      try {
+        ms.addData(farm: _*)
+        q.processAllAvailable()
+        spark.read.parquet(s"$tmp/accepted/batch=0")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    val underEtld = run(etld = true)
+    // the registrant's three hosts share ONE quota slot; the independent
+    // doc keeps its own
+    assert(underEtld.contains(12L) && (underEtld - 12L).size == 1 &&
+      (underEtld - 12L).subsetOf(Set(10L, 11L)),
+      s"farm must collapse to one eTLD+1 slot: $underEtld")
+    // the control: raw host keys see three distinct domains — the farm
+    // passes whole, which is exactly the evasion the default closes
+    assert(run(etld = false) == Set(10L, 11L, 12L),
+      "host-keyed quota must pass every farm host (the blind spot)")
+  }
 }
