@@ -676,6 +676,122 @@ object ScaleBench {
         s"join path cost must not scale with rule count: $j90 → $jBig")
     }
 
+    // ---- N-ROUND CRAWL SOAK (VERDICT r9 #5): the full loop composed over
+    // a campaign ----
+    // 10 rounds of the COMPLETE batch function (probe → cut → scrub → gate
+    // → LM → eTLD+1 quota → append, exactly what the streaming loop runs)
+    // at a fixed 1000-doc delta against a persisted, growing index store.
+    // Per round the delta is stationary by construction: 100 re-crawls of
+    // base docs (must fall at stage 1 EVERY round — the index never
+    // forgets), 200 link-farm docs over 5 domains (quota 40 per domain
+    // binds after ~3 rounds of LM-halved intake, then stays locked — the
+    // cross-round carry under test), 700 organic docs over 100 domains
+    // (quota 60 > 10 rounds x 7 docs never binds; their acceptance rate
+    // isolates the LM gate).
+    // Asserted: per-round wall-clock flat while the index grows, EXACT
+    // cumulative quota conservation (counts table == accepted totals, no
+    // domain over quota, farms actually reach it), zero re-crawl leaks,
+    // and a stable LM acceptance rate on stationary organic input.
+    if (nDocs >= 10000 && sectionOn("soak")) {
+      import graft.operators.{Corpus, Dedup}
+      import graft.streaming.StreamingOps
+      val soakRounds = 10
+      val soakBaseN = nDocs / 10
+      val (nFarmDoms, farmPerRound, soakQuota) = (5, 200L, 60)
+      val (nOrgDoms, orgPerRound) = (100, 700L)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-soak").toString
+      val (root, out) = (s"$tmpRoot/index", s"$tmpRoot/accepted")
+      val soakBase = mkDocs(soakBaseN)
+      StreamingOps.seedCrawlIndex(Dedup.buildIndex(soakBase), root)
+      val lm = Corpus.trainLmModel(soakBase)
+      def soakDeltaDf(r: Int): org.apache.spark.sql.DataFrame = {
+        val fresh = spark.range(farmPerRound + orgPerRound)
+          .withColumn("doc_id", lit(1000000L) + lit(r * 10000L) + col("id"))
+          .withColumn("seed", xxhash64(col("doc_id"), lit("soak")))
+          // tokens drawn from the SAME "w<h>" space the base corpus (and
+          // therefore the LM model's vocab) uses — a first cut used an
+          // "s" prefix, every token was OOV, every doc scored the identical
+          // backoff surprisal, and the LM gate degenerated to keep-all
+          .withColumn("text", concat_ws(" ", (0 until 30).map(j =>
+            concat(lit("w"), pmod(xxhash64(col("seed") + lit(j.toLong)), lit(100000L)))): _*))
+          // each domain is its OWN registrable domain (farm3.com, w42.net)
+          // so the r10 eTLD+1 default keeps the intended keys — a first cut
+          // used farmN.example.com and the quota correctly collapsed ALL
+          // farms to the single registrant example.com (the default doing
+          // its job, the wrong fixture)
+          .withColumn("domain",
+            when(col("id") < farmPerRound,
+              concat(lit("farm"), pmod(col("id"), lit(nFarmDoms.toLong)), lit(".com")))
+              .otherwise(concat(lit("w"), pmod(col("id"), lit(nOrgDoms.toLong)), lit(".net"))))
+          .select("doc_id", "text", "domain")
+        val re = soakBase
+          .filter(col("doc_id") >= r * 100L && col("doc_id") < r * 100L + 100L)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"),
+            concat(lit("re"), col("doc_id"), lit(".com")).as("domain"))
+        fresh.unionByName(re)
+      }
+      val fn = StreamingOps.crawlIncrementBatchFn(root, soakBase, out,
+        lmModel = Some(lm), domainQuota = Some(("domain", soakQuota)))
+      val soakTimes = (0 until soakRounds).map { r =>
+        val t = System.nanoTime()
+        time(s"crawl soak round $r (1000-doc delta, growing index)") {
+          fn(soakDeltaDf(r), r.toLong)
+        }
+        (System.nanoTime() - t) / 1e9
+      }
+      val all = spark.read.parquet((0 until soakRounds).map(r => s"$out/batch=$r"): _*)
+        .withColumn("batch",
+          regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // zero re-crawl leaks across the whole campaign
+      val leaks = all.filter(col("doc_id") >= 2000000L).count()
+      assert(leaks == 0L, s"$leaks re-crawled base docs leaked past the grown index")
+      // cumulative quota conservation: rebuild each doc's domain from its id
+      // (same expressions as the generator), then compare per-domain totals
+      // to the final counts table — EXACT equality, no domain over quota
+      val idInRound = (col("doc_id") - 1000000L) % 10000L
+      val domOf = when(idInRound < farmPerRound,
+          concat(lit("farm"), pmod(idInRound, lit(nFarmDoms.toLong)), lit(".com")))
+        .otherwise(concat(lit("w"), pmod(idInRound, lit(nOrgDoms.toLong)), lit(".net")))
+      val perDom = all.withColumn("domain", domOf)
+        .groupBy("domain").agg(count(lit(1)).as("n_acc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val over = perDom.filter(col("n_acc") > soakQuota).count()
+      assert(over == 0L, s"$over domains exceeded the cumulative quota")
+      // farms must REACH the quota — the cross-round carry genuinely
+      // binds — all 5 at exactly the cap.
+      val farmsAtQuota = perDom
+        .filter(col("domain").startsWith("farm") && col("n_acc") === soakQuota).count()
+      assert(farmsAtQuota == nFarmDoms.toLong,
+        s"every farm domain must reach quota: $farmsAtQuota/$nFarmDoms")
+      val counts = Corpus.readDomainCounts(spark,
+        s"$root/v${soakRounds - 1}/domain_counts")
+      val mismatch = perDom.join(counts, Seq("domain"), "full")
+        .filter(coalesce(col("n_acc"), lit(-1L)) =!= coalesce(col("n_accepted"), lit(-2L)))
+        .count()
+      assert(mismatch == 0L,
+        s"$mismatch domains where the persisted counts disagree with accepted totals")
+      // LM-gate stability on stationary organic input: per-round acceptance
+      // of the 700 organic docs must hover around one level (the LM keeps
+      // docs at-or-below the increment's own mean surprisal)
+      val orgRates = all.filter(idInRound >= farmPerRound)
+        .groupBy("batch").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1).toDouble / orgPerRound).toMap
+      val rates = (0 until soakRounds).map(r => orgRates.getOrElse(r, 0.0))
+      val mean = rates.sum / rates.size
+      println("[scale] soak: organic acceptance per round " +
+        rates.map(x => f"$x%.2f").mkString(" / ") + f" (mean $mean%.2f)")
+      assert(rates.forall(x => math.abs(x - mean) <= 0.15),
+        s"organic acceptance must be stable on stationary input: $rates")
+      println(f"[scale] soak wall-clock per round: " +
+        soakTimes.map(x => f"$x%.1f").mkString(" / ") + " s")
+      val early = soakTimes.slice(1, 4).sum / 3
+      val late = soakTimes.slice(soakRounds - 3, soakRounds).sum / 3
+      assert(late <= early * 3 + 2.0,
+        s"per-round cost must stay flat as the index grows: early $early late $late")
+      all.unpersist(); perDom.unpersist()
+    }
+
     // ---- incremental IMAGE dedup: probe cost vs base size ----
     // The fifth key space's flat-probe claim: a fixed delta of near-dup
     // re-renders probed against a persisted MediaIndex must cost ~the delta
