@@ -20,6 +20,13 @@ import org.scalatest.funsuite.AnyFunSuite
  * driver regenerates testdata, the affected tests CANCEL (assume) with a
  * regeneration hint instead of reporting false reds:
  * `GRAFT_REGEN_GOLDEN=1 sbt "testOnly graft.GoldenFileSpec"` rewrites them.
+ *
+ * CANCELS ARE RED, NOT YELLOW (VERDICT r9 wrong #4): the per-query cancel
+ * exists only so the diff-level failure points at the right cause, but a
+ * suite run with cancels > 0 has silently dropped that many verifications.
+ * The "fingerprints current" sentinel below therefore HARD-FAILS whenever
+ * any committed golden's fingerprint disagrees with the testdata on disk —
+ * a regeneration cannot slip through as a quiet cancel count.
  */
 class GoldenFileSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -79,6 +86,50 @@ class GoldenFileSpec extends AnyFunSuite {
   for (q <- goldenQueries) test(s"golden: $q matches the committed sf0.001 output") {
     checkGolden(new File(s"$goldenDir/$q.tsv"),
       render(SparkEntry.queries(q)(spark, sfDir)), inputFingerprint)
+  }
+
+  /** The sentinel's per-file check: ASSERT (red, never cancel) that a
+    * committed golden's recorded fingerprint matches the testdata on disk. */
+  private def assertFingerprintCurrent(file: File, expected: String): Unit = {
+    assert(file.exists(), s"missing golden ${file.getPath} — run with GRAFT_REGEN_GOLDEN=1")
+    val head = Files.lines(file.toPath).findFirst().orElse("")
+    assert(head == s"#input-md5 $expected",
+      s"${file.getName}: testdata regenerated since this golden was recorded — " +
+        s"its per-query test is CANCELLING (verification silently dropped). " +
+        s"Re-pin with GRAFT_REGEN_GOLDEN=1 sbt 'testOnly graft.GoldenFileSpec'")
+  }
+
+  private def md5Of(paths: String*): String = {
+    val md = MessageDigest.getInstance("MD5")
+    paths.foreach(p => md.update(Files.readAllBytes(Paths.get(p))))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  // the hard gate (VERDICT r9 wrong #4): every committed golden's
+  // fingerprint must match the CURRENT testdata, or this test is RED — a
+  // regeneration converts per-query greens into cancels, and this turns
+  // that cancel count into a failure the builder cannot miss
+  test("sentinel: golden fingerprints are current — cancels are red, not yellow") {
+    assume(!regen, "regenerating — fingerprints are being rewritten")
+    for (q <- goldenQueries)
+      assertFingerprintCurrent(new File(s"$goldenDir/$q.tsv"), inputFingerprint)
+    assertFingerprintCurrent(new File(s"$goldenDir/text_winnow_sf0.01.tsv"),
+      md5Of("/root/testdata/sf0.01/documents.parquet"))
+    for (f <- Seq("semdedup_centroids_sf0.01.tsv", "semdedup_centroids_base_sf0.01.tsv"))
+      assertFingerprintCurrent(new File(s"$goldenDir/$f"),
+        md5Of("/root/testdata/sf0.01/embeddings.parquet"))
+  }
+
+  // the forced-mismatch demonstration: a golden pinned to stale testdata
+  // must FAIL the sentinel check (TestFailedException), not cancel
+  test("sentinel: a stale fingerprint is a FAILURE, not a cancel") {
+    val stale = File.createTempFile("golden-stale", ".tsv")
+    stale.deleteOnExit()
+    Files.write(stale.toPath,
+      "#input-md5 0123456789abcdef0123456789abcdef\nh:string\nrow\n".getBytes("UTF-8"))
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertFingerprintCurrent(stale, inputFingerprint)
+    }
   }
 
   // The sf0.01 winnowing fingerprints are committed SEPARATELY: they are the
