@@ -809,7 +809,8 @@ object ScaleBench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deltaN = deltaImgs.count() // nImgs/100
       val imgTimes = Seq(nImgs / 10, nImgs).map { baseN =>
-        val idxDir = s"/tmp/graft-fixtures/scalebench-mediaidx-v1-$baseN"
+        // v2: the index schema gained the column-gradient twin `hv` in r10
+        val idxDir = s"/tmp/graft-fixtures/scalebench-mediaidx-v2-$baseN"
         time(s"build+write media index over ~$baseN images (decode once, O(base))") {
           Multimodal.writeMediaIndex(
             Multimodal.buildMediaIndex(
@@ -834,6 +835,41 @@ object ScaleBench {
       println(f"[scale] image probe at 1× vs 10× base: ${imgTimes.head}%.2f s vs ${imgTimes.last}%.2f s")
       assert(imgTimes.last <= imgTimes.head * 3 + 2.0,
         s"image delta probe must not scale with base size: $imgTimes")
+
+      // ---- DUAL-signature tier (r10): stripe edits, same flat-probe bar ----
+      // The delta is the % 10 == 1 vertical-stripe edits — damage the
+      // row-gradient dHash cannot hold within radius (MediaIndexSpec) —
+      // probed via chunks of EITHER signature against the same persisted
+      // index files the loop above wrote. Every edit must surface its
+      // original, and the probe must stay flat in base size.
+      val editDelta = Multimodal.syntheticImageEdits(spark, nImgs / 10)
+        .filter((r: Multimodal.MediaRecord) => r.media_id % 10 == 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val editN = editDelta.count()
+      val dualTimes = Seq(nImgs / 10, nImgs).map { baseN =>
+        val idx = Multimodal.readMediaIndex(spark,
+          s"/tmp/graft-fixtures/scalebench-mediaidx-v2-$baseN")
+        val t = System.nanoTime()
+        time(s"dual-signature probe: $editN-edit delta vs ~$baseN-image index") {
+          val got = Multimodal.incrementalImageNearDupDual(editDelta, idx)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          val planted = got.filter(p => p._2 == p._1 - 1)
+          val beyond = planted.count(_._3 > 3)
+          println(s"[scale] dual probe: ${planted.length}/$editN edits found " +
+            s"($beyond beyond the dHash radius — single-hash misses), ${got.length} total")
+          assert(planted.length == editN,
+            s"every stripe edit must find its original: ${planted.length}/$editN")
+          assert(beyond * 2 >= editN,
+            s"fixture sanity: most edits must sit beyond the dHash radius: $beyond/$editN")
+          assert(got.length - planted.length <= editN * 2L,
+            s"collision blowup: ${got.length - planted.length}")
+        }
+        (System.nanoTime() - t) / 1e9
+      }
+      editDelta.unpersist()
+      println(f"[scale] dual probe at 1× vs 10× base: ${dualTimes.head}%.2f s vs ${dualTimes.last}%.2f s")
+      assert(dualTimes.last <= dualTimes.head * 3 + 2.0,
+        s"dual probe must not scale with base size: $dualTimes")
     }
 
     // ---- training-set assembly at corpus scale ----

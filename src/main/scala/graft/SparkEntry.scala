@@ -982,6 +982,21 @@ object SparkEntry {
         Multimodal.buildMediaIndex(
           media.filter((r: Multimodal.MediaRecord) => r.media_id % 10 != 1)))
     }),
+    // DUAL-signature image probe (VERDICT r9 #8): the same incremental
+    // shape over a corpus whose % 10 == 1 deltas are VERTICAL-STRIPE edits
+    // of their originals — margin-watermark damage that pushes the
+    // row-gradient dHash beyond any sane radius (MediaIndexSpec measures
+    // most pairs past Hamming 3) while the column-gradient twin stays
+    // within requant noise. The probe candidates on chunks of EITHER
+    // signature, so every edit still surfaces its original. Golden-pinned
+    // like the other image queries (JDK JPEG IDCT caveat applies).
+    "dedup_incremental_image_edit" -> ((s, _) => {
+      val media = Multimodal.syntheticImageEdits(s, 300)
+      Multimodal.incrementalImageNearDupDual(
+        media.filter((r: Multimodal.MediaRecord) => r.media_id % 10 == 1),
+        Multimodal.buildMediaIndex(
+          media.filter((r: Multimodal.MediaRecord) => r.media_id % 10 != 1)))
+    }),
 
     // ---- temporal joins (beyond-reference: the reference is single-table,
     // SURVEY §2.2; these are the first two join shapes its users need) ------

@@ -525,19 +525,57 @@ object Multimodal {
      * ([[graft.operators.Dedup.simhashNearDup]]).
      */
     def dHash64(payload: Array[Byte]): Option[Long] =
-      grayGrid(payload).map { g =>
-        var h = 0L
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 8) {
-            if (g(r * 9 + c + 1) > g(r * 9 + c)) h |= 1L << (r * 8 + c)
-            c += 1
-          }
-          r += 1
+      grayGrid(payload).map(dHashOf)
+
+    private def dHashOf(g: Array[Long]): Long = {
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(r * 9 + c + 1) > g(r * 9 + c)) h |= 1L << (r * 8 + c)
+          c += 1
         }
-        h
+        r += 1
       }
+      h
+    }
+
+    /** Column-gradient TWIN of [[dHash64]] over the SAME 8×9 cell grid:
+      * bit `r·9 + c` is set iff grid cell (r+1, c) is brighter than (r, c)
+      * — 7 row-pairs × 9 columns = 63 bits (the grid is 8 rows of 9 cells;
+      * the row count buys dHash64 its 8×8 horizontal gradients, so the
+      * vertical twin gets one fewer pair — and reusing the grid keeps both
+      * hashes one decode). Same exact brightness-invariance, but its bits
+      * are damaged by DIFFERENT edits: a FULL-HEIGHT vertical stripe
+      * (margin watermark, pillarbox bar) moves horizontal gradients at its
+      * two boundary columns in every grid row — up to 16 [[dHash64]] bits,
+      * far beyond any sane Hamming radius — while vertically adjacent
+      * cells shift together and the column twin stays within requant
+      * noise. The dual-signature probe joins on chunks of EITHER hash, so
+      * a pair needs to stay within radius on just one of two independent
+      * signatures to surface. */
+    def dHashV64(payload: Array[Byte]): Option[Long] =
+      grayGrid(payload).map(dHashVOf)
+
+    private def dHashVOf(g: Array[Long]): Long = {
+      var h = 0L
+      var r = 0
+      while (r < 7) {
+        var c = 0
+        while (c < 9) {
+          if (g((r + 1) * 9 + c) > g(r * 9 + c)) h |= 1L << (r * 9 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+    /** Both signatures from ONE decode (the grid pass dominates; hashing it
+      * twice is free) — what [[buildMediaIndex]] persists per image. */
+    def dHashPair64(payload: Array[Byte]): Option[(Long, Long)] =
+      grayGrid(payload).map(g => (dHashOf(g), dHashVOf(g)))
 
     /** Color-moment + histogram descriptor over 3-channel interleaved pixel
       * rows: `[mean(c0..c2), std(c0..c2), min, max, 8-bin intensity
@@ -975,9 +1013,14 @@ object Multimodal {
     * delta's decodes. */
   def buildMediaIndex(media: Dataset[MediaRecord]): MediaIndex = {
     import media.sparkSession.implicits._
+    // both signatures from the one decode pass (r10): `h` the row-gradient
+    // dHash every existing probe keys on, `hv` its column-gradient twin for
+    // the dual-signature tier — 8 more bytes/row buys edit classes the
+    // single hash can never hold within radius
     MediaIndex(media
-      .mapPartitions(_.flatMap(r => MediaCodec.dHash64(r.payload).map(h => (r.media_id, h))))
-      .toDF("id", "h"))
+      .mapPartitions(_.flatMap(r =>
+        MediaCodec.dHashPair64(r.payload).map { case (h, hv) => (r.media_id, h, hv) }))
+      .toDF("id", "h", "hv"))
   }
 
   def writeMediaIndex(idx: MediaIndex, path: String): Unit =
@@ -1028,6 +1071,52 @@ object Multimodal {
   }
 
   /**
+   * DUAL-SIGNATURE image probe (VERDICT r9 #8): delta-vs-index matches
+   * within `maxHamming` on EITHER the row-gradient dHash (`h`) or its
+   * column-gradient twin (`hv` — [[MediaCodec.dHashV64]]). The single-hash
+   * probe ([[incrementalImageNearDup]]) misses any edit that concentrates
+   * its damage in one gradient direction: a vertical-stripe watermark
+   * flips up to 16 `h` bits (two boundary columns × 8 rows) while `hv`
+   * moves 0–2 bits, so the pair sits hopelessly outside any radius on `h`
+   * and comfortably inside on `hv`. Output `(media_id, match_id,
+   * hamming_h, hamming_v)`, ordered — both distances reported so a caller
+   * can see WHICH signature held.
+   *
+   * Scale shape identical to the single-hash probe, ×2: the delta decodes
+   * once ([[MediaCodec.dHashPair64]]) and BROADCASTS chunk keys for both
+   * signatures; the index is scanned (map-side chunk expansion over
+   * 24 B rows), never shuffled; candidates from the two chunk joins union
+   * into one delta-sized distinct before the exact `bit_count` verify.
+   */
+  def incrementalImageNearDupDual(
+      delta: Dataset[MediaRecord], index: MediaIndex, maxHamming: Int = 3): DataFrame = {
+    import delta.sparkSession.implicits._
+    val dHashes = delta
+      .mapPartitions(_.flatMap(r =>
+        MediaCodec.dHashPair64(r.payload).map { case (h, hv) => (r.media_id, h, hv) }))
+      .toDF("delta_id", "hd", "hvd")
+    def candidates(sig: String, deltaSig: String) = {
+      def chunks(df: DataFrame, idC: String, sigC: String, keep: Seq[String]) =
+        df.select(keep.map(col) :+
+          explode(Dedup.hammingChunkKeys(col(sigC), maxHamming)).as("ck"): _*)
+          .select(keep.map(col) :+ col("ck.chunk") :+ col("ck.ckey"): _*)
+      chunks(index.hashes, "id", sig, Seq("id", "h", "hv"))
+        .join(broadcast(chunks(dHashes, "delta_id", deltaSig,
+          Seq("delta_id", "hd", "hvd"))), Seq("chunk", "ckey"))
+        .select("delta_id", "id", "hd", "hvd", "h", "hv")
+    }
+    candidates("h", "hd").unionByName(candidates("hv", "hvd"))
+      .filter(col("id") =!= col("delta_id"))
+      .distinct()
+      .withColumn("hamming_h", bit_count(col("hd").bitwiseXOR(col("h"))).cast("long"))
+      .withColumn("hamming_v", bit_count(col("hvd").bitwiseXOR(col("hv"))).cast("long"))
+      .filter(col("hamming_h") <= maxHamming || col("hamming_v") <= maxHamming)
+      .select(col("delta_id").as("media_id"), col("id").as("match_id"),
+        col("hamming_h"), col("hamming_v"))
+      .orderBy("media_id", "match_id")
+  }
+
+  /**
    * Fixture for the image-dedup query and its tests: `n` SMOOTH low-frequency
    * images, each the sum of two seed-keyed DIAGONAL sine waves. Diagonal
    * (xy-coupled) waves are the fixture shape dHash actually distinguishes:
@@ -1046,6 +1135,39 @@ object Multimodal {
    * — the filter must not matter after decode), a plain re-encode of the
    * identical pixels for JPEG (requantization noise only).
    */
+  /** The smooth two-diagonal-sine RGB field every image fixture shares
+    * (see [[syntheticImageDups]] for why diagonal + low-frequency);
+    * bit-identical to the pre-r10 inline construction, so the committed
+    * goldens are unchanged. */
+  private def smoothRgb(seed: Long, w: Int, h: Int, bright: Int): Array[Byte] = {
+    val f1x = 1 + (seed % 5).toInt; val f1y = 1 + (seed % 7).toInt % 5
+    val f2x = 1 + (seed % 11).toInt % 5; val f2y = 1 + (seed % 13).toInt % 5
+    val p1 = (seed % 101).toDouble / 101.0; val p2 = (seed % 103).toDouble / 103.0
+    val tau = 2 * math.Pi
+    Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      val v = 100.0 +
+        40.0 * StrictMath.sin(tau * (f1x * x.toDouble / w + f1y * y.toDouble / h + p1)) +
+        40.0 * StrictMath.sin(tau * (f2x * x.toDouble / w + f2y * y.toDouble / h + p2))
+      (v.toInt + (i % 3) * 5 + bright).toByte
+    }
+  }
+
+  private def fixtureDims(seed: Long): (Int, Int) =
+    (24 + (seed % 8).toInt * 4, // multiple of 4: conforming BMP stride
+      16 + (seed % 5).toInt * 4)
+
+  private def encodeFixture(id: Long, seed: Long, w: Int, h: Int,
+      rgb: Array[Byte]): MediaRecord = {
+    val payload = (seed % 3) match {
+      case 0 => MediaCodec.wrapBmp(w, h, rgb)
+      case 1 => MediaCodec.encodeJpeg(w, h, rgb)
+      case _ => MediaCodec.wrapPng(w, h, rgb, rowFilter = y => ((id + y) % 5).toInt)
+    }
+    MediaRecord(id, "image", payload,
+      MediaMeta(width = 0, height = 0, sampleRate = 0, durationMs = 0, codec = "raw"))
+  }
+
   def syntheticImageDups(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n).repartition(4).map { r =>
@@ -1053,26 +1175,50 @@ object Multimodal {
       val isDup = id % 10 == 1
       val seed = if (isDup) id - 1 else id
       val bright = if (isDup && seed % 3 != 1) 6 else 0
-      val w = 24 + (seed % 8).toInt * 4 // multiple of 4: conforming BMP stride
-      val h = 16 + (seed % 5).toInt * 4
-      val f1x = 1 + (seed % 5).toInt; val f1y = 1 + (seed % 7).toInt % 5
-      val f2x = 1 + (seed % 11).toInt % 5; val f2y = 1 + (seed % 13).toInt % 5
-      val p1 = (seed % 101).toDouble / 101.0; val p2 = (seed % 103).toDouble / 103.0
-      val tau = 2 * math.Pi
-      val rgb = Array.tabulate(w * h * 3) { i =>
-        val p = i / 3; val x = p % w; val y = p / w
-        val v = 100.0 +
-          40.0 * StrictMath.sin(tau * (f1x * x.toDouble / w + f1y * y.toDouble / h + p1)) +
-          40.0 * StrictMath.sin(tau * (f2x * x.toDouble / w + f2y * y.toDouble / h + p2))
-        (v.toInt + (i % 3) * 5 + bright).toByte
+      val (w, h) = fixtureDims(seed)
+      encodeFixture(id, seed, w, h, smoothRgb(seed, w, h, bright))
+    }
+  }
+
+  /**
+   * Fixture for the DUAL-signature tier ([[incrementalImageNearDupDual]]):
+   * every id ≡ 1 (mod 10) is a VERTICAL-STRIPE EDIT of id-1 — the same
+   * pixels with a full-height bar (right quarter, ⌈w/8⌉ columns, +40
+   * brightness) burned in, then re-encoded through the source's own
+   * container. The stripe's two boundary columns move horizontal gradients
+   * in EVERY grid row (dHash damage far beyond radius 3 — MediaIndexSpec
+   * measures it), while vertical neighbors inside and outside the bar
+   * shift together, leaving the column-gradient twin within requant noise.
+   * Exactly the margin-watermark / pillarbox edit class a re-encode chain
+   * produces.
+   */
+  def syntheticImageEdits(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n).repartition(4).map { r =>
+      val id = r.longValue()
+      val isEdit = id % 10 == 1
+      val seed = if (isEdit) id - 1 else id
+      val (w, h) = fixtureDims(seed)
+      val rgb = smoothRgb(seed, w, h, 0)
+      if (isEdit) {
+        val x0 = w * 3 / 4
+        val x1 = math.min(w, x0 + math.max(2, (w + 7) / 8))
+        var y = 0
+        while (y < h) {
+          var x = x0
+          while (x < x1) {
+            var c = 0
+            while (c < 3) {
+              val i = (y * w + x) * 3 + c
+              rgb(i) = (rgb(i) + 40).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
       }
-      val payload = (seed % 3) match {
-        case 0 => MediaCodec.wrapBmp(w, h, rgb)
-        case 1 => MediaCodec.encodeJpeg(w, h, rgb)
-        case _ => MediaCodec.wrapPng(w, h, rgb, rowFilter = y => ((id + y) % 5).toInt)
-      }
-      MediaRecord(id, "image", payload,
-        MediaMeta(width = 0, height = 0, sampleRate = 0, durationMs = 0, codec = "raw"))
+      encodeFixture(id, seed, w, h, rgb)
     }
   }
 

@@ -39,8 +39,8 @@ class GoldenFileSpec extends AnyFunSuite {
   private val goldenQueries =
     Seq("ann_topk_cosine_lsh", "ann_topk_cosine_ivf", "dedup_minhash",
       "dedup_incremental_near", "dedup_simhash", "dedup_image_phash",
-      "dedup_incremental_image", "text_fingerprint", "text_winnow",
-      "multimodal_features")
+      "dedup_incremental_image", "dedup_incremental_image_edit",
+      "text_fingerprint", "text_winnow", "multimodal_features")
 
   private lazy val inputFingerprint: String = {
     val md = MessageDigest.getInstance("MD5")

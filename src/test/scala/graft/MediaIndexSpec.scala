@@ -81,4 +81,32 @@ class MediaIndexSpec extends AnyFunSuite {
     assert(!beforeJoin.contains("Exchange hashpartitioning"),
       s"index side must not shuffle below the broadcast join:\n$plan")
   }
+
+  test("dual tier: stripe edits sit beyond the dHash radius yet surface via the column twin") {
+    val edits = Multimodal.syntheticImageEdits(spark, n)
+    val eBase = edits.filter((r: MediaRecord) => r.media_id % 10 != 1)
+    val eDelta = edits.filter((r: MediaRecord) => r.media_id % 10 == 1)
+    val idx = Multimodal.buildMediaIndex(eBase)
+    val single = Multimodal.incrementalImageNearDup(eDelta, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dual = Multimodal.incrementalImageNearDupDual(eDelta, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val planted = (0L until n.toLong).filter(_ % 10 == 1).map(i => (i, i - 1)).toSet
+    val dualPairs = dual.map(t => (t._1, t._2)).toSet
+    assert(planted.subsetOf(dualPairs),
+      s"every stripe edit must find its original: ${(planted -- dualPairs).take(5)}")
+    assert(single.subsetOf(dualPairs), "the dual probe must never lose a single-hash match")
+    val plantedRows = dual.filter(t => t._2 == t._1 - 1)
+    assert(plantedRows.forall(_._4 <= 3),
+      s"the column twin must hold within radius on every edit: " +
+        s"${plantedRows.filter(_._4 > 3).take(5).toSeq}")
+    // the tier's reason to exist: for MOST edits the row-gradient hash is
+    // damaged beyond the radius (two boundary columns × 8 rows), and those
+    // pairs are exactly the single-hash probe's misses
+    val beyond = plantedRows.filter(_._3 > 3)
+    assert(beyond.length * 2 >= planted.size,
+      s"stripe must damage dHash beyond radius for most pairs: ${beyond.length}/${planted.size}")
+    assert(beyond.forall(t => !single.contains((t._1, t._2))),
+      "pairs beyond the dHash radius must be single-probe misses (else the fixture is weak)")
+  }
 }
