@@ -55,7 +55,10 @@ object Bench {
     // number with its error bar instead of adjudicating phantoms.
     case class QResult(name: String, min: Double, median: Double, rows: Long,
                        ok: Boolean, spread: Double = 0.0, unstable: Boolean = false)
-    val Passes = 3
+    // SPARK_GRAFT_BENCH_PASSES overrides for drift attribution runs (the
+    // r9 ask on dedup_exact_spans: pin a mover with >= 5 interleaved passes
+    // before blaming machine state)
+    val Passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     val MaxExtraRuns = 3
     val StableSpread = 2.0
     // optional args = subset of query names (fast iteration on one query)
@@ -234,12 +237,18 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r9: driver REGENERATED all testdata between rounds (ts column is now " +
-      "timestamp_ntz, was epoch-millis bigint; content equivalent - goldens unchanged); " +
-      "5 queries new this round: pipeline_crawl_lm_gate, curate_reg_domain, " +
-      "curate_domain_quota_etld, dedup_incremental_image, curate_quota_increment; " +
-      "pipeline_crawl_lm_gate also got the gated-frame persist fix (6.6 -> ~5 s) - " +
-      "other per-query deltas vs r8 are plan or machine noise"
+    val notes = "r10: 2 queries new this round: pipeline_crawl_quota_etld (full crawl " +
+      "composition + the loop's new default eTLD+1 quota key), " +
+      "dedup_incremental_image_edit (dual-signature image probe, golden-pinned). " +
+      "Top carried mover ATTRIBUTED (r9 wrong #2 ask): dedup_exact_spans re-pinned " +
+      "with 6 INTERLEAVED passes at sf0.1 - min 3.46 / median 3.49 / spread 1.04, " +
+      "identical plan; r9's 5.96 was machine state during that artifact run (its " +
+      "same-evening control already re-measured 4.79), not plan or fixture drift. " +
+      "Plan changes this round: curate_reg_domain + curate_domain_quota_etld now " +
+      "dispatch to the PSL label-suffix broadcast hash join (probe chain was 19x " +
+      "slower at the 90-rule snapshot - expect these two faster); ts_trending_approx " +
+      "now runs trendingAuto (sketch kept at sf0.1 - same containment 1.000/err 0 - " +
+      "plus a small certification aggregate)"
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window
