@@ -24,9 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * suffixes) of a list that upstream ships ~9,500 rules of and updates
  * weekly. It is a FIXTURE: correct semantics, representative coverage,
  * deterministic for the oracle gate. A production deployment swaps in the
- * full current list through the same `(rule)` one-column table — the
- * operator's broadcast shape is sized for the real 10⁴-row list (a few
- * hundred KB on the wire, far under any broadcast limit).
+ * full current list via [[fromFile]] (parses the official
+ * public_suffix_list.dat format) — the operator's broadcast shape is sized
+ * for the real 10⁴-row list (a few hundred KB on the wire, far under any
+ * broadcast limit), and [[graft.operators.Corpus.registrableDomain]]'s
+ * auto-dispatch takes the rule-count-independent hash-join path at that
+ * size.
  */
 object PslSnapshot {
 
@@ -78,5 +81,47 @@ object PslSnapshot {
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._
     rules.toDF("rule")
+  }
+
+  /**
+   * Parse the OFFICIAL publicsuffix.org file format (the bytes a production
+   * deployment downloads from https://publicsuffix.org/list/public_suffix_list.dat)
+   * into the rule spelling [[graft.operators.Corpus.registrableDomain]]
+   * consumes — the production swap path the STALENESS note promises,
+   * implemented end to end: download the current list, [[fromFile]] it, and
+   * the operator's auto-dispatch takes the hash-join path at that size
+   * (the probe chain measured 70 s on 10k hosts at real-list rule counts;
+   * the join path 0.4 s on 10× more — ScaleBench `psl` section).
+   *
+   * Format rules, per the list's own spec:
+   *   - each line is only read up to the first whitespace;
+   *   - a line that is empty (after that cut) or starts with `//` is a
+   *     comment — this covers the `===BEGIN ICANN DOMAINS===` section
+   *     markers, which live inside comments;
+   *   - rules are case-insensitive; canonical form is lowercase.
+   *
+   * Both the ICANN and PRIVATE sections are kept: for crawl curation the
+   * private section is the point (hosting platforms where each subdomain is
+   * an independent registrant). Hosts must be spelled the way the list
+   * spells them (the upstream list carries IDN labels in Unicode, not
+   * punycode; this loader does no punycode conversion — normalize hosts on
+   * the way in if your crawl frontier stores punycode).
+   */
+  def parseList(lines: IterableOnce[String]): Seq[String] =
+    lines.iterator
+      .map(l => l.takeWhile(!_.isWhitespace))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.toLowerCase)
+      .toSeq
+
+  /** [[parseList]] over a file path (local or any Hadoop-visible filesystem
+    * — the read goes through `spark.read.textFile`, so the list can sit on
+    * the DFS next to the data), returning the `(rule)` table. The file is
+    * small (~240 KB upstream) and rule order is irrelevant to the PSL
+    * algorithm (longest-match + exception precedence), so the driver-side
+    * collect and any cross-partition reordering are both harmless. */
+  def fromFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    parseList(spark.read.textFile(path).collect()).toDF("rule")
   }
 }

@@ -367,6 +367,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(!joinP.contains("SortMergeJoin"), s"docs must never shuffle for a join:\n$joinP")
   }
 
+  test("PslSnapshot.parseList: official publicsuffix.org format, fixture file") {
+    // the fixture mimics the real public_suffix_list.dat: header comments,
+    // blank lines, ===SECTION=== markers inside comments, mixed-case rules,
+    // and content past the first whitespace (read-up-to-whitespace rule)
+    val parsed = graft.sources.PslSnapshot.parseList(
+      scala.io.Source.fromFile("src/test/resources/psl-official-fixture.dat").getLines())
+    assert(parsed == Seq("co.uk", "org.uk", "*.ck", "!www.ck",
+      "co.jp", "ne.jp", "github.io"))
+    // round-trip: the shipped snapshot serialized the way upstream ships
+    // rules (one per line, comments interleaved) parses back to itself
+    val official = "// header\n\n" +
+      graft.sources.PslSnapshot.rules.map(r => s"$r\n").mkString("// sect\n", "", "")
+    assert(graft.sources.PslSnapshot.parseList(official.linesIterator)
+      == graft.sources.PslSnapshot.rules)
+  }
+
+  test("PslSnapshot.fromFile → registrableDomain: the production swap path end-to-end") {
+    val psl = graft.sources.PslSnapshot.fromFile(
+      spark, "src/test/resources/psl-official-fixture.dat")
+    assert(psl.columns.toSeq == Seq("rule") && psl.count() == 7)
+    val d = Seq(
+      (1L, "a.example.co.uk"),   // fixture ICANN rule
+      (2L, "alice.github.io"),   // fixture private-section rule
+      (3L, "foo.bar.ck"),        // fixture wildcard
+      (4L, "www.ck"),            // fixture exception
+      (5L, "x.example.zz")       // implicit * default
+    ).toDF("doc_id", "domain")
+    val got = Corpus.registrableDomain(d, psl)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got == Map(1L -> Some("example.co.uk"), 2L -> Some("alice.github.io"),
+      3L -> Some("foo.bar.ck"), 4L -> Some("www.ck"), 5L -> Some("example.zz")))
+  }
+
   test("registrableDomain plan: PSL rides broadcasts, docs never shuffle") {
     val p = plan("curate_reg_domain")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
