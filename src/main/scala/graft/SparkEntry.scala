@@ -432,11 +432,13 @@ object SparkEntry {
     // and emits `sketch.ts_trending_approx` (containment of the exact top-1,
     // max err/est ratio) into the artifact, and TsAggGoldenSpec bounds the
     // guarantee on adversarial streams. Since r10 the front door is
-    // trendingAuto: the sketch certifies itself from its own counters
-    // ((count − err)·m > W on each bucket's rank-1) and DISPATCHES to the
-    // exact bounded TopK when the data is too skewless for the guarantee
-    // to mean anything (the regime the r9 sf1 sweep correctly flagged at
-    // containment 0.749 — now it answers exactly instead of flagging)
+    // trendingAuto: each bucket's full-m sketch certifies the property the
+    // gate checks — "the true top-1 is inside the reported top-k", via
+    // count(k+1) < max(count − err) — and DISPATCHES to the exact bounded
+    // TopK when too many buckets can't prove it. (The first-cut r10
+    // certificate only proved a heavy key EXISTS; the sf1 sweep showed
+    // that passing while containment sat at 0.585 — heavy keys present
+    // among the m counters but not provably in the top 3 by estimate.)
     "ts_trending_approx" -> ((s, d) => // rows-only: sketch is order-dependent
       TsAgg.trendingAuto(events(s, d, spec900).withColumn("value_cents", centsCol),
         spec900, keyCol = "user_id", k = 3, m = 256,

@@ -364,47 +364,76 @@ object TsAgg {
   /**
    * Regime-dispatched trending / per-bucket heavy hitters (VERDICT r9
    * missing #3): run the SpaceSaving sketch — the cheap O(buckets × m)
-   * form — then CERTIFY it from its own counters before trusting it. A
-   * bucket is certified when its rank-1 entry provably clears the W/m
-   * heavy-hitter bar: `(count − err) · m > W`, with `W` the bucket's total
-   * weight aggregated in the SAME pass (count − err lower-bounds the true
-   * weight, so the inequality proves a genuinely heavy key exists — the
-   * regime the sketch's containment guarantee lives in). If even the best
-   * entry cannot certify, no key can (`count` upper-bounds every true
-   * weight), which is exactly the skewless regime where SpaceSaving's
-   * answer is arbitrary and the bench containment gate fires (r9 sf1 sweep:
-   * 0.749 on skewless events). When more than `maxUncertifiedFrac` of
-   * buckets are uncertified, the sketch is DISCARDED and the exact bounded
-   * TopK ([[topKPerBucket]], the `topKAuto` exact branch) runs instead —
-   * same output schema, `err ≡ 0`.
+   * form — then CERTIFY it from its own counters before trusting it.
    *
-   * Cost shape: the probe IS the cheap form (one O(buckets × m) pass, the
-   * certification aggregate reads O(buckets) rows from the scoped cache);
-   * the exact form's O(distinct keys) shuffle is paid exactly when
-   * correctness demands it. The threshold tolerates a fringe of marginal
-   * buckets (default 10%) so near-uniform noise cannot flap the dispatch.
+   * The certificate proves the property the answer is consumed for: "the
+   * TRUE top-1 key is inside the reported top-k". Over the bucket's full
+   * m-entry sketch, let `lb* = max(count − err)` — a weight some real key
+   * provably reaches (count − err lower-bounds its owner's true weight).
+   * Any key whose `count` (an UPPER bound on its true weight) is below
+   * `lb*` cannot be the true top-1; a key absent from an at-capacity
+   * sketch has true weight ≤ the sketch's minimum count ≤ the (k+1)-th
+   * count. So `count(k+1) < lb*` certifies that every possible true-top-1
+   * candidate sits inside the reported top-k (an under-capacity sketch
+   * with ≤ k entries certifies trivially — it saw every key). This
+   * subsumes the first-cut r10 criterion `(count₁ − err₁)·m > W`, which
+   * proved only that SOME heavy key exists — true on any weight-skewed
+   * stream even when the inter-rank gaps are smaller than the merge error,
+   * precisely the regime the sf1 sweep exposed (real top weights 3× over
+   * W/m, yet top-1 containment 0.585: the heavy keys were all IN the m
+   * counters, just not provably in the top 3 BY ESTIMATE).
+   *
+   * When more than `maxUncertifiedFrac` of buckets fail the certificate,
+   * the sketch is DISCARDED and the exact bounded TopK ([[topKPerBucket]],
+   * the `topKAuto` exact branch) runs instead — same output schema,
+   * `err ≡ 0`. Certified buckets contain their true top-1 BY PROOF, so a
+   * dispatch that keeps the sketch guarantees top-1 containment
+   * ≥ 1 − maxUncertifiedFrac; the default 0.05 keeps that worst case at
+   * the bench gate's own 0.95 floor.
+   *
+   * Cost shape: the probe IS the cheap form (one O(buckets × m) pass —
+   * the full-m agg output equals the merge buffers that cross the
+   * exchange anyway; the certification aggregate reads O(buckets) rows
+   * from the scoped cache); the exact form's O(distinct keys) shuffle is
+   * paid exactly when correctness demands it.
    */
   def trendingAuto(
       df: DataFrame, spec: TsAggSpec, keyCol: String, k: Int,
       m: Int = 256, weightCol: Option[String] = None,
-      maxUncertifiedFrac: Double = 0.1): DataFrame = {
+      maxUncertifiedFrac: Double = 0.05): DataFrame = {
     val grpKeys = (spec.seriesCols :+ "bucket_start").map(col)
     val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    // k = m in the agg: keep the FULL sketch so the certificate can read
+    // the (k+1)-th count; the per-bucket merge buffers carry m entries
+    // across the exchange regardless, so this costs nothing new
     val sk = Dedup.persistScoped(
       withBuckets(df, spec)
         .groupBy(grpKeys: _*)
-        .agg(graft.functions.SpaceSaving.topKByWeight(k, m)(col(keyCol), w).as("tk"),
-          functions.sum(w).as("w_total")))
-    val r1 = element_at(col("tk.entries"), 1)
-    val certified = size(col("tk.entries")) > 0 &&
-      (r1.getField("count") - r1.getField("err")) * m > col("w_total")
+        .agg(graft.functions.SpaceSaving.topKByWeight(m, m)(col(keyCol), w).as("tk")))
+    val entries = col("tk.entries")
+    val n = size(entries)
+    val lbStar = array_max(transform(entries,
+      e => e.getField("count") - e.getField("err")))
+    // `get` (0-based, NULL out of range), not `element_at`: ANSI mode
+    // throws on out-of-range and CaseWhen branch CSE can evaluate a
+    // guarded branch's value eagerly (same hazard registrableDomainProbe
+    // documents) — with `get` an impossible index is a harmless NULL
+    val certified =
+      when(n === 0, lit(false))
+        // ≤ k entries: all observed keys are reported; if the sketch never
+        // reached capacity nothing was ever evicted, so absent keys have
+        // true weight 0 (an at-capacity sketch bounds them by its min count)
+        .when(n <= k, lit(k < m) ||
+          get(entries, n - 1).getField("count") < lbStar)
+        .otherwise(get(entries, lit(k)).getField("count") < lbStar)
     val stats = sk.agg(functions.count(lit(1)),
       functions.sum(when(certified, 1L).otherwise(0L))).head()
     val uncertified =
       if (stats.getLong(0) == 0L) 0.0
       else 1.0 - stats.getLong(1).toDouble / stats.getLong(0)
     if (uncertified <= maxUncertifiedFrac) {
-      sk.select(grpKeys :+ posexplode(col("tk.entries")).as(Seq("r0", "e")): _*)
+      sk.select(grpKeys :+ posexplode(entries).as(Seq("r0", "e")): _*)
+        .filter(col("r0") < k)
         .select(grpKeys ++ Seq(col("e.id").as(keyCol),
           col("e.count").as("est_weight"), col("e.err").as("err"),
           (col("r0") + 1).cast("long").as("rank")): _*)

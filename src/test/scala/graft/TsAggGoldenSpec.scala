@@ -396,6 +396,23 @@ class TsAggGoldenSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 0L, r.getLong(3)))
     assert(flatAuto.toSeq == flatExact.toSeq,
       s"skewless data must dispatch to the exact form: ${flatAuto.toSeq.take(3)}")
+    // HEAVY-BUT-UNORDERABLE (the regime the r10 sf1 sweep exposed): six
+    // keys at 200 observations each all clear W/m = 162, so the first-cut
+    // certificate ((count₁−err₁)·m > W) passes — yet the sketch cannot
+    // prove WHICH of the six are top-3 (identical weights, merge error
+    // exceeds the zero gaps). The containment certificate must refuse and
+    // dispatch to the exact bounded TopK, whose (count desc, id asc) order
+    // is deterministic.
+    val heavyFlatObs = (1L to 6L).flatMap(u => Seq.fill(200)(u)) ++ (100L until 200L)
+    val heavyFlatDf = heavyFlatObs.zipWithIndex
+      .map { case (u, i) => (BaseMs + 1L + (i % 800), u) }.toDF("ts", "user")
+    val heavyAuto = TsAgg.trendingAuto(heavyFlatDf, spec, "user", k = 3, m = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val heavyExact = TsAgg.topKPerBucket(heavyFlatDf, spec, "user", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 0L, r.getLong(3)))
+    assert(heavyAuto.toSeq == heavyExact.toSeq,
+      "heavy keys with unprovable order must dispatch to the exact form: " +
+        s"${heavyAuto.toSeq.take(3)}")
   }
 
   test("sessionWindows: touching windows MERGE (diff == gap), strict excess splits") {
