@@ -698,6 +698,19 @@ object SparkEntry {
     // training, not the serving path a crawl pipeline runs)
     "filter_lm_score" -> ((s, d) =>
       Corpus.lmScoreModel(documents(s, d), Fixtures.lmModel(s, d))),
+    // DSIR (Xie et al., NeurIPS 2023) importance weights: log₂-likelihood
+    // ratio of each doc under the persisted TARGET (lang='en') vs RAW
+    // (whole-table) models — one token explode, four hard-capped broadcast
+    // joins, both integer surprisal ladders, one per-doc aggregate
+    "dsir_weights" -> ((s, d) =>
+      Corpus.dsirBits(documents(s, d),
+        Fixtures.dsirTargetModel(s, d), Fixtures.dsirRawModel(s, d))),
+    // DSIR selection: keep docs with per-token advantage ≥ 0 always, below
+    // that with probability 2^tok_bits decided by the md5-hex threshold —
+    // deterministic importance resampling, integer-exact in both engines
+    "dsir_select" -> ((s, d) =>
+      Corpus.dsirSelect(documents(s, d),
+        Fixtures.dsirTargetModel(s, d), Fixtures.dsirRawModel(s, d))),
     // mixture accounting per (source, lang): one partial/final hash agg
     "corpus_mix_stats" -> ((s, d) =>
       Corpus.mixtureStats(documents(s, d)).orderBy("source", "lang")),
@@ -1713,6 +1726,28 @@ object SparkEntry {
           |  (lm_bits*tot_tok*1 <= n_tokens*tot_bits*1) AS keep
           |FROM pd CROSS JOIN ct ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+      // DSIR weights: both models + both ladders replayed relationally —
+      // the target/raw CTE chains are the same machinery as
+      // filter_lm_score's, name-spaced t_/r_
+      "dsir_weights" ->
+        (s"WITH $dsirOracleCtes " +
+          "SELECT doc_id, n_tokens, bits_target, bits_raw, dsir_bits " +
+          "FROM dpd ORDER BY doc_id").replace("\n", " "),
+      // DSIR selection: floor-divided per-token advantage (pmod spelling —
+      // both engines' % truncates toward zero), md5-hex acceptance against
+      // the 2^(48+e) threshold rendered as 12 lowercase hex digits
+      "dsir_select" ->
+        (s"WITH $dsirOracleCtes, " +
+          "tb AS (SELECT p.doc_id, p.n_tokens, p.dsir_bits, " +
+          "CAST((p.dsir_bits - ((p.dsir_bits % p.n_tokens) + p.n_tokens) % p.n_tokens) // p.n_tokens AS BIGINT) AS tok_bits, " +
+          "substr(md5(d.text),1,12) AS hex12 " +
+          "FROM dpd p JOIN documents d USING (doc_id)) " +
+          "SELECT doc_id, n_tokens, dsir_bits, tok_bits, " +
+          "CASE WHEN tok_bits >= 0 THEN TRUE " +
+          "WHEN tok_bits >= -48 THEN hex12 < printf('%012x', CAST(1 AS BIGINT) << CAST(48 + greatest(tok_bits, -48) AS INT)) " +
+          "ELSE FALSE END AS keep " +
+          "FROM tb ORDER BY doc_id").replace("\n", " "),
+
       // ---- domain/URL curation ----
       // the urlOracleCte WITH-body rebuilds the messy-URL fixture and
       // replays urlNormalize/urlDomain step-by-step in RE2 spelling
@@ -1848,14 +1883,62 @@ object SparkEntry {
     * deterministic top-2²⁰ cut tables `uni`/`big` (count desc, key asc —
     * [[graft.operators.Corpus.trainLmModel]]'s exact cut). */
   private def lmModelOracleCtes: String =
-    """tr AS (SELECT text FROM documents WHERE substr(md5(text),1,4) < 'f000'),
-      |u0 AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM tr),
-      |uni0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM u0 GROUP BY 1),
-      |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS T FROM uni0),
-      |uni AS (SELECT w, cw FROM uni0 ORDER BY cw DESC, w ASC LIMIT 1048576),
-      |bt AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM tr),
-      |b0 AS (SELECT unnest(CASE WHEN len(t)>=2 THEN list_transform(range(1,len(t)), i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS bg FROM bt),
-      |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cuv FROM b0 GROUP BY 1 HAVING count(*) >= 2 ORDER BY cuv DESC, bg ASC LIMIT 1048576)"""
+    lmModelCtesFor("", "substr(md5(text),1,4) < 'f000'", "T")
+
+  /** One model's CTE chain, name-spaced by `p` so two models can coexist in
+    * one WITH (the DSIR oracles train a target and a raw model side by
+    * side); `totCol` names the uncapped total so the two T scalars don't
+    * collide after the CROSS JOINs. */
+  private def lmModelCtesFor(p: String, trainWhere: String, totCol: String): String =
+    s"""${p}tr AS (SELECT text FROM documents WHERE $trainWhere),
+      |${p}u0 AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM ${p}tr),
+      |${p}uni0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM ${p}u0 GROUP BY 1),
+      |${p}tot AS (SELECT CAST(sum(cw) AS BIGINT) AS $totCol FROM ${p}uni0),
+      |${p}uni AS (SELECT w, cw FROM ${p}uni0 ORDER BY cw DESC, w ASC LIMIT 1048576),
+      |${p}bt AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM ${p}tr),
+      |${p}b0 AS (SELECT unnest(CASE WHEN len(t)>=2 THEN list_transform(range(1,len(t)), i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS bg FROM ${p}bt),
+      |${p}big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cuv FROM ${p}b0 GROUP BY 1 HAVING count(*) >= 2 ORDER BY cuv DESC, bg ASC LIMIT 1048576)"""
+      .stripMargin.replace("\n", " ")
+
+  /** The DSIR oracle's shared CTE chain: both models (target = `lang =
+    * 'en'`, raw = the whole table — [[graft.sources.Fixtures]]'s two
+    * persisted DSIR models), one token-position explode, BOTH surprisal
+    * ladders (the same CASE as `filter_lm_score`'s, once per model), and
+    * the per-doc aggregate `dpd(doc_id, n_tokens, bits_target, bits_raw,
+    * dsir_bits)`. */
+  private def dsirOracleCtes: String =
+    s"""${lmModelCtesFor("t_", "lang = 'en'", "T_t")},
+      |${lmModelCtesFor("r_", "TRUE", "T_r")},
+      |dt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+      |  WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 1),
+      |pos AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    unnest(list_transform(range(1, len(t)+1),
+      |      i -> struct_pack(w := t[i], prev := CASE WHEN i > 1 THEN t[i-1] ELSE NULL END))) AS p
+      |  FROM dt),
+      |sc AS (SELECT doc_id, n_tokens,
+      |    CASE WHEN (p).prev IS NULL THEN
+      |           CASE WHEN t_uni.cw IS NOT NULL THEN (length(bin(T_t))-1) - (length(bin(t_uni.cw))-1)
+      |                ELSE length(bin(T_t)) END
+      |         WHEN t_big.cuv IS NOT NULL AND t_up.cw IS NOT NULL THEN (length(bin(t_up.cw))-1) - (length(bin(t_big.cuv))-1)
+      |         WHEN t_uni.cw IS NOT NULL THEN 1 + (length(bin(T_t))-1) - (length(bin(t_uni.cw))-1)
+      |         ELSE length(bin(T_t)) END AS bt,
+      |    CASE WHEN (p).prev IS NULL THEN
+      |           CASE WHEN r_uni.cw IS NOT NULL THEN (length(bin(T_r))-1) - (length(bin(r_uni.cw))-1)
+      |                ELSE length(bin(T_r)) END
+      |         WHEN r_big.cuv IS NOT NULL AND r_up.cw IS NOT NULL THEN (length(bin(r_up.cw))-1) - (length(bin(r_big.cuv))-1)
+      |         WHEN r_uni.cw IS NOT NULL THEN 1 + (length(bin(T_r))-1) - (length(bin(r_uni.cw))-1)
+      |         ELSE length(bin(T_r)) END AS br
+      |  FROM pos CROSS JOIN t_tot CROSS JOIN r_tot
+      |  LEFT JOIN t_uni ON (p).w = t_uni.w
+      |  LEFT JOIN t_uni t_up ON (p).prev = t_up.w
+      |  LEFT JOIN t_big ON (p).prev || ' ' || (p).w = t_big.bg
+      |  LEFT JOIN r_uni ON (p).w = r_uni.w
+      |  LEFT JOIN r_uni r_up ON (p).prev = r_up.w
+      |  LEFT JOIN r_big ON (p).prev || ' ' || (p).w = r_big.bg),
+      |dpd AS (SELECT doc_id, n_tokens, CAST(sum(bt) AS BIGINT) AS bits_target,
+      |    CAST(sum(br) AS BIGINT) AS bits_raw,
+      |    CAST(sum(br) - sum(bt) AS BIGINT) AS dsir_bits
+      |  FROM sc GROUP BY 1,2)"""
       .stripMargin.replace("\n", " ")
 
   /**

@@ -796,11 +796,10 @@ object Corpus {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(keepNum > 0 && keepDen > 0, "threshold must be a positive rational")
-    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
     def toks = tokens(col(textCol))
     val uni = model.uni
     val big = model.big
-    val tBits = (64 - java.lang.Long.numberOfLeadingZeros(model.totalTokens)) - 1L
+    val tBits = lmTotalBits(model)
     val pos = Parallelism.ensure(docs)
       .select(col(idCol).as("__id"), toks.as("t"))
       .filter(size(col("t")) >= 1)
@@ -816,22 +815,8 @@ object Corpus {
         .join(broadcast(uni), pos("p.w") === uni("w"), "left")
         .join(broadcast(big),
           concat(pos("p.prev"), lit(" "), pos("p.w")) === big("bg"), "left")
-        .withColumn("bits",
-          when(col("p.prev").isNull,
-            when(col("cw").isNotNull, lit(tBits) - flog2(col("cw")))
-              .otherwise(lit(tBits) + 1))
-            // cprev guard: a bigram can survive the maxBigrams cut while its
-            // PREV word fell to the maxVocab cut (possible only when the caps
-            // bind — never at fixture scale). Without the guard that token's
-            // bits are NULL and sum() silently DROPS them — i.e. the token
-            // scores cheaper than the most frequent known word, inverting the
-            // "a cap only removes information" contract. With it, the token
-            // falls to the backoff branch like any other unmodelable context.
-            // The DuckDB oracles carry the same guard (both ladder copies).
-            .when(col("cuv").isNotNull && col("cprev").isNotNull,
-              flog2(col("cprev")) - flog2(col("cuv")))
-            .when(col("cw").isNotNull, lit(1L) + lit(tBits) - flog2(col("cw")))
-            .otherwise(lit(tBits) + 1))
+        .withColumn("bits", surprisalBits(
+          col("p.prev"), col("cw"), col("cuv"), col("cprev"), tBits))
         .groupBy(col("__id"), col("n_tokens"))
         .agg(sum("bits").as("lm_bits")))
     val corpusTotals =
@@ -841,6 +826,161 @@ object Corpus {
         (col("lm_bits").cast("decimal(38,0)") * col("tot_tok") * keepDen
           <= col("n_tokens").cast("decimal(38,0)") * col("tot_bits") * keepNum)
           .as("keep"))
+      .orderBy(idCol)
+  }
+
+  /** floor(log2(totalTokens)) — the model's normalization constant in bits. */
+  private def lmTotalBits(m: LmModel): Long =
+    (64 - java.lang.Long.numberOfLeadingZeros(m.totalTokens)) - 1L
+
+  /**
+   * The per-token integer surprisal ladder shared by [[lmScoreModel]] and
+   * [[dsirBits]] — floor-log2 backoff-bigram bits against one model's
+   * joined count columns (`length(bin(c)) − 1` = floor(log2 c), exact in
+   * both engines; the DuckDB oracles replay this CASE verbatim).
+   *
+   * cprev guard on the bigram branch: a bigram can survive the maxBigrams
+   * cut while its PREV word fell to the maxVocab cut (possible only when
+   * the caps bind — never at fixture scale). Without the guard that
+   * token's bits are NULL and sum() silently DROPS them — i.e. the token
+   * scores cheaper than the most frequent known word, inverting the "a cap
+   * only removes information" contract. With it, the token falls to the
+   * backoff branch like any other unmodelable context.
+   */
+  private def surprisalBits(prev: Column, cw: Column, cuv: Column,
+      cprev: Column, tBits: Long): Column = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    when(prev.isNull,
+      when(cw.isNotNull, lit(tBits) - flog2(cw)).otherwise(lit(tBits) + 1))
+      .when(cuv.isNotNull && cprev.isNotNull, flog2(cprev) - flog2(cuv))
+      .when(cw.isNotNull, lit(1L) + lit(tBits) - flog2(cw))
+      .otherwise(lit(tBits) + 1)
+  }
+
+  /**
+   * DSIR importance weights (Xie, Santurkar, Ma, Liang, "Data Selection
+   * for Language Models via Importance Resampling", NeurIPS 2023): score
+   * each document under a TARGET-distribution model and a RAW-distribution
+   * model and keep the log-likelihood ratio, `log₂ p_target(x) −
+   * log₂ p_raw(x)` — positive means "more target-like than the raw pool".
+   * Where the paper estimates the two distributions with hashed-n-gram
+   * bag-of-words models, this engine uses its capped backoff-bigram
+   * [[LmModel]] as the featurizer — the same bounded-feature-space role
+   * (both tables are HARD-capped broadcasts at any corpus size) with
+   * strictly more context, and the same exact integer floor-log2
+   * arithmetic as [[lmScoreModel]], so the whole computation is
+   * oracle-replayable with no float log anywhere:
+   * `dsir_bits = bits_raw − bits_target` (surprisal is −log₂ p, so the
+   * ratio flips sign).
+   *
+   * Output: `(idCol, n_tokens, bits_target, bits_raw, dsir_bits)`, one row
+   * per doc with ≥ 1 token.
+   *
+   * Scale shape: ONE explode pass over the corpus (O(tokens) map rows)
+   * joined against FOUR hard-capped broadcast tables (both models' uni +
+   * big — scoring two models shares the explode a twice-called
+   * [[lmScoreModel]] would pay twice), then one partial/final aggregate of
+   * O(docs) rows. Token rows never shuffle; docs never shuffle except as
+   * the final agg's 32-byte rows.
+   */
+  def dsirBits(docs: DataFrame, target: LmModel, raw: LmModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    dsirCore(docs, target, raw, idCol, textCol, selHex = None)
+      .select(col(idCol), col("n_tokens"), col("bits_target"), col("bits_raw"),
+        col("dsir_bits"))
+
+  /**
+   * DSIR selection: sample documents with probability proportional to
+   * their importance weight — the deterministic, integer-exact variant of
+   * the paper's Gumbel-top-k resampling. Per doc, the per-token advantage
+   * `tok_bits = ⌊dsir_bits / n_tokens⌋` (floor division — length
+   * normalization keeps long documents from saturating the weight, the
+   * role the paper's fixed-length chunks play) sets the acceptance
+   * probability `min(1, 2^(tok_bits − pivotBits))`: at or above the pivot
+   * a doc is always kept; below it, acceptance decays by half per bit,
+   * decided by comparing the first 12 hex digits of `md5(seed ‖ text)`
+   * against `2^(48 + e)` rendered as a 12-hex threshold — the same
+   * content-hash determinism as [[splitAssign]] (any engine reproduces
+   * the set bit-for-bit; duplicate texts land on the same side; `seed`
+   * re-rolls). The probability grid is powers of two — the price of exact
+   * integer arithmetic, same floor-log2 quantization the bits themselves
+   * carry; E[kept] is proportional to the quantized weight, which is the
+   * resampling property DSIR needs.
+   *
+   * Output: `(idCol, n_tokens, dsir_bits, tok_bits, keep)`. Docs with
+   * zero tokens are dropped (no distribution to weigh them under), same
+   * as [[lmScoreModel]].
+   *
+   * Scale shape: [[dsirBits]]'s plan plus a pure projection — the md5 key
+   * rides the explode's group key (12 bytes per token row), no extra
+   * exchange, no join back to the corpus.
+   */
+  def dsirSelect(docs: DataFrame, target: LmModel, raw: LmModel,
+      seed: String = "", pivotBits: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hex = substring(
+      md5(concat(lit(seed), coalesce(col(textCol), lit("")))), 1, 12)
+    dsirCore(docs, target, raw, idCol, textCol, selHex = Some(hex))
+      // floor division via pmod: both engines' % truncates toward zero, so
+      // the subtract-then-divide is exact at any sign (the quotient is an
+      // exact multiple — `div` truncation never fires)
+      .withColumn("tok_bits",
+        expr("(dsir_bits - pmod(dsir_bits, n_tokens)) div n_tokens"))
+      .withColumn("__e", col("tok_bits") - lit(pivotBits))
+      .withColumn("keep",
+        when(col("__e") >= 0, lit(true))
+          .when(col("__e") >= -48, col("__sel_hex") <
+            // 2^(48+e) as a 12-hex threshold; greatest() clamps the shift
+            // because CaseWhen branch CSE may evaluate a guarded branch
+            // (the registrableDomainProbe hazard); conv is uppercase → lower
+            expr("lpad(lower(conv(cast(shiftleft(cast(1 as bigint), " +
+              "cast(48 + greatest(__e, -48L) as int)) as string), 10, 16)), 12, '0')"))
+          .otherwise(lit(false)))
+      .select(col(idCol), col("n_tokens"), col("dsir_bits"), col("tok_bits"),
+        col("keep"))
+  }
+
+  /** Shared core of [[dsirBits]]/[[dsirSelect]]: one token explode, four
+    * broadcast joins, both surprisal ladders, one aggregate. `selHex`
+    * (the selection hash, computed from the doc ROW before the explode)
+    * rides the group key so the caller needs no join back to the corpus. */
+  private def dsirCore(docs: DataFrame, target: LmModel, raw: LmModel,
+      idCol: String, textCol: String, selHex: Option[Column]): DataFrame = {
+    def toks = tokens(col(textCol))
+    val tBitsT = lmTotalBits(target)
+    val tBitsR = lmTotalBits(raw)
+    val uniT = target.uni.select(col("w").as("__tw"), col("cw").as("__tcw"))
+    val bigT = target.big.select(col("bg").as("__tbg"),
+      col("cuv").as("__tcuv"), col("cprev").as("__tcprev"))
+    val uniR = raw.uni.select(col("w").as("__rw"), col("cw").as("__rcw"))
+    val bigR = raw.big.select(col("bg").as("__rbg"),
+      col("cuv").as("__rcuv"), col("cprev").as("__rcprev"))
+    val pos = Parallelism.ensure(docs)
+      .select(Seq(col(idCol).as("__id"), toks.as("t")) ++
+        selHex.map(_.as("__sel_hex")).toSeq: _*)
+      .filter(size(col("t")) >= 1)
+      .select(Seq(col("__id"), size(col("t")).cast("long").as("n_tokens")) ++
+        selHex.map(_ => col("__sel_hex")).toSeq :+
+        explode(transform(col("t"), (w, i) => struct(
+          w.as("w"),
+          when(i > 0, element_at(col("t"), i)).otherwise(lit(null)).as("prev"))))
+          .as("p"): _*)
+    val bg = concat(col("p.prev"), lit(" "), col("p.w"))
+    pos
+      .join(broadcast(uniT), col("p.w") === col("__tw"), "left")
+      .join(broadcast(bigT), bg === col("__tbg"), "left")
+      .join(broadcast(uniR), col("p.w") === col("__rw"), "left")
+      .join(broadcast(bigR), bg === col("__rbg"), "left")
+      .withColumn("__bt", surprisalBits(col("p.prev"),
+        col("__tcw"), col("__tcuv"), col("__tcprev"), tBitsT))
+      .withColumn("__br", surprisalBits(col("p.prev"),
+        col("__rcw"), col("__rcuv"), col("__rcprev"), tBitsR))
+      .groupBy(Seq(col("__id"), col("n_tokens")) ++
+        selHex.map(_ => col("__sel_hex")).toSeq: _*)
+      .agg(sum("__bt").as("bits_target"), sum("__br").as("bits_raw"))
+      .select(Seq(col("__id").as(idCol), col("n_tokens"), col("bits_target"),
+        col("bits_raw"), (col("bits_raw") - col("bits_target")).as("dsir_bits")) ++
+        selHex.map(_ => col("__sel_hex")).toSeq: _*)
       .orderBy(idCol)
   }
 

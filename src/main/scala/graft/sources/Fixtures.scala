@@ -115,15 +115,40 @@ object Fixtures {
     // read by current code would miss it and fail the schema
     val out = cachePathFor(dir, "documents", "lm_model_v2")
     lock.synchronized {
-      if (!new java.io.File(s"$out/_OK").exists()) buildLmModel(s, dir, out)
+      if (!new java.io.File(s"$out/_OK").exists())
+        buildLmModel(s, dir, out, _.filter(expr("substr(md5(text),1,4) < 'f000'")))
     }
     out
   }
 
-  private def buildLmModel(s: SparkSession, dir: String, out: String): Unit = {
+  /**
+   * The two persisted models the DSIR queries score against (same
+   * train-once/score-many contract as [[lmModel]]): TARGET = the `lang =
+   * 'en'` slice (the distribution the selection steers toward — DSIR's
+   * real deployments point this at a trusted corpus), RAW = the whole
+   * documents table (the pool being selected from, the paper's q).
+   */
+  def dsirTargetModel(s: SparkSession, dir: String): graft.operators.Corpus.LmModel =
+    graft.operators.Corpus.readLmModel(s, dsirModelPath(s, dir, target = true))
+
+  def dsirRawModel(s: SparkSession, dir: String): graft.operators.Corpus.LmModel =
+    graft.operators.Corpus.readLmModel(s, dsirModelPath(s, dir, target = false))
+
+  private def dsirModelPath(s: SparkSession, dir: String, target: Boolean): String = {
+    val out = cachePathFor(dir, "documents",
+      if (target) "dsir_target_lm_v1" else "dsir_raw_lm_v1")
+    lock.synchronized {
+      if (!new java.io.File(s"$out/_OK").exists())
+        buildLmModel(s, dir, out,
+          docs => if (target) docs.filter(col("lang") === "en") else docs)
+    }
+    out
+  }
+
+  private def buildLmModel(s: SparkSession, dir: String, out: String,
+      split: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     import graft.operators.Corpus
-    def train = Tables.documents(s, dir)
-      .filter(expr("substr(md5(text),1,4) < 'f000'"))
+    def train = split(Tables.documents(s, dir))
     val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
     Corpus.writeLmModel(Corpus.trainLmModel(train), tmp)
     java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_OK"))
