@@ -872,6 +872,90 @@ object ScaleBench {
         s"dual probe must not scale with base size: $dualTimes")
     }
 
+    // ---- DSIR data selection at corpus scale: target-vs-raw reweighting ----
+    // Raw pool: nDocs docs over TWO disjoint 2000-word vocabularies — even
+    // ids speak the target's "a" vocab, odd ids the junk "b" vocab (a 50/50
+    // pool). The target model trains on a HELD-OUT a-vocab corpus with
+    // disjoint seeds, so selection must generalize the DISTRIBUTION, not
+    // match documents; the raw model trains on the pool itself (the paper's
+    // q). Planted truth: weights must separate the halves, and the selected
+    // set's target-vocab token mass — the quantity DSIR exists to raise —
+    // must approach 1 from the pool's 0.5.
+    if (nDocs >= 1000 && sectionOn("dsir")) {
+      import graft.operators.Corpus
+      def vocabDoc(vocab: String, seedCol: org.apache.spark.sql.Column) =
+        concat_ws(" ", (0 until 30).map(j => concat(lit(vocab),
+          pmod(xxhash64(seedCol * lit(37L) + lit(j.toLong)), lit(2000L)))): _*)
+      val pool = spark.range(nDocs)
+        .withColumn("text", when(pmod(col("id"), lit(2L)) === 0L,
+          vocabDoc("a", col("id"))).otherwise(vocabDoc("b", col("id"))))
+        .select(col("id").as("doc_id"), col("text"))
+      // target train is pool-SIZED: the likelihood ratio needs comparable
+      // model capacity on both sides — a 10× smaller target split was
+      // measured to shift ALL weights negative (the raw model's richer
+      // bigram coverage under-prices its own pool), which is the known
+      // estimator bias the paper avoids with equal feature smoothing
+      val targetTrain = spark.range(nDocs, 2L * nDocs)
+        .withColumn("text", vocabDoc("a", col("id")))
+        .select(col("id").as("doc_id"), col("text"))
+      val tm = Corpus.trainLmModel(targetTrain)
+      val rm = Corpus.trainLmModel(pool)
+      // Expected weight scale, from the estimator itself: the pool's
+      // a-half IS target-distributed, so its true per-token advantage is
+      // the mixture weight, log₂(1/0.5) = +1 bit (floor-log2 quantization
+      // straddles it around 0); junk tokens are unseen by the target model
+      // → ≈ −9 bits each. The graded property is the ~10-bit-per-token
+      // SEPARATION, not absolute sign — a doc's weight against the pool
+      // mean is what resampling consumes.
+      // NOTE both sections retrain the two models inline (uni/big are lazy
+      // frames — the ~88 MB shuffle is the bigram count groupBys, O(distinct
+      // bigrams)); the REGISTERED queries score against persisted fixture
+      // models, where scoring alone is the 4-broadcast-join O(docs) plan
+      time(s"DSIR weights incl. inline model training: $nDocs-doc pool") {
+        val sep = Corpus.dsirBits(pool, tm, rm)
+          .groupBy(pmod(col("doc_id"), lit(2L)).as("half"))
+          .agg(count(lit(1)).as("n"), avg("dsir_bits").as("mean"),
+            min("dsir_bits").as("lo"), max("dsir_bits").as("hi"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+        val a = sep(0L); val b = sep(1L)
+        println(f"[scale] dsir separation: target-vocab mean ${a._2}%.1f bits/doc " +
+          f"[${a._3},${a._4}] vs junk ${b._2}%.1f [${b._3},${b._4}] " +
+          f"(n = ${a._1}/${b._1})")
+        // total separation: the WORST target-vocab doc must outweigh the
+        // BEST junk doc (at 30 tokens the halves sit ~300 bits apart)
+        assert(a._3 > b._4,
+          s"weight ranges must not overlap: a-min ${a._3} vs b-max ${b._4}")
+        assert(a._2 - b._2 >= 100,
+          s"means must separate by ≥ 100 bits/doc: ${a._2} vs ${b._2}")
+      }
+      time(s"DSIR select incl. inline model training: $nDocs-doc pool") {
+        val sel = graft.operators.Dedup.persistScoped(
+          Corpus.dsirSelect(pool, tm, rm).filter(col("keep")))
+        // target-vocab token MASS of the selected set (docs are uniform
+        // 30-token, so doc counts are token mass): the paper's metric is
+        // "selected distribution closer to target" — with disjoint
+        // vocabularies that collapses to this fraction, exactly computable.
+        // Resampling keeps ∝ 2^tok_bits: the a-half (tok_bits ≈ 0±1) keeps
+        // roughly half-to-all, the junk half (≈ −9) keeps ~2^-9 — the
+        // selected mixture swings from 0.5 to ≈ 1 target mass.
+        val m = sel.groupBy(pmod(col("doc_id"), lit(2L)).as("half"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val kept = (m.getOrElse(0L, 0L), m.getOrElse(1L, 0L))
+        val frac = kept._1.toDouble / math.max(1L, kept._1 + kept._2)
+        println(f"[scale] dsir selected ${kept._1 + kept._2} docs: target-vocab " +
+          f"mass $frac%.3f (pool: 0.500), target acceptance " +
+          f"${kept._1 * 2.0 / nDocs}%.3f, junk acceptance ${kept._2 * 2.0 / nDocs}%.4f")
+        assert(frac >= 0.98, s"selection must concentrate target mass: $frac")
+        assert(kept._1 >= (nDocs / 2) * 3L / 10,
+          s"a meaningful share of the target half must survive: ${kept._1}/${nDocs / 2}")
+        assert(kept._2 <= (nDocs / 2) / 50,
+          s"junk acceptance must collapse: ${kept._2}/${nDocs / 2}")
+        sel.unpersist()
+      }
+    }
+
     // ---- training-set assembly at corpus scale ----
     // guarded like the bucket assertions above: a tiny CLI run (nDocs < 100)
     // has too few planted clones / docs for the recall and invariant checks
