@@ -119,7 +119,7 @@ object Bench {
       def topk(name: String): Map[Long, Set[Long]] =
         SparkEntry.queries(name)(spark, sfDir).select("qid", "nid").collect()
           .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val approx = Seq("ann_topk_cosine_lsh", "ann_topk_cosine_ivf")
+      val approx = Seq("ann_topk_cosine_lsh", "ann_topk_cosine_ivf", "ann_topk_cosine_ivfpq")
         .filter(n => selected.exists(_._1 == n))
       if (approx.isEmpty || !selected.exists(_._1 == "ann_topk_dot")) Seq.empty
       else try {

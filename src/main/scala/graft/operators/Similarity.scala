@@ -246,6 +246,155 @@ object Similarity {
   }
 
   /**
+   * Product-quantization codebooks (Jégou et al., TPAMI 2011), trained
+   * DRIVER-SIDE on the same deterministic hash-ordered sample protocol as
+   * [[trainIvfCentroids]] (FAISS trains PQ on a sample too): `m` subspaces
+   * of `dsub = dim/m` components, each Lloyd-iterated to `ks` centroids
+   * under L2 (sub-vectors are not unit-norm — means are NOT renormalized,
+   * unlike the spherical coarse quantizer). Returns the flattened
+   * `m × ks × dsub` matrix [[graft.functions.expressions.PqEncode]] /
+   * [[graft.functions.expressions.PqLut]] consume (~131 KB at m=8,
+   * ks=256, dim=64 — a plan-time constant, shipped once).
+   *
+   * Determinism: hash-ordered init (centroid t seeds from sample row t),
+   * fixed iteration count, strict-< argmin with ties toward the lower
+   * code, empty cells re-seeded from the sample in hash order.
+   */
+  def trainPqCodebooks(
+      corpus: DataFrame, dim: Int, m: Int, ks: Int = 256,
+      sampleSize: Int = 0, iters: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    val sz = if (sampleSize > 0) sampleSize else math.max(ks * 4, 1024)
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sz)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ks,
+      s"corpus sample ${sample.length} smaller than ks $ks")
+    val books = new Array[Double](m * ks * dsub)
+    var j = 0
+    while (j < m) {
+      // per-subspace Lloyd on the sample's j-th sub-vectors
+      var cents: Array[Array[Double]] =
+        Array.tabulate(ks)(t => sample(t).slice(j * dsub, (j + 1) * dsub))
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ks)(new Array[Double](dsub))
+        val counts = new Array[Int](ks)
+        for (v <- sample) {
+          var best = 0; var bestD = Double.PositiveInfinity
+          var t = 0
+          while (t < ks) {
+            var d2 = 0.0; var i = 0
+            while (i < dsub) {
+              val diff = v(j * dsub + i) - cents(t)(i); d2 += diff * diff; i += 1
+            }
+            if (d2 < bestD) { best = t; bestD = d2 }
+            t += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(j * dsub + i); i += 1 }
+          counts(best) += 1
+        }
+        var reseed = 0
+        cents = Array.tabulate(ks) { t =>
+          if (counts(t) > 0) sums(t).map(_ / counts(t))
+          else {
+            reseed += 1
+            sample((t + reseed) % sample.length).slice(j * dsub, (j + 1) * dsub)
+          }
+        }
+      }
+      var t = 0
+      while (t < ks) {
+        System.arraycopy(cents(t), 0, books, (j * ks + t) * dsub, dsub)
+        t += 1
+      }
+      j += 1
+    }
+    books
+  }
+
+  /**
+   * ANN via an IVF-PQ index (IVFADC, Jégou et al. 2011 — FAISS's
+   * `IVFx,PQy` with `by_residual=false`): corpus vectors carry only their
+   * coarse cell, `m` PQ byte-codes, and their true norm — at dim=64/m=8
+   * that is ~44 B per row against the flat index's 256 B vector, the
+   * memory ratio that makes billion-vector serving feasible. Queries probe
+   * `nprobe` cells with a precomputed ADC lookup table
+   * ([[graft.functions.expressions.PqLut]] — m×ks inner products paid once
+   * per query); each candidate in a probed cell costs m table lookups
+   * ([[graft.functions.expressions.PqAdc]]) instead of a dim-length dot.
+   * The ADC shortlist (top `rerank` per query, bounded TopK aggregate) is
+   * then re-ranked with EXACT cosine against the true vectors — the
+   * standard two-stage serving shape; `rerank = 0` returns raw ADC order.
+   *
+   * Scale shape: the corpus never shuffles — the query side broadcasts
+   * into the cell join, the shortlist (queries × rerank ids) broadcasts
+   * back into one more corpus scan for re-ranking. Scoring reads only the
+   * code column; true vectors are touched for shortlist rows alone.
+   *
+   * Division by the TRUE stored norm makes ADC rank by approximate
+   * cosine: `⟨q, v̂⟩ / (|q||v|)` — reconstruction error lives in the
+   * numerator only, and the exact re-rank absorbs it.
+   */
+  def annCosineIvfPq(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 256,
+      rerank: Int = 32, nassign: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
+    val dsub = dim / m
+    val cents = trainIvfCentroids(corpus, dim, nlist, idCol = idCol, vecCol = vecCol)
+    val books = trainPqCodebooks(corpus, dim, m, ks, idCol = idCol, vecCol = vecCol)
+    import graft.functions.expressions.{NearestCentroids, PqAdc, PqEncode, PqLut}
+    // the "index": cell(s) + codes + true norm — the only corpus columns
+    // the scoring pass reads (44 B/row at the defaults). nassign > 1 is
+    // the same boundary-vector spill as annCosineIvf's (VERDICT r6 #2):
+    // each vector is indexed under its nassign nearest cells
+    val cSide = corpus.select(
+      explode(NearestCentroids(col(vecCol), cents, nlist, dim, nassign)).as("cell"),
+      col(idCol).as("nid"),
+      PqEncode(col(vecCol), books, m, dsub, ks).as("codes"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+    val qSide = queries.select(
+      explode(NearestCentroids(col(vecCol), cents, nlist, dim, nprobe)).as("cell"),
+      col(idCol).as("qid"),
+      PqLut(col(vecCol), books, m, dsub, ks).as("lut"),
+      sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
+    val adc0 = cSide
+      .join(broadcast(qSide), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc", PqAdc(col("codes"), col("lut"), ks) / (col("qnorm") * col("cnorm")))
+      .select("qid", "nid", "adc")
+    // with spill assignment a pair can surface through several shared cells
+    // (identical ADC score each time) — dedup with a 24 B/row aggregate so
+    // the TopK buffer can't hold one neighbor twice
+    val adc =
+      if (nassign <= 1) adc0
+      else adc0.groupBy("qid", "nid").agg(max("adc").as("adc"))
+    if (rerank <= 0) topK(adc, k, "adc", longScore = false)
+    else {
+      val shortlist = topK(adc, math.max(k, rerank), "adc", longScore = false)
+        .select("qid", "nid")
+      val cVec = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"),
+        sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+      val qVec = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
+      val scored = cVec
+        .join(broadcast(shortlist), Seq("nid")) // corpus scan again, no shuffle
+        .join(broadcast(qVec), Seq("qid"))
+        .withColumn("cosine",
+          ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+        .select("qid", "nid", "cosine")
+      topK(scored, k, "cosine", longScore = false)
+    }
+  }
+
+  /**
    * ANN via LSH blocking + exact cosine re-rank within buckets, returning the
    * top-k approximate neighbors per query vector. Recall is tunable with
    * (tables × planes); candidates scale with bucket occupancy, never n².

@@ -159,6 +159,60 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(repart.toMap == approx.toMap)
   }
 
+  test("IVF-PQ ANN: exact re-rank recovers recall; codes reconstruct the dot") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val truth = Similarity.topKCosine(embs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // same probe budget as the flat IVF test — what changes is the scoring
+    // payload (8 byte-codes + norm vs the 64-float vector) and the ADC→
+    // exact-rerank two-stage; recall must hold the same 0.9 floor
+    val approx = Similarity.annCosineIvfPq(embs, queries, 5, dim = 64,
+      nlist = 16, nprobe = 8, m = 8, ks = 256, rerank = 64, nassign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = truth.map { case (q, t) =>
+      (t intersect approx.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 = $mean (Bench floor is 0.9 too)")
+    // determinism under repartition (hash-ordered centroid + codebook sample)
+    val repart = Similarity.annCosineIvfPq(embs.repartition(7), queries, 5, dim = 64,
+      nlist = 16, nprobe = 8, m = 8, ks = 256, rerank = 64, nassign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(repart.toMap == approx.toMap)
+  }
+
+  test("PQ expressions: encode→ADC approximates the true dot; LUT agrees with reconstruction") {
+    import graft.functions.expressions.{PqAdc, PqEncode, PqLut}
+    val dim = 16; val m = 4; val dsub = 4; val ks = 64
+    // a 16-dim slice of the fixture keeps the test fast and exercises the
+    // non-default shape parameters
+    val embs16 = embs.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val books = Similarity.trainPqCodebooks(embs16, dim, m, ks, sampleSize = 512)
+    val q = embs16.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), PqLut(col("embedding"), books, m, dsub, ks).as("lut"),
+        col("embedding").as("qvec"))
+    val c = embs16.filter(col("vec_id") > 0L && col("vec_id") < 200L)
+      .select(col("vec_id").as("nid"), PqEncode(col("embedding"), books, m, dsub, ks).as("codes"),
+        col("embedding").as("cvec"))
+    val rows = c.crossJoin(q)
+      .withColumn("adc", PqAdc(col("codes"), col("lut"), ks))
+      .withColumn("dot", Similarity.dotExpr(col("qvec"), col("cvec")))
+      .select("adc", "dot").collect()
+    assert(rows.length == 199)
+    // codes are lossy but UNBIASED-ish: the ADC estimate must track the true
+    // dot for every pair within the quantization error scale (vectors are
+    // unit-norm-ish; per-subspace Lloyd at ks=16 on 4-dim pieces)
+    val errs = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    assert(errs.max < 0.6, s"worst ADC error ${errs.max}")
+    assert(errs.sum / errs.length < 0.2, s"mean ADC error ${errs.sum / errs.length}")
+    // and ADC ordering must correlate with true ordering: the true top-10 by
+    // dot and ADC top-10 overlap strongly (this is what the shortlist needs)
+    val byDot = rows.sortBy(-_.getDouble(1)).take(10).map(_.getDouble(1)).toSet
+    val byAdcTrueDots = rows.sortBy(-_.getDouble(0)).take(40).map(_.getDouble(1)).toSet
+    assert(byDot.intersect(byAdcTrueDots).size >= 7,
+      "ADC top-40 must contain most of the true top-10 (chance overlap is ~2)")
+  }
+
   test("topKDot is deterministic and self-excluding") {
     val q = embs.filter(col("vec_id") < 3)
     val a = Similarity.topKDot(embs, q, 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
