@@ -237,9 +237,13 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r10: 2 queries new this round: pipeline_crawl_quota_etld (full crawl " +
+    val notes = "r10: 5 queries new this round: pipeline_crawl_quota_etld (full crawl " +
       "composition + the loop's new default eTLD+1 quota key), " +
-      "dedup_incremental_image_edit (dual-signature image probe, golden-pinned). " +
+      "dedup_incremental_image_edit (dual-signature image probe, golden-pinned), " +
+      "dsir_weights + dsir_select (DSIR importance reweighting/resampling over the " +
+      "persisted LM models, both full-oracle), ann_topk_cosine_ivfpq (IVF-PQ/ADC " +
+      "memory tier, recall-gated 0.9 like lsh/ivf - trains two quantizers inline " +
+      "per call, so its wall-clock is mostly training at this corpus size). " +
       "Top carried mover ATTRIBUTED (r9 wrong #2 ask): dedup_exact_spans re-pinned " +
       "with 6 INTERLEAVED passes at sf0.1 - min 3.46 / median 3.49 / spread 1.04, " +
       "identical plan; r9's 5.96 was machine state during that artifact run (its " +
@@ -247,8 +251,10 @@ object Bench {
       "Plan changes this round: curate_reg_domain + curate_domain_quota_etld now " +
       "dispatch to the PSL label-suffix broadcast hash join (probe chain was 19x " +
       "slower at the 90-rule snapshot - expect these two faster); ts_trending_approx " +
-      "now runs trendingAuto (sketch kept at sf0.1 - same containment 1.000/err 0 - " +
-      "plus a small certification aggregate)"
+      "runs trendingAuto with the CONTAINMENT certificate (count(k+1) < max(count-err) " +
+      "per bucket over the full-m sketch): sf0.1 certifies 672/672 and keeps the " +
+      "sketch (same containment 1.000/err 0), skewless sf1 now dispatches to exact " +
+      "instead of failing the gate at 0.585 as the first-cut r10 certificate did"
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window
