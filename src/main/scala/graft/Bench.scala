@@ -242,8 +242,8 @@ object Bench {
       "dedup_incremental_image_edit (dual-signature image probe, golden-pinned), " +
       "dsir_weights + dsir_select (DSIR importance reweighting/resampling over the " +
       "persisted LM models, both full-oracle), ann_topk_cosine_ivfpq (IVF-PQ/ADC " +
-      "memory tier, recall-gated 0.9 like lsh/ivf - trains two quantizers inline " +
-      "per call, so its wall-clock is mostly training at this corpus size). " +
+      "memory tier, recall-gated 0.9 like lsh/ivf, served from the persisted " +
+      "fixture AnnIndex - train-once/serve-many like filter_lm_score). " +
       "Top carried mover ATTRIBUTED (r9 wrong #2 ask): dedup_exact_spans re-pinned " +
       "with 6 INTERLEAVED passes at sf0.1 - min 3.46 / median 3.49 / spread 1.04, " +
       "identical plan; r9's 5.96 was machine state during that artifact run (its " +

@@ -345,53 +345,151 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 256,
       rerank: Int = 32, nassign: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annQueryIndex(
+      buildAnnIndex(corpus, dim, nlist, m, ks, nassign, idCol, vecCol),
+      queries, k, nprobe, rerank, idCol, vecCol)
+
+  /**
+   * The persisted IVF-PQ index — the same train-once/serve-many contract
+   * as [[graft.operators.Dedup.DedupIndex]] / `SemIndex` / `LmModel`: a
+   * production ANN deployment trains its quantizers once per corpus
+   * snapshot and serves every query batch from the frozen index; building
+   * per query batch both re-pays the two driver-side trainings and
+   * silently re-randomizes cell boundaries under the caller.
+   *
+   * `coded` is the scoring table — `(cell, nid, codes, cnorm)`, nassign
+   * rows per vector, ~24–44 B each; `vecs` the full-precision
+   * `(nid, vec)` table the exact re-rank fetches shortlist rows from
+   * (FAISS's refine-index arrangement). Centroids and codebooks ride a
+   * one-row meta table.
+   */
+  final case class AnnIndex(dim: Int, nlist: Int, m: Int, ks: Int,
+      nassign: Int, cents: Array[Double], books: Array[Double],
+      coded: DataFrame, vecs: DataFrame)
+
+  /** Train both quantizers on `corpus` (driver-side deterministic samples)
+    * and encode it. See [[AnnIndex]]; `nassign` is the boundary-vector
+    * spill of [[annCosineIvf]] (VERDICT r6 #2). */
+  def buildAnnIndex(
+      corpus: DataFrame, dim: Int,
+      nlist: Int = 16, m: Int = 8, ks: Int = 256, nassign: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): AnnIndex = {
     require(dim % m == 0, s"dim $dim must split evenly into m=$m subspaces")
-    val dsub = dim / m
     val cents = trainIvfCentroids(corpus, dim, nlist, idCol = idCol, vecCol = vecCol)
     val books = trainPqCodebooks(corpus, dim, m, ks, idCol = idCol, vecCol = vecCol)
-    import graft.functions.expressions.{NearestCentroids, PqAdc, PqEncode, PqLut}
-    // the "index": cell(s) + codes + true norm — the only corpus columns
-    // the scoring pass reads (44 B/row at the defaults). nassign > 1 is
-    // the same boundary-vector spill as annCosineIvf's (VERDICT r6 #2):
-    // each vector is indexed under its nassign nearest cells
-    val cSide = corpus.select(
+    AnnIndex(dim, nlist, m, ks, nassign, cents, books,
+      encodeForIndex(corpus, dim, nlist, m, ks, nassign, cents, books, idCol, vecCol),
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("vec")))
+  }
+
+  private def encodeForIndex(
+      corpus: DataFrame, dim: Int, nlist: Int, m: Int, ks: Int, nassign: Int,
+      cents: Array[Double], books: Array[Double],
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.expressions.{NearestCentroids, PqEncode}
+    corpus.select(
       explode(NearestCentroids(col(vecCol), cents, nlist, dim, nassign)).as("cell"),
       col(idCol).as("nid"),
-      PqEncode(col(vecCol), books, m, dsub, ks).as("codes"),
+      PqEncode(col(vecCol), books, m, dim / m, ks).as("codes"),
       sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+  }
+
+  /**
+   * Serve a query batch from an [[AnnIndex]]: queries probe `nprobe`
+   * cells with a precomputed ADC lookup table
+   * ([[graft.functions.expressions.PqLut]] — m×ks inner products paid
+   * once per query); each candidate costs m table lookups
+   * ([[graft.functions.expressions.PqAdc]]). The ADC top-`rerank`
+   * shortlist is re-ranked with EXACT cosine against `vecs`
+   * (`rerank = 0` returns raw ADC order). Division by the TRUE stored
+   * norm makes ADC rank by approximate cosine — reconstruction error
+   * lives in the numerator only, and the exact re-rank absorbs it.
+   *
+   * Scale shape: the index never shuffles — the query side broadcasts
+   * into the cell join, the shortlist (queries × rerank ids) broadcasts
+   * back into one `vecs` scan. With spill assignment a pair can surface
+   * through several shared cells (identical ADC each time) — deduped by
+   * a 24 B/row max aggregate so the TopK buffer can't seat one neighbor
+   * twice.
+   */
+  def annQueryIndex(
+      ix: AnnIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expressions.{NearestCentroids, PqAdc, PqLut}
     val qSide = queries.select(
-      explode(NearestCentroids(col(vecCol), cents, nlist, dim, nprobe)).as("cell"),
+      explode(NearestCentroids(col(vecCol), ix.cents, ix.nlist, ix.dim, nprobe)).as("cell"),
       col(idCol).as("qid"),
-      PqLut(col(vecCol), books, m, dsub, ks).as("lut"),
+      PqLut(col(vecCol), ix.books, ix.m, ix.dim / ix.m, ix.ks).as("lut"),
       sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
-    val adc0 = cSide
+    val adc0 = ix.coded
       .join(broadcast(qSide), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc", PqAdc(col("codes"), col("lut"), ks) / (col("qnorm") * col("cnorm")))
+      .withColumn("adc", PqAdc(col("codes"), col("lut"), ix.ks) / (col("qnorm") * col("cnorm")))
       .select("qid", "nid", "adc")
-    // with spill assignment a pair can surface through several shared cells
-    // (identical ADC score each time) — dedup with a 24 B/row aggregate so
-    // the TopK buffer can't hold one neighbor twice
     val adc =
-      if (nassign <= 1) adc0
+      if (ix.nassign <= 1) adc0
       else adc0.groupBy("qid", "nid").agg(max("adc").as("adc"))
     if (rerank <= 0) topK(adc, k, "adc", longScore = false)
     else {
       val shortlist = topK(adc, math.max(k, rerank), "adc", longScore = false)
         .select("qid", "nid")
-      val cVec = corpus.select(col(idCol).as("nid"), col(vecCol).as("cvec"),
-        sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("cnorm"))
+      val cVec = ix.vecs.select(col("nid"), col("vec").as("cvec"),
+        sqrt(ArrayDotProduct(col("vec"), col("vec"))).as("cnorm"))
       val qVec = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         sqrt(ArrayDotProduct(col(vecCol), col(vecCol))).as("qnorm"))
       val scored = cVec
-        .join(broadcast(shortlist), Seq("nid")) // corpus scan again, no shuffle
+        .join(broadcast(shortlist), Seq("nid")) // index scan again, no shuffle
         .join(broadcast(qVec), Seq("qid"))
         .withColumn("cosine",
           ArrayDotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
         .select("qid", "nid", "cosine")
       topK(scored, k, "cosine", longScore = false)
     }
+  }
+
+  /** Persist an [[AnnIndex]] — coded + vecs tables as parquet, quantizers
+    * on a one-row meta table, mirroring `writeSemIndex`/`writeLmModel`. */
+  def writeAnnIndex(ix: AnnIndex, path: String): Unit = {
+    val spark = ix.coded.sparkSession
+    import spark.implicits._
+    Seq((ix.dim, ix.nlist, ix.m, ix.ks, ix.nassign, ix.cents.toSeq, ix.books.toSeq))
+      .toDF("dim", "nlist", "m", "ks", "nassign", "cents", "books")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    ix.coded.write.mode("overwrite").parquet(s"$path/coded")
+    ix.vecs.write.mode("overwrite").parquet(s"$path/vecs")
+  }
+
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    AnnIndex(meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
+      meta.getInt(4),
+      meta.getSeq[Double](5).toArray, meta.getSeq[Double](6).toArray,
+      spark.read.parquet(s"$path/coded"), spark.read.parquet(s"$path/vecs"))
+  }
+
+  /**
+   * Append a delta to a persisted [[AnnIndex]] IN PLACE: the delta is
+   * encoded under the FROZEN centroids and codebooks (one map-side pass,
+   * O(delta)) and parquet-appended to the `coded`/`vecs` tables — the
+   * incremental tier of the ANN story, same contract as `appendIndex` /
+   * `appendSemIndex`. Same centroid-FIXITY caveat as SemIndex: a delta
+   * that drifts off the training distribution quantizes worse than a
+   * rebuild would (the SemIndex drift signal/rebuild machinery is the
+   * lever — an AnnIndex rebuild is one [[buildAnnIndex]] over
+   * `vecs ∪ delta`). Returns the refreshed index.
+   */
+  def appendAnnIndex(
+      ix: AnnIndex, path: String, delta: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): AnnIndex = {
+    val spark = delta.sparkSession
+    encodeForIndex(delta, ix.dim, ix.nlist, ix.m, ix.ks, ix.nassign,
+      ix.cents, ix.books, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/coded")
+    delta.select(col(idCol).as("nid"), col(vecCol).as("vec"))
+      .write.mode("append").parquet(s"$path/vecs")
+    readAnnIndex(spark, path)
   }
 
   /**

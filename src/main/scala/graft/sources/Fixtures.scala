@@ -145,6 +145,38 @@ object Fixtures {
     out
   }
 
+  /**
+   * Persisted IVF-PQ index over `dir`'s embeddings (nassign = 2, the
+   * registered query's spill config) — train-once/serve-many, the same
+   * production shape as [[dedupIndex]]/[[lmModel]]: with quantizers
+   * trained inline per query the bench measured two driver-side
+   * trainings + a corpus encode, not the serving path an ANN deployment
+   * runs.
+   */
+  def annIndex(s: SparkSession, dir: String): graft.operators.Similarity.AnnIndex =
+    graft.operators.Similarity.readAnnIndex(s, annIndexPath(s, dir))
+
+  def annIndexPath(s: SparkSession, dir: String): String = {
+    val out = cachePathFor(dir, "embeddings", "ann_index_v1")
+    lock.synchronized {
+      if (!new java.io.File(s"$out/_OK").exists()) buildAnnIndex(s, dir, out)
+    }
+    out
+  }
+
+  private def buildAnnIndex(s: SparkSession, dir: String, out: String): Unit = {
+    import graft.operators.Similarity
+    def ix = Similarity.buildAnnIndex(
+      Tables.embeddings(s, dir), dim = 64, nlist = 16, m = 8, ks = 256, nassign = 2)
+    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
+    Similarity.writeAnnIndex(ix, tmp)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_OK"))
+    promote(tmp, out, complete = new java.io.File(s"$out/_OK").exists()) {
+      Similarity.writeAnnIndex(ix, out)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$out/_OK")): Unit
+    }
+  }
+
   private def buildLmModel(s: SparkSession, dir: String, out: String,
       split: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     import graft.operators.Corpus

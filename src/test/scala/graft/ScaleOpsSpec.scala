@@ -181,6 +181,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(repart.toMap == approx.toMap)
   }
 
+  test("AnnIndex: persisted ≡ inline-trained; append finds a planted clone through the frozen quantizers") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val inline = Similarity.annCosineIvfPq(embs, queries, 5, dim = 64,
+      nlist = 16, nprobe = 8, m = 8, ks = 256, rerank = 64, nassign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("annix").toString
+    Similarity.writeAnnIndex(Similarity.buildAnnIndex(embs, dim = 64,
+      nlist = 16, m = 8, ks = 256, nassign = 2), dir)
+    val ix = Similarity.readAnnIndex(spark, dir)
+    val served = Similarity.annQueryIndex(ix, queries, 5, nprobe = 8, rerank = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(served == inline, "the persisted index must serve the inline-trained answer bit-for-bit")
+    // APPEND: clone 10 base vectors under fresh ids (+1M), tiny perturbation;
+    // encoded under the FROZEN quantizers they must land beside their
+    // originals — a query FOR the original finds the appended clone first
+    // (cos ≈ 1 beats every organic neighbor on this corpus)
+    val delta = embs.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0f)).as("embedding"))
+    val ix2 = Similarity.appendAnnIndex(ix, dir, delta)
+    assert(ix2.coded.count() == ix.coded.count() + 2 * 10) // nassign=2 rows per clone
+    val after = Similarity.annQueryIndex(ix2, embs.filter(col("vec_id") < 10), 5,
+      nprobe = 8, rerank = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    (0L until 10L).foreach { q =>
+      val top1 = after.find(r => r._1 == q && r._3 == 1L).map(_._2)
+      assert(top1.contains(q + 1000000L),
+        s"query $q must find its appended clone first, got $top1")
+    }
+  }
+
   test("PQ expressions: encode→ADC approximates the true dot; LUT agrees with reconstruction") {
     import graft.functions.expressions.{PqAdc, PqEncode, PqLut}
     val dim = 16; val m = 4; val dsub = 4; val ks = 64
