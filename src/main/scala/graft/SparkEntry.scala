@@ -874,6 +874,13 @@ object SparkEntry {
     "sample_quota_lang" -> ((s, d) =>
       graft.operators.TrainingSet.quotaSample(documents(s, d), quota = 50)
         .orderBy("lang", "rk")),
+    // temperature-flattened mixture (α = 1/2): each lang keeps
+    // ceil(sqrt(n_lang)) docs by the same deterministic md5 rank — the
+    // multilingual α-sampling standard, quota COMPUTED from the mixture;
+    // nested-sqrt spelling keeps the ceil integer identical in both engines
+    "sample_temperature_lang" -> ((s, d) =>
+      graft.operators.TrainingSet.temperatureSample(documents(s, d), alphaQuarters = 2)
+        .orderBy("lang", "rk")),
     // the FLAGSHIP composition: exact dedup → near-dup cluster keep-one →
     // quality gate → benchmark decontamination → per-lang quota → context-
     // window packing, all six stages under ONE DuckDB oracle
@@ -1708,6 +1715,18 @@ object SparkEntry {
         ("SELECT lang, rk, doc_id FROM (SELECT lang, doc_id, " +
           "row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk " +
           "FROM documents) WHERE rk <= 50 ORDER BY lang, rk"),
+      // α = 2/4: quota = ceil(1.0 * sqrt(sqrt(n)) * sqrt(sqrt(n))) — the
+      // nested-sqrt left-associated product the engine computes driver-side
+      // (IEEE sqrt/multiply are correctly rounded; pow() could differ by an
+      // ulp between libms and flip the ceil)
+      "sample_temperature_lang" ->
+        ("WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), " +
+          "q AS (SELECT lang, least(n, CAST(ceil(1.0 * (sqrt(sqrt(CAST(n AS DOUBLE))) * " +
+          "sqrt(sqrt(CAST(n AS DOUBLE))))) AS BIGINT)) AS t FROM cnt), " +
+          "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+          "ORDER BY md5(text), doc_id) AS rk FROM documents) " +
+          "SELECT r.lang, r.rk, r.doc_id FROM r JOIN q USING (lang) " +
+          "WHERE r.rk <= q.t ORDER BY lang, rk"),
 
       // LM quality score: the whole model replayed relationally — unigram/
       // bigram counts on the train split (bigrams pruned at count ≥ 2, both

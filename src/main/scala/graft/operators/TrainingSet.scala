@@ -357,4 +357,62 @@ object TrainingSet {
         col(strataCol),
         (col("pos") + 1).cast("long").as("rk"),
         col("col").getField("id").as(idCol))
+
+  /**
+   * Temperature-flattened mixture sampling (the multilingual α-sampling
+   * of Conneau & Lample, "Cross-lingual Language Model Pretraining",
+   * NeurIPS 2019, and XLM-R): stratum `s` with `n_s` documents keeps
+   * `t_s = min(n_s, ⌈scale · n_s^α⌉)` of them — with α < 1 a head
+   * stratum is downsampled hard while the tail keeps (almost) everything,
+   * flattening the training mixture toward uniform without an RNG. The
+   * kept docs are the smallest-md5 ranks, exactly [[quotaSample]]'s
+   * deterministic cut; this is that operator with the quota COMPUTED from
+   * the mixture instead of supplied.
+   *
+   * α is restricted to quarters (`alphaQuarters`/4, in 1..4): `n^(q/4)`
+   * is computed as q left-associated products of `sqrt(sqrt(n))` — IEEE
+   * sqrt and multiply are correctly rounded, so the JVM and any SQL
+   * engine replaying `ceil(scale · sqrt(sqrt(n)) · …)` produce the
+   * IDENTICAL integer quota, where a libm `pow()` could differ by an ulp
+   * and flip a ceil. (The cross-stratum normalized form p_s ∝ n_s^α/Σ…
+   * is deliberately avoided: a float SUM's association order is
+   * engine-dependent; the per-stratum form keeps every quota a function
+   * of one stratum's count.)
+   *
+   * Scale shape: one O(strata)-row count aggregate collected driver-side
+   * (quotas are plan-time literals, like the IVF centroid sample), then
+   * [[quotaSample]]'s bounded bottom-k aggregate at the LARGEST quota —
+   * map output ≤ strata × max(t_s) entries — and a rank filter against
+   * the one-row-per-stratum broadcast quota table. No stratum ever
+   * funnels through a single reducer.
+   */
+  def temperatureSample(
+      docs: DataFrame,
+      alphaQuarters: Int = 2,
+      scale: Double = 1.0,
+      strataCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters must be 1..4 (α = q/4 ≤ 1), got $alphaQuarters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = Parallelism.ensure(docs).groupBy(col(strataCol)).count()
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val quotas = counts.map { case (s, n) =>
+      val b = math.sqrt(math.sqrt(n.toDouble))
+      var r = 1.0
+      for (_ <- 0 until alphaQuarters) r *= b
+      (s, math.min(n, math.ceil(scale * r).toLong))
+    }
+    val maxQ = math.max(1L, (0L +: quotas.map(_._2).toSeq).max).toInt
+    // strata keys are strings by contract (lang / domain / source)
+    val qTable = quotas.map { case (s, t) => (s.asInstanceOf[String], t) }
+      .toSeq.toDF(strataCol, "__t")
+    quotaSample(docs, maxQ, strataCol, idCol, textCol)
+      .join(broadcast(qTable), Seq(strataCol))
+      .filter(col("rk") <= col("__t"))
+      .select(col(strataCol), col("rk"), col(idCol))
+  }
 }

@@ -122,6 +122,36 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(got.length == 21 && got.count(_._1 == "lang0") == 7)
   }
 
+  test("temperatureSample: quotas are ceil(scale·n^(q/4)), cuts match quotaSample's ranks") {
+    // skewed mixture: 100 / 16 / 2 docs per lang
+    val d = ((1L to 100L).map(i => (i, s"head doc $i", "en")) ++
+      (201L to 216L).map(i => (i, s"mid doc $i", "de")) ++
+      (301L to 302L).map(i => (i, s"tail doc $i", "zh")))
+      .toDF("doc_id", "text", "lang")
+    // α = 1/2: quotas by the operator's own nested-sqrt spelling —
+    // sqrt(sqrt(100))² = 10.000000000000002 → ceil 11 (NOT 10: the spelled
+    // arithmetic is the contract precisely so both engines agree on the
+    // same integer), sqrt(sqrt(16))² = 4 exactly, and the 2-doc tail keeps
+    // everything: the head is cut ~9×, the flattening property
+    val got = TrainingSet.temperatureSample(d, alphaQuarters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sizes = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes == Map("en" -> 11, "de" -> 4, "zh" -> 2), s"got $sizes")
+    // the kept ids are exactly quotaSample's smallest-md5 ranks per stratum
+    val viaQuota = TrainingSet.quotaSample(d, quota = 11)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter { case (l, rk, _) => rk <= Map("en" -> 11L, "de" -> 4L, "zh" -> 2L)(l) }
+    assert(got.sorted.toSeq == viaQuota.sorted.toSeq)
+    // α = 1/4 flattens harder: ceil(n^0.25) = 4 / 2 / 2
+    val harder = TrainingSet.temperatureSample(d, alphaQuarters = 1)
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(harder == Map("en" -> 4, "de" -> 2, "zh" -> 2), s"got $harder")
+    // α = 1 (q=4) with scale 1 is the identity mixture
+    val id = TrainingSet.temperatureSample(d, alphaQuarters = 4)
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(id == Map("en" -> 100, "de" -> 16, "zh" -> 2), s"got $id")
+  }
+
   test("quotaSample: quota above stratum size returns the whole stratum, ranked") {
     val d = docs(1L -> "aa", 2L -> "bb", 3L -> "cc").withColumn("lang", lit("en"))
     val out = TrainingSet.quotaSample(d, quota = 50).collect()
