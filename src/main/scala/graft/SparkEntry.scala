@@ -924,6 +924,21 @@ object SparkEntry {
           lmModel = Some(Fixtures.lmModel(s, d)))._1
         .orderBy("doc_id")
     },
+    // the crawl composition + DSIR target-distribution steering: the
+    // accepted manifest's clean_text scored against the SAME persisted
+    // target/raw models the standalone dsir queries serve (a crawl
+    // pipeline steers every increment toward the target distribution with
+    // frozen models — train-once/score-many), selection by the md5
+    // threshold. ONE oracle replays all five crawl stages plus both
+    // surprisal ladders plus the selection arithmetic.
+    "pipeline_crawl_dsir" -> { (s, d) =>
+      val (planted, base) = crawlPlantedDelta(s, d)
+      val accepted = graft.operators.TrainingSet
+        .crawlIncrement(planted, Fixtures.dedupIndex(s, d), base)._1
+      Corpus.dsirSelect(accepted,
+        Fixtures.dsirTargetModel(s, d), Fixtures.dsirRawModel(s, d),
+        textCol = "clean_text").orderBy("doc_id")
+    },
     // the crawl composition + the loop's DEFAULT quota key (VERDICT r9 gap
     // #4): accepted docs carry a deterministic host — every doc_id % 3 != 0
     // (two thirds of the accepted set, so the cut BITES at the sf0.01 gate:
@@ -1781,6 +1796,21 @@ object SparkEntry {
           "ELSE FALSE END AS keep " +
           "FROM tb ORDER BY doc_id").replace("\n", " "),
 
+      // the crawl composition + DSIR steering: all five crawl stages (the
+      // shared crawlOracleCtes chain through `acc`) + both model trainings
+      // + both ladders over acc.clean_text + the selection arithmetic
+      "pipeline_crawl_dsir" ->
+        (s"WITH $crawlOracleCtes, ${dsirOracleCtesOver("acc", "clean_text")}, " +
+          "dtb AS (SELECT p.doc_id, p.n_tokens, p.dsir_bits, " +
+          "CAST((p.dsir_bits - ((p.dsir_bits % p.n_tokens) + p.n_tokens) % p.n_tokens) // p.n_tokens AS BIGINT) AS tok_bits, " +
+          "substr(md5(a.clean_text),1,12) AS hex12 " +
+          "FROM dpd p JOIN acc a USING (doc_id)) " +
+          "SELECT doc_id, n_tokens, dsir_bits, tok_bits, " +
+          "CASE WHEN tok_bits >= 0 THEN TRUE " +
+          "WHEN tok_bits >= -48 THEN hex12 < printf('%012x', CAST(1 AS BIGINT) << CAST(48 + greatest(tok_bits, -48) AS INT)) " +
+          "ELSE FALSE END AS keep " +
+          "FROM dtb ORDER BY doc_id").replace("\n", " "),
+
       // ---- domain/URL curation ----
       // the urlOracleCte WITH-body rebuilds the messy-URL fixture and
       // replays urlNormalize/urlDomain step-by-step in RE2 spelling
@@ -1935,15 +1965,20 @@ object SparkEntry {
 
   /** The DSIR oracle's shared CTE chain: both models (target = `lang =
     * 'en'`, raw = the whole table — [[graft.sources.Fixtures]]'s two
-    * persisted DSIR models), one token-position explode, BOTH surprisal
-    * ladders (the same CASE as `filter_lm_score`'s, once per model), and
-    * the per-doc aggregate `dpd(doc_id, n_tokens, bits_target, bits_raw,
+    * persisted DSIR models, ALWAYS trained on `documents`), one
+    * token-position explode over `srcTable`.`textCol` (the scored frame —
+    * `documents.text` for the standalone queries, the crawl manifest's
+    * `acc.clean_text` for the composed gate), BOTH surprisal ladders (the
+    * same CASE as `filter_lm_score`'s, once per model), and the per-doc
+    * aggregate `dpd(doc_id, n_tokens, bits_target, bits_raw,
     * dsir_bits)`. */
-  private def dsirOracleCtes: String =
+  private def dsirOracleCtes: String = dsirOracleCtesOver("documents", "text")
+
+  private def dsirOracleCtesOver(srcTable: String, textCol: String): String =
     s"""${lmModelCtesFor("t_", "lang = 'en'", "T_t")},
       |${lmModelCtesFor("r_", "TRUE", "T_r")},
-      |dt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
-      |  WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 1),
+      |dt AS (SELECT doc_id, regexp_split_to_array(lower(trim($textCol)), '\\s+') AS t FROM $srcTable
+      |  WHERE len(regexp_split_to_array(lower(trim($textCol)), '\\s+')) >= 1),
       |pos AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
       |    unnest(list_transform(range(1, len(t)+1),
       |      i -> struct_pack(w := t[i], prev := CASE WHEN i > 1 THEN t[i-1] ELSE NULL END))) AS p
