@@ -432,6 +432,8 @@ object StreamingOps {
       domainQuota: Option[(String, Int)] = None,
       quotaKeyEtld: Boolean = true,
       quotaPsl: Option[DataFrame] = None,
+      dsir: Option[(graft.operators.Corpus.LmModel, graft.operators.Corpus.LmModel)] = None,
+      dsirPivotBits: Int = 0,
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
@@ -454,7 +456,21 @@ object StreamingOps {
       val (accepted0, _) = TrainingSet.crawlIncrement(
         batch, idx, grownBase, maxDupFrac, maxTopTokenFrac, lmModel, lmKeep,
         idCol, textCol)
-      val accepted = Dedup.persistScoped(accepted0)
+      // optional DSIR steering ((target, raw) persisted models): keep each
+      // survivor with probability 2^(per-token advantage − pivot) — the
+      // increment drifts toward the target distribution while the gates
+      // above keep absolute quality. Runs BEFORE the quota for the same
+      // reason the gates do: a steering reject must not consume a slot.
+      val accepted = dsir match {
+        case None => Dedup.persistScoped(accepted0)
+        case Some((tm, rm)) =>
+          val acc0 = Dedup.persistScoped(accepted0) // feeds score + semi-join
+          Dedup.persistScoped(acc0.join(
+            Corpus.dsirSelect(acc0, tm, rm, pivotBits = dsirPivotBits,
+              idCol = idCol, textCol = "clean_text")
+              .filter(col("keep")).select(col(idCol)),
+            Seq(idCol), "left_semi"))
+      }
       // optional stage 6: the CROSS-round domain quota ([[graft.operators
       // .Corpus.domainQuotaIncrement]]) — prior counts ride the index
       // snapshots ('<pointer>/domain_counts'), ranking keys on the
@@ -520,13 +536,15 @@ object StreamingOps {
       domainQuota: Option[(String, Int)] = None,
       quotaKeyEtld: Boolean = true,
       quotaPsl: Option[DataFrame] = None,
+      dsir: Option[(graft.operators.Corpus.LmModel, graft.operators.Corpus.LmModel)] = None,
+      dsirPivotBits: Int = 0,
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(crawlIncrementBatchFn(indexRoot, base, outDir,
         maxDupFrac, maxTopTokenFrac, lmModel, lmKeep, domainQuota,
-        quotaKeyEtld, quotaPsl, idCol, textCol))
+        quotaKeyEtld, quotaPsl, dsir, dsirPivotBits, idCol, textCol))
       .start()
 
   /** Seed `indexRoot` with the base corpus's index as snapshot `v-seed`. */

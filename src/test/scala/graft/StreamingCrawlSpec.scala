@@ -160,4 +160,51 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(run(etld = false) == Set(10L, 11L, 12L),
       "host-keyed quota must pass every farm host (the blind spot)")
   }
+
+  test("DSIR steering rides the loop: stream == batch ∘ dsirSelect, junk vocab cut") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Corpus, Dedup}
+    // target model speaks g*, raw model the g*/j* mix — junk-vocab docs pay
+    // ~9 unseen-token bits each and are cut at ~2^tok_bits; good-vocab docs
+    // sit at tok_bits ≥ -1 (DsirSpec pins the selection semantics; THIS
+    // test pins the streaming wiring against the batch composition)
+    // 18 tokens stepping through a 40-word vocab: distinct within each doc
+    // (step 3 and 11 both have period 40 mod 40), so the crawl's top-token
+    // repetition gate passes and only the DSIR gate separates the halves
+    def gDoc(s: Int) = (0 until 18).map(i => s"g${(s * 7 + i * 3) % 40}").mkString(" ")
+    def jDoc(s: Int) = (0 until 18).map(i => s"j${(s * 5 + i * 11) % 40}").mkString(" ")
+    val tm = Corpus.trainLmModel((1 to 40).map(i => (100L + i, gDoc(i))).toDF("doc_id", "text"))
+    val rm = Corpus.trainLmModel(((1 to 40).map(i => (200L + i, gDoc(i + 13))) ++
+      (1 to 40).map(i => (300L + i, jDoc(i)))).toDF("doc_id", "text"))
+    val delta = (1 to 10).map(i => (i.toLong, gDoc(i + 29))) ++
+      (1 to 10).map(i => (20L + i, jDoc(i + 17)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-dsir").toString
+    val base = Seq((900L, (0 until 18).map(i => s"basew$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamingOps.seedCrawlIndex(Dedup.buildIndex(base), s"$tmp/index")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.crawlIncrementStream(
+      ms.toDF().toDF("doc_id", "text"), s"$tmp/index", base,
+      s"$tmp/accepted", s"$tmp/ckpt", dsir = Some((tm, rm)))
+    try {
+      ms.addData(delta: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/accepted/batch=0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // parity: the stream must equal the batch composition followed by the
+      // dsirSelect keep filter — same frames, same models, same seed
+      val batchAcc = TrainingSet.crawlIncrement(
+        delta.toDF("doc_id", "text"), Dedup.buildIndex(base), base)._1
+      val expect = batchAcc.join(
+        Corpus.dsirSelect(batchAcc, tm, rm, textCol = "clean_text")
+          .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"stream $got must equal batch∘dsir $expect")
+      // fixture sanity: the steering must BITE (some junk cut) and must not
+      // wipe the target-vocab half
+      assert((1L to 10L).count(got) >= 8, s"target-vocab docs must survive: $got")
+      assert((21L to 30L).count(got) <= 5, s"junk vocab must be steered out: $got")
+    } finally q.stop()
+  }
 }
