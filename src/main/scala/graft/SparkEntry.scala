@@ -992,19 +992,23 @@ object SparkEntry {
       Similarity.annCosineIvf(e, e.filter(col("vec_id") < 10), k = 5, dim = 64,
         nlist = 16, nprobe = 8, nassign = 2)
     },
-    // IVF-PQ (IVFADC): the memory-scale tier — scoring reads cell + m=8
-    // byte codes + true norm (~44 B/row vs the flat index's 256 B vector),
+    // IVF-PQ (IVFADC): the memory-scale tier — scoring reads cell + m=16
+    // byte codes + true norm (~52 B/row vs the flat index's 256 B vector),
     // candidates cost m table lookups instead of a 64-dot, and the exact
-    // re-rank of the ADC top-64 absorbs the quantization error. Serves
-    // from the PERSISTED fixture index (train-once/serve-many — the same
-    // r8 lesson as filter_lm_score: inline quantizer training made the
-    // bench measure training, not serving). nprobe matches the flat IVF
-    // row above so the artifact's recall column isolates what PQ
-    // compression costs at the same probe budget.
+    // re-rank of the ADC top-256 absorbs the quantization error (m=16/
+    // rerank=256 is the hard-data config ScaleBench pins: uniform vectors
+    // shrink the rank-5-to-shortlist cos gap as the corpus grows while PQ
+    // distortion stays put — m=8/rerank=64 measured 0.92 at sf0.1 but
+    // 0.64 at the 2× sf1 corpus and 0.62 at 100k). Serves from the
+    // PERSISTED fixture index (train-once/serve-many — the same r8 lesson
+    // as filter_lm_score: inline quantizer training made the bench
+    // measure training, not serving). nprobe matches the flat IVF row
+    // above so the artifact's recall column isolates what PQ compression
+    // costs at the same probe budget.
     "ann_topk_cosine_ivfpq" -> { (s, d) => // recall-gated like lsh/ivf
       val e = embeddings(s, d)
       Similarity.annQueryIndex(Fixtures.annIndex(s, d),
-        e.filter(col("vec_id") < 10), k = 5, nprobe = 8, rerank = 64)
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 8, rerank = 256)
     },
 
     // ---- scale ops: multimodal binary-column pipeline (rows-only: synthetic

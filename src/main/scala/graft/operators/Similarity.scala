@@ -449,6 +449,77 @@ object Similarity {
     }
   }
 
+  /** `(cell, cvec)` one row per coarse centroid — the LocalRelation the
+    * drift cosines broadcast-join on (the [[graft.operators.Dedup]]
+    * SemIndex pattern, over this index's float centroids). */
+  private def annCentroidTable(spark: org.apache.spark.sql.SparkSession,
+      ix: AnnIndex): DataFrame = {
+    import spark.implicits._
+    (0 until ix.nlist)
+      .map(c => (c, (0 until ix.dim).map(i => ix.cents(c * ix.dim + i))))
+      .toDF("cell", "cvec")
+  }
+
+  /** cos(v, best centroid) per row of `rows` (`id`, `vec`). */
+  private def bestCentroidCos(rows: DataFrame, ix: AnnIndex): DataFrame = {
+    import graft.functions.expressions.NearestCentroids
+    rows
+      .select(col("id"), col("vec"), element_at(
+        NearestCentroids(col("vec"), ix.cents, ix.nlist, ix.dim, 1), 1).as("cell"))
+      .join(broadcast(annCentroidTable(rows.sparkSession, ix)), Seq("cell"))
+      .select(col("id"),
+        (ArrayDotProduct(col("vec"), col("cvec")) /
+          (sqrt(ArrayDotProduct(col("vec"), col("vec"))) *
+            sqrt(ArrayDotProduct(col("cvec"), col("cvec"))))).as("cos"))
+  }
+
+  /**
+   * Drift BASELINE for an [[AnnIndex]] — the `quantile`-quantile of
+   * best-centroid cosine over the index's own `vecs`: "how close does the
+   * worst decile of the trained distribution sit to its cell?". The same
+   * centroid-FIXITY lever as the SemIndex drift machinery
+   * ([[graft.operators.Dedup.semDriftBaseline]], whose measured response
+   * curve and ≈3×-the-quantile rebuild advice carry over — both indexes
+   * freeze a spherical-k-means cell space and quantize appends under it).
+   * Compute once per (re)build; `approx_percentile` is monitoring-grade.
+   */
+  def annDriftBaseline(ix: AnnIndex, quantile: Double = 0.1): Double = {
+    require(quantile > 0 && quantile < 1, s"quantile must be in (0,1): $quantile")
+    bestCentroidCos(ix.vecs.select(col("nid").as("id"), col("vec")), ix)
+      .agg(percentile_approx(col("cos"), lit(quantile), lit(10000)))
+      .head().getDouble(0)
+  }
+
+  /** Drift STATISTIC for one append: the fraction of `delta` vectors whose
+    * best-centroid cosine falls below `baseline`. Base-distributed deltas
+    * score ≈ the baseline's quantile by definition; a drifting delta
+    * scores toward 1. One delta-sized projection + aggregate — the index
+    * is never touched. Watch it per [[appendAnnIndex]]; rebuild via
+    * [[rebuildAnnIndex]] when it runs well past the quantile. */
+  def annDriftStat(ix: AnnIndex, delta: DataFrame, baseline: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val r = bestCentroidCos(
+      Parallelism.ensure(delta).select(col(idCol).as("id"), col(vecCol).as("vec")), ix)
+      .agg(count(lit(1)), sum(when(col("cos") < lit(baseline), 1L).otherwise(0L)))
+      .head()
+    if (r.getLong(0) == 0L) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** REBUILD the index from its own stored `vecs` (base ∪ every appended
+    * delta): fresh coarse centroids AND fresh PQ codebooks, then a full
+    * re-encode — exactly [[buildAnnIndex]] over the stored vectors, the
+    * deliberate-rare answer to a tripped [[annDriftStat]]. Shape
+    * parameters default to the old index's (0 = inherit). */
+  def rebuildAnnIndex(ix: AnnIndex, nlist: Int = 0, m: Int = 0, ks: Int = 0,
+      nassign: Int = 0): AnnIndex =
+    buildAnnIndex(
+      ix.vecs.select(col("nid").as("vec_id"), col("vec").as("embedding")),
+      ix.dim,
+      if (nlist > 0) nlist else ix.nlist,
+      if (m > 0) m else ix.m,
+      if (ks > 0) ks else ix.ks,
+      if (nassign > 0) nassign else ix.nassign)
+
   /** Persist an [[AnnIndex]] — coded + vecs tables as parquet, quantizers
     * on a one-row meta table, mirroring `writeSemIndex`/`writeLmModel`. */
   def writeAnnIndex(ix: AnnIndex, path: String): Unit = {

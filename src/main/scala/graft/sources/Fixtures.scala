@@ -157,7 +157,13 @@ object Fixtures {
     graft.operators.Similarity.readAnnIndex(s, annIndexPath(s, dir))
 
   def annIndexPath(s: SparkSession, dir: String): String = {
-    val out = cachePathFor(dir, "embeddings", "ann_index_v1")
+    // v2: m 8 → 16 and the registered rerank 64 → 256 — the sf1 sweep
+    // caught the same cliff ScaleBench measured at 100k: on UNIFORM vectors
+    // the cos gap between true rank 5 and the shortlist boundary shrinks
+    // with corpus size while m=8 distortion does not (recall 0.92 at the
+    // 10k sf0.1 fixture, 0.64 at 20k sf1); m=16 halves the per-subspace
+    // distortion and the wider shortlist absorbs the rest (0.96 at 100k)
+    val out = cachePathFor(dir, "embeddings", "ann_index_v2")
     lock.synchronized {
       if (!new java.io.File(s"$out/_OK").exists()) buildAnnIndex(s, dir, out)
     }
@@ -167,7 +173,7 @@ object Fixtures {
   private def buildAnnIndex(s: SparkSession, dir: String, out: String): Unit = {
     import graft.operators.Similarity
     def ix = Similarity.buildAnnIndex(
-      Tables.embeddings(s, dir), dim = 64, nlist = 16, m = 8, ks = 256, nassign = 2)
+      Tables.embeddings(s, dir), dim = 64, nlist = 16, m = 16, ks = 256, nassign = 2)
     val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
     Similarity.writeAnnIndex(ix, tmp)
     java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_OK"))

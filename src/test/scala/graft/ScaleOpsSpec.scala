@@ -212,6 +212,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AnnIndex drift: base-like delta scores ≈ the quantile, off-distribution trips; rebuild ≡ fresh build") {
+    // CLUSTERED corpus (drift detection is about adapted centroids — on
+    // isotropic data there is nothing to drift off of): 4 axis clusters in
+    // 16 dims with small deterministic jitter
+    val dim = 16
+    def cv(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(axis) = 1.0f
+      a(4 + (axis + i % 8) % 12) = 0.05f * ((i % 5) - 2)
+      a
+    }
+    val corpus = (0 until 400).map(i => (i.toLong, cv(i % 4, i))).toDF("vec_id", "embedding")
+    val ix = Similarity.buildAnnIndex(corpus, dim, nlist = 4, m = 4, ks = 16, nassign = 1)
+    val baseline = Similarity.annDriftBaseline(ix)
+    assert(baseline > 0.9, s"clustered corpus must sit close to its centroids: $baseline")
+    // base-distributed delta (fresh ids, same generator): ≈ the 10% quantile
+    val baseDelta = (1000 until 1200).map(i => (i.toLong, cv(i % 4, i))).toDF("vec_id", "embedding")
+    val s1 = Similarity.annDriftStat(ix, baseDelta, baseline)
+    assert(s1 <= 0.3, s"base-distributed delta must not trip the signal: $s1")
+    // off-distribution delta: dense mixed-sign vectors far from every axis
+    def dv(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if ((i + j) % 2 == 0) 0.25f else -0.25f)
+    val drifted = (2000 until 2200).map(i => (i.toLong, dv(i))).toDF("vec_id", "embedding")
+    val s2 = Similarity.annDriftStat(ix, drifted, baseline)
+    assert(s2 >= 0.9, s"a fully-drifted delta must trip the signal decisively: $s2")
+    // rebuild over the index's own stored vectors ≡ a fresh build over the
+    // corpus (same deterministic hash-ordered samples → identical service)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val fresh = Similarity.annQueryIndex(
+      Similarity.buildAnnIndex(corpus, dim, nlist = 4, m = 4, ks = 16, nassign = 1),
+      queries, 3, nprobe = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val rebuilt = Similarity.annQueryIndex(Similarity.rebuildAnnIndex(ix),
+      queries, 3, nprobe = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(rebuilt == fresh, "rebuild must reproduce the fresh build's service")
+  }
+
   test("PQ expressions: encode→ADC approximates the true dot; LUT agrees with reconstruction") {
     import graft.functions.expressions.{PqAdc, PqEncode, PqLut}
     val dim = 16; val m = 4; val dsub = 4; val ks = 64
