@@ -237,11 +237,12 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r10: 7 queries new this round: pipeline_crawl_quota_etld (full crawl " +
+    val notes = "r10: 8 queries new this round: pipeline_crawl_quota_etld (full crawl " +
       "composition + the loop's new default eTLD+1 quota key), " +
       "dedup_incremental_image_edit (dual-signature image probe, golden-pinned), " +
       "dsir_weights + dsir_select (DSIR importance reweighting/resampling over the " +
-      "persisted LM models, both full-oracle), pipeline_crawl_dsir (the crawl " +
+      "persisted LM models, both full-oracle), dsir_top100 (exact-budget variant, " +
+      "full-oracle), pipeline_crawl_dsir (the crawl " +
       "composition + DSIR steering under ONE oracle), sample_temperature_lang " +
       "(alpha-flattened mixture quota, full-oracle), ann_topk_cosine_ivfpq (IVF-PQ/ADC " +
       "memory tier, recall-gated 0.9 like lsh/ivf, served from the persisted " +

@@ -711,6 +711,12 @@ object SparkEntry {
     "dsir_select" -> ((s, d) =>
       Corpus.dsirSelect(documents(s, d),
         Fixtures.dsirTargetModel(s, d), Fixtures.dsirRawModel(s, d))),
+    // DSIR at an exact budget: global top-100 by (tok_bits desc, md5 asc)
+    // via one bounded TopK aggregate — the fixed-size selection the paper's
+    // Gumbel-top-k produces, in the engine's deterministic quantized form
+    "dsir_top100" -> ((s, d) =>
+      Corpus.dsirTopK(documents(s, d),
+        Fixtures.dsirTargetModel(s, d), Fixtures.dsirRawModel(s, d), k = 100)),
     // mixture accounting per (source, lang): one partial/final hash agg
     "corpus_mix_stats" -> ((s, d) =>
       Corpus.mixtureStats(documents(s, d)).orderBy("source", "lang")),
@@ -1799,6 +1805,19 @@ object SparkEntry {
           "WHEN tok_bits >= -48 THEN hex12 < printf('%012x', CAST(1 AS BIGINT) << CAST(48 + greatest(tok_bits, -48) AS INT)) " +
           "ELSE FALSE END AS keep " +
           "FROM tb ORDER BY doc_id").replace("\n", " "),
+
+      // exact-budget DSIR: the same per-doc frame ranked globally — the
+      // engine's string sort key hex(2^31 − tok_bits) ‖ md5 makes ascending
+      // string order identical to this ORDER BY
+      "dsir_top100" ->
+        (s"WITH $dsirOracleCtes, " +
+          "tb AS (SELECT p.doc_id, p.n_tokens, p.dsir_bits, " +
+          "CAST((p.dsir_bits - ((p.dsir_bits % p.n_tokens) + p.n_tokens) % p.n_tokens) // p.n_tokens AS BIGINT) AS tok_bits, " +
+          "substr(md5(d.text),1,12) AS hex12 " +
+          "FROM dpd p JOIN documents d USING (doc_id)) " +
+          "SELECT rk, doc_id, n_tokens, dsir_bits, tok_bits FROM " +
+          "(SELECT CAST(row_number() OVER (ORDER BY tok_bits DESC, hex12 ASC, doc_id ASC) AS BIGINT) AS rk, * FROM tb) " +
+          "WHERE rk <= 100 ORDER BY rk").replace("\n", " "),
 
       // the crawl composition + DSIR steering: all five crawl stages (the
       // shared crawlOracleCtes chain through `acc`) + both model trainings

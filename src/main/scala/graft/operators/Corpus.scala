@@ -940,6 +940,50 @@ object Corpus {
         col("keep"))
   }
 
+  /**
+   * DSIR selection at an EXACT budget: the `k` documents of highest
+   * per-token advantage, hash-randomized within each quantized weight
+   * level — the fixed-size form the paper's Gumbel-top-k produces
+   * (deterministic variant: all of weight level b is taken before any of
+   * level b−1, and within a level the md5 order is the same uniform
+   * draw [[dsirSelect]] thresholds on; true Gumbel interleaves levels
+   * probabilistically — documented divergence, same selection pressure).
+   * Returns `(rk, idCol, n_tokens, dsir_bits, tok_bits)` in rank order.
+   *
+   * Scale shape: [[dsirBits]]'s plan plus one GLOBAL bounded
+   * [[graft.functions.TopK.bottomKString]] aggregate — map tasks emit
+   * ≤ k entries each, the single final merge sees partitions × k rows
+   * (k is a caller budget, not data-sized), and the k winners broadcast
+   * back for their detail columns. The rank key is one ASCII string —
+   * `hex(2³¹ − tok_bits) ‖ md5₁₂` — so ascending string order IS
+   * (tok_bits desc, md5 asc), reproducible by any engine's ORDER BY.
+   */
+  def dsirTopK(docs: DataFrame, target: LmModel, raw: LmModel, k: Int,
+      seed: String = "", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hex = substring(
+      md5(concat(lit(seed), coalesce(col(textCol), lit("")))), 1, 12)
+    val perDoc = Dedup.persistScoped( // feeds the TopK agg AND the detail join
+      dsirCore(docs, target, raw, idCol, textCol, selHex = Some(hex))
+        .withColumn("tok_bits",
+          expr("(dsir_bits - pmod(dsir_bits, n_tokens)) div n_tokens")))
+    val sortKey = concat(
+      lpad(lower(conv((lit(Int.MaxValue.toLong) - col("tok_bits"))
+        .cast("string"), 10, 16)), 9, "0"),
+      col("__sel_hex"))
+    val winners = perDoc
+      .agg(graft.functions.TopK.bottomKString(k)(sortKey, col(idCol).cast("long"))
+        .as("picked"))
+      .select(posexplode(col("picked").getField("entries")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as(idCol))
+    perDoc.join(broadcast(winners), Seq(idCol))
+      .select(col("rk"), col(idCol), col("n_tokens"), col("dsir_bits"),
+        col("tok_bits"))
+      .orderBy("rk")
+  }
+
   /** Shared core of [[dsirBits]]/[[dsirSelect]]: one token explode, four
     * broadcast joins, both surprisal ladders, one aggregate. `selHex`
     * (the selection hash, computed from the doc ROW before the explode)

@@ -122,6 +122,28 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirTopK: exact budget, weight levels in order, md5 order within a level") {
+    val k = 10
+    val got = Corpus.dsirTopK(scored, targetModel, rawModel, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.length == k && got.map(_._1).toSeq == (1L to k.toLong))
+    // ranks must be monotone non-increasing in tok_bits (levels in order)
+    assert(got.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    // parity with the window form the oracle runs: rank by
+    // (tok_bits desc, md5 asc, id asc) over the same per-doc frame
+    val texts = scored.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(texts(id).getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val perDoc = Corpus.dsirSelect(scored, targetModel, rawModel)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val expect = perDoc.sortBy { case (id, tok) => (-tok, h(id), id) }
+      .take(k).map(_._1).toSeq
+    assert(got.map(_._2).toSeq == expect, "rank order must match the window form")
+    // k past the corpus returns every doc, still ranked
+    val all = Corpus.dsirTopK(scored, targetModel, rawModel, 10000).collect()
+    assert(all.length == perDoc.length)
+  }
+
   test("dsir plans: four broadcast joins, docs shuffle only for the final agg") {
     val sf = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("dsir_weights")(spark, sf)
