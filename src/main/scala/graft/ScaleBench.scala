@@ -1157,6 +1157,53 @@ object ScaleBench {
           f"scoring payload ${16 + 8} B/row vs flat ${64 * 4} B/row")
         assert(mean >= 0.9, s"IVF-PQ recall too low: $mean")
       }
+
+      // ---- persisted AnnIndex: O(base) build once, O(delta) append, the
+      // drift statistic delta-sized — the ANN tier joins the incremental
+      // (index-vs-delta) story the five dedup key spaces carry ----
+      val annTmp = java.nio.file.Files.createTempDirectory("graft-annix").toString
+      var annIx: graft.operators.Similarity.AnnIndex = null
+      time(s"build+write AnnIndex over ${nVecs} vectors (construction, O(base))") {
+        graft.operators.Similarity.writeAnnIndex(
+          graft.operators.Similarity.buildAnnIndex(
+            vecs, dim = 64, nlist = 16, m = 16, ks = 256, nassign = 1),
+          annTmp)
+        annIx = graft.operators.Similarity.readAnnIndex(spark, annTmp)
+      }
+      val annBaseline = graft.operators.Similarity.annDriftBaseline(annIx)
+      // delta: 1000 fresh ids — 100 exact clones of base vectors (planted
+      // truth for the post-append probe), 900 base-distributed fresh
+      val annDelta = spark.range(1000)
+        .withColumn("seed",
+          when(col("id") < 100L, col("id") * 50L) // clone of base vec_id = 50·id
+            .otherwise(col("id") + 7L * nVecs))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(63)), i =>
+            (pmod(xxhash64(col("seed") * lit(64L) + i.cast("long")), lit(2001L)).cast("double")
+              - lit(1000.0)) / lit(1000.0)))
+        .select((col("id") + 10L * nVecs).as("vec_id"), col("embedding"))
+      val codedBefore = annIx.coded.count()
+      time(s"appendAnnIndex: 1000-vec delta vs ${nVecs}-vec index (O(delta), frozen quantizers)") {
+        val stat = graft.operators.Similarity.annDriftStat(annIx, annDelta, annBaseline)
+        println(f"[scale] ann drift stat on a base-distributed delta: $stat%.3f " +
+          f"(baseline quantile 0.10 at cos $annBaseline%.4f) — the per-append monitor")
+        assert(stat <= 0.3, s"base-distributed delta must not trip the drift signal: $stat")
+        annIx = graft.operators.Similarity.appendAnnIndex(annIx, annTmp, annDelta)
+      }
+      assert(annIx.coded.count() == codedBefore + 1000,
+        "append must add exactly nassign rows per delta vector")
+      time(s"AnnIndex probe after append: 10 cloned-base queries through the grown index") {
+        // querying FOR a cloned base vector must surface its appended twin
+        // at rank 1 (cos 1 beats every organic neighbor on random data)
+        val qs = vecs.filter(pmod(col("vec_id"), lit(50L)) === 0L && col("vec_id") < 500L)
+        val got = graft.operators.Similarity.annQueryIndex(
+          annIx, qs, k = 3, nprobe = 4, rerank = 32)
+          .filter(col("rank") === 1L).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val hits = got.count { case (q, n) => n == q / 50L + 10L * nVecs }
+        println(s"[scale] ann post-append probe: $hits/10 cloned queries surface their appended twin first")
+        assert(hits >= 9, s"appended clones must be found through the frozen quantizers: $hits/10")
+      }
     }
 
     // ---- SemDeDup at corpus scale: k-means cells sized so intra-cell pair
