@@ -732,6 +732,14 @@ object SparkEntry {
     "vocab_top20" -> ((s, d) =>
       Corpus.vocabTopK(documents(s, d), 20)
         .orderBy(col("cnt").desc, col("token").asc)),
+    // REAL BPE token counts (Sennrich et al. 2016) under the persisted
+    // 40-merge model trained on this corpus — the sequence-length
+    // accounting a packing/budgeting pipeline runs (whitespace counts
+    // under-price rare words that fragment). Golden-pinned: the greedy
+    // merge loop has no relational spelling. Map-side only.
+    "text_tokens_bpe" -> ((s, d) =>
+      graft.operators.Tokenizer.bpeTokenCounts(
+        documents(s, d), Fixtures.bpeModel(s, d)).orderBy("doc_id")),
     // distribution drift between the train and benchmark splits (same splits
     // as decontaminate_ngram): exact cross-product rate comparison, top-20
     // divergent tokens; re-sorted by the output columns for the hash gate

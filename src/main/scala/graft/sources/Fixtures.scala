@@ -183,6 +183,36 @@ object Fixtures {
     }
   }
 
+  /** Persisted BPE merge table trained on `dir`'s documents (40 merges —
+    * enough to absorb the frequency head into whole-word tokens while the
+    * tail still fragments into subwords; 120 merges fully absorbed this
+    * corpus's 31-word vocabulary and made the count golden vacuous) —
+    * train-once/serve-many like every other model fixture; the registered
+    * count query must measure encoding, not the word-count aggregate +
+    * driver merge loop. */
+  def bpeModel(s: SparkSession, dir: String): graft.operators.BpeModel =
+    graft.operators.Tokenizer.readBpeModel(s, bpeModelPath(s, dir))
+
+  def bpeModelPath(s: SparkSession, dir: String): String = {
+    val out = cachePathFor(dir, "documents", "bpe_model_v2")
+    lock.synchronized {
+      if (!new java.io.File(s"$out/_OK").exists()) buildBpeModel(s, dir, out)
+    }
+    out
+  }
+
+  private def buildBpeModel(s: SparkSession, dir: String, out: String): Unit = {
+    import graft.operators.Tokenizer
+    def m = Tokenizer.trainBpe(Tables.documents(s, dir), numMerges = 40)
+    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
+    Tokenizer.writeBpeModel(m, s, tmp)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$tmp/_OK"))
+    promote(tmp, out, complete = new java.io.File(s"$out/_OK").exists()) {
+      Tokenizer.writeBpeModel(m, s, out)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$out/_OK")): Unit
+    }
+  }
+
   private def buildLmModel(s: SparkSession, dir: String, out: String,
       split: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     import graft.operators.Corpus

@@ -40,7 +40,8 @@ class GoldenFileSpec extends AnyFunSuite {
     Seq("ann_topk_cosine_lsh", "ann_topk_cosine_ivf", "dedup_minhash",
       "dedup_incremental_near", "dedup_simhash", "dedup_image_phash",
       "dedup_incremental_image", "dedup_incremental_image_edit",
-      "text_fingerprint", "text_winnow", "multimodal_features")
+      "text_fingerprint", "text_winnow", "multimodal_features",
+      "text_tokens_bpe")
 
   private lazy val inputFingerprint: String = {
     val md = MessageDigest.getInstance("MD5")

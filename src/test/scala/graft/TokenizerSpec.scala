@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BpeModel, Tokenizer}
+
+/**
+ * BPE tokenizer: hand-traced training on a corpus small enough to verify
+ * every merge by hand, encode semantics (greedy lowest-rank, every
+ * occurrence merged), determinism under partitioning, round-trip through
+ * the persisted merge table, and the count projection's plan shape.
+ */
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("trainBpe: every merge hand-verified on a 2-word corpus") {
+    // corpus: "ab ab ac" → words ab×2, ac×1; symbol pairs per round:
+    //   r0: (a,b)=2 (b,</w>)=2 (a,c)=1 (c,</w>)=1 → tie at 2 → lexicographic
+    //       smallest pair (a,b)
+    //   r1: (ab,</w>)=2 (a,c)=1 (c,</w>)=1        → (ab,</w>)
+    //   r2: (a,c)=1 (c,</w>)=1                    → tie at 1 → (a,c)
+    //   r3: (ac,</w>)=1                           → (ac,</w>)
+    //   r4: nothing left — trainer stops early
+    val docs = Seq((1L, "ab ab"), (2L, "ac")).toDF("doc_id", "text")
+    val m = Tokenizer.trainBpe(docs, numMerges = 10)
+    assert(m.merges == IndexedSeq(
+      ("a", "b"), ("ab", "</w>"), ("a", "c"), ("ac", "</w>")))
+  }
+
+  test("encode: greedy lowest-rank merges, every occurrence, unseen chars survive") {
+    val m = BpeModel(IndexedSeq(("a", "b"), ("ab", "</w>")))
+    assert(m.encodeWord("ab").toSeq == Seq("ab</w>"))
+    // rank-0 fires on BOTH occurrences in one round, then rank-1 closes
+    // the final subword — the loop runs to fixpoint
+    assert(m.encodeWord("abab").toSeq == Seq("ab", "ab</w>"))
+    // no applicable merges: characters + end marker survive
+    assert(m.encodeWord("xyz").toSeq == Seq("x", "y", "z", "</w>"))
+    // interior pair merges even when the end-of-word merge can't follow
+    assert(m.encodeWord("abc").toSeq == Seq("ab", "c", "</w>"))
+    assert(m.countTokens("ab abab xyz") == 1 + 2 + 4)
+    // empty text: one empty "word" = the bare end marker (mirrors the
+    // engine's tokens('') = [''] convention)
+    assert(m.countTokens("") == 1)
+  }
+
+  test("training is partition-invariant and the frequency cap rule is the LM vocab's") {
+    val base = (1 to 300).map(i => (i.toLong,
+      s"word${i % 7} word${i % 7} filler${i % 31}")).toDF("doc_id", "text")
+    val a = Tokenizer.trainBpe(base.coalesce(1), numMerges = 40)
+    val b = Tokenizer.trainBpe(base.repartition(13), numMerges = 40)
+    assert(a.merges == b.merges, "any partitioning must train the identical model")
+    // frequent words fully merge into single tokens before rare ones:
+    // 'word0' (seen ~86×) must encode shorter than an equally-long
+    // rare word unseen in training
+    assert(a.encodeWord("word0").length < a.encodeWord("zzzzz").length)
+  }
+
+  test("persisted merge table round-trips; subwords reassemble the word exactly") {
+    val docs = (1 to 50).map(i => (i.toLong, s"alpha beta gamma tok$i")).toDF("doc_id", "text")
+    val m = Tokenizer.trainBpe(docs, numMerges = 30)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Tokenizer.writeBpeModel(m, spark, dir)
+    val m2 = Tokenizer.readBpeModel(spark, dir)
+    assert(m2.merges == m.merges)
+    for (w <- Seq("alpha", "beta", "unseenword")) {
+      val syms = m2.encodeWord(w)
+      assert(syms.mkString("").stripSuffix("</w>").replace("</w>", "") == w,
+        s"subwords must reassemble '$w': ${syms.toSeq}")
+    }
+  }
+
+  test("bpeTokenCounts: counts match driver-side encode; plan is a pure projection") {
+    val docs = Seq((1L, "ab ab"), (2L, "ac"), (3L, "abc xyz")).toDF("doc_id", "text")
+    val m = Tokenizer.trainBpe(docs, numMerges = 10)
+    val got = Tokenizer.bpeTokenCounts(docs, m).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .map { case (id, t) =>
+        (id, t.split("\\s+").length.toLong, m.countTokens(t)) }
+    assert(got.toSeq == expect.toSeq)
+    val p = Tokenizer.bpeTokenCounts(docs, m).queryExecution.executedPlan.toString
+    // Parallelism.ensure may round-robin a tiny input; the claim is that no
+    // KEYED shuffle exists — counting is per-row work
+    assert(!p.contains("Exchange hashpartitioning"), s"BPE counting must be map-side only:\n$p")
+  }
+}
