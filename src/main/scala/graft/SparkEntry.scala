@@ -883,6 +883,16 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) =>
       graft.operators.TrainingSet.packSequences(documents(s, d), capTokens = 512)
         .orderBy("doc_id")),
+    // the same prefix-sum packing driven by REAL BPE counts (the persisted
+    // 40-merge model): context windows sized in the tokens the model will
+    // actually see, not whitespace words. Golden-pinned like
+    // text_tokens_bpe (the counts have no relational spelling)
+    "pack_sequences_bpe" -> { (s, d) =>
+      import graft.functions.expressions.BpeCount
+      graft.operators.TrainingSet.packSequences(documents(s, d), capTokens = 512,
+        tokenCount = Some(BpeCount(coalesce(col("text"), lit("")), Fixtures.bpeModel(s, d))))
+        .orderBy("doc_id")
+    },
     // deterministic per-language quota sample (50 smallest content hashes per
     // stratum) via a bounded bottom-k aggregate, not a window
     "sample_quota_lang" -> ((s, d) =>

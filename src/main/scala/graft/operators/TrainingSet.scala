@@ -83,15 +83,20 @@ object TrainingSet {
       docs: DataFrame,
       capTokens: Long,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCount: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(capTokens > 0, s"capTokens must be positive, got $capTokens")
     val spark = docs.sparkSession
     import spark.implicits._
     // null text ranks as empty text (1 token: tokens("") = [""]): a null in
-    // the stream must not null-propagate into every later doc's offset
+    // the stream must not null-propagate into every later doc's offset.
+    // `tokenCount` swaps the whitespace count for the caller's accounting —
+    // a trained-tokenizer count (Tokenizer.bpeTokenCounts' BpeCount column)
+    // packs by the sequence length the model will actually see
     val counts = Parallelism.ensure(docs)
       .select(col(idCol).cast("long"),
-        size(tokens(coalesce(col(textCol), lit("")))).cast("long"))
+        tokenCount.getOrElse(size(tokens(coalesce(col(textCol), lit("")))))
+          .cast("long"))
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(idCol)
       .as[(Long, Long)]
