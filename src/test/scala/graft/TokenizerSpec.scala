@@ -44,6 +44,16 @@ class TokenizerSpec extends AnyFunSuite {
     // empty text: one empty "word" = the bare end marker (mirrors the
     // engine's tokens('') = [''] convention)
     assert(m.countTokens("") == 1)
+    // surrogate-pair safety: a non-BMP code point is ONE symbol (a charAt
+    // split would leave two invalid UTF-16 halves), and training/encoding
+    // agree on it
+    val emoji = new String(Character.toChars(0x1F600))
+    // pairs (e,e) and (e,</w>) tie at count 2; "</w>" sorts before the
+    // emoji's surrogates, so the lexicographic tie-break picks (e,</w>)
+    val m2 = graft.operators.Tokenizer.trainBpe(
+      Seq((1L, s"$emoji$emoji $emoji$emoji")).toDF("doc_id", "text"), numMerges = 1)
+    assert(m2.merges == IndexedSeq((emoji, "</w>")))
+    assert(m2.encodeWord(emoji + emoji).toSeq == Seq(emoji, emoji + "</w>"))
   }
 
   test("training is partition-invariant and the frequency cap rule is the LM vocab's") {
