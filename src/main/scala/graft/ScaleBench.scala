@@ -956,6 +956,31 @@ object ScaleBench {
       }
     }
 
+    // ---- BPE tokenizer at corpus scale: capped training, map-side encode ----
+    // The trainer's distributed half is ONE TakeOrderedAndProject word
+    // count; the merge loop runs driver-side over the top-32k word table
+    // (the documented O(numMerges × vocab) cost, paid once per tokenizer).
+    // Encoding is a pure projection. Invariant: every word encodes to ≥ 1
+    // subword, so the BPE total can never undercut the whitespace total.
+    if (nDocs >= 1000 && sectionOn("bpe")) {
+      var bpeM: graft.operators.BpeModel = null
+      time(s"BPE train: top-32k word table from $nDocs docs + 200-merge driver loop") {
+        bpeM = graft.operators.Tokenizer.trainBpe(
+          docs, numMerges = 200, maxWords = 1 << 15)
+        assert(bpeM.merges.length == 200, s"got ${bpeM.merges.length} merges")
+      }
+      time(s"BPE encode: count $nDocs docs map-side") {
+        val agg = graft.operators.Tokenizer.bpeTokenCounts(docs, bpeM)
+          .agg(sum("n_bpe_tokens"), sum("n_tokens"), count(lit(1))).head()
+        println(f"[scale] bpe: ${agg.getLong(0)} subword tokens over " +
+          f"${agg.getLong(1)} words (${agg.getLong(0).toDouble / agg.getLong(1)}%.2f " +
+          "subwords/word at 200 merges)")
+        assert(agg.getLong(2) == nDocs)
+        assert(agg.getLong(0) >= agg.getLong(1),
+          "every word is >= 1 subword — the BPE total cannot undercut words")
+      }
+    }
+
     // ---- training-set assembly at corpus scale ----
     // guarded like the bucket assertions above: a tiny CLI run (nDocs < 100)
     // has too few planted clones / docs for the recall and invariant checks
