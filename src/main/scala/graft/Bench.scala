@@ -237,7 +237,7 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r10: 10 queries new this round: pipeline_crawl_quota_etld (full crawl " +
+    val notes = "r10: 11 queries new this round: pipeline_crawl_quota_etld (full crawl " +
       "composition + the loop's new default eTLD+1 quota key), " +
       "dedup_incremental_image_edit (dual-signature image probe, golden-pinned), " +
       "dsir_weights + dsir_select (DSIR importance reweighting/resampling over the " +
@@ -248,8 +248,8 @@ object Bench {
       "memory tier, recall-gated 0.9 like lsh/ivf, served from the persisted " +
       "fixture AnnIndex - train-once/serve-many like filter_lm_score), " +
       "text_tokens_bpe + pack_sequences_bpe (real Sennrich BPE counts under the " +
-      "persisted 40-merge model, and the prefix-sum packing driven by them - " +
-      "both golden-pinned). " +
+      "persisted 40-merge model, the prefix-sum packing driven by them, and " +
+      "vocab_bpe_top20, the induced subword head - all golden-pinned). " +
       "Top carried mover ATTRIBUTED (r9 wrong #2 ask): dedup_exact_spans re-pinned " +
       "with 6 INTERLEAVED passes at sf0.1 - min 3.46 / median 3.49 / spread 1.04, " +
       "identical plan; r9's 5.96 was machine state during that artifact run (its " +

@@ -740,6 +740,14 @@ object SparkEntry {
     "text_tokens_bpe" -> ((s, d) =>
       graft.operators.Tokenizer.bpeTokenCounts(
         documents(s, d), Fixtures.bpeModel(s, d)).orderBy("doc_id")),
+    // the induced subword vocabulary head under the same model — the
+    // tokenizer-health artifact (bare characters dominating = merge budget
+    // too small; whole words = memorized). Golden-pinned like its siblings;
+    // trailing orderBy re-sorts only the 20 survivors for the hash gate
+    "vocab_bpe_top20" -> ((s, d) =>
+      graft.operators.Tokenizer.bpeVocabTopK(
+        documents(s, d), Fixtures.bpeModel(s, d), k = 20)
+        .orderBy(col("cnt").desc, col("subword").asc)),
     // distribution drift between the train and benchmark splits (same splits
     // as decontaminate_ngram): exact cross-product rate comparison, top-20
     // divergent tokens; re-sorted by the output columns for the hash gate

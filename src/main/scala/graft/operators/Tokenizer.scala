@@ -202,6 +202,25 @@ object Tokenizer {
       BpeCount(coalesce(col(textCol), lit("")), model).as("n_bpe_tokens"))
   }
 
+  /** The induced subword vocabulary over `docs`: top-`k` subwords by
+    * occurrence count (count desc, subword asc — the [[Corpus.vocabTopK]]
+    * contract) under a trained model. The tokenizer-health artifact a
+    * pipeline publishes next to its merges: a head dominated by bare
+    * characters means the merge budget is too small for the corpus, a
+    * head of whole words means it is large enough to memorize.
+    *
+    * Scale shape: map-side encode explode → one partial/final hash
+    * aggregate → TakeOrderedAndProject (per-partition top-k + k×partitions
+    * driver merge, never a global sort). */
+  def bpeVocabTopK(docs: DataFrame, model: BpeModel, k: Int,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.expressions.BpeEncode
+    Parallelism.ensure(docs)
+      .select(explode(BpeEncode(coalesce(col(textCol), lit("")), model)).as("subword"))
+      .groupBy("subword").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("subword").asc).limit(k)
+  }
+
   /** Persist / reload the merge table — `(rank, left, right)` parquet,
     * mirroring the other model stores. */
   def writeBpeModel(model: BpeModel, spark: org.apache.spark.sql.SparkSession,

@@ -41,7 +41,7 @@ class GoldenFileSpec extends AnyFunSuite {
       "dedup_incremental_near", "dedup_simhash", "dedup_image_phash",
       "dedup_incremental_image", "dedup_incremental_image_edit",
       "text_fingerprint", "text_winnow", "multimodal_features",
-      "text_tokens_bpe", "pack_sequences_bpe")
+      "text_tokens_bpe", "pack_sequences_bpe", "vocab_bpe_top20")
 
   private lazy val inputFingerprint: String = {
     val md = MessageDigest.getInstance("MD5")

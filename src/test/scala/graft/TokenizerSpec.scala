@@ -82,6 +82,18 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeVocabTopK: hand-computed subword counts, deterministic order") {
+    val docs = Seq((1L, "ab ab"), (2L, "ac")).toDF("doc_id", "text")
+    // 1 merge (a,b): ab → [ab, </w>] ×2; ac → [a, c, </w>]
+    val m = BpeModel(IndexedSeq(("a", "b")))
+    val got = Tokenizer.bpeVocabTopK(docs, m, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("</w>", 3L), ("ab", 2L), ("a", 1L), ("c", 1L)))
+    // k cuts the tail deterministically (cnt desc, subword asc)
+    assert(Tokenizer.bpeVocabTopK(docs, m, k = 2)
+      .collect().map(_.getString(0)).toSeq == Seq("</w>", "ab"))
+  }
+
   test("bpeTokenCounts: counts match driver-side encode; plan is a pure projection") {
     val docs = Seq((1L, "ab ab"), (2L, "ac"), (3L, "abc xyz")).toDF("doc_id", "text")
     val m = Tokenizer.trainBpe(docs, numMerges = 10)
