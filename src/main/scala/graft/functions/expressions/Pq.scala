@@ -39,6 +39,7 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
 
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
+    Pq.checkVec(vec, m * dsub, "pq_encode")
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -50,9 +51,7 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
         var i = 0
         while (i < dsub) {
           val p = j * dsub + i
-          val x =
-            if (p >= vec.numElements() || vec.isNullAt(p)) 0.0
-            else if (isFloat) vec.getFloat(p).toDouble else vec.getDouble(p)
+          val x = if (isFloat) vec.getFloat(p).toDouble else vec.getDouble(p)
           val diff = x - codebooks((j * ks + t) * dsub + i)
           d2 += diff * diff
           i += 1
@@ -76,13 +75,13 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
       val j = ctx.freshName("j")
       val t = ctx.freshName("t")
       val i = ctx.freshName("i")
-      val p = ctx.freshName("p")
       val x = ctx.freshName("x")
       val d2 = ctx.freshName("d2")
       val diff = ctx.freshName("diff")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       s"""
+         |graft.functions.expressions.Pq.checkVec($vec, ${m * dsub}, "pq_encode");
          |int[] $out = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $best = 0;
@@ -90,9 +89,7 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
          |  for (int $t = 0; $t < $ks; $t++) {
          |    double $d2 = 0.0;
          |    for (int $i = 0; $i < $dsub; $i++) {
-         |      int $p = $j * $dsub + $i;
-         |      double $x = ($p >= $vec.numElements() || $vec.isNullAt($p))
-         |        ? 0.0 : ((double) $vec.$getter($p));
+         |      double $x = (double) $vec.$getter($j * $dsub + $i);
          |      double $diff = $x - $cRef[($j * $ks + $t) * $dsub + $i];
          |      $d2 += $diff * $diff;
          |    }
@@ -107,6 +104,29 @@ case class PqEncode(child: Expression, codebooks: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Shared input guard for the PQ expressions: a vector whose length differs
+  * from the trained `dim = m × dsub`, or that carries null elements, is a
+  * SCHEMA DRIFT between index build and serve — silently zero-padding it
+  * (the r10 behavior, ADVICE r10) produced quietly wrong ADC scores; now it
+  * errors with the shapes named, matching `checkInputDataTypes`' strictness
+  * at the type level. Called from both the interpreted and codegen paths. */
+object Pq {
+  def checkVec(vec: ArrayData, dim: Int, op: String): Unit = {
+    if (vec.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$op: vector length ${vec.numElements()} != trained dim $dim — " +
+          "the input schema drifted from the index's quantizers")
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$op: vector has a NULL component at $i — refusing to score " +
+            "against implicit zero padding")
+      i += 1
+    }
+  }
 }
 
 object PqEncode {
@@ -141,6 +161,7 @@ case class PqLut(child: Expression, codebooks: Array[Double],
 
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
+    Pq.checkVec(vec, m * dsub, "pq_lut")
     val out = new Array[Double](m * ks)
     var j = 0
     while (j < m) {
@@ -150,9 +171,7 @@ case class PqLut(child: Expression, codebooks: Array[Double],
         var i = 0
         while (i < dsub) {
           val p = j * dsub + i
-          val x =
-            if (p >= vec.numElements() || vec.isNullAt(p)) 0.0
-            else if (isFloat) vec.getFloat(p).toDouble else vec.getDouble(p)
+          val x = if (isFloat) vec.getFloat(p).toDouble else vec.getDouble(p)
           dot += x * codebooks((j * ks + t) * dsub + i)
           i += 1
         }
@@ -172,18 +191,16 @@ case class PqLut(child: Expression, codebooks: Array[Double],
       val j = ctx.freshName("j")
       val t = ctx.freshName("t")
       val i = ctx.freshName("i")
-      val p = ctx.freshName("p")
       val x = ctx.freshName("x")
       val dot = ctx.freshName("dot")
       s"""
+         |graft.functions.expressions.Pq.checkVec($vec, ${m * dsub}, "pq_lut");
          |double[] $out = new double[$m * $ks];
          |for (int $j = 0; $j < $m; $j++) {
          |  for (int $t = 0; $t < $ks; $t++) {
          |    double $dot = 0.0;
          |    for (int $i = 0; $i < $dsub; $i++) {
-         |      int $p = $j * $dsub + $i;
-         |      double $x = ($p >= $vec.numElements() || $vec.isNullAt($p))
-         |        ? 0.0 : ((double) $vec.$getter($p));
+         |      double $x = (double) $vec.$getter($j * $dsub + $i);
          |      $dot += $x * $cRef[($j * $ks + $t) * $dsub + $i];
          |    }
          |    $out[$j * $ks + $t] = $dot;

@@ -555,11 +555,18 @@ object Similarity {
       ix: AnnIndex, path: String, delta: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): AnnIndex = {
     val spark = delta.sparkSession
+    // vecs FIRST (ADVICE r10): the two appends are not atomic, and the two
+    // possible half-states are not symmetric — an orphan vecs row (failure
+    // between the writes) is dead full-precision data nothing scans, while
+    // an orphan coded row would enter the ADC scoring and then silently
+    // VANISH at the exact re-rank join (no backing vector), losing
+    // candidates without an error. Appending the harmless side first makes
+    // the failure mode visible-and-benign instead of silent-and-lossy.
+    delta.select(col(idCol).as("nid"), col(vecCol).as("vec"))
+      .write.mode("append").parquet(s"$path/vecs")
     encodeForIndex(delta, ix.dim, ix.nlist, ix.m, ix.ks, ix.nassign,
       ix.cents, ix.books, idCol, vecCol)
       .write.mode("append").parquet(s"$path/coded")
-    delta.select(col(idCol).as("nid"), col(vecCol).as("vec"))
-      .write.mode("append").parquet(s"$path/vecs")
     readAnnIndex(spark, path)
   }
 

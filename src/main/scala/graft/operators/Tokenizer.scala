@@ -69,7 +69,7 @@ final case class BpeModel(merges: IndexedSeq[(String, String)])
     * tokenizer (lower/trim/split — [[graft.functions.TextFunctions.tokens]]
     * semantics, so BPE counts compose with every other text operator). */
   def encodeText(text: String): Array[String] = {
-    val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val words = BpeModel.sparkWords(text)
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < words.length) { out ++= encodeWord(words(i)); i += 1 }
@@ -77,7 +77,7 @@ final case class BpeModel(merges: IndexedSeq[(String, String)])
   }
 
   def countTokens(text: String): Long = {
-    val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val words = BpeModel.sparkWords(text)
     var n = 0L
     var i = 0
     while (i < words.length) { n += encodeWord(words(i)).length; i += 1 }
@@ -86,6 +86,23 @@ final case class BpeModel(merges: IndexedSeq[(String, String)])
 }
 
 object BpeModel {
+  /** The text → words pre-pass, mimicking [[graft.functions.TextFunctions
+    * .tokens]] = `split(lower(trim(text)), "\\s+")` EXACTLY by running
+    * Spark's own string kernels: `UTF8String.trim` strips only the space
+    * character at the ends (ADVICE r10: `String.trim` strips every char
+    * ≤ 0x20, so a doc with a leading tab or trailing newline tokenized to
+    * one FEWER word here than under `tokens()` — `n_bpe_tokens` could
+    * undercut `n_tokens` when head words fully merge, violating the
+    * "BPE total never undercuts words" invariant), `UTF8String.toLowerCase`
+    * is the default-collation kernel behind `lower()`, and `split(_, -1)`
+    * keeps trailing empties exactly as Spark's 2-arg `split` does. An
+    * empty-string word encodes to `["</w>"]` — 1 subword — matching the
+    * empty token `tokens()` emits for it. */
+  private[operators] def sparkWords(text: String): Array[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    UTF8String.fromString(text).trim().toLowerCase().toString.split("\\s+", -1)
+  }
+
   /** A word's initial symbol sequence: one symbol per CODE POINT (a
     * `charAt` split would halve surrogate pairs — emoji and rare CJK
     * would train and encode through invalid UTF-16 halves), plus the
@@ -196,9 +213,11 @@ object Tokenizer {
   def bpeTokenCounts(docs: DataFrame, model: BpeModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import graft.functions.expressions.BpeCount
+    // BOTH counts see the same coalesced text (ADVICE r10: n_tokens used to
+    // be NULL for a null doc while n_bpe_tokens coalesced to '' and said 1)
     Parallelism.ensure(docs).select(
       col(idCol),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"),
       BpeCount(coalesce(col(textCol), lit("")), model).as("n_bpe_tokens"))
   }
 

@@ -411,13 +411,33 @@ object TrainingSet {
       for (_ <- 0 until alphaQuarters) r *= b
       (s, math.min(n, math.ceil(scale * r).toLong))
     }
-    val maxQ = math.max(1L, (0L +: quotas.map(_._2).toSeq).max).toInt
-    // strata keys are strings by contract (lang / domain / source)
+    val maxQ = boundedQuota(math.max(1L, (0L +: quotas.map(_._2).toSeq).max))
+    // strata keys are strings by contract (lang / domain / source); a NULL
+    // stratum is a legal group (quotaSample ranks it), so the quota join is
+    // null-safe — an equi-join would silently drop every null-stratum doc
+    // (ADVICE r10) while its quota row sat unused
     val qTable = quotas.map { case (s, t) => (s.asInstanceOf[String], t) }
-      .toSeq.toDF(strataCol, "__t")
+      .toSeq.toDF("__qs", "__t")
     quotaSample(docs, maxQ, strataCol, idCol, textCol)
-      .join(broadcast(qTable), Seq(strataCol))
+      .join(broadcast(qTable), col(strataCol) <=> col("__qs"))
       .filter(col("rk") <= col("__t"))
       .select(col(strataCol), col("rk"), col(idCol))
+  }
+
+  /** [[temperatureSample]]'s per-stratum quota must seat a bottom-k
+    * AGGREGATE buffer, which is Int-indexed: a stratum with > 2³¹ kept docs
+    * (only possible when its raw count exceeds 2³¹ — quotas are capped at
+    * `n_s`) is past the regime where ranking makes sense at all — at that
+    * size dispatch to a hash-THRESHOLD keep instead ([[Corpus.splitAssign]]'s
+    * form: keep iff `md5(seed‖text) < t_s/n_s` rendered as a hex threshold),
+    * which is O(1) state at any quota. The guard turns the r10 silent
+    * `.toInt` overflow (negative quota → quotaSample require, or worse)
+    * into an actionable error. */
+  private[graft] def boundedQuota(q: Long): Int = {
+    require(q <= Int.MaxValue,
+      s"per-stratum quota $q exceeds Int.MaxValue — a bounded bottom-k " +
+        "cannot seat it; use a hash-threshold keep (Corpus.splitAssign's " +
+        "md5-threshold form) for strata beyond 2^31 docs")
+    q.toInt
   }
 }

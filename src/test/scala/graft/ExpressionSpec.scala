@@ -140,6 +140,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == Seq(Seq(0, 1, 2), Seq(1, 2, 0), Seq(0, 1, 2)))
   }
 
+  test("PqEncode/PqLut refuse schema drift: wrong length and null components error") {
+    import graft.functions.expressions.{PqEncode, PqLut}
+    // 1 subspace, 2 centroids of dim 2 — enough to exercise the guard
+    val books = Array(0.0, 0.0, 1.0, 1.0)
+    def enc(df: DataFrame) = df.select(PqEncode(col("v"), books, 1, 2, 2).as("c"))
+    def lut(df: DataFrame) = df.select(PqLut(col("v"), books, 1, 2, 2).as("l"))
+    val ok = Seq(Tuple1(Array(0.9, 1.1))).toDF("v")
+    assert(enc(ok).collect().head.getSeq[Int](0) == Seq(1))
+    // wrong length: ADVICE r10 — zero-padding scored a drifted schema
+    // quietly wrong; both paths (codegen and interpreted) must error
+    val short = Seq(Tuple1(Array(0.9))).toDF("v")
+    for (q <- Seq(enc(short), lut(short))) {
+      val e = intercept[Exception](q.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("trained dim")), s"wrong error: $e")
+      val ei = intercept[Exception](withCodegenOff(q.collect()))
+      assert(msgs(ei).exists(_.contains("trained dim")), s"wrong interpreted error: $ei")
+    }
+    // null component: same refusal
+    val withNull = Seq(Tuple1(Array[java.lang.Double](0.9, null))).toDF("v")
+    val en = intercept[Exception](enc(withNull).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(en).exists(_.contains("NULL component")), s"wrong error: $en")
+  }
+
   test("type mismatches fail analysis, not execution") {
     val df = Seq(Tuple1(Array("a", "b"))).toDF("s")
     intercept[org.apache.spark.sql.AnalysisException] {

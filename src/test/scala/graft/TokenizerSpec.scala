@@ -108,4 +108,30 @@ class TokenizerSpec extends AnyFunSuite {
     // KEYED shuffle exists — counting is per-row work
     assert(!p.contains("Exchange hashpartitioning"), s"BPE counting must be map-side only:\n$p")
   }
+
+  test("countTokens splits on tokens()'s exact boundary: tab/newline edges, null text") {
+    // ADVICE r10 (medium): String.trim strips every char <= 0x20 while
+    // Spark's trim strips only ' ' — a leading tab / trailing newline yields
+    // an extra empty-string token under tokens() that countTokens used to
+    // drop, so n_bpe_tokens could undercut n_tokens when head words fully
+    // merge. The model below fully merges both corpus words (the stated
+    // regime of the 40-merge fixture).
+    val m = BpeModel(IndexedSeq(("a", "b"), ("ab", "</w>")))
+    val edge = "\tab ab\n" // Spark trim keeps the tab and newline
+    val docs = Seq((1L, edge), (2L, " ab ab "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Tokenizer.bpeTokenCounts(docs, m).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: tokens = ["", ab, ab, ""] (4) — BPE: 1 + 1 + 1 + 1 = 4
+    // doc 2: spaces DO trim → [ab, ab] (2) — BPE: 2
+    // doc 3: null coalesces to '' on BOTH columns (ADVICE r10 low) → 1, 1
+    assert(got == Seq((1L, 4L, 4L), (2L, 2L, 2L), (3L, 1L, 1L)))
+    // the invariant the fix restores: n_bpe_tokens >= n_tokens, every row
+    got.foreach { case (id, nt, nb) =>
+      assert(nb >= nt, s"doc $id: BPE total $nb undercuts word count $nt")
+    }
+    // driver-side encodeText agrees with the Spark-side counts symbol-wise
+    assert(m.encodeText(edge).toSeq ==
+      Seq("</w>", "ab</w>", "ab</w>", "</w>"))
+  }
 }

@@ -152,6 +152,32 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(id == Map("en" -> 100, "de" -> 16, "zh" -> 2), s"got $id")
   }
 
+  test("temperatureSample: null strata ride the null-safe quota join; quota boundary guards") {
+    // ADVICE r10: quotaSample RANKS a null stratum, but the quota equi-join
+    // silently dropped it — the null-lang docs vanished while their quota
+    // row sat unused. The null-safe join keeps them bounded like any other
+    // stratum.
+    val d = (Seq((1L, "a"), (2L, "b"), (3L, "c")).map { case (i, t) => (i, t, "en") } ++
+      Seq((10L, "x", null), (11L, "y", null), (12L, "z", null), (13L, "w", null)))
+      .toDF("doc_id", "text", "lang")
+    val got = TrainingSet.temperatureSample(d, alphaQuarters = 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2)))
+    // quotas by the spelled nested-sqrt arithmetic: en n=3 →
+    // ceil(sqrt(sqrt(3))²) = ceil(1.7320508…) = 2; null n=4 →
+    // ceil(sqrt(sqrt(4))²) = ceil(2.0000000000000004) = 3 (the IEEE product
+    // overshoots the exact 2 by one ulp — the spelling IS the contract)
+    assert(got.count(_._1.isEmpty) == 3, s"null stratum must keep its quota: ${got.toSeq}")
+    assert(got.count(_._1.contains("en")) == 2)
+    // the Int boundary guard (ADVICE r10): a > 2^31 quota cannot seat a
+    // bounded bottom-k buffer — refuse with the threshold-form pointer
+    // instead of overflowing to a negative quota
+    val e = intercept[IllegalArgumentException](
+      TrainingSet.boundedQuota(Int.MaxValue.toLong + 1))
+    assert(e.getMessage.contains("hash-threshold"))
+    assert(TrainingSet.boundedQuota(Int.MaxValue.toLong) == Int.MaxValue)
+    assert(TrainingSet.boundedQuota(7L) == 7)
+  }
+
   test("quotaSample: quota above stratum size returns the whole stratum, ranked") {
     val d = docs(1L -> "aa", 2L -> "bb", 3L -> "cc").withColumn("lang", lit("en"))
     val out = TrainingSet.quotaSample(d, quota = 50).collect()
