@@ -256,6 +256,23 @@ class TsAggGoldenSpec extends AnyFunSuite {
       assert(math.abs(a - n) <= math.max(1L, (n * 0.10).toLong),
         s"bucket $bucket: approx $a vs exact $n")
     }
+    // the AUTO front door (VERDICT r10 #4): at this cardinality the pair
+    // probe picks the exact branch — output equals distinctCount under the
+    // form-independent alias
+    val auto = collectMap(
+      TsAgg.distinctCountAuto(df, spec, "user").withColumnRenamed("n_distinct_est", "v"))
+      .map { case (k, v) => k -> v.asInstanceOf[Long] }
+    assert(auto == exact, "default dispatch must take the exact branch here")
+    // forcing maxExactPairs = 0 pins the sketch branch: same schema, values
+    // within the same bound as the standalone sketch form
+    val forced = collectMap(
+      TsAgg.distinctCountAuto(df, spec, "user", rsd = 0.02, maxExactPairs = 0)
+        .withColumnRenamed("n_distinct_est", "v"))
+      .map { case (k, v) => k -> v.asInstanceOf[Long] }
+    exact.foreach { case (bucket, n) =>
+      assert(math.abs(forced(bucket) - n) <= math.max(1L, (n * 0.10).toLong),
+        s"bucket $bucket: forced-sketch ${forced(bucket)} vs exact $n")
+    }
   }
 
   test("median/percentile are exact; the GK sketch form stays within accuracy") {
