@@ -411,6 +411,17 @@ object SparkEntry {
     // containment get
     "ts_distinct_approx_900" -> ((s, d) => // rows-only: sketch by design
       TsAgg.approxDistinctCount(events(s, d, spec900), spec900, keyCol = "user_id")),
+    // the ADAPTIVE front door for distinct counting (VERDICT r10 #4, the
+    // topKAuto pattern applied to the last gated row): one HLL probe of the
+    // distinct (bucket, key) pair cardinality — the exact form's dedup-level
+    // exchange size — picks exact count(DISTINCT) under 2^20 pairs, the
+    // HLL++ sketch above. At every test SF the probe picks exact, so the
+    // same SQL oracle verifies the front door (err ≡ 0); the sketch branch
+    // is error-bounded in TsAggGoldenSpec by forcing maxExactPairs = 0, and
+    // the pure-sketch twin above stays registered so Bench keeps measuring
+    // real HLL error into the artifact.
+    "ts_distinct_auto_900" -> ((s, d) =>
+      TsAgg.distinctCountAuto(events(s, d, spec900), spec900, keyCol = "user_id")),
     // wide-format report: one row per bucket, one NULL-when-absent count
     // column per event type; both pivot exchanges carry only per-
     // (bucket, type) partials (values explicit — schema-stable at any scale)
@@ -896,10 +907,11 @@ object SparkEntry {
     // actually see, not whitespace words. Golden-pinned like
     // text_tokens_bpe (the counts have no relational spelling)
     "pack_sequences_bpe" -> { (s, d) =>
-      import graft.functions.expressions.BpeCount
-      graft.operators.TrainingSet.packSequences(documents(s, d), capTokens = 512,
-        tokenCount = Some(BpeCount(coalesce(col("text"), lit("")), Fixtures.bpeModel(s, d))))
-        .orderBy("doc_id")
+      // through the fingerprint-pinning front door: the model's md5 is
+      // stamped into the output schema (TokenizerSpec pins that a model
+      // swap against a manifest-recorded fingerprint fails loudly)
+      graft.operators.TrainingSet.packSequencesBpe(documents(s, d),
+        Fixtures.bpeModel(s, d), capTokens = 512).orderBy("doc_id")
     },
     // deterministic per-language quota sample (50 smallest content hashes per
     // stratum) via a bounded bottom-k aggregate, not a window
@@ -920,6 +932,24 @@ object SparkEntry {
       val docs = documents(s, d)
       graft.operators.TrainingSet.buildTrainingSet(
         docs, docs.filter(col("doc_id") % 20 === 0)).orderBy("doc_id")
+    },
+    // the MODERN flagship (VERDICT r10 next #1): the full chain a 2024-era
+    // pretraining pipeline actually runs — stages 1-4 as above, then DSIR
+    // steering against the persisted target/raw models, the temperature-
+    // flattened mixture hard-capped at 50/stratum, and BPE-priced packing
+    // under the persisted 40-merge model (identity stamped into the
+    // manifest schema). ONE DuckDB oracle replays all eight stages — the
+    // BPE counts enter it as the committed, sentinel-pinned per-doc count
+    // table (bpe_counts_sf0.01.tsv, the pack_sequences_bpe fixture pattern),
+    // everything else relationally. Like dedup_semantic, the oracle is
+    // defined at sf0.01 (the driver's gate SF) — the count table describes
+    // that corpus's model.
+    "pipeline_training_set_v2" -> { (s, d) =>
+      val docs = documents(s, d)
+      graft.operators.TrainingSet.buildTrainingSetV2(
+        docs, docs.filter(col("doc_id") % 20 === 0),
+        Fixtures.dsirTargetModel(s, d), Fixtures.dsirRawModel(s, d),
+        Fixtures.bpeModel(s, d)).orderBy("doc_id")
     },
     // the CRAWL ROUND-TRIP (VERDICT r7 #4): exact probe → span cut → PII
     // scrub → repetition gate against the persisted base index, one oracle.
@@ -1239,6 +1269,10 @@ object SparkEntry {
         T0_ODD, specTrailing.scanEndMs, 900 * MS),
       "ts_distinct_users_900" -> tsAggSql(
         "count(DISTINCT user_id) AS n_distinct", T0_EVENTS, e900, 900 * MS),
+      // the auto front door's exact branch (the probe picks it at every
+      // test SF's cardinality) — identical SQL, the form-independent alias
+      "ts_distinct_auto_900" -> tsAggSql(
+        "count(DISTINCT user_id) AS n_distinct_est", T0_EVENTS, e900, 900 * MS),
       // NULL (not 0) for absent cells on both sides: Spark pivot leaves the
       // cell null; sum(CASE ...) over no rows is NULL too (count FILTER
       // would give 0 and hash-mismatch)
@@ -1704,6 +1738,55 @@ object SparkEntry {
           "c AS (SELECT d5.doc_id, d5.lang, tok.n_tokens, " +
           "CAST(COALESCE(sum(tok.n_tokens) OVER (ORDER BY d5.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset " +
           "FROM d5 JOIN tok ON d5.doc_id = tok.doc_id) " +
+          "SELECT doc_id, lang, n_tokens, start_offset, start_offset // 512 AS bin_start " +
+          "FROM c ORDER BY doc_id"
+      },
+      // the MODERN chain replayed relationally end-to-end: V1's stages 1-4
+      // verbatim, then both DSIR models + both surprisal ladders over d4
+      // (the dsir_select arithmetic — floor-divided per-token advantage,
+      // md5-hex acceptance), the temperature mixture hard-capped at 50
+      // (same md5 rank order, so the cap is one filter), and the window-
+      // cumsum packing priced by the COMMITTED per-doc BPE counts
+      // (sentinel-pinned golden — the greedy merge loop itself has no
+      // relational spelling, so its output enters as a verified input,
+      // exactly like the winnow fingerprints and SemDeDup centroids)
+      "pipeline_training_set_v2" -> {
+        val pairCtes = ngramCtes("d1")
+        "WITH RECURSIVE " +
+          "keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+          "d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)), " +
+          s"$pairCtes, pairs AS ($ngramPairSelect), " +
+          "und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+          "reach(a, b) AS (SELECT a, b FROM und UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+          "mn AS (SELECT a, min(b) AS mb FROM reach GROUP BY a), " +
+          "d2 AS (SELECT d1.* FROM d1 LEFT JOIN mn ON d1.doc_id = mn.a " +
+          "WHERE least(d1.doc_id, coalesce(mn.mb, d1.doc_id)) = d1.doc_id), " +
+          "tok AS (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens FROM documents), " +
+          "d3 AS (SELECT d2.* FROM d2 JOIN tok USING (doc_id) WHERE d2.n_chars >= 20 AND tok.n_tokens >= 10), " +
+          shingleCte("ash", "documents", n = 5) + ", " +
+          "trs AS (SELECT a.id, unnest(a.sh) AS s FROM ash a JOIN d3 ON a.id = d3.doc_id WHERE a.id % 20 <> 0), " +
+          "bs AS (SELECT DISTINCT unnest(sh) AS s FROM ash WHERE id % 20 = 0), " +
+          "contam AS (SELECT DISTINCT trs.id FROM trs JOIN bs USING (s)), " +
+          "d4 AS (SELECT * FROM d3 WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT id FROM contam)), " +
+          s"${dsirOracleCtesOver("d4", "text")}, " +
+          "tb AS (SELECT p.doc_id, " +
+          "CAST((p.dsir_bits - ((p.dsir_bits % p.n_tokens) + p.n_tokens) % p.n_tokens) // p.n_tokens AS BIGINT) AS tok_bits, " +
+          "substr(md5(d.text),1,12) AS hex12 FROM dpd p JOIN d4 d USING (doc_id)), " +
+          "keepsel AS (SELECT doc_id FROM tb WHERE tok_bits >= 0 OR (tok_bits >= -48 " +
+          "AND hex12 < printf('%012x', CAST(1 AS BIGINT) << CAST(48 + greatest(tok_bits, -48) AS INT)))), " +
+          "d5 AS (SELECT d4.* FROM d4 SEMI JOIN keepsel USING (doc_id)), " +
+          "cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d5 GROUP BY 1), " +
+          "q AS (SELECT lang, least(n, CAST(ceil(1.0 * (sqrt(sqrt(CAST(n AS DOUBLE))) * " +
+          "sqrt(sqrt(CAST(n AS DOUBLE))))) AS BIGINT)) AS t FROM cnt), " +
+          "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+          "ORDER BY md5(text), doc_id) AS rk FROM d5), " +
+          "sel AS (SELECT r.doc_id FROM r JOIN q USING (lang) WHERE r.rk <= least(q.t, 50)), " +
+          "d6 AS (SELECT d5.* FROM d5 SEMI JOIN sel USING (doc_id)), " +
+          "bpec AS (SELECT doc_id, n_bpe FROM read_csv('/root/repo/src/test/resources/golden/bpe_counts_sf0.01.tsv', " +
+          "delim='\\t', skip=2, header=false, columns={'doc_id': 'BIGINT', 'n_bpe': 'BIGINT'})), " +
+          "c AS (SELECT d6.doc_id, d6.lang, b.n_bpe AS n_tokens, " +
+          "CAST(COALESCE(sum(b.n_bpe) OVER (ORDER BY d6.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset " +
+          "FROM d6 JOIN bpec b USING (doc_id)) " +
           "SELECT doc_id, lang, n_tokens, start_offset, start_offset // 512 AS bin_start " +
           "FROM c ORDER BY doc_id"
       },

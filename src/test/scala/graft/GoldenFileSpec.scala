@@ -116,6 +116,8 @@ class GoldenFileSpec extends AnyFunSuite {
       assertFingerprintCurrent(new File(s"$goldenDir/$q.tsv"), inputFingerprint)
     assertFingerprintCurrent(new File(s"$goldenDir/text_winnow_sf0.01.tsv"),
       md5Of("/root/testdata/sf0.01/documents.parquet"))
+    assertFingerprintCurrent(new File(s"$goldenDir/bpe_counts_sf0.01.tsv"),
+      md5Of("/root/testdata/sf0.01/documents.parquet"))
     for (f <- Seq("semdedup_centroids_sf0.01.tsv", "semdedup_centroids_base_sf0.01.tsv"))
       assertFingerprintCurrent(new File(s"$goldenDir/$f"),
         md5Of("/root/testdata/sf0.01/embeddings.parquet"))
@@ -147,6 +149,27 @@ class GoldenFileSpec extends AnyFunSuite {
     }
     checkGolden(new File(s"$goldenDir/text_winnow_sf0.01.tsv"),
       render(SparkEntry.queries("text_winnow")(spark, sf01)), fp01)
+  }
+
+  // The sf0.01 per-doc BPE counts are committed the same way: they are the
+  // ORACLE INPUT for pipeline_training_set_v2's packing stage — the greedy
+  // merge loop has no relational spelling, so its per-doc output enters the
+  // oracle as a verified, fingerprint-pinned input. The counts come from
+  // the SAME persisted fixture model the registered queries serve
+  // (Fixtures.bpeModel is deterministic given the corpus), so this export
+  // only changes when the trainer/encoder code or the corpus does — and
+  // a code regression shows up as a line diff HERE, keeping the V2 oracle
+  // honest rather than circular.
+  test("golden: BPE per-doc counts at sf0.01 (pipeline_training_set_v2 oracle input)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val fp01 = md5Of(s"$sf01/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    checkGolden(new File(s"$goldenDir/bpe_counts_sf0.01.tsv"),
+      render(graft.operators.Tokenizer.bpeTokenCounts(
+          graft.sources.Tables.documents(spark, sf01),
+          graft.sources.Fixtures.bpeModel(spark, sf01))
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_bpe"))
+        .orderBy("doc_id")), fp01)
   }
 
   // The sf0.01 SemDeDup centroids are committed the same way: they are the

@@ -134,4 +134,54 @@ class TokenizerSpec extends AnyFunSuite {
     assert(m.encodeText(edge).toSeq ==
       Seq("</w>", "ab</w>", "ab</w>", "</w>"))
   }
+
+  test("model fingerprint: order-sensitive identity, stamped into consumers, pin catches a swap") {
+    val m1 = BpeModel(IndexedSeq(("a", "b"), ("ab", "</w>")))
+    val m2 = BpeModel(IndexedSeq(("ab", "</w>"), ("a", "b"))) // same pairs, other ORDER
+    val m3 = BpeModel(IndexedSeq(("a", "b"), ("ab", "</w>")))
+    assert(m1.fingerprint != m2.fingerprint, "merge order is semantic — it must change identity")
+    assert(m1.fingerprint == m3.fingerprint)
+    // round-trip through the persisted merge table preserves identity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-fp").toString
+    Tokenizer.writeBpeModel(m1, spark, s"$tmp/m")
+    assert(Tokenizer.readBpeModel(spark, s"$tmp/m").fingerprint == m1.fingerprint)
+    // the stamp rides the output schema of both consumers
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(Tokenizer.stampedFingerprint(
+      Tokenizer.bpeTokenCounts(docs, m1)).contains(m1.fingerprint))
+    val packed = graft.operators.TrainingSet.packSequencesBpe(docs, m1, capTokens = 4,
+      expectFingerprint = Some(m1.fingerprint))
+    assert(Tokenizer.stampedFingerprint(packed, "n_tokens").contains(m1.fingerprint))
+    // ...and survives a parquet round-trip (manifest readers verify it later)
+    packed.write.mode("overwrite").parquet(s"$tmp/packed")
+    assert(Tokenizer.stampedFingerprint(
+      spark.read.parquet(s"$tmp/packed"), "n_tokens").contains(m1.fingerprint))
+    // the pin: packing against a RETRAINED model with the manifest's old
+    // fingerprint fails loudly instead of shifting every boundary silently
+    val e = intercept[IllegalArgumentException](
+      graft.operators.TrainingSet.packSequencesBpe(docs, m2, capTokens = 4,
+        expectFingerprint = Some(m1.fingerprint)))
+    assert(e.getMessage.contains("fingerprint mismatch"))
+  }
+
+  test("bpeDrift: quiet on the trained distribution, loud on a swapped vocabulary") {
+    // trained corpus: words the model fully absorbs after training
+    val trained = (1 to 200).map(i =>
+      (i.toLong, s"alpha beta gamma delta word${i % 5}")).toDF("doc_id", "text")
+    val m = Tokenizer.trainBpe(trained, numMerges = 60)
+    // stationary fresh wave: same distribution → heads agree, fertility flat
+    val fresh0 = (201 to 300).map(i =>
+      (i.toLong, s"alpha beta gamma delta word${i % 5}")).toDF("doc_id", "text")
+    val d0 = Tokenizer.bpeDrift(trained, fresh0, m, k = 20)
+    assert(d0.headDistance <= 0.1, s"stationary wave must keep the head: $d0")
+    assert(math.abs(d0.fertilityFresh - d0.fertilityTrained) < 0.1, s"$d0")
+    // drifted wave: an unseen vocabulary → the trained merges never fire,
+    // words fragment to characters — head turns over AND fertility jumps
+    val fresh1 = (301 to 400).map(i =>
+      (i.toLong, s"zzyx qwvk jjpu mmnn xx${i % 5}yy")).toDF("doc_id", "text")
+    val d1 = Tokenizer.bpeDrift(trained, fresh1, m, k = 20)
+    assert(d1.headDistance >= 0.5, s"swapped vocabulary must turn the head over: $d1")
+    assert(d1.fertilityFresh > d1.fertilityTrained + 0.5,
+      s"unseen words must fragment (fertility rise): $d1")
+  }
 }

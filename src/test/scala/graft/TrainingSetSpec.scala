@@ -261,6 +261,76 @@ class TrainingSetSpec extends AnyFunSuite {
       Seq((12L, 0L, 0L), (12L, 12L, 1L), (12L, 24L, 3L)))
   }
 
+  test("buildTrainingSetV2: DSIR, mixture, quota cap and BPE pricing each bite; model pinned") {
+    import graft.operators.{BpeModel, Corpus}
+    def doc(id: Long, text: String, lang: String = "en") =
+      (id, text, text.length.toLong, lang)
+    val long = (tag: String) => (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val partial = (1 to 5).map(i => s"e$i").mkString(" ") + " " +
+      (6 to 12).map(i => s"f$i").mkString(" ")
+    // stages 1–4 planted exactly as the V1 test; PLUS a raw-vocab junk doc
+    // (stage 5's target) and a 30-doc "xx" herd (stage 6's target: mixture
+    // t = ceil(sqrt(sqrt(30))²) = 6, then the hard cap 4 < 6 bites on top)
+    val junkId = 9L
+    val herd = (101L to 130L).map(i => doc(i, long(s"h${i}x"), lang = "xx"))
+    val corpus = (Seq(
+      doc(1L, long("a")), doc(2L, long("a")), // exact dup → stage 1
+      doc(3L, long("b")),
+      doc(4L, long("b").replace("b12", "zz")), // near-dup → stage 2
+      doc(5L, "tiny"), // quality gate → stage 3
+      doc(20L, long("e")), doc(6L, partial), // benchmark + contaminated → stage 4
+      doc(7L, long("g")),
+      doc(junkId, long("j")) // target-unseen vocabulary → DSIR (stage 5)
+    ) ++ herd).toDF("doc_id", "text", "n_chars", "lang")
+    val bench = corpus.filter(col("doc_id") % 20 === 0)
+    // frozen models: TARGET speaks the clean vocabulary (junk words unseen
+    // → every token scores the unseen ladder), RAW speaks everything
+    val target = Corpus.trainLmModel(corpus.filter(col("doc_id") =!= junkId))
+    val raw = Corpus.trainLmModel(corpus)
+    // empty-merge BPE: every word prices at (codepoints + 1) subwords — the
+    // BPE count visibly diverges from the whitespace count
+    val bpe = BpeModel(IndexedSeq())
+    val out = TrainingSet.buildTrainingSetV2(corpus, bench, target, raw, bpe,
+      capTokens = 16, quotaPerStratum = 4,
+      bpeFingerprint = Some(bpe.fingerprint))
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    // stage 5: the junk doc survives stages 1–4 by construction but its
+    // negative per-token advantage fails the md5 acceptance draw
+    val d4 = corpus.filter(col("doc_id").isin((Seq(1L, 3L, 7L, junkId) ++
+      herd.map(_._1)): _*))
+    val keep5 = Corpus.dsirSelect(d4, target, raw)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(!keep5.contains(junkId), "target-unseen junk must fail DSIR steering")
+    assert(!ids.contains(junkId))
+    // stage 6 over the DSIR survivors: en (n=3 → t=2 < cap: the MIXTURE
+    // bites), xx (t=6 > cap 4: the CAP bites) — expected set via the
+    // standalone sampler at min(t, cap) per stratum
+    val d5 = d4.join(keep5.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val expected = TrainingSet.temperatureSample(d5, alphaQuarters = 2)
+      .filter(col("rk") <= 4).collect().map(_.getLong(2)).sorted.toSeq
+    assert(ids == expected, s"got $ids, want $expected")
+    assert(ids.count(_ >= 101L) == 4, "the hard cap must cut the herd to 4")
+    assert(ids.count(_ < 101L) == 2, "the mixture must cut en from 3 to 2")
+    // stage 7: offsets chain by the BPE counts in id order (NOT whitespace)
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var off = 0L
+    out.foreach { r =>
+      val nBpe = bpe.countTokens(texts(r.getLong(0)))
+      assert(r.getLong(2) == nBpe && r.getLong(3) == off,
+        s"doc ${r.getLong(0)}: (${r.getLong(2)}, ${r.getLong(3)}) vs ($nBpe, $off)")
+      assert(nBpe > texts(r.getLong(0)).split("\\s+").length,
+        "BPE pricing must differ from the whitespace count here")
+      off += nBpe
+    }
+    // the model pin: a swapped model against the recorded fingerprint fails
+    val other = BpeModel(IndexedSeq(("a", "1")))
+    val e = intercept[IllegalArgumentException](
+      TrainingSet.buildTrainingSetV2(corpus, bench, target, raw, other,
+        capTokens = 16, bpeFingerprint = Some(bpe.fingerprint)))
+    assert(e.getMessage.contains("fingerprint mismatch"))
+  }
+
   test("buildTrainingSet: empty and sub-threshold corpora return empty, never crash") {
     val empty = Seq.empty[(Long, String, Long, String)]
       .toDF("doc_id", "text", "n_chars", "lang")
