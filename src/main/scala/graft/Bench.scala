@@ -237,30 +237,28 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r10: 11 queries new this round: pipeline_crawl_quota_etld (full crawl " +
-      "composition + the loop's new default eTLD+1 quota key), " +
-      "dedup_incremental_image_edit (dual-signature image probe, golden-pinned), " +
-      "dsir_weights + dsir_select (DSIR importance reweighting/resampling over the " +
-      "persisted LM models, both full-oracle), dsir_top100 (exact-budget variant, " +
-      "full-oracle), pipeline_crawl_dsir (the crawl " +
-      "composition + DSIR steering under ONE oracle), sample_temperature_lang " +
-      "(alpha-flattened mixture quota, full-oracle), ann_topk_cosine_ivfpq (IVF-PQ/ADC " +
-      "memory tier, recall-gated 0.9 like lsh/ivf, served from the persisted " +
-      "fixture AnnIndex - train-once/serve-many like filter_lm_score), " +
-      "text_tokens_bpe + pack_sequences_bpe (real Sennrich BPE counts under the " +
-      "persisted 40-merge model, the prefix-sum packing driven by them, and " +
-      "vocab_bpe_top20, the induced subword head - all golden-pinned). " +
-      "Top carried mover ATTRIBUTED (r9 wrong #2 ask): dedup_exact_spans re-pinned " +
-      "with 6 INTERLEAVED passes at sf0.1 - min 3.46 / median 3.49 / spread 1.04, " +
-      "identical plan; r9's 5.96 was machine state during that artifact run (its " +
-      "same-evening control already re-measured 4.79), not plan or fixture drift. " +
-      "Plan changes this round: curate_reg_domain + curate_domain_quota_etld now " +
-      "dispatch to the PSL label-suffix broadcast hash join (probe chain was 19x " +
-      "slower at the 90-rule snapshot - expect these two faster); ts_trending_approx " +
-      "runs trendingAuto with the CONTAINMENT certificate (count(k+1) < max(count-err) " +
-      "per bucket over the full-m sketch): sf0.1 certifies 672/672 and keeps the " +
-      "sketch (same containment 1.000/err 0), skewless sf1 now dispatches to exact " +
-      "instead of failing the gate at 0.585 as the first-cut r10 certificate did"
+    val notes = "r11: 2 queries new this round: pipeline_training_set_v2 (the MODERN " +
+      "flagship - stages 1-4 of the r4 build, then DSIR steering against the persisted " +
+      "target/raw models, the temperature mixture hard-capped at 50/stratum, and " +
+      "BPE-priced packing under the persisted 40-merge model with its md5 fingerprint " +
+      "stamped into the manifest schema; ONE DuckDB oracle replays all 8 stages, the " +
+      "BPE counts entering as the sentinel-pinned committed table) and " +
+      "ts_distinct_auto_900 (the topKAuto dispatch applied to the last gated row: one " +
+      "HLL probe of the distinct (bucket,key) PAIR cardinality - the exact form's " +
+      "dedup-exchange size - picks exact count(DISTINCT) under 2^20 pairs, HLL above; " +
+      "at every test SF it picks exact, so the same SQL oracle verifies the front door " +
+      "err-free while the pure-sketch twin stays registered for the HLL quality gate). " +
+      "Plan changes: registrableDomainJoin folds its per-slot scratch into two running " +
+      "ints and drops each slot's columns before the next join (O(1) per-row scratch " +
+      "at any rule-list size, was ~5 x maxK columns; bit-equal, measured grid " +
+      "unchanged: join 0.57-0.95 s across cells vs probe 66.9 s at real-PSL size); " +
+      "pack_sequences_bpe now routes through packSequencesBpe (same plan, + the " +
+      "model-identity stamp). Edge-case fixes (ADVICE r10): BPE countTokens now splits " +
+      "on exactly tokens()'s boundary (UTF8String trim/lower - tab/newline-edged docs " +
+      "can no longer undercut word counts), PqEncode/PqLut error on schema drift " +
+      "instead of zero-padding, temperatureSample null-safe-joins null strata and " +
+      "guards the Int quota boundary, appendAnnIndex writes vecs before coded. " +
+      "No fixture changes; carried-query deltas are machine state"
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window

@@ -570,6 +570,20 @@ object Similarity {
     readAnnIndex(spark, path)
   }
 
+  /** The grown index as FRAMES — delta encoded under the FROZEN quantizers
+    * and unioned, nothing written: the versioned-store form of
+    * [[appendAnnIndex]] for callers that persist whole snapshots per round
+    * ([[graft.streaming.StreamingOps]]'s ANN loop writes `v<N>` directories
+    * with the pointer updated last, so a torn append can never serve).
+    * Same fixity caveat and drift lever as the in-place form. */
+  def growAnnIndex(ix: AnnIndex, delta: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): AnnIndex =
+    ix.copy(
+      coded = ix.coded.unionByName(encodeForIndex(delta, ix.dim, ix.nlist,
+        ix.m, ix.ks, ix.nassign, ix.cents, ix.books, idCol, vecCol)),
+      vecs = ix.vecs.unionByName(
+        delta.select(col(idCol).as("nid"), col(vecCol).as("vec"))))
+
   /**
    * ANN via LSH blocking + exact cosine re-rank within buckets, returning the
    * top-k approximate neighbors per query vector. Recall is tunable with
