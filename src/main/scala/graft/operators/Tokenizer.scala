@@ -296,23 +296,48 @@ object Tokenizer {
   final case class BpeDrift(headDistance: Double,
       fertilityTrained: Double, fertilityFresh: Double)
 
-  def bpeDrift(trained: DataFrame, fresh: DataFrame, model: BpeModel,
-      k: Int = 100, textCol: String = "text"): BpeDrift = {
+  /** The trained corpus's tokenizer-health reference, computed ONCE at
+    * train time (the drift-baseline shape every index tier here uses): the
+    * top-`k` induced subwords + the fertility. A crawl loop persists it
+    * next to the merge table and measures every increment against it
+    * ([[graft.streaming.StreamingOps.crawlIncrementBatchFn]]'s
+    * `bpeMonitor`). */
+  final case class BpeBaseline(k: Int, head: Seq[String], fertility: Double)
+
+  def bpeBaseline(trained: DataFrame, model: BpeModel, k: Int = 100,
+      textCol: String = "text"): BpeBaseline = {
     require(k >= 1, s"k must be >= 1, got $k")
-    def head(df: DataFrame): Set[String] =
-      bpeVocabTopK(df, model, k, textCol).collect().map(_.getString(0)).toSet
-    def fertility(df: DataFrame): Double = {
-      val r = bpeTokenCounts(df.select(lit(0L).as("doc_id"), col(textCol)), model)
-        .agg(sum("n_bpe_tokens"), sum("n_tokens")).head()
-      if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
-      else r.getLong(0).toDouble / r.getLong(1)
-    }
-    val ht = head(trained)
-    val hf = head(fresh)
-    val denom = math.min(k, math.max(ht.size, hf.size)) // corpora may induce < k subwords
-    val dist = if (denom == 0) 0.0 else 1.0 - ht.intersect(hf).size.toDouble / denom
-    BpeDrift(dist, fertility(trained), fertility(fresh))
+    BpeBaseline(k,
+      bpeVocabTopK(trained, model, k, textCol).collect().map(_.getString(0)).toSeq,
+      bpeFertility(trained, model, textCol))
   }
+
+  /** Subwords per whitespace word over `df` under `model` — the
+    * fragmentation rate (two one-row aggregates, nothing corpus-sized
+    * leaves the executors). */
+  def bpeFertility(df: DataFrame, model: BpeModel, textCol: String = "text"): Double = {
+    val r = bpeTokenCounts(df.select(lit(0L).as("doc_id"), col(textCol).as("text")), model)
+      .agg(sum("n_bpe_tokens"), sum("n_tokens")).head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  /** One increment's drift against a precomputed [[BpeBaseline]] — the
+    * serving-time half of [[bpeDrift]] (fresh-side head + fertility only;
+    * the trained side is the baseline). */
+  def bpeDriftAgainst(baseline: BpeBaseline, fresh: DataFrame, model: BpeModel,
+      textCol: String = "text"): BpeDrift = {
+    val ht = baseline.head.toSet
+    val hf = bpeVocabTopK(fresh, model, baseline.k, textCol)
+      .collect().map(_.getString(0)).toSet
+    val denom = math.min(baseline.k, math.max(ht.size, hf.size))
+    val dist = if (denom == 0) 0.0 else 1.0 - ht.intersect(hf).size.toDouble / denom
+    BpeDrift(dist, baseline.fertility, bpeFertility(fresh, model, textCol))
+  }
+
+  def bpeDrift(trained: DataFrame, fresh: DataFrame, model: BpeModel,
+      k: Int = 100, textCol: String = "text"): BpeDrift =
+    bpeDriftAgainst(bpeBaseline(trained, model, k, textCol), fresh, model, textCol)
 
   /** Persist / reload the merge table — `(rank, left, right)` parquet,
     * mirroring the other model stores. */

@@ -207,4 +207,44 @@ class StreamingCrawlSpec extends AnyFunSuite {
       assert((21L to 30L).count(got) <= 5, s"junk vocab must be steered out: $got")
     } finally q.stop()
   }
+
+  test("tokenizer-health sidecar rides the loop: quiet round stays quiet, drifted round is loud") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, Tokenizer}
+    def gDoc(s: Int) = (0 until 18).map(i => s"gw${(s * 7 + i * 3) % 40}").mkString(" ")
+    def zDoc(s: Int) = (0 until 18).map(i => s"zq${(s * 5 + i * 11) % 40}yx").mkString(" ")
+    val trained = (1 to 60).map(i => (500L + i, gDoc(i))).toDF("doc_id", "text")
+    val model = Tokenizer.trainBpe(trained, numMerges = 60)
+    val baseline = Tokenizer.bpeBaseline(trained, model, k = 20)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-bpe").toString
+    val base = Seq((900L, (0 until 18).map(i => s"basew$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamingOps.seedCrawlIndex(Dedup.buildIndex(base), s"$tmp/index")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.crawlIncrementStream(
+      ms.toDF().toDF("doc_id", "text"), s"$tmp/index", base,
+      s"$tmp/accepted", s"$tmp/ckpt", bpeMonitor = Some((model, baseline)))
+    try {
+      def sidecar(v: Int): (Double, Double, Double, String) = {
+        val r = spark.read.parquet(s"$tmp/index/v$v/bpe_drift").collect()(0)
+        (r.getAs[Double]("head_distance"), r.getAs[Double]("baseline_fertility"),
+          r.getAs[Double]("fertility"), r.getAs[String]("bpe_model_md5"))
+      }
+      // round 0: stationary vocabulary — signal quiet, fertility flat
+      ms.addData((1 to 15).map(i => (i.toLong, gDoc(i + 19))): _*)
+      q.processAllAvailable()
+      val (h0, bf0, f0, md0) = sidecar(0)
+      assert(md0 == model.fingerprint, "sidecar must name the model it measured")
+      assert(bf0 == baseline.fertility)
+      assert(h0 <= 0.2 && math.abs(f0 - bf0) <= 0.3,
+        s"stationary round must stay quiet: head $h0, fertility $bf0 -> $f0")
+      // round 1: unseen vocabulary — head turns over, words fragment
+      ms.addData((1 to 15).map(i => (50L + i, zDoc(i))): _*)
+      q.processAllAvailable()
+      val (h1, _, f1, _) = sidecar(1)
+      assert(h1 >= 0.5, s"drifted round must turn the head over: $h1")
+      assert(f1 >= bf0 + 0.5, s"unseen words must fragment: $bf0 -> $f1")
+    } finally q.stop()
+  }
 }
