@@ -730,8 +730,17 @@ object ScaleBench {
             concat(lit("re"), col("doc_id"), lit(".com")).as("domain"))
         fresh.unionByName(re)
       }
+      // the tokenizer-health sidecar rides every soak round (r11): model
+      // trained once on the base, baseline persisted-in-memory — stationary
+      // deltas must keep the signal quiet for the whole campaign (the loud
+      // case is pinned in StreamingCrawlSpec; HERE the claim is no false
+      // alarms and flat per-round monitor cost)
+      val soakBpe = graft.operators.Tokenizer.trainBpe(soakBase, numMerges = 200,
+        maxWords = 1 << 15)
+      val soakBpeBase = graft.operators.Tokenizer.bpeBaseline(soakBase, soakBpe, k = 100)
       val fn = StreamingOps.crawlIncrementBatchFn(root, soakBase, out,
-        lmModel = Some(lm), domainQuota = Some(("domain", soakQuota)))
+        lmModel = Some(lm), domainQuota = Some(("domain", soakQuota)),
+        bpeMonitor = Some((soakBpe, soakBpeBase)))
       // per-round PROVENANCE (VERDICT r10 next #5): JVM-wide GC and JIT
       // compilation time deltas alongside each round's wall-clock, so an
       // excursion is attributed with numbers instead of called "a one-off".
@@ -756,6 +765,17 @@ object ScaleBench {
       val soakTimes = soakProv.map(_._1._1)
       println("[scale] soak provenance per round (GC ms / JIT ms): " +
         soakProv.map { case ((_, g), j) => s"$g/$j" }.mkString(" "))
+      // stationary campaign ⇒ the tokenizer monitor must stay quiet on
+      // EVERY round (no false alarms over a 10-round horizon)
+      val bpeSeries = (0 until soakRounds).map { r =>
+        val row = spark.read.parquet(s"$root/v$r/bpe_drift").collect()(0)
+        (row.getAs[Double]("head_distance"), row.getAs[Double]("fertility"))
+      }
+      println("[scale] soak tokenizer monitor (head distance / fertility): " +
+        bpeSeries.map { case (h, f) => f"$h%.2f/$f%.2f" }.mkString(" "))
+      assert(bpeSeries.forall { case (h, f) =>
+        h <= 0.25 && math.abs(f - soakBpeBase.fertility) <= 0.4 },
+        s"stationary input must not trip the tokenizer monitor: $bpeSeries")
       val all = spark.read.parquet((0 until soakRounds).map(r => s"$out/batch=$r"): _*)
         .withColumn("batch",
           regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("int"))

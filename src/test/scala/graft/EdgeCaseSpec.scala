@@ -20,6 +20,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TsAggClient.max(df, spec).isEmpty)
   }
 
+  test("distinctCountAuto: empty input probes to 0 pairs and returns empty via the exact branch") {
+    val df = Seq.empty[(Long, Long)].toDF("ts", "user")
+    val out = TsAgg.distinctCountAuto(df, spec.copy(valueCol = "user"), "user")
+    assert(out.columns.contains("n_distinct_est") && out.count() == 0)
+    // degenerate data outside the range behaves the same
+    val before = Seq((t0 - 5000L, 7L)).toDF("ts", "user")
+    assert(TsAgg.distinctCountAuto(before, spec.copy(valueCol = "user"), "user").count() == 0)
+  }
+
+  test("bpeDrift degenerate corpora: empty vs empty is quiet, not a crash") {
+    import graft.operators.{BpeModel, Tokenizer}
+    val m = BpeModel(IndexedSeq(("a", "b")))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val d = Tokenizer.bpeDrift(empty, empty, m, k = 10)
+    assert(d.headDistance == 0.0 && d.fertilityTrained == 0.0 && d.fertilityFresh == 0.0)
+    // one-sided empty: the head distance saturates (nothing shared), no error
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val d2 = Tokenizer.bpeDrift(docs, empty, m, k = 10)
+    assert(d2.headDistance == 1.0 && d2.fertilityFresh == 0.0)
+  }
+
   test("empty input frames flow through every dedup variant") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(docs).count() == 0)
