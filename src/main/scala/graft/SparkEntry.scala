@@ -902,6 +902,13 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) =>
       graft.operators.TrainingSet.packSequences(documents(s, d), capTokens = 512)
         .orderBy("doc_id")),
+    // WHOLE-DOCUMENT packing (cap = 512): no doc straddles a context window —
+    // the layout when cross-document attention contamination matters. A
+    // sequential fold by spec, computed as the two-pass fill-transition
+    // summary + driver fold (O(partitions × min(docs, cap)) longs collected)
+    "pack_sequences_whole" -> ((s, d) =>
+      graft.operators.TrainingSet.packSequencesWhole(documents(s, d), capTokens = 512)
+        .orderBy("doc_id")),
     // the same prefix-sum packing driven by REAL BPE counts (the persisted
     // 40-merge model): context windows sized in the tokens the model will
     // actually see, not whitespace words. Golden-pinned like
@@ -1710,6 +1717,21 @@ object SparkEntry {
           |  (start_offset + n_tokens - 1) // 512 AS bin_end,
           |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_bins
           |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // whole-doc packing IS a sequential fold (the rollover makes it
+      // non-associative), so the oracle replays it literally as a linear
+      // recursive CTE — one row per step, joined forward on row_number
+      "pack_sequences_whole" ->
+        """WITH RECURSIVE t AS (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens FROM documents),
+          |o AS (SELECT doc_id, n_tokens, row_number() OVER (ORDER BY doc_id) AS rn FROM t),
+          |fold(rn, doc_id, n_tokens, bin_id, bin_offset, fill) AS (
+          |  SELECT rn, doc_id, CAST(n_tokens AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(n_tokens AS BIGINT) FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.rn, o.doc_id, CAST(o.n_tokens AS BIGINT),
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN f.bin_id + 1 ELSE f.bin_id END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE f.fill END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(o.n_tokens AS BIGINT) ELSE f.fill + o.n_tokens END
+          |  FROM fold f JOIN o ON o.rn = f.rn + 1)
+          |SELECT doc_id, n_tokens, bin_id, bin_offset FROM fold ORDER BY doc_id""".stripMargin.replace("\n", " "),
       // the six-stage training-set build, re-derived relationally: exact
       // dedup (min id per md5) → connected-component keep-one (recursive
       // closure over the SAME capped pair definition as dedup_clusters, but

@@ -146,6 +146,17 @@ object TrainingSet {
   }
 
   /**
+   * Pass-1 summary of one sorted range partition for [[packSequencesWhole]]:
+   * token prefix sums up to (and including) the entering-fill-0 rollover,
+   * and for each candidate rollover position x the fresh-trajectory effect
+   * (bins opened counting the one at x, leaving fill). O(min(docs, cap))
+   * longs per partition — collected on the driver, never shuffled.
+   * Top-level (not method-local) so the closure serializes cleanly.
+   */
+  private final case class PartSummary(pid: Int, nDocs: Long, totalN: Long,
+    prefixes: Array[Long], binsFrom: Array[Long], fillFrom: Array[Long])
+
+  /**
    * WHOLE-DOCUMENT sequence packing — the boundary-respecting alternative
    * to [[packSequences]]'s concat-and-chunk: documents are laid into
    * `capTokens`-sized bins IN `idCol` ORDER and a document that does not
@@ -201,9 +212,9 @@ object TrainingSet {
       // p_j > cap, the e = 0 rollover — beyond it no e rolls earlier),
       // plus (binsOpenedFrom(j), leavingFillFrom(j)) for each j ≤ W from
       // the right-to-left jump recursion, plus the doc-count and total.
-      final case class PartSummary(pid: Int, nDocs: Long, totalN: Long,
-        prefixes: Array[Long], binsFrom: Array[Long], fillFrom: Array[Long])
-      val summaries = counts.mapPartitions { it =>
+      // RDD form: the summaries are collect()ed four lines down, so no
+      // Dataset encoder is involved (PartSummary is a plain driver type).
+      val summaries = counts.rdd.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val ns = scala.collection.mutable.ArrayBuffer[Long]()
         it.foreach { case (id, n) =>
@@ -239,8 +250,9 @@ object TrainingSet {
         while (i >= 0) {
           sufSum += ns(i)
           val r = nextRoll(i)
-          if (r == k) { binsFromAll(i) = 0L; fillFromAll(i) = {
-            var s = 0L; var m = i; while (m < k) { s += ns(m); m += 1 }; s } }
+          // sufSum = ns(i) + … + ns(k−1) here: exactly the leaving fill when
+          // the fresh sim from i never rolls over (everything lands one bin)
+          if (r == k) { binsFromAll(i) = 0L; fillFromAll(i) = sufSum }
           else {
             binsFromAll(i) = 1L + binsFromAll(r)
             fillFromAll(i) = fillFromAll(r)
@@ -255,16 +267,16 @@ object TrainingSet {
         // keep only p_1..p_W where W = first index with p > cap (if any)
         val cut = pbuf.indexWhere(_ > capTokens)
         val prefixes = (if (cut < 0) pbuf else pbuf.take(cut + 1)).toArray
-        val total = { var s = 0L; var m = 0; while (m < k) { s += ns(m); m += 1 }; s }
+        // after the right-to-left sweep sufSum = ns(0) + … + ns(k−1)
+        val total = sufSum
+        // A rollover AT 0-based doc x opens 1 fresh bin that seats doc x,
+        // then binsFromAll(x) more inside the fresh simulation FROM x (which
+        // includes doc x); the leaving fill is fillFromAll(x). Both indexed
+        // at x, not x+1 — the fresh trajectory must re-count doc x.
         Iterator.single(PartSummary(pid, k.toLong, total, prefixes,
-          prefixes.indices.map(x => binsFromAll(x + 1) + 1L).toArray, // rollover AT doc x opens 1 + binsFrom(x+1)... placeholder, fixed below
+          prefixes.indices.map(x => binsFromAll(x) + 1L).toArray,
           prefixes.indices.map(x => fillFromAll(x)).toArray))
       }.collect().sortBy(_.pid)
-      // NOTE on the two arrays: for a rollover at 0-based doc position x
-      // (1-based j = x+1), the new-bin count is 1 + binsOpenedFrom(x)
-      // where binsOpenedFrom(x) counts rollovers strictly inside the fresh
-      // simulation from x, and the leaving fill is fillFrom(x) — both read
-      // from the fresh-trajectory arrays at index x.
       // ---- driver fold over partition summaries ----
       val starts = new Array[(Long, Long)](summaries.length) // (startBin, startFill)
       var curBin = 0L

@@ -348,4 +348,93 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"expected a (partial/final) aggregate carrying the bottom-k buffer:\n$p")
   }
+
+  // ---- packSequencesWhole ------------------------------------------------------
+
+  /** The operator's spec in four lines: the single-threaded fold it must equal. */
+  private def wholeFold(byId: Seq[(Long, Long)], cap: Long): Seq[(Long, Long, Long, Long)] = {
+    var bin = 0L; var f = 0L
+    byId.sortBy(_._1).map { case (id, n) =>
+      if (f + n > cap) { bin += 1L; f = 0L }
+      val off = f; f += n; (id, n, bin, off)
+    }
+  }
+
+  /** Run `body` with AQE partition coalescing off and `parts` shuffle
+   * partitions, so repartitionByRange genuinely produces `parts` sorted
+   * ranges — tiny test frames must not collapse to one partition and hide
+   * a broken cross-partition fold. */
+  private def atParallelism[T](parts: Int)(body: => T): T = {
+    val conf = spark.conf
+    val oldP = conf.get("spark.sql.shuffle.partitions")
+    val oldC = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try body finally {
+      conf.set("spark.sql.shuffle.partitions", oldP)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldC)
+    }
+  }
+
+  test("packSequencesWhole: no doc straddles, remainder is padding, hand-traceable") {
+    // counts 3, 5, 4, 2 — cap 6: doc10 → bin0@0; doc20 (3+5>6) rolls → bin1@0;
+    // doc30 (5+4>6) rolls → bin2@0; doc40 (4+2=6 fits EXACTLY) → bin2@4
+    val d = docs(10L -> "a b c", 20L -> "d e f g h", 30L -> "i j k l", 40L -> "m n")
+    val out = TrainingSet.packSequencesWhole(d, capTokens = 6).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 3L, 0L, 0L), (20L, 5L, 1L, 0L),
+      (30L, 4L, 2L, 0L), (40L, 2L, 2L, 4L)))
+  }
+
+  test("packSequencesWhole: ADVICE r11 regression — rollover trajectory re-counts the rolling doc") {
+    // the exact counterexample from the finding: cap=16, id-ordered counts
+    // [5,7,2, 16,15,10,14, 2,3,16,13] split across 3 range partitions; the
+    // buggy binsFrom(x) = binsFromAll(x+1)+1 made partition 3 reuse bin ids
+    // 3–4 and two bins then exceeded capTokens
+    val ns = Seq(5L, 7L, 2L, 16L, 15L, 10L, 14L, 2L, 3L, 16L, 13L)
+    val rows = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+    val expected = wholeFold(rows, 16L)
+    for (parts <- Seq(1, 2, 3, 4)) {
+      val got = atParallelism(parts) {
+        TrainingSet.packSequencesWhole(
+          scala.util.Random.shuffle(rows).toDF("doc_id", "n"),
+          capTokens = 16L, tokenCount = Some(col("n")))
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("packSequencesWhole equals the sequential fold on random corpora at random parallelism") {
+    val rnd = new scala.util.Random(1708)
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(300)
+      val cap = 4L + rnd.nextInt(60)
+      val parts = 1 + rnd.nextInt(7)
+      // counts in [0, cap] — includes exact-fit and zero-token edge cases
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextLong(cap + 1)))
+      val expected = wholeFold(rows, cap)
+      val got = atParallelism(parts) {
+        TrainingSet.packSequencesWhole(
+          rnd.shuffle(rows).toDF("doc_id", "n"), cap, tokenCount = Some(col("n")))
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
+      assert(got == expected, s"trial $trial: n=$n cap=$cap parts=$parts")
+      // the core invariants, independently of the fold: never straddles,
+      // bins fill densely in id order
+      got.foreach { case (id, nt, _, off) =>
+        assert(off + nt <= cap, s"trial $trial: doc $id straddles") }
+      got.groupBy(_._3).foreach { case (b, ds) =>
+        assert(ds.map(_._2).sum <= cap, s"trial $trial: bin $b overfull") }
+    }
+  }
+
+  test("packSequencesWhole: oversized doc fails loudly, naming the doc") {
+    val d = Seq((7L, 9L)).toDF("doc_id", "n")
+    val e = intercept[org.apache.spark.SparkException](
+      TrainingSet.packSequencesWhole(d, 4L, tokenCount = Some(col("n"))).collect())
+    assert(e.getMessage.contains("doc 7") && e.getMessage.contains("capTokens"))
+  }
 }
