@@ -356,4 +356,22 @@ object Tokenizer {
       .collect()
       .map(r => (r.getString(1), r.getString(2)))
       .toIndexedSeq)
+
+  /** Persist / reload the drift baseline next to its model — one row
+    * `(k, head, fertility)`, so a versioned store's snapshot is
+    * self-describing: the pointed-at `bpe_model` + `bpe_baseline` pair IS
+    * the serving tokenizer state ([[graft.streaming.StreamingOps
+    * .crawlIncrementBatchFn]]'s retrain-on-trip loop). */
+  def writeBpeBaseline(b: BpeBaseline, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq((b.k, b.head, b.fertility)).toDF("k", "head", "fertility")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readBpeBaseline(spark: org.apache.spark.sql.SparkSession, path: String): BpeBaseline = {
+    val r = spark.read.parquet(path).collect()(0)
+    BpeBaseline(r.getAs[Int]("k"),
+      r.getSeq[String](r.fieldIndex("head")), r.getAs[Double]("fertility"))
+  }
 }

@@ -247,4 +247,79 @@ class StreamingCrawlSpec extends AnyFunSuite {
       assert(f1 >= bf0 + 0.5, s"unseen words must fragment: $bf0 -> $f1")
     } finally q.stop()
   }
+
+  test("retrain-on-trip closes the tokenizer loop: drifted wave retrains, fertility recovers, old pin fails loudly") {
+    // VERDICT r11 next #3 — the Sem/Ann rebuild shape applied to the BPE
+    // tier: the active model rides the versioned store, a fertility trip
+    // retrains on the grown corpus, and the old fingerprint pin downstream
+    // refuses the silently-swapped pricing.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, Tokenizer, TrainingSet}
+    def gDoc(s: Int) = (0 until 18).map(i => s"gw${(s * 7 + i * 3) % 40}").mkString(" ")
+    def zDoc(s: Int) = (0 until 18).map(i => s"zq${(s * 5 + i * 11) % 40}yx").mkString(" ")
+    val trained = (1 to 60).map(i => (500L + i, gDoc(i))).toDF("doc_id", "text")
+    val model = Tokenizer.trainBpe(trained, numMerges = 60)
+    val baseline = Tokenizer.bpeBaseline(trained, model, k = 20)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-bpe-rt").toString
+    val base = Seq((900L, (0 until 18).map(i => s"basew$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamingOps.seedCrawlIndex(Dedup.buildIndex(base), s"$tmp/index")
+    val ms = MemoryStream[(Long, String)]
+    // retrain when the increment's fertility reaches 1.3× the active
+    // baseline; budget large enough to re-cover the full grown vocabulary
+    val q = StreamingOps.crawlIncrementStream(
+      ms.toDF().toDF("doc_id", "text"), s"$tmp/index", base,
+      s"$tmp/accepted", s"$tmp/ckpt", bpeMonitor = Some((model, baseline)),
+      bpeRetrainAt = 1.3, bpeNumMerges = 400)
+    try {
+      def sidecar(v: Int): (Double, Double, String, Boolean, String) = {
+        val r = spark.read.parquet(s"$tmp/index/v$v/bpe_drift").collect()(0)
+        (r.getAs[Double]("baseline_fertility"), r.getAs[Double]("fertility"),
+          r.getAs[String]("bpe_model_md5"), r.getAs[Boolean]("retrained"),
+          r.getAs[String]("active_model_md5"))
+      }
+      // round 0: stationary — no trip; the seed model is written forward so
+      // the store is self-describing from the first snapshot on
+      ms.addData((1 to 15).map(i => (i.toLong, gDoc(i + 19))): _*)
+      q.processAllAvailable()
+      val (bf0, f0, md0, rt0, act0) = sidecar(0)
+      assert(!rt0 && md0 == model.fingerprint && act0 == model.fingerprint)
+      assert(f0 < 1.3 * bf0, s"stationary round must not trip: $bf0 -> $f0")
+      assert(Tokenizer.readBpeModel(spark, s"$tmp/index/v0/bpe_model")
+        .fingerprint == model.fingerprint, "quiet round forwards the active model")
+      // round 1: vocabulary-swapped wave — fertility spikes past the trip,
+      // the loop retrains on the grown corpus and re-pins the store
+      ms.addData((1 to 15).map(i => (50L + i, zDoc(i))): _*)
+      q.processAllAvailable()
+      val (_, f1, md1, rt1, act1) = sidecar(1)
+      assert(md1 == model.fingerprint, "round 1 is MEASURED under the old model")
+      assert(rt1, s"swapped vocabulary must trip the retrain: fertility $f1")
+      assert(act1 != model.fingerprint, "retrain must produce a new identity")
+      val model2 = Tokenizer.readBpeModel(spark, s"$tmp/index/v1/bpe_model")
+      val base2 = Tokenizer.readBpeBaseline(spark, s"$tmp/index/v1/bpe_baseline")
+      assert(model2.fingerprint == act1)
+      // fertility recovers toward the fresh-train level: the new model
+      // prices the SAME drifted wave near its re-derived baseline, far
+      // below the old model's fragmented rate
+      val zWave = (1 to 15).map(i => (50L + i, zDoc(i))).toDF("doc_id", "text")
+      val fRecovered = Tokenizer.bpeFertility(zWave, model2)
+      assert(fRecovered <= f1 - 1.0 && fRecovered < 1.3 * base2.fertility,
+        s"retrain must recover fertility: old $f1, new $fRecovered, baseline ${base2.fertility}")
+      // round 2: more of the new distribution — measured under the NEW
+      // model now (the store advanced), and quiet again
+      ms.addData((1 to 15).map(i => (70L + i, zDoc(i + 9))): _*)
+      q.processAllAvailable()
+      val (bf2, f2, md2, rt2, _) = sidecar(2)
+      assert(md2 == model2.fingerprint, "round 2 must measure under the retrained model")
+      assert(!rt2 && f2 < 1.3 * bf2, s"post-retrain round must be quiet: $bf2 -> $f2")
+      // the manifest pin: a consumer still holding the OLD fingerprint must
+      // fail LOUDLY against the store's new model — the swap is acknowledged,
+      // never silent (TokenizerSpec's pin test, now through the loop)
+      val e = intercept[IllegalArgumentException](
+        TrainingSet.packSequencesBpe(zWave, model2, capTokens = 64,
+          expectFingerprint = Some(model.fingerprint)))
+      assert(e.getMessage.contains("fingerprint mismatch"))
+    } finally q.stop()
+  }
 }
