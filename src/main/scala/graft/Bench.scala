@@ -188,9 +188,32 @@ object Bench {
           None
       }
     val HllErrCeiling = 0.15
+    // AUTO-DISPATCH SKETCH ARM (VERDICT r11 next #4): the auto front door's
+    // exact branch is oracle-verified; this forces the OTHER arm
+    // (maxExactPairs = 0 → pure HLL) over the same spec and gates its worst
+    // per-bucket rel-err vs the exact twin — both arms artifact-gated at
+    // every bench SF, not just spec-bounded at test scale.
+    val autoSketchQ: Option[Double] =
+      if (!selected.exists(_._1 == "ts_distinct_auto_900") ||
+          !selected.exists(_._1 == "ts_distinct_users_900")) None
+      else try {
+        val exact = SparkEntry.queries("ts_distinct_users_900")(spark, sfDir)
+          .select("bucket_start", "n_distinct").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val errs = SparkEntry.distinctAutoForcedSketch(spark, sfDir)
+          .select("bucket_start", "n_distinct_est").collect()
+          .flatMap(r => exact.get(r.getLong(0))
+            .map(e => math.abs(r.getLong(1) - e).toDouble / math.max(1L, e)))
+        if (errs.isEmpty) None else Some(errs.max)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] auto-sketch quality computation failed: ${e.getMessage}")
+          None
+      }
     val sketchFails = sketchQ.toSeq.collect {
       case (c, _) if c < ContainmentFloor => "ts_trending_approx"
-    } ++ hllQ.toSeq.collect { case e if e > HllErrCeiling => "ts_distinct_approx_900" }
+    } ++ hllQ.toSeq.collect { case e if e > HllErrCeiling => "ts_distinct_approx_900" } ++
+      autoSketchQ.toSeq.collect { case e if e > HllErrCeiling => "ts_distinct_auto_900" }
     sketchFails.foreach(n => System.err.println(
       s"[bench] $n sketch quality below floor — marked failed " +
         s"(containment < $ContainmentFloor or HLL rel-err > $HllErrCeiling; " +
@@ -217,6 +240,9 @@ object Bench {
       } ++ hllQ.toSeq.map { e =>
         val es = String.format(java.util.Locale.ROOT, "%.4f", Double.box(e))
         s""""ts_distinct_approx_900":{"max_rel_err":$es}"""
+      } ++ autoSketchQ.toSeq.map { e =>
+        val es = String.format(java.util.Locale.ROOT, "%.4f", Double.box(e))
+        s""""ts_distinct_auto_900_forced_sketch":{"max_rel_err":$es}"""
       }
       parts.mkString("{", ",", "}")
     }

@@ -36,6 +36,15 @@ object SparkEntry {
     * bound reaches Parquet row-group pruning (see Tables.events). */
   private def events(s: SparkSession, dir: String, spec: TsAggSpec): DataFrame =
     graft.sources.Tables.events(s, dir, Some((spec.mode.t0Ms, spec.scanEndMs)))
+
+  /** `ts_distinct_auto_900`'s sketch arm, FORCED (`maxExactPairs = 0`) — a
+    * first-class callable for Bench's per-round quality gate (VERDICT r11
+    * next #4: both dispatch arms artifact-gated at both SFs). Deliberately
+    * NOT a registered query: sketch estimates have no SQL spelling, and the
+    * exact arm already owns the front door's oracle-verified row. */
+  private[graft] def distinctAutoForcedSketch(s: SparkSession, dir: String): DataFrame =
+    TsAgg.distinctCountAuto(events(s, dir, spec900), spec900, keyCol = "user_id",
+      maxExactPairs = 0L)
   private def documents(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.documents(s, dir)
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -422,6 +431,11 @@ object SparkEntry {
     // real HLL error into the artifact.
     "ts_distinct_auto_900" -> ((s, d) =>
       TsAgg.distinctCountAuto(events(s, d, spec900), spec900, keyCol = "user_id")),
+    // (the dispatch's OTHER arm is gated per-round too: Bench forces
+    // maxExactPairs = 0 via distinctAutoForcedSketch below and emits its
+    // rel-err vs the exact twin into the `sketch` block — not a registered
+    // query because the sketch values have no SQL spelling, and the
+    // oracle-green exact arm already owns the front door's CORRECTNESS row)
     // wide-format report: one row per bucket, one NULL-when-absent count
     // column per event type; both pivot exchanges carry only per-
     // (bucket, type) partials (values explicit — schema-stable at any scale)
