@@ -827,6 +827,61 @@ object ScaleBench {
       assert(late <= early * 3 + 2.0,
         s"per-round cost must stay flat as the index grows: early $early late $late")
       all.unpersist(); perDom.unpersist()
+
+      // ---- BPE retrain-on-trip at soak scale (r12) ----
+      // The stationary campaign above proves NO false alarms; this proves
+      // the LEVER: a separate 3-round store (same base, same trained model)
+      // where round 0 stays in-distribution (quiet), round 1 swaps the
+      // vocabulary (all-letter words the digit-trained merges cannot touch
+      // — fertility spikes past the 1.3× trip, the loop retrains on the
+      // grown corpus and re-pins the store), and round 2 continues the NEW
+      // distribution (measured under the retrained model: quiet again).
+      // The swapped vocab is small (100 words behind a shared zzzz prefix)
+      // so the 600-merge budget demonstrably re-covers it — the assertion
+      // is recovery, not just churn.
+      time("bpe retrain-on-trip at soak scale (quiet / trip+retrain / recovered)") {
+        import graft.operators.Tokenizer
+        val rtRoot = s"$tmpRoot/rt-index"; val rtOut = s"$tmpRoot/rt-accepted"
+        StreamingOps.seedCrawlIndex(Dedup.buildIndex(soakBase), rtRoot)
+        val rtFn = StreamingOps.crawlIncrementBatchFn(rtRoot, soakBase, rtOut,
+          bpeMonitor = Some((soakBpe, soakBpeBase)),
+          bpeRetrainAt = 1.3, bpeNumMerges = 600)
+        def rtWave(r: Int, swapped: Boolean) = {
+          val tok = (j: Int) => {
+            val h = pmod(xxhash64(col("seed") + lit(j.toLong)), lit(if (swapped) 100L else 100000L))
+            if (swapped)
+              concat(lit("zzzz"), translate(h.cast("string"), "0123456789", "qwertyuiop"))
+            else concat(lit("w"), h)
+          }
+          spark.range(1000)
+            .withColumn("doc_id", lit(3000000L) + lit(r * 10000L) + col("id"))
+            .withColumn("seed", xxhash64(col("doc_id"), lit("rt")))
+            .withColumn("text", concat_ws(" ", (0 until 30).map(tok): _*))
+            .select("doc_id", "text")
+        }
+        Seq(false, true, true).zipWithIndex.foreach { case (sw, r) =>
+          rtFn(rtWave(r, sw), r.toLong)
+        }
+        def side(v: Int) = {
+          val row = spark.read.parquet(s"$rtRoot/v$v/bpe_drift").collect()(0)
+          (row.getAs[Double]("baseline_fertility"), row.getAs[Double]("fertility"),
+            row.getAs[Boolean]("retrained"), row.getAs[String]("active_model_md5"))
+        }
+        val (bf0, f0, rt0, act0) = side(0)
+        val (_, f1, rt1, act1) = side(1)
+        val (bf2, f2, rt2, act2) = side(2)
+        println(f"[scale] retrain series (baseline->fertility, retrained): " +
+          f"$bf0%.2f->$f0%.2f/$rt0  $bf0%.2f->$f1%.2f/$rt1  $bf2%.2f->$f2%.2f/$rt2")
+        assert(!rt0 && f0 < 1.3 * bf0, s"in-distribution round must stay quiet: $bf0 -> $f0")
+        assert(act0 == soakBpe.fingerprint, "quiet round keeps the seed model")
+        assert(rt1 && f1 >= 1.3 * bf0, s"swapped wave must trip: $bf0 -> $f1")
+        assert(act1 != soakBpe.fingerprint, "retrain must re-pin a new identity")
+        assert(!rt2 && f2 < 1.3 * bf2,
+          s"post-retrain round must measure quiet under the new model: $bf2 -> $f2")
+        assert(act2 == act1, "the retrained model stays active")
+        val m2 = Tokenizer.readBpeModel(spark, s"$rtRoot/v2/bpe_model")
+        assert(m2.fingerprint == act1, "store's model must match the sidecar identity")
+      }
     }
 
     // ---- incremental IMAGE dedup: probe cost vs base size ----
@@ -1082,6 +1137,31 @@ object ScaleBench {
         assert(last.getLong(2) + last.getLong(1) == total,
           s"offset chain broken: ${last.getLong(2)} + ${last.getLong(1)} != $total")
         println(s"[scale] packed $total tokens into ${total / 2048 + 1} windows")
+      }
+      // WHOLE-DOC packing (r12): the same two-pass shape generalized from a
+      // sum monoid to the non-associative fill-transition fold — verified
+      // against a driver-side sequential replay of the ENTIRE corpus (the
+      // operator's four-line spec), plus the no-straddle invariant. The
+      // pass-1 summary the driver folds is O(partitions × min(docs, cap))
+      // longs — at cap 2048 and 32 partitions, ≤ 64k longs at ANY corpus
+      // size; nothing else corpus-sized reaches the driver inside the
+      // operator (the full collect below is the TEST's oracle, not the op's)
+      time(s"pack ${nDocs} docs into 2048-token WHOLE-DOC bins (no straddle)") {
+        import graft.operators.TrainingSet
+        val packed = TrainingSet.packSequencesWhole(docs, capTokens = 2048)
+          .collect()
+        val got = packed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1)
+        var bin = 0L; var fill = 0L
+        val expect = got.map { case (id, n, _, _) =>
+          if (fill + n > 2048) { bin += 1L; fill = 0L }
+          val off = fill; fill += n; (id, n, bin, off)
+        }
+        assert(got.sameElements(expect),
+          "distributed whole-doc packing must equal the sequential fold")
+        assert(got.forall { case (_, n, _, off) => off + n <= 2048 },
+          "no doc may straddle a bin boundary")
+        println(s"[scale] whole-doc packed ${got.length} docs into ${bin + 1} bins")
       }
       // the flagship six-stage composition end-to-end: planted clones must
       // fall to cluster keep-one (their canonical is the benchmark doc),

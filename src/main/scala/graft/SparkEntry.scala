@@ -934,6 +934,17 @@ object SparkEntry {
       graft.operators.TrainingSet.packSequencesBpe(documents(s, d),
         Fixtures.bpeModel(s, d), capTokens = 512).orderBy("doc_id")
     },
+    // whole-doc layout priced by the SAME persisted model — and unlike the
+    // concat-and-chunk BPE twin (golden-pinned), this one sits under a FULL
+    // DuckDB oracle: the committed sentinel-pinned count table supplies the
+    // per-doc counts relationally, and the recursive CTE replays the
+    // non-associative fill fold (the pipeline_training_set_v2 pattern
+    // applied to a single operator; oracle defined at sf0.01, the gate SF)
+    "pack_sequences_whole_bpe" -> { (s, d) =>
+      graft.operators.TrainingSet.packSequencesBpe(documents(s, d),
+        Fixtures.bpeModel(s, d), capTokens = 512, wholeDoc = true)
+        .orderBy("doc_id")
+    },
     // deterministic per-language quota sample (50 smallest content hashes per
     // stratum) via a bounded bottom-k aggregate, not a window
     "sample_quota_lang" -> ((s, d) =>
@@ -1744,6 +1755,21 @@ object SparkEntry {
           |    CASE WHEN f.fill + o.n_tokens > 512 THEN f.bin_id + 1 ELSE f.bin_id END,
           |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE f.fill END,
           |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(o.n_tokens AS BIGINT) ELSE f.fill + o.n_tokens END
+          |  FROM fold f JOIN o ON o.rn = f.rn + 1)
+          |SELECT doc_id, n_tokens, bin_id, bin_offset FROM fold ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // the BPE-priced whole-doc twin: identical fold, counts from the
+      // committed sentinel-pinned table (the engine computes them live via
+      // the codegen'd BpeCount under the persisted 40-merge model)
+      "pack_sequences_whole_bpe" ->
+        """WITH RECURSIVE bpec AS (SELECT doc_id, n_bpe FROM read_csv('/root/repo/src/test/resources/golden/bpe_counts_sf0.01.tsv', delim='\t', skip=2, header=false, columns={'doc_id': 'BIGINT', 'n_bpe': 'BIGINT'})),
+          |o AS (SELECT doc_id, n_bpe AS n_tokens, row_number() OVER (ORDER BY doc_id) AS rn FROM bpec),
+          |fold(rn, doc_id, n_tokens, bin_id, bin_offset, fill) AS (
+          |  SELECT rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.rn, o.doc_id, o.n_tokens,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN f.bin_id + 1 ELSE f.bin_id END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE f.fill END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN o.n_tokens ELSE f.fill + o.n_tokens END
           |  FROM fold f JOIN o ON o.rn = f.rn + 1)
           |SELECT doc_id, n_tokens, bin_id, bin_offset FROM fold ORDER BY doc_id""".stripMargin.replace("\n", " "),
       // the six-stage training-set build, re-derived relationally: exact

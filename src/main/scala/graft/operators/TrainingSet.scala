@@ -340,6 +340,7 @@ object TrainingSet {
       model: graft.operators.BpeModel,
       capTokens: Long,
       expectFingerprint: Option[String] = None,
+      wholeDoc: Boolean = false,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import graft.functions.expressions.BpeCount
@@ -350,8 +351,13 @@ object TrainingSet {
           "would silently shift every token count and packing boundary; " +
           "re-derive the manifest against the new model explicitly")
     }
-    val packed = packSequences(docs, capTokens, idCol, textCol,
-      tokenCount = Some(BpeCount(coalesce(col(textCol), lit("")), model)))
+    // wholeDoc = true swaps the concat-and-chunk prefix sum for the
+    // no-straddle fill-transition fold ([[packSequencesWhole]]) — same
+    // model-priced counts, same identity stamp, boundary-respecting layout
+    val bpeCount = Some(BpeCount(coalesce(col(textCol), lit("")), model): org.apache.spark.sql.Column)
+    val packed =
+      if (wholeDoc) packSequencesWhole(docs, capTokens, idCol, textCol, bpeCount)
+      else packSequences(docs, capTokens, idCol, textCol, bpeCount)
     packed.select(
       packed.columns.map(c =>
         if (c == "n_tokens") col(c).as(c, Tokenizer.modelMeta(model)) else col(c)): _*)
@@ -524,7 +530,8 @@ object TrainingSet {
       .localCheckpoint(true)
     val d6 = d5.join(selected.select(id), Seq(idCol), "left_semi")
     // 7.+8. BPE-priced windows + the manifest join
-    packSequencesBpe(d6, bpe, capTokens, bpeFingerprint, idCol, textCol)
+    packSequencesBpe(d6, bpe, capTokens, bpeFingerprint,
+      idCol = idCol, textCol = textCol)
       .join(d6.select(id, col(strataCol)), Seq(idCol))
       .select(id, col(strataCol), col("n_tokens"), col("start_offset"), col("bin_start"))
   }

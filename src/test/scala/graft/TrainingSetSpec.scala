@@ -431,6 +431,28 @@ class TrainingSetSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesBpe wholeDoc: no-straddle under the model's own counts, identity stamped, pin enforced") {
+    import graft.operators.Tokenizer
+    val d = docs(1L -> "aa ab aa ab aa", 2L -> "aa aa ab", 3L -> "zz yy xx ww aa",
+      4L -> "aa zz", 5L -> "ab ab zz yy")
+    val model = Tokenizer.trainBpe(d, numMerges = 8)
+    val counts = Tokenizer.bpeTokenCounts(d, model)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cap = counts.map(_._2).max + 1 // forces several rollovers, every doc fits
+    val out = TrainingSet.packSequencesBpe(d, model, cap, wholeDoc = true)
+      .orderBy("doc_id")
+    assert(Tokenizer.stampedFingerprint(out) == Some(model.fingerprint),
+      "whole-doc form must stamp the model identity like the chunk form")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == wholeFold(counts, cap),
+      "whole-doc BPE packing must equal the sequential fold over the model's counts")
+    val e = intercept[IllegalArgumentException](
+      TrainingSet.packSequencesBpe(d, model, cap, wholeDoc = true,
+        expectFingerprint = Some("not-the-model")))
+    assert(e.getMessage.contains("fingerprint mismatch"))
+  }
+
   test("packSequencesWhole: oversized doc fails loudly, naming the doc") {
     val d = Seq((7L, 9L)).toDF("doc_id", "n")
     val e = intercept[org.apache.spark.SparkException](
