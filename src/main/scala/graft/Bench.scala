@@ -193,7 +193,11 @@ object Bench {
     // (maxExactPairs = 0 → pure HLL) over the same spec and gates its worst
     // per-bucket rel-err vs the exact twin — both arms artifact-gated at
     // every bench SF, not just spec-bounded at test scale.
-    val autoSketchQ: Option[Double] =
+    // None = gate not applicable (queries deselected); Left(msg) = the gate
+    // COMPUTATION broke — an explicit artifact marker + a failed query, so a
+    // broken gate can never read as a deselected one (ADVICE r12: a
+    // Throwable used to degrade to None, removing the gate silently)
+    val autoSketchQ: Option[Either[String, Double]] =
       if (!selected.exists(_._1 == "ts_distinct_auto_900") ||
           !selected.exists(_._1 == "ts_distinct_users_900")) None
       else try {
@@ -204,16 +208,19 @@ object Bench {
           .select("bucket_start", "n_distinct_est").collect()
           .flatMap(r => exact.get(r.getLong(0))
             .map(e => math.abs(r.getLong(1) - e).toDouble / math.max(1L, e)))
-        if (errs.isEmpty) None else Some(errs.max)
+        if (errs.isEmpty) Some(Left("no overlapping buckets")) else Some(Right(errs.max))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] auto-sketch quality computation failed: ${e.getMessage}")
-          None
+          Some(Left(String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)))
       }
     val sketchFails = sketchQ.toSeq.collect {
       case (c, _) if c < ContainmentFloor => "ts_trending_approx"
     } ++ hllQ.toSeq.collect { case e if e > HllErrCeiling => "ts_distinct_approx_900" } ++
-      autoSketchQ.toSeq.collect { case e if e > HllErrCeiling => "ts_distinct_auto_900" }
+      autoSketchQ.toSeq.collect {
+        case Right(e) if e > HllErrCeiling => "ts_distinct_auto_900"
+        case Left(_) => "ts_distinct_auto_900" // gate broke = red, not silent
+      }
     sketchFails.foreach(n => System.err.println(
       s"[bench] $n sketch quality below floor — marked failed " +
         s"(containment < $ContainmentFloor or HLL rel-err > $HllErrCeiling; " +
@@ -240,9 +247,12 @@ object Bench {
       } ++ hllQ.toSeq.map { e =>
         val es = String.format(java.util.Locale.ROOT, "%.4f", Double.box(e))
         s""""ts_distinct_approx_900":{"max_rel_err":$es}"""
-      } ++ autoSketchQ.toSeq.map { e =>
-        val es = String.format(java.util.Locale.ROOT, "%.4f", Double.box(e))
-        s""""ts_distinct_auto_900_forced_sketch":{"max_rel_err":$es}"""
+      } ++ autoSketchQ.toSeq.map {
+        case Right(e) =>
+          val es = String.format(java.util.Locale.ROOT, "%.4f", Double.box(e))
+          s""""ts_distinct_auto_900_forced_sketch":{"max_rel_err":$es}"""
+        case Left(msg) =>
+          s""""ts_distinct_auto_900_forced_sketch":{"error":"$msg"}"""
       }
       parts.mkString("{", ",", "}")
     }
@@ -263,28 +273,25 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r11: 2 queries new this round: pipeline_training_set_v2 (the MODERN " +
-      "flagship - stages 1-4 of the r4 build, then DSIR steering against the persisted " +
-      "target/raw models, the temperature mixture hard-capped at 50/stratum, and " +
-      "BPE-priced packing under the persisted 40-merge model with its md5 fingerprint " +
-      "stamped into the manifest schema; ONE DuckDB oracle replays all 8 stages, the " +
-      "BPE counts entering as the sentinel-pinned committed table) and " +
-      "ts_distinct_auto_900 (the topKAuto dispatch applied to the last gated row: one " +
-      "HLL probe of the distinct (bucket,key) PAIR cardinality - the exact form's " +
-      "dedup-exchange size - picks exact count(DISTINCT) under 2^20 pairs, HLL above; " +
-      "at every test SF it picks exact, so the same SQL oracle verifies the front door " +
-      "err-free while the pure-sketch twin stays registered for the HLL quality gate). " +
-      "Plan changes: registrableDomainJoin folds its per-slot scratch into two running " +
-      "ints and drops each slot's columns before the next join (O(1) per-row scratch " +
-      "at any rule-list size, was ~5 x maxK columns; bit-equal, measured grid " +
-      "unchanged: join 0.57-0.95 s across cells vs probe 66.9 s at real-PSL size); " +
-      "pack_sequences_bpe now routes through packSequencesBpe (same plan, + the " +
-      "model-identity stamp). Edge-case fixes (ADVICE r10): BPE countTokens now splits " +
-      "on exactly tokens()'s boundary (UTF8String trim/lower - tab/newline-edged docs " +
-      "can no longer undercut word counts), PqEncode/PqLut error on schema drift " +
-      "instead of zero-padding, temperatureSample null-safe-joins null strata and " +
-      "guards the Int quota boundary, appendAnnIndex writes vecs before coded. " +
-      "No fixture changes; carried-query deltas are machine state"
+    val notes = "r13: 1 query new this round: pipeline_training_set_v2_whole (the " +
+      "modern flagship's whole-doc twin - stages 1-6 identical, then the no-straddle " +
+      "fill-transition fold instead of concat-and-chunk; ONE DuckDB oracle shares the " +
+      "stage 1-6 CTE prefix with pipeline_training_set_v2 and replays the fold as the " +
+      "linear recursive CTE, counts from the sentinel-pinned BPE table). 4 queries " +
+      "converted from golden-pinned to FULL oracle via the sentinel-fixture pattern " +
+      "(VERDICT r12 next #4): dedup_minhash (committed signature table; banding/cap/" +
+      "candidate join/position-match estimate replayed in DuckDB), dedup_simhash " +
+      "(committed packed words; 16-bit chunk keys + bit_count(xor) Hamming), " +
+      "text_winnow (committed ordered gram hashes; windowed-min selection as " +
+      "rightmost-argmin change detection), text_fingerprint (committed per-shingle " +
+      "hashes; min-reduction). Plan changes: none to carried queries - " +
+      "packSequencesWhole's pass-1 summary now skips zero-count docs (bound fix, " +
+      "identical output), the bench's forced-sketch gate emits an explicit error " +
+      "marker + failed query when its computation breaks instead of silently " +
+      "dropping (ADVICE r12), and the crawl loop's active BPE model now resolves + " +
+      "forwards on every monitored round (ADVICE r12; affects no registered query). " +
+      "Golden fixtures regenerated byte-identical; 4 new sentinel TSVs committed. " +
+      "Carried-query deltas are machine state"
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window

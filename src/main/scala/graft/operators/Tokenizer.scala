@@ -248,10 +248,9 @@ object Tokenizer {
   /** The stamped model fingerprint of a [[bpeTokenCounts]] /
     * [[TrainingSet.packSequencesBpe]] output (None if the frame wasn't
     * produced by a fingerprint-stamping operator). */
-  def stampedFingerprint(df: DataFrame, countCol: String = "n_bpe_tokens"): Option[String] = {
-    val m = df.schema(countCol).metadata
-    if (m.contains("bpe_model_md5")) Some(m.getString("bpe_model_md5")) else None
-  }
+  def stampedFingerprint(df: DataFrame, countCol: String = "n_bpe_tokens"): Option[String] =
+    df.schema.find(_.name == countCol).map(_.metadata)
+      .filter(_.contains("bpe_model_md5")).map(_.getString("bpe_model_md5"))
 
   /** The induced subword vocabulary over `docs`: top-`k` subwords by
     * occurrence count (count desc, subword asc — the [[Corpus.vocabTopK]]

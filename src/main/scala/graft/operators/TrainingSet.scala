@@ -259,14 +259,25 @@ object TrainingSet {
           }
           i -= 1
         }
-        // prefixes up to the e = 0 rollover (inclusive of that doc)
+        // prefixes up to the e = 0 rollover (inclusive of that doc).
+        // ZERO-count docs are skipped (ADVICE r12): they can never be the
+        // rollover doc (f + 0 > cap is impossible), and keeping them would
+        // degrade the documented O(min(docs, cap)) summary bound to O(docs)
+        // on a caller-supplied count column with zero runs — `ibuf` keeps
+        // each kept prefix aligned with its 0-based doc position.
         var w = 0
         var acc = 0L
         val pbuf = scala.collection.mutable.ArrayBuffer[Long]()
-        while (w < k && acc <= capTokens) { acc += ns(w); pbuf += acc; w += 1 }
+        val ibuf = scala.collection.mutable.ArrayBuffer[Int]()
+        while (w < k && acc <= capTokens) {
+          if (ns(w) > 0) { acc += ns(w); pbuf += acc; ibuf += w }
+          w += 1
+        }
         // keep only p_1..p_W where W = first index with p > cap (if any)
         val cut = pbuf.indexWhere(_ > capTokens)
-        val prefixes = (if (cut < 0) pbuf else pbuf.take(cut + 1)).toArray
+        val keep = if (cut < 0) pbuf.length else cut + 1
+        val prefixes = pbuf.take(keep).toArray
+        val pIdx = ibuf.take(keep).toArray
         // after the right-to-left sweep sufSum = ns(0) + … + ns(k−1)
         val total = sufSum
         // A rollover AT 0-based doc x opens 1 fresh bin that seats doc x,
@@ -274,8 +285,8 @@ object TrainingSet {
         // includes doc x); the leaving fill is fillFromAll(x). Both indexed
         // at x, not x+1 — the fresh trajectory must re-count doc x.
         Iterator.single(PartSummary(pid, k.toLong, total, prefixes,
-          prefixes.indices.map(x => binsFromAll(x) + 1L).toArray,
-          prefixes.indices.map(x => fillFromAll(x)).toArray))
+          pIdx.map(x => binsFromAll(x) + 1L),
+          pIdx.map(x => fillFromAll(x))))
       }.collect().sortBy(_.pid)
       // ---- driver fold over partition summaries ----
       val starts = new Array[(Long, Long)](summaries.length) // (startBin, startFill)
@@ -505,6 +516,7 @@ object TrainingSet {
       dsirPivotBits: Int = 0,
       dsirSeed: String = "",
       bpeFingerprint: Option[String] = None,
+      wholeDoc: Boolean = false,
       minChars: Long = 20,
       minTokens: Long = 10,
       decontaminateNgram: Int = 5,
@@ -529,11 +541,18 @@ object TrainingSet {
       .filter(col("rk") <= quotaPerStratum.toLong)
       .localCheckpoint(true)
     val d6 = d5.join(selected.select(id), Seq(idCol), "left_semi")
-    // 7.+8. BPE-priced windows + the manifest join
-    packSequencesBpe(d6, bpe, capTokens, bpeFingerprint,
-      idCol = idCol, textCol = textCol)
-      .join(d6.select(id, col(strataCol)), Seq(idCol))
-      .select(id, col(strataCol), col("n_tokens"), col("start_offset"), col("bin_start"))
+    // 7.+8. BPE-priced windows + the manifest join. `wholeDoc = true` swaps
+    // the concat-and-chunk layout for the no-straddle fill-transition fold
+    // (VERDICT r12 next #5) — the variant users pick when cross-doc
+    // attention contamination matters; its manifest carries the fold's
+    // (bin_id, bin_offset) placement instead of the token-stream offsets.
+    val packed = packSequencesBpe(d6, bpe, capTokens, bpeFingerprint,
+      wholeDoc = wholeDoc, idCol = idCol, textCol = textCol)
+    val placement =
+      if (wholeDoc) Seq(col("n_tokens"), col("bin_id"), col("bin_offset"))
+      else Seq(col("n_tokens"), col("start_offset"), col("bin_start"))
+    packed.join(d6.select(id, col(strataCol)), Seq(idCol))
+      .select(id +: col(strataCol) +: placement: _*)
   }
 
   /**

@@ -536,15 +536,17 @@ object StreamingOps {
       bpeMonitor.foreach { case (seedModel, seedBaseline) =>
         import graft.operators.Tokenizer
         import spark.implicits._
-        val (model, baseline) =
-          if (bpeRetrainAt == 0.0) (seedModel, seedBaseline)
-          else {
-            val mPath = s"$indexRoot/$pointer/bpe_model"
-            if (new java.io.File(mPath).isDirectory)
-              (Tokenizer.readBpeModel(spark, mPath),
-                Tokenizer.readBpeBaseline(spark, s"$indexRoot/$pointer/bpe_baseline"))
-            else (seedModel, seedBaseline)
-          }
+        // Active-pair resolution happens whenever the monitor runs — NOT only
+        // when this round may retrain (ADVICE r12: a retrained model followed
+        // by a bpeRetrainAt=0 round used to fall back to the SEED and measure
+        // every subsequent round under stale pricing).
+        val (model, baseline) = {
+          val mPath = s"$indexRoot/$pointer/bpe_model"
+          if (new java.io.File(mPath).isDirectory)
+            (Tokenizer.readBpeModel(spark, mPath),
+              Tokenizer.readBpeBaseline(spark, s"$indexRoot/$pointer/bpe_baseline"))
+          else (seedModel, seedBaseline)
+        }
         val d = Tokenizer.bpeDriftAgainst(baseline, keptPersisted, model,
           textCol = "clean_text")
         val trip = bpeRetrainAt > 0.0 && baseline.fertility > 0.0 &&
@@ -567,11 +569,13 @@ object StreamingOps {
             "bpe_model_md5", "retrained", "active_model_md5")
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$indexRoot/v$batchId/bpe_drift")
-        if (bpeRetrainAt > 0.0) {
-          Tokenizer.writeBpeModel(nextModel, spark, s"$indexRoot/v$batchId/bpe_model")
-          Tokenizer.writeBpeBaseline(nextBaseline, spark,
-            s"$indexRoot/v$batchId/bpe_baseline")
-        }
+        // The active pair ALWAYS rides forward onto this round's snapshot
+        // (ADVICE r12): a monitored round that skips the forward-write would
+        // break the pointer chain for every round after it — with no retrain
+        // this re-pins the resolved pair verbatim, cost O(model rows)
+        Tokenizer.writeBpeModel(nextModel, spark, s"$indexRoot/v$batchId/bpe_model")
+        Tokenizer.writeBpeBaseline(nextBaseline, spark,
+          s"$indexRoot/v$batchId/bpe_baseline")
       }
       Dedup.writeIndex(Dedup.appendIndex(idx,
         keptPersisted.select(col(idCol), col("clean_text").as(textCol)),

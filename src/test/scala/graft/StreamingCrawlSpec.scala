@@ -322,4 +322,45 @@ class StreamingCrawlSpec extends AnyFunSuite {
       assert(e.getMessage.contains("fingerprint mismatch"))
     } finally q.stop()
   }
+
+  test("active-model chain survives a monitor-only round after a retrain (ADVICE r12)") {
+    // A retrained model followed by a bpeRetrainAt=0 (monitor-only) round
+    // used to fall back to the SEED model: resolution and the forward-write
+    // were both gated on bpeRetrainAt > 0. Every monitored round now
+    // resolves the pointed-at snapshot's pair and re-pins it forward.
+    import spark.implicits._
+    import graft.operators.{Dedup, Tokenizer}
+    def gDoc(s: Int) = (0 until 18).map(i => s"gw${(s * 7 + i * 3) % 40}").mkString(" ")
+    def zDoc(s: Int) = (0 until 18).map(i => s"zq${(s * 5 + i * 11) % 40}yx").mkString(" ")
+    val trained = (1 to 60).map(i => (500L + i, gDoc(i))).toDF("doc_id", "text")
+    val model = Tokenizer.trainBpe(trained, numMerges = 60)
+    val baseline = Tokenizer.bpeBaseline(trained, model, k = 20)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-bpe-chain").toString
+    val base = Seq((900L, (0 until 18).map(i => s"basew$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamingOps.seedCrawlIndex(Dedup.buildIndex(base), s"$tmp/index")
+    def md5At(v: Int): String = spark.read.parquet(s"$tmp/index/v$v/bpe_drift")
+      .collect()(0).getAs[String]("bpe_model_md5")
+    // rounds 0-1 under the retraining loop: round 1's swapped vocabulary trips
+    val fnRetrain = StreamingOps.crawlIncrementBatchFn(s"$tmp/index", base,
+      s"$tmp/accepted", bpeMonitor = Some((model, baseline)),
+      bpeRetrainAt = 1.3, bpeNumMerges = 400)
+    fnRetrain((1 to 15).map(i => (i.toLong, gDoc(i + 19))).toDF("doc_id", "text"), 0L)
+    fnRetrain((1 to 15).map(i => (50L + i, zDoc(i))).toDF("doc_id", "text"), 1L)
+    val model2 = Tokenizer.readBpeModel(spark, s"$tmp/index/v1/bpe_model")
+    assert(model2.fingerprint != model.fingerprint, "round 1 must have retrained")
+    // round 2: a MONITOR-ONLY loop (bpeRetrainAt = 0) over the same store —
+    // it must measure under the RETRAINED model resolved from the pointer,
+    // not the seed pair it was constructed with
+    val fnMonitor = StreamingOps.crawlIncrementBatchFn(s"$tmp/index", base,
+      s"$tmp/accepted", bpeMonitor = Some((model, baseline)), bpeRetrainAt = 0.0)
+    fnMonitor((1 to 15).map(i => (70L + i, zDoc(i + 9))).toDF("doc_id", "text"), 2L)
+    assert(md5At(2) == model2.fingerprint,
+      "monitor-only round must measure under the store's active model, not the seed")
+    // ...and it forwards the pair, so the chain holds for the round after it
+    assert(Tokenizer.readBpeModel(spark, s"$tmp/index/v2/bpe_model")
+      .fingerprint == model2.fingerprint, "monitor-only round must re-pin the active pair")
+    fnMonitor((1 to 15).map(i => (90L + i, zDoc(i + 21))).toDF("doc_id", "text"), 3L)
+    assert(md5At(3) == model2.fingerprint)
+  }
 }

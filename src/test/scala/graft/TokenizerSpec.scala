@@ -164,6 +164,19 @@ class TokenizerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fingerprint mismatch"))
   }
 
+  test("stampedFingerprint is total: None for non-stamping producers and missing columns") {
+    // a frame with no such column at all — the documented None, not FIELD_NOT_FOUND
+    assert(Tokenizer.stampedFingerprint(Seq((1L, "x")).toDF("doc_id", "text")) == None)
+    // the column exists but carries no stamp (plain producer)
+    assert(Tokenizer.stampedFingerprint(
+      Seq((1L, 3L)).toDF("doc_id", "n_bpe_tokens")) == None)
+    // a stamped frame queried under the WRONG column name: None, not a throw
+    val m = BpeModel(IndexedSeq(("a", "b")))
+    val counts = Tokenizer.bpeTokenCounts(Seq((1L, "ab")).toDF("doc_id", "text"), m)
+    assert(Tokenizer.stampedFingerprint(counts, "no_such_column") == None)
+    assert(Tokenizer.stampedFingerprint(counts).contains(m.fingerprint))
+  }
+
   test("bpeDrift: quiet on the trained distribution, loud on a swapped vocabulary") {
     // trained corpus: words the model fully absorbs after training
     val trained = (1 to 200).map(i =>

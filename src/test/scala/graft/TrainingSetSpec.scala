@@ -331,6 +331,41 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fingerprint mismatch"))
   }
 
+  test("buildTrainingSetV2 wholeDoc: same selection, fold placement, no straddles, stamp rides") {
+    import graft.operators.{BpeModel, Corpus}
+    def doc(id: Long, text: String, lang: String = "en") =
+      (id, text, text.length.toLong, lang)
+    val long = (tag: String) => (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val corpus = ((1L to 8L).map(i => doc(i, long(s"w$i"))) ++
+      (101L to 110L).map(i => doc(i, long(s"h${i}x"), lang = "xx")))
+      .toDF("doc_id", "text", "n_chars", "lang")
+    val bench = corpus.filter(col("doc_id") % 20 === 0)
+    val target = Corpus.trainLmModel(corpus)
+    val bpe = BpeModel(IndexedSeq())
+    // empty-merge BPE prices each 12-word doc at (codepoints+1)/word ≈ 60-90
+    // tokens; the cap seats every doc but never two herd docs — rollovers fire
+    val cap = 128L
+    val chunk = TrainingSet.buildTrainingSetV2(corpus, bench, target, target, bpe,
+      capTokens = cap, quotaPerStratum = 4).orderBy("doc_id").collect()
+    val whole = TrainingSet.buildTrainingSetV2(corpus, bench, target, target, bpe,
+      capTokens = cap, quotaPerStratum = 4, wholeDoc = true).orderBy("doc_id")
+    // the twin stamps the model identity on its n_tokens like the chunk form
+    assert(graft.operators.Tokenizer.stampedFingerprint(whole, "n_tokens")
+      .contains(bpe.fingerprint))
+    val w = whole.collect()
+    // stages 1-6 are shared: identical selection, strata and BPE pricing
+    assert(w.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      chunk.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+    // the placement IS the sequential no-straddle fold over those counts
+    val counts = w.map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(w.map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      wholeFold(counts, cap))
+    w.foreach(r => assert(r.getLong(4) + r.getLong(2) <= cap,
+      s"doc ${r.getLong(0)} straddles the bin boundary"))
+    // the fold genuinely rolls over at this cap (the invariant bites)
+    assert(w.map(_.getLong(3)).distinct.length > 1, "expected multiple bins")
+  }
+
   test("buildTrainingSet: empty and sub-threshold corpora return empty, never crash") {
     val empty = Seq.empty[(Long, String, Long, String)]
       .toDF("doc_id", "text", "n_chars", "lang")
@@ -442,8 +477,10 @@ class TrainingSetSpec extends AnyFunSuite {
     val cap = counts.map(_._2).max + 1 // forces several rollovers, every doc fits
     val out = TrainingSet.packSequencesBpe(d, model, cap, wholeDoc = true)
       .orderBy("doc_id")
-    assert(Tokenizer.stampedFingerprint(out) == Some(model.fingerprint),
+    assert(Tokenizer.stampedFingerprint(out, "n_tokens") == Some(model.fingerprint),
       "whole-doc form must stamp the model identity like the chunk form")
+    assert(Tokenizer.stampedFingerprint(out) == None,
+      "missing count column means no stamp, not an analyzer error")
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == wholeFold(counts, cap),
       "whole-doc BPE packing must equal the sequential fold over the model's counts")
@@ -451,6 +488,26 @@ class TrainingSetSpec extends AnyFunSuite {
       TrainingSet.packSequencesBpe(d, model, cap, wholeDoc = true,
         expectFingerprint = Some("not-the-model")))
     assert(e.getMessage.contains("fingerprint mismatch"))
+  }
+
+  test("packSequencesWhole: zero-count docs pack in place at any partitioning (ADVICE r12)") {
+    // zeros can never roll a bin over (f + 0 > cap is impossible), so they
+    // seat at the current fill; the pass-1 summary skips them to keep its
+    // O(min(positive docs, cap)) bound — leading zero runs in a partition
+    // are exactly the shape that used to degrade it
+    val cap = 10L
+    val rows = Seq(1L -> 0L, 2L -> 4L, 3L -> 0L, 4L -> 7L, 5L -> 0L,
+      6L -> 0L, 7L -> 3L, 8L -> 6L, 9L -> 0L, 10L -> 2L)
+    val expected = wholeFold(rows, cap)
+    for (parts <- Seq(1, 3, 5)) {
+      val got = atParallelism(parts) {
+        TrainingSet.packSequencesWhole(rows.toDF("doc_id", "n"), cap,
+            tokenCount = Some(col("n")))
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
+      assert(got == expected, s"parts=$parts: $got")
+    }
   }
 
   test("packSequencesWhole: oversized doc fails loudly, naming the doc") {
