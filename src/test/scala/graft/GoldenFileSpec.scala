@@ -114,10 +114,11 @@ class GoldenFileSpec extends AnyFunSuite {
     assume(!regen, "regenerating — fingerprints are being rewritten")
     for (q <- goldenQueries)
       assertFingerprintCurrent(new File(s"$goldenDir/$q.tsv"), inputFingerprint)
-    assertFingerprintCurrent(new File(s"$goldenDir/text_winnow_sf0.01.tsv"),
-      md5Of("/root/testdata/sf0.01/documents.parquet"))
-    assertFingerprintCurrent(new File(s"$goldenDir/bpe_counts_sf0.01.tsv"),
-      md5Of("/root/testdata/sf0.01/documents.parquet"))
+    for (f <- Seq("text_winnow_sf0.01.tsv", "bpe_counts_sf0.01.tsv",
+        "minhash_sigs_sf0.01.tsv", "simhash_words_sf0.01.tsv",
+        "gram_hashes_sf0.01.tsv", "fingerprint_parts_sf0.01.tsv"))
+      assertFingerprintCurrent(new File(s"$goldenDir/$f"),
+        md5Of("/root/testdata/sf0.01/documents.parquet"))
     for (f <- Seq("semdedup_centroids_sf0.01.tsv", "semdedup_centroids_base_sf0.01.tsv"))
       assertFingerprintCurrent(new File(s"$goldenDir/$f"),
         md5Of("/root/testdata/sf0.01/embeddings.parquet"))
@@ -191,6 +192,65 @@ class GoldenFileSpec extends AnyFunSuite {
     val lines = "cell:int\tc:string" +:
       (0 until 16).map(c => s"$c\t" + qCents.slice(c * 64, (c + 1) * 64).mkString(","))
     checkGolden(new File(s"$goldenDir/semdedup_centroids_sf0.01.tsv"), lines, fp01)
+  }
+
+  // ---- r13 sentinel exports: the deterministic EXPRESSION outputs that turn
+  // dedup_minhash / dedup_simhash / text_winnow / text_fingerprint from
+  // golden-pinned into FULL-oracle queries (VERDICT r12 next #4). Each TSV
+  // pins the non-relational prefix (seeded permutations, xxhash64) at sf0.01;
+  // the oracleSql replays the relational remainder (banding join, Hamming
+  // chunks, windowed-min selection, min-reduction) in DuckDB from these rows.
+
+  private def sf01Fingerprint: String = md5Of("/root/testdata/sf0.01/documents.parquet")
+
+  private def sf01Docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("golden: minhash signatures at sf0.01 (dedup_minhash oracle input)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val toks = tokens(col("text"))
+    checkGolden(new File(s"$goldenDir/minhash_sigs_sf0.01.tsv"),
+      render(sf01Docs.filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          graft.functions.expressions.MinHashSignature(
+            hashedShingles(tokenHashes(toks), 3), 64).as("sig"))
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("pos", "sig")))
+        .orderBy("doc_id", "pos")), sf01Fingerprint)
+  }
+
+  test("golden: simhash words at sf0.01 (dedup_simhash oracle input)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val toks = tokens(col("text"))
+    checkGolden(new File(s"$goldenDir/simhash_words_sf0.01.tsv"),
+      render(sf01Docs.filter(size(toks) >= 1)
+        .select(col("doc_id"),
+          graft.functions.expressions.SimHashPacked(tokenHashes(toks)).as("sh"))
+        .select(col("doc_id"),
+          element_at(col("sh"), 1).as("w_lo"), element_at(col("sh"), 2).as("w_hi"))
+        .orderBy("doc_id")), sf01Fingerprint)
+  }
+
+  test("golden: ordered 3-gram hashes at sf0.01 (text_winnow oracle input)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val toks = tokens(col("text"))
+    checkGolden(new File(s"$goldenDir/gram_hashes_sf0.01.tsv"),
+      render(sf01Docs.filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          posexplode(orderedShingleHashes(tokenHashes(toks), 3)).as(Seq("pos", "gh")))
+        .orderBy("doc_id", "pos")), sf01Fingerprint)
+  }
+
+  test("golden: doc + string-shingle hashes at sf0.01 (text_fingerprint oracle input)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val toks = tokens(col("text"))
+    checkGolden(new File(s"$goldenDir/fingerprint_parts_sf0.01.tsv"),
+      render(sf01Docs.filter(size(toks) >= 3)
+        .select(col("doc_id"), docFingerprint(col("text")).as("doc_hash"),
+          explode(transform(shingles(toks, 3), s => xxhash64(s))).as("sh"))
+        .orderBy("doc_id", "sh")), sf01Fingerprint)
   }
 
   // dedup_incremental_semantic's oracle input: centroids trained on the BASE
