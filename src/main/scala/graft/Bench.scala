@@ -275,23 +275,30 @@ object Bench {
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
     val notes = "r13: 1 query new this round: pipeline_training_set_v2_whole (the " +
       "modern flagship's whole-doc twin - stages 1-6 identical, then the no-straddle " +
-      "fill-transition fold instead of concat-and-chunk; ONE DuckDB oracle shares the " +
-      "stage 1-6 CTE prefix with pipeline_training_set_v2 and replays the fold as the " +
-      "linear recursive CTE, counts from the sentinel-pinned BPE table). 4 queries " +
-      "converted from golden-pinned to FULL oracle via the sentinel-fixture pattern " +
-      "(VERDICT r12 next #4): dedup_minhash (committed signature table; banding/cap/" +
-      "candidate join/position-match estimate replayed in DuckDB), dedup_simhash " +
-      "(committed packed words; 16-bit chunk keys + bit_count(xor) Hamming), " +
-      "text_winnow (committed ordered gram hashes; windowed-min selection as " +
-      "rightmost-argmin change detection), text_fingerprint (committed per-shingle " +
-      "hashes; min-reduction). Plan changes: none to carried queries - " +
-      "packSequencesWhole's pass-1 summary now skips zero-count docs (bound fix, " +
-      "identical output), the bench's forced-sketch gate emits an explicit error " +
-      "marker + failed query when its computation breaks instead of silently " +
-      "dropping (ADVICE r12), and the crawl loop's active BPE model now resolves + " +
-      "forwards on every monitored round (ADVICE r12; affects no registered query). " +
-      "Golden fixtures regenerated byte-identical; 4 new sentinel TSVs committed. " +
-      "Carried-query deltas are machine state"
+      "fill-transition fold; ONE oracle shares the stage 1-6 CTE prefix with " +
+      "pipeline_training_set_v2 and replays the fold as a linear recursive CTE). " +
+      "12 queries converted from golden-pinned/rows-only to FULL DuckDB oracle via " +
+      "the sentinel-fixture pattern (VERDICT r12 next #4, extended): dedup_minhash + " +
+      "dedup_incremental_near (committed 64-permutation signatures; banding as slice " +
+      "equality, caps, position-match estimate), dedup_simhash (packed words; chunk " +
+      "keys + bit_count(xor)), text_winnow (ordered gram hashes; windowed-min as " +
+      "rightmost-argmin change detection), text_fingerprint (per-shingle hashes; " +
+      "min-reduction), pack_sequences_bpe + text_tokens_bpe + vocab_bpe_top20 (the " +
+      "BPE count/subword tables), dedup_image_phash + dedup_incremental_image + " +
+      "_image_edit (per-image dHash pairs; chunk blocking + Hamming in SQL), " +
+      "multimodal_features (per-record featurize table; per-kind agg), and all three " +
+      "approximate-ANN tiers ann_topk_cosine_{lsh,ivf,ivfpq} (band keys / probe-cell " +
+      "rankings / PQ codes + per-query ADC LUTs as fixtures; candidate joins, the " +
+      "m-ordered ADC sum, top-256 shortlist and the exact double cosine re-rank all " +
+      "replayed bit-exact - DuckDB's list_sum folds left-to-right like " +
+      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 102 (the two order-dependent " +
+      "sketches, both artifact-gated). Plan changes: none to carried queries - " +
+      "packSequencesWhole's pass-1 summary skips zero-count docs (bound fix, " +
+      "identical output), the forced-sketch gate emits an explicit error marker + " +
+      "failed query on computation error, the crawl loop resolves+forwards the " +
+      "active BPE model every monitored round (ADVICE r12). Golden fixtures " +
+      "regenerated byte-identical; 13 new sentinel TSVs. Carried-query deltas are " +
+      "machine state"
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window

@@ -1302,6 +1302,25 @@ object SparkEntry {
         |FROM e2 a JOIN e2 b ON a.s = b.s AND a.id < b.id
         |GROUP BY a.id, b.id, a.n, b.n
         |HAVING count(*) * 2 >= 1 * (a.n + b.n - count(*))""".stripMargin.replace("\n", " ")
+    // Shared scoring tail for the approximate-ANN oracles: given a `cand`
+    // CTE of (qid, nid) pairs, compute the exact double cosine (the same
+    // left-to-right float→double fold as ArrayDotProduct — per-term
+    // products are exact in double, so only the fold order matters, and
+    // DuckDB's list_sum matches it) and take the (cosine DESC, nid ASC)
+    // top-5 per query, mirroring Similarity.topK's NaN-drop and ranking.
+    def annCosineTopkOver(prefixCtes: String): String =
+      s"""WITH $prefixCtes,
+        |v AS (SELECT vec_id, embedding FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM v),
+        |scored AS (SELECT cand.qid, cand.nid,
+        |    list_sum(list_transform(range(1, 65), i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
+        |      / (qn.nrm * cn.nrm) AS cosine
+        |  FROM cand JOIN v qv ON qv.vec_id = cand.qid JOIN v cv ON cv.vec_id = cand.nid
+        |  JOIN n qn ON qn.vec_id = cand.qid JOIN n cn ON cn.vec_id = cand.nid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+        |SELECT qid, nid, cosine, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin.replace("\n", " ")
     // The MODERN training-set chain's stages 1-6 + the sentinel count table,
     // shared by pipeline_training_set_v2 and its whole-doc twin so the two
     // oracles replay IDENTICAL stage semantics and differ only in the
@@ -1742,6 +1761,63 @@ object SparkEntry {
           |  GROUP BY c.doc_id, c.match_id)
           |SELECT doc_id, match_id, CAST(eq AS DOUBLE) / 64.0 AS est_jaccard FROM m
           |WHERE CAST(eq AS DOUBLE) / 64.0 >= 0.5 ORDER BY doc_id, match_id""".stripMargin.replace("\n", " "),
+      // the multimodal demo pipeline's per-kind stats replayed from the
+      // committed per-record featurize table (r13): probes/decodes are the
+      // fixture, the grouped aggregation is re-derived. round-to-6 on the
+      // feature average absorbs the engines' summation-order ulp drift.
+      "multimodal_features" ->
+        s"""WITH mf AS (SELECT * FROM read_csv('$goldenDir/media_feats.tsv',
+          |    delim='\t', skip=2, header=false,
+          |    columns={'media_id': 'BIGINT', 'kind': 'VARCHAR', 'n_bytes': 'BIGINT',
+          |      'width': 'INTEGER', 'sample_rate': 'INTEGER', 'duration_ms': 'BIGINT', 'f0': 'FLOAT'}))
+          |SELECT kind, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+          |  max(width) AS max_width, max(sample_rate) AS max_sample_rate,
+          |  max(duration_ms) AS max_duration_ms, round(avg(CAST(f0 AS DOUBLE)), 6) AS avg_f0
+          |FROM mf GROUP BY kind ORDER BY kind""".stripMargin.replace("\n", " "),
+      // perceptual image dedup replayed from the committed hash table (r13):
+      // the decode + row-gradient dHash is the fixture; 16-bit chunk
+      // pigeonhole ((h >> 16c) & 0xFFFF — masking after the shift makes the
+      // sign extension irrelevant), candidate self-join and exact Hamming
+      // are re-derived. The synthetic corpus is SF-independent (n = 300).
+      "dedup_image_phash" ->
+        s"""WITH w AS (SELECT id, h FROM read_csv('$goldenDir/image_hashes_dups.tsv',
+          |    delim='\t', skip=2, header=false, columns={'id': 'BIGINT', 'h': 'BIGINT', 'hv': 'BIGINT'})),
+          |ch AS (SELECT id, h, c.chunk, (h >> (16 * c.chunk)) & 65535 AS ckey
+          |  FROM w, (SELECT unnest(range(0, 4)) AS chunk) c),
+          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
+          |  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id)
+          |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      // the image-tier incremental probe from the same table: delta =
+      // id % 10 = 1 (the planted re-renders) vs the base-built index
+      "dedup_incremental_image" ->
+        s"""WITH w AS (SELECT id, h FROM read_csv('$goldenDir/image_hashes_dups.tsv',
+          |    delim='\t', skip=2, header=false, columns={'id': 'BIGINT', 'h': 'BIGINT', 'hv': 'BIGINT'})),
+          |ch AS (SELECT id, h, c.chunk, (h >> (16 * c.chunk)) & 65535 AS ckey
+          |  FROM w, (SELECT unnest(range(0, 4)) AS chunk) c),
+          |cand AS (SELECT DISTINCT d.id AS media_id, b.id AS match_id, d.h AS h_d, b.h AS h_b
+          |  FROM ch d JOIN ch b ON d.chunk = b.chunk AND d.ckey = b.ckey AND d.id <> b.id
+          |  WHERE d.id % 10 = 1 AND b.id % 10 <> 1)
+          |SELECT media_id, match_id, CAST(bit_count(xor(h_d, h_b)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(h_d, h_b)) <= 3 ORDER BY media_id, match_id""".stripMargin.replace("\n", " "),
+      // the DUAL-signature probe from the edit corpus's hash pairs:
+      // candidates on chunks of EITHER gradient, both Hamming distances
+      // reported, kept if either is within the radius
+      "dedup_incremental_image_edit" ->
+        s"""WITH w AS (SELECT id, h, hv FROM read_csv('$goldenDir/image_hashes_edits.tsv',
+          |    delim='\t', skip=2, header=false, columns={'id': 'BIGINT', 'h': 'BIGINT', 'hv': 'BIGINT'})),
+          |ch AS (SELECT id, h, hv, s.sig, c.chunk,
+          |    (CASE WHEN s.sig = 0 THEN h ELSE hv END >> (16 * c.chunk)) & 65535 AS ckey
+          |  FROM w, (SELECT unnest(range(0, 2)) AS sig) s, (SELECT unnest(range(0, 4)) AS chunk) c),
+          |cand AS (SELECT DISTINCT d.id AS media_id, b.id AS match_id,
+          |    d.h AS h_d, d.hv AS hv_d, b.h AS h_b, b.hv AS hv_b
+          |  FROM ch d JOIN ch b ON d.sig = b.sig AND d.chunk = b.chunk AND d.ckey = b.ckey AND d.id <> b.id
+          |  WHERE d.id % 10 = 1 AND b.id % 10 <> 1)
+          |SELECT media_id, match_id,
+          |  CAST(bit_count(xor(h_d, h_b)) AS BIGINT) AS hamming_h,
+          |  CAST(bit_count(xor(hv_d, hv_b)) AS BIGINT) AS hamming_v
+          |FROM cand WHERE bit_count(xor(h_d, h_b)) <= 3 OR bit_count(xor(hv_d, hv_b)) <= 3
+          |ORDER BY media_id, match_id""".stripMargin.replace("\n", " "),
       // SimHash chunk blocking replayed from the committed packed words:
       // 4 × 16-bit chunk keys re-derived by integer div/mod on the two
       // non-negative 32-bit words (chunks 0-1 from w_lo, 2-3 from w_hi —
@@ -1915,6 +1991,16 @@ object SparkEntry {
           |  (start_offset + n_tokens - 1) // 512 AS bin_end,
           |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_bins
           |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // the induced-vocabulary head (r13): the committed per-doc subword
+      // occurrence table is the non-relational encode; the global sum,
+      // the (cnt DESC, subword ASC) ranking and the top-20 cut are
+      // re-derived. Defined at sf0.01, the gate SF.
+      "vocab_bpe_top20" ->
+        s"""WITH spw AS (SELECT doc_id, subword, n FROM read_csv('$goldenDir/subword_counts_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false, quote='',
+          |    columns={'doc_id': 'BIGINT', 'subword': 'VARCHAR', 'n': 'BIGINT'}))
+          |SELECT subword, CAST(sum(n) AS BIGINT) AS cnt FROM spw
+          |GROUP BY subword ORDER BY cnt DESC, subword ASC LIMIT 20""".stripMargin.replace("\n", " "),
       // the per-doc count pair itself (r13): the whitespace count is fully
       // relational, the BPE count joins in from the sentinel — converting
       // the last count-shaped golden into a full oracle
@@ -2229,6 +2315,54 @@ object SparkEntry {
           |SELECT qid, nid, dot_q, rank FROM (
           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid) AS rank FROM scored)
           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin.replace("\n", " "),
+      // SRP-LSH ANN replayed from the committed band-key table (r13): the
+      // seeded hyperplane keys are the fixture; the (table, key) candidate
+      // join, the distinct, the exact cosine and the top-5 are re-derived.
+      // Defined at sf0.01, the gate SF (queries are vec_id < 10).
+      "ann_topk_cosine_lsh" -> annCosineTopkOver(
+        s"""lk AS (SELECT vec_id, ltable, lkey FROM read_csv('$goldenDir/lsh_keys_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false, columns={'vec_id': 'BIGINT', 'ltable': 'BIGINT', 'lkey': 'BIGINT'})),
+          |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          |  FROM lk q JOIN lk c ON q.ltable = c.ltable AND q.lkey = c.lkey
+          |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)""".stripMargin.replace("\n", " ")),
+      // IVF-flat ANN replayed from the committed probe-cell ranking (r13):
+      // the trained-centroid argmax ranking is the fixture (top-8 cells per
+      // vector); the corpus arm keeps its nassign=2 best cells, the query
+      // arm probes nprobe=8, candidates join on cell equality, exact cosine
+      // + top-5 re-derived. Defined at sf0.01.
+      "ann_topk_cosine_ivf" -> annCosineTopkOver(
+        s"""cells AS (SELECT vec_id, r, cell FROM read_csv('$goldenDir/ivf_cells_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false, columns={'vec_id': 'BIGINT', 'r': 'BIGINT', 'cell': 'BIGINT'})),
+          |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          |  FROM cells q JOIN cells c ON q.cell = c.cell
+          |  WHERE q.vec_id < 10 AND q.r < 8 AND c.r < 2 AND c.vec_id <> q.vec_id)""".stripMargin.replace("\n", " ")),
+      // IVF-PQ (IVFADC) replayed from the coded corpus + per-query LUT
+      // sentinels (r13): candidates via probe-cell equality (the SAME
+      // ivf_cells ranking — the fixture index trains identical coarse
+      // centroids), ADC = the m-ordered LUT sum over each candidate's 16
+      // codes divided by the norm product, top-256 shortlist by (adc DESC,
+      // nid ASC), exact-cosine re-rank to top-5. Defined at sf0.01.
+      "ann_topk_cosine_ivfpq" -> annCosineTopkOver(
+        s"""cells AS (SELECT vec_id, r, cell FROM read_csv('$goldenDir/ivf_cells_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false, columns={'vec_id': 'BIGINT', 'r': 'BIGINT', 'cell': 'BIGINT'})),
+          |cd AS (SELECT nid, cell, cnorm, codes FROM read_csv('$goldenDir/pq_coded_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false, columns={'nid': 'BIGINT', 'cell': 'BIGINT', 'cnorm': 'DOUBLE', 'codes': 'VARCHAR'})),
+          |lut AS (SELECT qid, m, code, v FROM read_csv('$goldenDir/pq_lut_sf0.01.tsv',
+          |    delim='\t', skip=2, header=false, columns={'qid': 'BIGINT', 'm': 'BIGINT', 'code': 'BIGINT', 'v': 'DOUBLE'})),
+          |c0 AS (SELECT DISTINCT q.vec_id AS qid, cd.nid, cd.cnorm, cd.codes
+          |  FROM cells q JOIN cd ON cd.cell = q.cell
+          |  WHERE q.vec_id < 10 AND q.r < 8 AND cd.nid <> q.vec_id),
+          |terms AS (SELECT qid, nid, cnorm, mm.m,
+          |    CAST(string_split(codes, ',')[mm.m + 1] AS BIGINT) AS code
+          |  FROM c0, (SELECT unnest(range(0, 16)) AS m) mm),
+          |tv AS (SELECT t.qid, t.nid, t.cnorm, t.m, l.v
+          |  FROM terms t JOIN lut l ON l.qid = t.qid AND l.m = t.m AND l.code = t.code),
+          |nq AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+          |  FROM embeddings WHERE vec_id < 10),
+          |adcs AS (SELECT tv.qid, tv.nid, list_sum(list(tv.v ORDER BY tv.m)) / (nq.nrm * tv.cnorm) AS adc
+          |  FROM tv JOIN nq ON nq.vec_id = tv.qid GROUP BY tv.qid, tv.nid, tv.cnorm, nq.nrm),
+          |cand AS (SELECT qid, nid FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rr
+          |  FROM adcs WHERE adc IS NOT NULL AND NOT isnan(adc)) WHERE rr <= 256)""".stripMargin.replace("\n", " ")),
       // same widen→scale→round quantization path as the engine (scale 1000);
       // generate_subscripts/unnest zip per row, dims re-based to 0
       "embedding_dim_stats" ->

@@ -116,10 +116,14 @@ class GoldenFileSpec extends AnyFunSuite {
       assertFingerprintCurrent(new File(s"$goldenDir/$q.tsv"), inputFingerprint)
     for (f <- Seq("text_winnow_sf0.01.tsv", "bpe_counts_sf0.01.tsv",
         "minhash_sigs_sf0.01.tsv", "simhash_words_sf0.01.tsv",
-        "gram_hashes_sf0.01.tsv", "fingerprint_parts_sf0.01.tsv"))
+        "gram_hashes_sf0.01.tsv", "fingerprint_parts_sf0.01.tsv",
+        "subword_counts_sf0.01.tsv", "image_hashes_dups.tsv",
+        "image_hashes_edits.tsv", "media_feats.tsv"))
       assertFingerprintCurrent(new File(s"$goldenDir/$f"),
         md5Of("/root/testdata/sf0.01/documents.parquet"))
-    for (f <- Seq("semdedup_centroids_sf0.01.tsv", "semdedup_centroids_base_sf0.01.tsv"))
+    for (f <- Seq("semdedup_centroids_sf0.01.tsv", "semdedup_centroids_base_sf0.01.tsv",
+        "lsh_keys_sf0.01.tsv", "ivf_cells_sf0.01.tsv",
+        "pq_coded_sf0.01.tsv", "pq_lut_sf0.01.tsv"))
       assertFingerprintCurrent(new File(s"$goldenDir/$f"),
         md5Of("/root/testdata/sf0.01/embeddings.parquet"))
   }
@@ -251,6 +255,114 @@ class GoldenFileSpec extends AnyFunSuite {
         .select(col("doc_id"), docFingerprint(col("text")).as("doc_hash"),
           explode(transform(shingles(toks, 3), s => xxhash64(s))).as("sh"))
         .orderBy("doc_id", "sh")), sf01Fingerprint)
+  }
+
+  test("golden: per-doc subword counts at sf0.01 (vocab_bpe_top20 oracle input)") {
+    import org.apache.spark.sql.functions._
+    val m = graft.sources.Fixtures.bpeModel(spark, "/root/testdata/sf0.01")
+    checkGolden(new File(s"$goldenDir/subword_counts_sf0.01.tsv"),
+      render(sf01Docs
+        .select(col("doc_id"), explode(graft.functions.expressions.BpeEncode(
+          coalesce(col("text"), lit("")), m)).as("subword"))
+        .groupBy("doc_id", "subword").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "subword")), sf01Fingerprint)
+  }
+
+  // The image queries' sentinel: per-image (row-gradient, column-gradient)
+  // dHash pairs from the ONE decode pass, for both synthetic corpora. The
+  // decode + gradient hash is the non-relational prefix (DuckDB decodes no
+  // images; the JDK JPEG IDCT caveat of the output goldens applies here
+  // identically); chunk pigeonhole blocking and the bit_count(xor) Hamming
+  // verify are re-derived relationally by the oracles. The corpora are
+  // generated (n = 300) independent of the scale factor, so these oracles
+  // are valid at ANY gate SF.
+  test("golden: image hash pairs, dup corpus (dedup_image_phash / incremental oracle input)") {
+    checkGolden(new File(s"$goldenDir/image_hashes_dups.tsv"),
+      render(graft.operators.Multimodal.buildMediaIndex(
+        graft.operators.Multimodal.syntheticImageDups(spark, 300)).hashes
+        .orderBy("id")), sf01Fingerprint)
+  }
+
+  test("golden: image hash pairs, edit corpus (dedup_incremental_image_edit oracle input)") {
+    checkGolden(new File(s"$goldenDir/image_hashes_edits.tsv"),
+      render(graft.operators.Multimodal.buildMediaIndex(
+        graft.operators.Multimodal.syntheticImageEdits(spark, 300)).hashes
+        .orderBy("id")), sf01Fingerprint)
+  }
+
+  // The approximate-ANN sentinels: the candidate-generation keys (SRP-LSH
+  // band keys, IVF probe-cell rankings) are the non-relational prefix; the
+  // oracles replay candidate joins, the exact double cosine (per-term
+  // float→double products are exact, and DuckDB's list_sum folds
+  // left-to-right like ArrayDotProduct — verified hash-exact at the gate)
+  // and the (cosine DESC, nid ASC) top-5 relationally.
+  private def embFingerprint01: String = md5Of("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("golden: SRP-LSH band keys at sf0.01 (ann_topk_cosine_lsh oracle input)") {
+    import org.apache.spark.sql.functions.col
+    checkGolden(new File(s"$goldenDir/lsh_keys_sf0.01.tsv"),
+      render(graft.operators.Similarity.withLshKeys(
+          graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+          dim = 64, tables = 16, planesPerTable = 4)
+        .select(col("vec_id"), col("ltable"), col("lkey"))
+        .orderBy("vec_id", "ltable")), embFingerprint01)
+  }
+
+  test("golden: IVF probe-cell ranking at sf0.01 (ann_topk_cosine_ivf oracle input)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = graft.operators.Similarity.trainIvfCentroids(e, dim = 64, nlist = 16)
+    checkGolden(new File(s"$goldenDir/ivf_cells_sf0.01.tsv"),
+      render(e.select(col("vec_id"),
+          posexplode(graft.functions.expressions.NearestCentroids(
+            col("embedding"), cents, 16, 64, 8)).as(Seq("r", "cell")))
+        .orderBy("vec_id", "r")), embFingerprint01)
+  }
+
+  // multimodal_features' sentinel: the per-record featurize output (real
+  // header probes + content features through the JDK codecs — the
+  // non-relational prefix; the same JDK IDCT caveat as the image hashes).
+  // The oracle replays the per-kind aggregation. Corpus is generated
+  // (n = 1000), independent of the scale factor.
+  test("golden: per-record media features (multimodal_features oracle input)") {
+    import org.apache.spark.sql.functions._
+    checkGolden(new File(s"$goldenDir/media_feats.tsv"),
+      render(graft.operators.Multimodal.featurize(
+          graft.operators.Multimodal.syntheticMedia(spark, 1000)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+          col("sample_rate"), col("duration_ms"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("media_id")), sf01Fingerprint)
+  }
+
+  // IVF-PQ's two sentinels: the persisted fixture index's coded corpus
+  // (cell, 16 PQ codes, true norm per assignment row) and each query's
+  // ADC lookup table (m×ks inner products — PqLut's exact output). The
+  // oracle replays cell-probe candidate generation, the ADC sum in m
+  // order, the top-256 shortlist and the exact-cosine re-rank. Doubles
+  // round-trip exactly through the TSV (shortest-repr print, nearest
+  // parse).
+  test("golden: PQ-coded corpus at sf0.01 (ann_topk_cosine_ivfpq oracle input)") {
+    import org.apache.spark.sql.functions._
+    val ix = graft.sources.Fixtures.annIndex(spark, "/root/testdata/sf0.01")
+    checkGolden(new File(s"$goldenDir/pq_coded_sf0.01.tsv"),
+      render(ix.coded.select(col("nid"), col("cell"), col("cnorm"),
+        concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes"))
+        .orderBy("nid", "cell")), embFingerprint01)
+  }
+
+  test("golden: per-query ADC LUTs at sf0.01 (ann_topk_cosine_ivfpq oracle input)") {
+    import org.apache.spark.sql.functions._
+    val ix = graft.sources.Fixtures.annIndex(spark, "/root/testdata/sf0.01")
+    checkGolden(new File(s"$goldenDir/pq_lut_sf0.01.tsv"),
+      render(graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          posexplode(graft.functions.expressions.PqLut(
+            col("embedding"), ix.books, ix.m, ix.dim / ix.m, ix.ks)).as(Seq("i", "v")))
+        .selectExpr("qid", "CAST(i DIV 256 AS BIGINT) AS m",
+          "CAST(i % 256 AS BIGINT) AS code", "v")
+        .orderBy("qid", "m", "code")), embFingerprint01)
   }
 
   // dedup_incremental_semantic's oracle input: centroids trained on the BASE
