@@ -945,6 +945,14 @@ object SparkEntry {
         Fixtures.bpeModel(s, d), capTokens = 512, wholeDoc = true)
         .orderBy("doc_id")
     },
+    // the bin-utilization report over the whole-doc layout (r13): n_bins /
+    // fills / wasted tokens in one row — the number that prices the
+    // no-straddle trade at a given cap. One oracle replays fold → per-bin
+    // fills → the single-row reduce.
+    "pack_whole_stats" -> ((s, d) =>
+      graft.operators.TrainingSet.packingStats(
+        graft.operators.TrainingSet.packSequencesWhole(documents(s, d), capTokens = 512),
+        capTokens = 512)),
     // deterministic per-language quota sample (50 smallest content hashes per
     // stratum) via a bounded bottom-k aggregate, not a window
     "sample_quota_lang" -> ((s, d) =>
@@ -2024,6 +2032,24 @@ object SparkEntry {
           |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(o.n_tokens AS BIGINT) ELSE f.fill + o.n_tokens END
           |  FROM fold f JOIN o ON o.rn = f.rn + 1)
           |SELECT doc_id, n_tokens, bin_id, bin_offset FROM fold ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // the whole-doc fold's bin-utilization report: same recursive fold,
+      // then per-bin fills and the single-row reduce
+      "pack_whole_stats" ->
+        """WITH RECURSIVE t AS (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens FROM documents),
+          |o AS (SELECT doc_id, n_tokens, row_number() OVER (ORDER BY doc_id) AS rn FROM t),
+          |fold(rn, doc_id, n_tokens, bin_id, bin_offset, fill) AS (
+          |  SELECT rn, doc_id, CAST(n_tokens AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(n_tokens AS BIGINT) FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.rn, o.doc_id, CAST(o.n_tokens AS BIGINT),
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN f.bin_id + 1 ELSE f.bin_id END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE f.fill END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(o.n_tokens AS BIGINT) ELSE f.fill + o.n_tokens END
+          |  FROM fold f JOIN o ON o.rn = f.rn + 1),
+          |bins AS (SELECT bin_id, CAST(sum(n_tokens) AS BIGINT) AS fill, count(*) AS docs FROM fold GROUP BY bin_id)
+          |SELECT count(*) AS n_bins, CAST(sum(docs) AS BIGINT) AS n_docs,
+          |  CAST(sum(fill) AS BIGINT) AS total_tokens, min(fill) AS min_fill, max(fill) AS max_fill,
+          |  CAST(512 * count(*) - sum(fill) AS BIGINT) AS wasted_tokens
+          |FROM bins""".stripMargin.replace("\n", " "),
       // the BPE-priced whole-doc twin: identical fold, counts from the
       // committed sentinel-pinned table (the engine computes them live via
       // the codegen'd BpeCount under the persisted 40-merge model)

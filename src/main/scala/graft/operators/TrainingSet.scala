@@ -334,6 +334,33 @@ object TrainingSet {
   }
 
   /**
+   * Bin-utilization summary of a [[packSequencesWhole]] /
+   * [[packSequencesBpe]]`(wholeDoc = true)` manifest — the one-row report
+   * that decides the cap: whole-doc layouts trade wasted tail tokens for
+   * no cross-doc attention contamination, and `wasted_tokens /
+   * (n_bins × cap)` is the price actually paid at the chosen cap (first-fit
+   * on id order wastes ≈ half a mean doc per bin; a rising waste fraction
+   * says the cap is too close to the long-tail doc length).
+   *
+   * Output: `(n_bins, n_docs, total_tokens, min_fill, max_fill,
+   * wasted_tokens)`, all longs. Scale shape: one partial/final hash
+   * aggregate to O(bins) rows, then a single-row reduce — nothing
+   * corpus-sized crosses an exchange.
+   */
+  def packingStats(packed: DataFrame, capTokens: Long): DataFrame = {
+    require(capTokens > 0, s"capTokens must be positive, got $capTokens")
+    packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("docs"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum("docs").as("n_docs"),
+        sum("fill").as("total_tokens"),
+        min("fill").as("min_fill"),
+        max("fill").as("max_fill"),
+        (lit(capTokens) * count(lit(1)) - sum("fill")).as("wasted_tokens"))
+  }
+
+  /**
    * BPE-priced packing with the MODEL IDENTITY pinned (VERDICT r10 missing
    * #2): [[packSequences]] driven by the trained tokenizer's real subword
    * counts, with the merge table's fingerprint (a) checked against

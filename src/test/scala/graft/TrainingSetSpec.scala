@@ -510,6 +510,20 @@ class TrainingSetSpec extends AnyFunSuite {
     }
   }
 
+  test("packingStats: bin report equals the hand-computed fold summary") {
+    // counts 4,7,3,6,2 at cap 10 fold to bins [4+3+2=9... ] — trace:
+    // 4 → bin0(4); 7 rolls → bin1(7); 3 fits → bin1(10); 6 rolls → bin2(6);
+    // 2 fits → bin2(8). Bins: fills 4, 10, 8 — 3 bins, 22 tokens, 8 wasted.
+    val d = Seq(1L -> 4L, 2L -> 7L, 3L -> 3L, 4L -> 6L, 5L -> 2L)
+      .toDF("doc_id", "n")
+    val packed = TrainingSet.packSequencesWhole(d, 10L, tokenCount = Some(col("n")))
+    val r = TrainingSet.packingStats(packed, 10L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 5L, 22L, 4L, 10L, 8L)))
+    // invariant at any input: wasted = n_bins × cap − total
+    assert(r.getLong(5) == 3L * 10L - r.getLong(2))
+  }
+
   test("packSequencesWhole: oversized doc fails loudly, naming the doc") {
     val d = Seq((7L, 9L)).toDF("doc_id", "n")
     val e = intercept[org.apache.spark.SparkException](
