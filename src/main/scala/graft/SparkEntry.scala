@@ -953,6 +953,28 @@ object SparkEntry {
       graft.operators.TrainingSet.packingStats(
         graft.operators.TrainingSet.packSequencesWhole(documents(s, d), capTokens = 512),
         capTokens = 512)),
+    // deterministic shard routing over the whole-doc layout (r13): seeded
+    // two-round multiplicative mix of bin_id — a pure projection, zero
+    // exchange — scatters id-adjacent bins across 16 shards; the oracle
+    // replays the fold CTE then the identical overflow-safe BIGINT hash
+    "shard_assign" -> ((s, d) =>
+      graft.operators.TrainingSet.assignShards(
+        graft.operators.TrainingSet.packSequencesWhole(documents(s, d), capTokens = 512),
+        nShards = 16, seed = 42L)
+        .orderBy("doc_id")),
+    // the per-shard manifest a training launcher reads: bins / docs / tokens
+    // per shard, one O(shards) rollup after the same zero-shuffle routing
+    "shard_manifest" -> ((s, d) =>
+      graft.operators.TrainingSet.shardManifest(
+        graft.operators.TrainingSet.assignShards(
+          graft.operators.TrainingSet.packSequencesWhole(documents(s, d), capTokens = 512),
+          nShards = 16, seed = 42L))
+        .orderBy("shard_id")),
+    // per-language data card (r13): doc/token totals + EXACT integer
+    // p50/p90/p99 doc lengths via the bounded (lang, n_tokens) domain —
+    // the rank test `100·cum ≥ n_docs·p` is pure-integer in both engines
+    "corpus_report" -> ((s, d) =>
+      graft.operators.TextAnalysis.corpusReport(documents(s, d)).orderBy("lang")),
     // deterministic per-language quota sample (50 smallest content hashes per
     // stratum) via a bounded bottom-k aggregate, not a window
     "sample_quota_lang" -> ((s, d) =>
@@ -2050,6 +2072,60 @@ object SparkEntry {
           |  CAST(sum(fill) AS BIGINT) AS total_tokens, min(fill) AS min_fill, max(fill) AS max_fill,
           |  CAST(512 * count(*) - sum(fill) AS BIGINT) AS wasted_tokens
           |FROM bins""".stripMargin.replace("\n", " "),
+      // shard routing: the same fold CTE, then the two-round multiplicative
+      // mix replayed verbatim in overflow-safe BIGINT arithmetic (operands
+      // reduced mod 2^31 before multiplying — every intermediate < 2^63)
+      "shard_assign" ->
+        """WITH RECURSIVE t AS (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens FROM documents),
+          |o AS (SELECT doc_id, n_tokens, row_number() OVER (ORDER BY doc_id) AS rn FROM t),
+          |fold(rn, doc_id, n_tokens, bin_id, bin_offset, fill) AS (
+          |  SELECT rn, doc_id, CAST(n_tokens AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(n_tokens AS BIGINT) FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.rn, o.doc_id, CAST(o.n_tokens AS BIGINT),
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN f.bin_id + 1 ELSE f.bin_id END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE f.fill END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(o.n_tokens AS BIGINT) ELSE f.fill + o.n_tokens END
+          |  FROM fold f JOIN o ON o.rn = f.rn + 1),
+          |h AS (SELECT doc_id, n_tokens, bin_id, bin_offset,
+          |  ((bin_id % 2147483648) * 2654435761 + 42) % 4294967296 AS h1 FROM fold)
+          |SELECT doc_id, n_tokens, bin_id, bin_offset,
+          |  (((h1 % 2147483648) * 2246822519 + (h1 // 65536)) % 4294967296) % 16 AS shard_id
+          |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // per-shard manifest: routing as above, then one O(shards) rollup
+      "shard_manifest" ->
+        """WITH RECURSIVE t AS (SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens FROM documents),
+          |o AS (SELECT doc_id, n_tokens, row_number() OVER (ORDER BY doc_id) AS rn FROM t),
+          |fold(rn, doc_id, n_tokens, bin_id, bin_offset, fill) AS (
+          |  SELECT rn, doc_id, CAST(n_tokens AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(n_tokens AS BIGINT) FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.rn, o.doc_id, CAST(o.n_tokens AS BIGINT),
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN f.bin_id + 1 ELSE f.bin_id END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE f.fill END,
+          |    CASE WHEN f.fill + o.n_tokens > 512 THEN CAST(o.n_tokens AS BIGINT) ELSE f.fill + o.n_tokens END
+          |  FROM fold f JOIN o ON o.rn = f.rn + 1),
+          |h AS (SELECT doc_id, n_tokens, bin_id,
+          |  ((bin_id % 2147483648) * 2654435761 + 42) % 4294967296 AS h1 FROM fold),
+          |s AS (SELECT doc_id, n_tokens, bin_id,
+          |  (((h1 % 2147483648) * 2246822519 + (h1 // 65536)) % 4294967296) % 16 AS shard_id FROM h)
+          |SELECT shard_id, count(DISTINCT bin_id) AS n_bins, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace("\n", " "),
+      // data card: one aggregate onto the bounded (lang, length) domain,
+      // then the pure-integer rank test 100·cum >= n_docs·p per percentile
+      "corpus_report" ->
+        """WITH t AS (SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+          |c AS (SELECT lang, CAST(n AS BIGINT) AS n_tokens, count(*) AS cnt FROM t GROUP BY 1, 2),
+          |w AS (SELECT lang, n_tokens, cnt,
+          |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens) AS BIGINT) AS cum,
+          |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_docs FROM c)
+          |SELECT lang, max(n_docs) AS n_docs,
+          |  CAST(sum(n_tokens * cnt) AS BIGINT) AS total_tokens,
+          |  min(n_tokens) AS min_tokens,
+          |  min(CASE WHEN 100 * cum >= n_docs * 50 THEN n_tokens END) AS p50_tokens,
+          |  min(CASE WHEN 100 * cum >= n_docs * 90 THEN n_tokens END) AS p90_tokens,
+          |  min(CASE WHEN 100 * cum >= n_docs * 99 THEN n_tokens END) AS p99_tokens,
+          |  max(n_tokens) AS max_tokens
+          |FROM w GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
       // the BPE-priced whole-doc twin: identical fold, counts from the
       // committed sentinel-pinned table (the engine computes them live via
       // the codegen'd BpeCount under the persisted 40-merge model)

@@ -103,4 +103,45 @@ object TextAnalysis {
         graft.functions.expressions.WinnowFingerprints(
           orderedShingleHashes(col("th"), k), window).as("fps"))
   }
+
+  /**
+   * Corpus data card — the per-language summary published alongside a
+   * training corpus: doc count, token totals, and the min/p50/p90/p99/max of
+   * document length in tokens. All-integer output, so the DuckDB oracle is
+   * hash-exact.
+   *
+   * Percentiles are EXACT yet scale-safe: the corpus passes through one
+   * partial/final hash aggregate onto the bounded `(lang, n_tokens)` domain
+   * (distinct doc lengths — thousands of values, whatever the corpus size),
+   * and the rank scan runs over those tiny grouped rows. The p-th
+   * percentile is the smallest length whose cumulative count reaches
+   * `ceil(n_docs·p/100)`, tested in pure integers as
+   * `100·cum ≥ n_docs·p` — no float interpolation to diverge between
+   * engines. The one window function is over O(distinct lengths per lang)
+   * rows, never corpus rows.
+   */
+  def corpusReport(
+      df: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(col(langCol).as("lang"),
+        size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val byLang = Window.partitionBy("lang")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(byLang.orderBy("n_tokens")))
+      .withColumn("n_docs", sum("cnt").over(byLang))
+    def pct(p: Int) =
+      min(when(col("cum") * 100 >= col("n_docs") * p, col("n_tokens")))
+        .as(s"p${p}_tokens")
+    cum.groupBy("lang")
+      .agg(
+        max("n_docs").as("n_docs"), // constant within the group
+        sum(col("n_tokens") * col("cnt")).as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        pct(50), pct(90), pct(99),
+        max("n_tokens").as("max_tokens"))
+  }
 }

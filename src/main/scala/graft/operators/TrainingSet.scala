@@ -361,6 +361,57 @@ object TrainingSet {
   }
 
   /**
+   * Deterministic shard routing for a packed manifest — the "global
+   * shuffle" a training run needs WITHOUT shuffling anything: every bin is
+   * mapped to one of `nShards` output shards by a seeded integer mix of
+   * `bin_id`, so neighbouring bins (= neighbouring doc ids, after the
+   * id-ordered fold) scatter across shards and each reader's shard is a
+   * decorrelated sample of the corpus. The assignment is a pure codegen'd
+   * projection — zero exchange at any corpus size; writing
+   * `partitionBy("shard_id")` then gives readers partition-pruned access to
+   * exactly their shard.
+   *
+   * The mix is two rounds of multiplicative hashing computed entirely in
+   * non-negative 64-bit-safe arithmetic (every intermediate < 2⁶³, operands
+   * reduced mod 2³¹ before multiplying by Knuth/xxHash 32-bit constants) so
+   * the DuckDB oracle replays it verbatim with plain BIGINT `*`/`%`/`//`:
+   * {{{
+   *   h1 = ((bin_id % 2^31) * 2654435761 + (seed mod 2^31)) % 2^32
+   *   h2 = ((h1 % 2^31) * 2246822519 + (h1 // 2^16)) % 2^32
+   *   shard_id = h2 % nShards
+   * }}}
+   * Requires `bin_id ≥ 0` (true of every packer in this file).
+   */
+  def assignShards(
+      packed: DataFrame,
+      nShards: Int,
+      seed: Long = 42L,
+      binCol: String = "bin_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val m31 = 2147483648L
+    val m32 = 4294967296L
+    val sm = ((seed % m31) + m31) % m31 // non-negative seed residue, driver-side
+    val bin = col(binCol).cast("long")
+    val h1 = (pmod(bin, lit(m31)) * lit(2654435761L) + lit(sm)) % lit(m32)
+    val h2 = (pmod(h1, lit(m31)) * lit(2246822519L) + shiftright(h1, 16)) % lit(m32)
+    packed.withColumn("shard_id", (h2 % lit(nShards.toLong)).cast("long"))
+  }
+
+  /**
+   * Per-shard rollup of an [[assignShards]] routing: `(shard_id, n_bins,
+   * n_docs, n_tokens)` — the manifest a training launcher reads to size
+   * workers and verify shard balance before touching data. One hash
+   * aggregate; the distinct-bin count shuffles O(bins) `(shard, bin)`
+   * pairs, never doc rows.
+   */
+  def shardManifest(assigned: DataFrame, binCol: String = "bin_id"): DataFrame =
+    assigned.groupBy("shard_id")
+      .agg(
+        countDistinct(col(binCol)).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+
+  /**
    * BPE-priced packing with the MODEL IDENTITY pinned (VERDICT r10 missing
    * #2): [[packSequences]] driven by the trained tokenizer's real subword
    * counts, with the merge table's fingerprint (a) checked against

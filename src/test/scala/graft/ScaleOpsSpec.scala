@@ -314,6 +314,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q.getLong(q.fieldIndex("n_stopwords")) == 1) // the
   }
 
+  test("corpusReport: hand-computed integer percentiles per language") {
+    def doc(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val df = ((1 to 10).map(k => (k.toLong, "en", doc(k))) ++
+      Seq((11L, "fr", doc(2)), (12L, "fr", doc(2)), (13L, "fr", doc(4))))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.corpusReport(df).orderBy("lang").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // en: lengths 1..10 — p50 = ceil(5)th = 5, p90 = 9th = 9, p99 = 10th = 10
+    assert(got("en") == ((10L, 55L, 1L, 5L, 9L, 10L, 10L)))
+    // fr: lengths 2,2,4 — p50 = ceil(1.5)=2nd = 2; p90 = ceil(2.7)=3rd = 4;
+    // p99 = ceil(2.97)=3rd = 4
+    assert(got("fr") == ((3L, 8L, 2L, 2L, 4L, 4L, 4L)))
+    // partition-invariant: the report only sees the grouped length domain
+    assert(TextAnalysis.corpusReport(df.repartition(7)).orderBy("lang")
+      .collect().toSeq == TextAnalysis.corpusReport(df).orderBy("lang")
+      .collect().toSeq)
+  }
+
   test("fingerprints are stable across partitionings and distinct per content") {
     val fp1 = TextAnalysis.fingerprints(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val fp2 = TextAnalysis.fingerprints(docs.repartition(13)).collect().map(r => (r.getLong(0), r.getLong(1))).toMap

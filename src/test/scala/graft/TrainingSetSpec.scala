@@ -524,6 +524,60 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(r.getLong(5) == 3L * 10L - r.getLong(2))
   }
 
+  test("assignShards: documented mix formula, bin-constancy, range, determinism") {
+    val d = Seq((1L, 5L, 0L, 0L), (2L, 4L, 0L, 5L), (3L, 9L, 1L, 0L),
+      (4L, 2L, 2L, 0L), (5L, 7L, 2L, 2L))
+      .toDF("doc_id", "n_tokens", "bin_id", "bin_offset")
+    val out = TrainingSet.assignShards(d, nShards = 16, seed = 42L)
+      .orderBy("doc_id").collect()
+    // the documented formula, replayed in plain Long arithmetic (every
+    // intermediate < 2^63 by construction — this is the same claim the
+    // DuckDB oracle relies on)
+    def expect(bin: Long): Long = {
+      val h1 = ((bin % 2147483648L) * 2654435761L + 42L) % 4294967296L
+      val h2 = ((h1 % 2147483648L) * 2246822519L + (h1 >> 16)) % 4294967296L
+      h2 % 16L
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("shard_id") == expect(r.getAs[Long]("bin_id")))
+      assert(r.getAs[Long]("shard_id") >= 0L && r.getAs[Long]("shard_id") < 16L)
+    }
+    // docs 4 and 5 share bin 2 → same shard; determinism; seed sensitivity
+    assert(out(3).getAs[Long]("shard_id") == out(4).getAs[Long]("shard_id"))
+    val again = TrainingSet.assignShards(d, 16, 42L).orderBy("doc_id")
+      .select("shard_id").collect().map(_.getLong(0)).toSeq
+    assert(again == out.map(_.getAs[Long]("shard_id")).toSeq)
+    val other = TrainingSet.assignShards(d, 16, 43L).orderBy("doc_id")
+      .select("shard_id").collect().map(_.getLong(0)).toSeq
+    assert(other != again, "a different seed must move at least one bin")
+  }
+
+  test("assignShards scatters id-adjacent bins: 1000 bins cover all 16 shards") {
+    val bins = (0L until 1000L).map(b => (b, b, 100L, 0L))
+      .toDF("doc_id", "bin_id", "n_tokens", "bin_offset")
+    val fills = TrainingSet.assignShards(bins, nShards = 16, seed = 42L)
+      .groupBy("shard_id").count().collect()
+      .map(r => r.getAs[Long]("shard_id") -> r.getAs[Long]("count")).toMap
+    assert(fills.keySet == (0L until 16L).toSet, "every shard must be hit")
+    // deterministic input + deterministic hash: uniformity here is a fixed
+    // fact, pinned loosely (mean 62.5 bins/shard; a broken mixer that
+    // stripes or collapses violates this immediately)
+    assert(fills.values.max <= 2 * fills.values.min,
+      s"shard fills too skewed: $fills")
+  }
+
+  test("shardManifest conserves docs and tokens and counts distinct bins") {
+    val d = Seq(1L -> 4L, 2L -> 7L, 3L -> 3L, 4L -> 6L, 5L -> 2L)
+      .toDF("doc_id", "n")
+    val packed = TrainingSet.packSequencesWhole(d, 10L, tokenCount = Some(col("n")))
+    val m = TrainingSet.shardManifest(TrainingSet.assignShards(packed, 4, 7L))
+    val rows = m.collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 5L)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == 22L)
+    // the fold makes 3 bins (fills 4, 10, 8) — distinct-bin counts add to 3
+    assert(rows.map(_.getAs[Long]("n_bins")).sum == 3L)
+  }
+
   test("packSequencesWhole: oversized doc fails loudly, naming the doc") {
     val d = Seq((7L, 9L)).toDF("doc_id", "n")
     val e = intercept[org.apache.spark.SparkException](
