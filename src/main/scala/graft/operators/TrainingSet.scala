@@ -192,8 +192,28 @@ object TrainingSet {
       capTokens: Long,
       idCol: String = "doc_id",
       textCol: String = "text",
-      tokenCount: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      tokenCount: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    packSequencesWholeFrom(docs, capTokens, (0L, 0L), idCol, textCol, tokenCount)._1
+
+  /**
+   * [[packSequencesWhole]] generalized to an ENTERING `(bin, fill)` state,
+   * also returning the LEAVING state — the composable form the streaming
+   * twin ([[graft.streaming.StreamingOps.packWholeBatchFn]]) folds across
+   * micro-batches: packing batch N+1 from batch N's leaving state is
+   * byte-identical to packing the concatenation in one pass (the fold is
+   * sequential; partitions already compose through exactly this state, so
+   * batches compose for free).
+   */
+  private[graft] def packSequencesWholeFrom(
+      docs: DataFrame,
+      capTokens: Long,
+      start: (Long, Long),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokenCount: Option[org.apache.spark.sql.Column] = None): (DataFrame, (Long, Long)) = {
     require(capTokens > 0, s"capTokens must be positive, got $capTokens")
+    require(start._1 >= 0L && start._2 >= 0L && start._2 <= capTokens,
+      s"entering state must satisfy bin >= 0 and 0 <= fill <= capTokens, got $start")
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = Parallelism.ensure(docs)
@@ -288,10 +308,10 @@ object TrainingSet {
           pIdx.map(x => binsFromAll(x) + 1L),
           pIdx.map(x => fillFromAll(x))))
       }.collect().sortBy(_.pid)
-      // ---- driver fold over partition summaries ----
+      // ---- driver fold over partition summaries (seeded by `start`) ----
       val starts = new Array[(Long, Long)](summaries.length) // (startBin, startFill)
-      var curBin = 0L
-      var fill = 0L
+      var curBin = start._1
+      var fill = start._2
       var si = 0
       while (si < summaries.length) {
         val s = summaries(si)
@@ -315,7 +335,7 @@ object TrainingSet {
       }
       val bc = spark.sparkContext.broadcast(starts)
       // ---- pass 2: replay each partition from its entering state ----
-      counts.mapPartitions { it =>
+      val manifest = counts.mapPartitions { it =>
         val (b0, f0) = bc.value(TaskContext.getPartitionId())
         var bin = b0
         var f = f0
@@ -330,6 +350,7 @@ object TrainingSet {
         // same eager-materialization requirement as packSequences: pass 2
         // must read the SAME partitioning pass 1 summarized
         .localCheckpoint(true)
+      (manifest, (curBin, fill))
     } finally counts.unpersist(blocking = false): Unit
   }
 

@@ -628,7 +628,9 @@ object StreamingOps {
   private def readPointer(indexRoot: String): String = {
     val p = java.nio.file.Paths.get(indexRoot, "LATEST")
     require(java.nio.file.Files.exists(p),
-      s"crawl index store not seeded: $indexRoot/LATEST missing — call seedCrawlIndex first")
+      s"versioned store not seeded: $indexRoot/LATEST missing — call the " +
+        "matching seed helper (seedCrawlIndex / seedSemIndex / seedAnnIndex / " +
+        "seedPackState) first")
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
   }
 
@@ -650,6 +652,86 @@ object StreamingOps {
     else d.listFiles().toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getName.stripPrefix("batch=").toLong).sorted
+  }
+
+  /**
+   * Continuous whole-doc sequence packing — the streaming twin of
+   * [[graft.operators.TrainingSet.packSequencesWhole]]: each micro-batch is
+   * packed IN ARRIVAL ORDER (id order within the batch) starting from the
+   * previous batch's leaving `(bin, fill)` state, so the concatenated
+   * per-batch manifests are byte-identical to packing the whole stream in
+   * one batch pass (the fold is sequential and composes through exactly
+   * that two-long state — the same composition that already splices the
+   * batch operator's partitions splices batches).
+   *
+   * The cross-batch state is two longs, versioned like the crawl loop's
+   * index store: batch N reads `stateRoot/LATEST` → `v<N-1>`'s state file,
+   * writes its manifest to `outDir/batch=N` (overwrite — a replayed batch
+   * rewrites identical bytes), writes `stateRoot/v<N>`, and moves the
+   * pointer last; a replay whose pointer already reads `v<N>` is a no-op
+   * (committed-but-uncheckpointed guard, same as [[crawlIncrementBatchFn]]).
+   * Seed with [[seedPackState]].
+   *
+   * Scale shape per trigger = the batch operator's: two delta-sized passes,
+   * O(min(docs, cap)) longs per partition to the driver, no global sort —
+   * state neither grows with the stream nor ever touches an executor
+   * (it seeds the driver fold).
+   */
+  def packWholeBatchFn(
+      stateRoot: String,
+      outDir: String,
+      capTokens: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokenCount: Option[Column] = None): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val pointer = readPointer(stateRoot)
+      if (pointer == s"v$batchId") () // committed-but-uncheckpointed replay
+      else {
+        val start = readPackState(stateRoot, pointer)
+        val (manifest, leaving) = graft.operators.TrainingSet
+          .packSequencesWholeFrom(batch, capTokens, start, idCol, textCol, tokenCount)
+        manifest.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        writePackState(stateRoot, s"v$batchId", leaving)
+        writePointer(stateRoot, s"v$batchId")
+      }
+    }
+
+  /** [[packWholeBatchFn]] under `foreachBatch` with a mandatory checkpoint —
+    * the front door for a `readStream` source. */
+  def packSequencesWholeStream(
+      stream: DataFrame,
+      stateRoot: String,
+      outDir: String,
+      checkpointDir: String,
+      capTokens: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokenCount: Option[Column] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(packWholeBatchFn(stateRoot, outDir, capTokens, idCol, textCol, tokenCount))
+      .start()
+
+  /** Seed `stateRoot` with the empty packing state `(bin 0, fill 0)` as
+    * `v-seed` — or a non-zero state to continue an existing batch layout. */
+  def seedPackState(stateRoot: String, start: (Long, Long) = (0L, 0L)): Unit = {
+    writePackState(stateRoot, "v-seed", start)
+    writePointer(stateRoot, "v-seed")
+  }
+
+  private def writePackState(stateRoot: String, name: String, st: (Long, Long)): Unit = {
+    val dir = java.nio.file.Paths.get(stateRoot)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(name), s"${st._1} ${st._2}".getBytes("UTF-8"))
+  }
+
+  private def readPackState(stateRoot: String, name: String): (Long, Long) = {
+    val p = java.nio.file.Paths.get(stateRoot, name)
+    require(java.nio.file.Files.exists(p),
+      s"pack state store missing snapshot $name under $stateRoot — call seedPackState first")
+    val Array(b, f) = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.split(' ')
+    (b.toLong, f.toLong)
   }
 
   /**
