@@ -104,6 +104,33 @@ class PlanContractSpec extends AnyFunSuite {
       s"lag window must be partitioned by the series column:\n$p")
   }
 
+  test("corpus_report: one corpus-sized aggregate; the window runs on the bounded domain") {
+    val p = plan("corpus_report")
+    // the corpus crosses exactly one hashpartitioning exchange — the
+    // partial/final aggregate onto (lang, n_tokens). The percentile window
+    // and final rollup add exchanges too, but they carry only the grouped
+    // domain; the contract is that no SECOND corpus-sized shuffle exists,
+    // i.e. the plan aggregates BEFORE it windows
+    assert(count(p, "Scan parquet") == 1, s"documents scanned once:\n$p")
+    val aggPos = p.indexOf("HashAggregate")
+    val winPos = p.indexOf("Window")
+    assert(aggPos >= 0 && winPos >= 0 && winPos < p.lastIndexOf("HashAggregate"),
+      s"expected aggregate → window → rollup order:\n$p")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"percentile window must partition by lang, not run globally:\n$p")
+  }
+
+  test("shard_assign adds ZERO exchanges to the packing it routes: a pure projection") {
+    val sfDocs = graft.sources.Tables.documents(spark, sf)
+    val packed = graft.operators.TrainingSet.packSequencesWhole(sfDocs, 512L)
+    val p = graft.operators.TrainingSet.assignShards(packed, 16, 42L)
+      .queryExecution.executedPlan.toString
+    // packSequencesWhole ends in a localCheckpoint scan; routing on top of
+    // it must be map-side only — any exchange here would shuffle the whole
+    // manifest at 100 TB for what is arithmetic on one column
+    assert(!p.contains("Exchange"), s"shard routing must not shuffle:\n$p")
+  }
+
   test("ngram jaccard guards hot shingles (frequency cap drops boilerplate keys)") {
     // Since the capByFrequency rewrite the cap is an eager side job + map-side
     // NOT-IN filter (no join in the final plan when nothing is hot), so the
