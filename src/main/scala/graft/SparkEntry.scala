@@ -975,6 +975,18 @@ object SparkEntry {
     // the rank test `100·cum ≥ n_docs·p` is pure-integer in both engines
     "corpus_report" -> ((s, d) =>
       graft.operators.TextAnalysis.corpusReport(documents(s, d)).orderBy("lang")),
+    // the mixture budget solver over the data card (r13): integer targets
+    // (budget·w div Σw) and repeat-epochs ceil per language — O(strata)
+    // arithmetic after corpus_report's one corpus aggregate
+    "mixture_budget" -> { (s, d) =>
+      import s.implicits._
+      val weights = Seq(("en", 60L), ("fr", 20L), ("de", 10L), ("es", 5L), ("zh", 5L))
+        .toDF("lang", "weight")
+      graft.operators.TrainingSet.mixtureBudget(
+        graft.operators.TextAnalysis.corpusReport(documents(s, d)),
+        weights, budgetTokens = 1000000L)
+        .orderBy("lang")
+    },
     // deterministic per-language quota sample (50 smallest content hashes per
     // stratum) via a bounded bottom-k aggregate, not a window
     "sample_quota_lang" -> ((s, d) =>
@@ -2126,6 +2138,19 @@ object SparkEntry {
           |  min(CASE WHEN 100 * cum >= n_docs * 99 THEN n_tokens END) AS p99_tokens,
           |  max(n_tokens) AS max_tokens
           |FROM w GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+      // budget solver: the data card's token totals joined to the inline
+      // weight table, all-integer targets and ceil epochs
+      "mixture_budget" ->
+        """WITH t AS (SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+          |avail AS (SELECT lang, CAST(sum(n) AS BIGINT) AS available_tokens FROM t GROUP BY lang),
+          |w(lang, weight) AS (VALUES ('en', CAST(60 AS BIGINT)), ('fr', 20), ('de', 10), ('es', 5), ('zh', 5)),
+          |ws AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w)
+          |SELECT a.lang, a.available_tokens, w.weight,
+          |  (1000000 * w.weight) // ws.wsum AS target_tokens,
+          |  CASE WHEN a.available_tokens > 0 THEN
+          |    ((1000000 * w.weight) // ws.wsum + a.available_tokens - 1) // a.available_tokens END AS epochs
+          |FROM avail a JOIN w ON a.lang = w.lang CROSS JOIN ws
+          |ORDER BY a.lang""".stripMargin.replace("\n", " "),
       // the BPE-priced whole-doc twin: identical fold, counts from the
       // committed sentinel-pinned table (the engine computes them live via
       // the codegen'd BpeCount under the persisted 40-merge model)

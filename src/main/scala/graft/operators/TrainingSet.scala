@@ -433,6 +433,46 @@ object TrainingSet {
         sum("n_tokens").as("n_tokens"))
 
   /**
+   * Mixture budget solver — the planning step between a corpus data card
+   * ([[TextAnalysis.corpusReport]]) and a training run: given per-stratum
+   * available token counts, integer mixture weights, and a total token
+   * budget, computes each stratum's target token allotment
+   * (`budget · w / Σw`, floor) and the EPOCHS (repeat passes,
+   * `ceil(target / available)`) needed to fill it — the number that flags
+   * an over-repeated source before training does (multi-epoch repetition
+   * degrades quality past ~4 passes; a high `epochs` here says the mixture
+   * wants more of this stratum than the corpus has).
+   *
+   * All-integer arithmetic (`div`, not float division) so the DuckDB oracle
+   * is hash-exact; `budget · w` must stay under 2⁶³ (a 10 T-token budget
+   * with weights summing ≤ 10⁵ is fine). Scale shape: the report and
+   * weights are O(strata) rows — one broadcast join, a one-row weight-sum
+   * cross-joined in; nothing corpus-sized is touched.
+   */
+  def mixtureBudget(
+      report: DataFrame,
+      weights: DataFrame,
+      budgetTokens: Long,
+      stratumCol: String = "lang",
+      availCol: String = "total_tokens",
+      weightCol: String = "weight"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val wsum = weights.agg(sum(col(weightCol)).as("wsum"))
+    report
+      .select(col(stratumCol), col(availCol).cast("long").as("available_tokens"))
+      .join(broadcast(weights.select(col(stratumCol), col(weightCol).cast("long").as("weight"))),
+        Seq(stratumCol))
+      .crossJoin(broadcast(wsum))
+      .withColumn("target_tokens",
+        expr(s"($budgetTokens * weight) div wsum"))
+      .withColumn("epochs", // null, not an error, on an empty stratum
+        expr("CASE WHEN available_tokens > 0 THEN " +
+          "(target_tokens + available_tokens - 1) div available_tokens END"))
+      .select(col(stratumCol), col("available_tokens"), col("weight"),
+        col("target_tokens"), col("epochs"))
+  }
+
+  /**
    * BPE-priced packing with the MODEL IDENTITY pinned (VERDICT r10 missing
    * #2): [[packSequences]] driven by the trained tokenizer's real subword
    * counts, with the merge table's fingerprint (a) checked against

@@ -28,6 +28,22 @@ object Sinks {
       .partitionBy("bucket_date")
       .parquet(path)
 
+  /**
+   * Write an [[graft.operators.TrainingSet.assignShards]] routing as a
+   * shard-partitioned training layout: `path/shard_id=K/…` directories a
+   * 1000-worker training job reads with directory-level pruning (worker K
+   * scans only its shard — `spark.read.parquet(path).filter($"shard_id" === K)`
+   * never lists the other 15/16ths). The routing itself added no exchange;
+   * this write's task fan-out (each task writes the shards present in its
+   * partition) is the only cost, and a `shardManifest` rollup is written
+   * alongside as `path/_manifest` for the launcher.
+   */
+  def writeShards(assigned: DataFrame, path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    graft.operators.TrainingSet.shardManifest(assigned)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
   /** Plain single-directory parquet sink (small results / oracle dumps). */
   def writeParquet(result: DataFrame, path: String, coalesceTo: Int = 0): Unit = {
     val df = if (coalesceTo > 0) result.coalesce(coalesceTo) else result

@@ -578,6 +578,52 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_bins")).sum == 3L)
   }
 
+  test("writeShards: shard-partitioned layout prunes at the directory level") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val d = (1L to 40L).map(i => (i, 5L, i / 2, 0L))
+      .toDF("doc_id", "n_tokens", "bin_id", "bin_offset")
+    val assigned = TrainingSet.assignShards(d, nShards = 4, seed = 42L)
+    graft.sources.Sinks.writeShards(assigned, tmp)
+    // a worker's read of its own shard: identical rows, and the scan's
+    // partition filter prunes the other directories before any IO
+    // partition-column read-back infers int — compare through a long cast
+    val mine = spark.read.parquet(tmp)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+      .filter(col("shard_id") === 2L)
+    val expect = assigned.filter(col("shard_id") === 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(mine.collect().map(_.getAs[Long]("shard_id")).forall(_ == 2L))
+    assert(mine.collect().map(r => (r.getLong(0), r.getLong(2))).toSet == expect)
+    val plan = mine.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard_id"),
+      s"shard read must prune partitions:\n$plan")
+    // the launcher's sidecar equals a fresh rollup
+    val manifest = spark.read.parquet(s"$tmp/_manifest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fresh = TrainingSet.shardManifest(assigned)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(manifest == fresh && manifest.toSeq.map(_._3).sum == 40L)
+  }
+
+  test("mixtureBudget: integer targets, ceil epochs, null on an empty stratum") {
+    val report = Seq(("en", 100L), ("fr", 50L), ("emptylang", 0L))
+      .toDF("lang", "total_tokens")
+    val weights = Seq(("en", 3L), ("fr", 1L), ("emptylang", 4L)).toDF("lang", "weight")
+    val out = TrainingSet.mixtureBudget(report, weights, budgetTokens = 1000L)
+      .orderBy("lang").collect()
+    // Σw = 8: en target 1000·3/8 = 375, epochs ceil(375/100) = 4 (the
+    // over-repetition flag); fr target 125, epochs 3; empty stratum gets its
+    // target but null epochs (nothing to repeat)
+    val m = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(m("en") == ((100L, 3L, 375L, 4L)))
+    assert(m("fr") == ((50L, 1L, 125L, 3L)))
+    assert(m("emptylang") == ((0L, 4L, 500L, -1L)))
+    // conservation: targets never exceed the budget in total
+    assert(out.map(_.getLong(3)).sum <= 1000L)
+  }
+
   test("packSequencesWhole: oversized doc fails loudly, naming the doc") {
     val d = Seq((7L, 9L)).toDF("doc_id", "n")
     val e = intercept[org.apache.spark.SparkException](
