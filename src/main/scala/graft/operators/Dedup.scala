@@ -523,6 +523,22 @@ object Dedup {
       .select(col(idCol), coalesce(col("label"), col(idCol).cast("long")).as("canon_id"))
   }
 
+  /**
+   * Cluster-size histogram over a [[nearDupClusters]] labelling — the dedup
+   * AUDIT view: `(cluster_size, n_clusters)`. Size-1 rows are the
+   * untouched singletons; a fat tail here means boilerplate is chaining
+   * unrelated docs through near-dup edges (the signal to tighten the
+   * threshold or the shingle frequency cap) — worth one glance before
+   * committing a keep-one pass that would delete `Σ (size−1)` docs.
+   * Scale shape: corpus → O(clusters) → O(distinct sizes), two partial/final
+   * hash aggregates, nothing else.
+   */
+  def clusterHistogram(clusters: DataFrame, canonCol: String = "canon_id"): DataFrame =
+    clusters.groupBy(col(canonCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Driver-side component labels for a small edge frame: path-halved
     * union-find, then min doc id per component. Returns `(id, label)` as a
     * (small, AQE-broadcastable) DataFrame. */

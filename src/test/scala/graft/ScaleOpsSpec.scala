@@ -45,6 +45,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterHistogram: sizes from the component labelling, singletons counted") {
+    val docsDf = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 30L, 31L).toDF("doc_id")
+    val pairsDf = Seq((2L, 3L), (1L, 2L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val hist = Dedup.clusterHistogram(Dedup.nearDupClusters(docsDf, pairsDf))
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // components: {1,2,3}, {10,11}, {20,21,22}, {30}, {31}
+    assert(hist == Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+    // audit identity: Σ size·count = corpus size
+    assert(hist.map { case (s, n) => s * n }.sum == 10L)
+  }
+
   test("spanNearDup: sub-guarantee docs and empty corpora produce no pairs") {
     // 5 tokens < window + k − 1 = 6: even identical docs can share at most
     // one fingerprint, below the minShared=2 default
