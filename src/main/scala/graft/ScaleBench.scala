@@ -1233,6 +1233,93 @@ object ScaleBench {
       }
     }
 
+    if (nDocs >= 10000 && sectionOn("shard")) {
+      import graft.operators.TrainingSet
+      // ---- r13 shard routing at scale: the whole-doc manifest scattered
+      // across 1024 output shards by the seeded mix. Planted truth: exact
+      // doc/token conservation through the rollup, every shard hit, and the
+      // hash's balance (max fill ≤ 2× mean — a striping or collapsing mixer
+      // fails this immediately at 1024 cells). The routing itself must add
+      // ZERO exchanges on top of the packing (plan-asserted here, at scale).
+      time(s"shard-route ${nDocs} packed docs + manifest (shards ~ bins/32)") {
+        val packed = TrainingSet.packSequencesWhole(docs, capTokens = 2048)
+        // keep ≥ ~32 bins per shard so the uniformity bound below is a hash
+        // property, not small-sample noise (at the default 100k docs the
+        // fold makes ~1.5k bins → ~45 shards; a bigger corpus widens toward
+        // the 1024 cap a real layout would use)
+        val nBins = packed.agg(countDistinct("bin_id")).collect()(0).getLong(0)
+        val nShards = math.max(16L, math.min(1024L, nBins / 32L)).toInt
+        val assigned = TrainingSet.assignShards(packed, nShards, seed = 42L)
+        assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"),
+          "shard routing must stay a pure projection at scale")
+        val m = TrainingSet.shardManifest(assigned).collect()
+        val totTokens = packed.agg(sum("n_tokens")).collect()(0).getLong(0)
+        assert(m.map(_.getAs[Long]("n_docs")).sum == nDocs, "doc conservation")
+        assert(m.map(_.getAs[Long]("n_tokens")).sum == totTokens, "token conservation")
+        assert(m.length == nShards, s"all $nShards shards hit, got ${m.length}")
+        val fills = m.map(_.getAs[Long]("n_tokens"))
+        assert(fills.max <= 2L * (totTokens / nShards),
+          s"shard skew: max ${fills.max} vs mean ${totTokens / nShards}")
+        println(s"[scale] $nBins bins → $nShards shards: " +
+          s"token fill min ${fills.min} max ${fills.max} (mean ${totTokens / nShards})")
+      }
+      // ---- r13 continuous packing at soak scale: 10 micro-batches through
+      // the versioned (bin, fill) store must splice byte-identically into
+      // the one-pass batch fold over the concatenation — the cross-trigger
+      // seam exercised 10 times at delta = nDocs/10 docs each.
+      time(s"streaming whole-doc pack: 10 × ${nDocs / 10}-doc micro-batches == one batch pass") {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-scale-pack").toString
+        val (root, out) = (s"$tmp/state", s"$tmp/packed")
+        graft.streaming.StreamingOps.seedPackState(root)
+        val fn = graft.streaming.StreamingOps.packWholeBatchFn(root, out, 2048L)
+        val per = nDocs / 10
+        (0 until 10).foreach { b =>
+          fn(docs.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per), b.toLong)
+        }
+        val spliced = spark.read
+          .parquet((0 until 10).map(b => s"$out/batch=$b"): _*)
+          .select("doc_id", "n_tokens", "bin_id", "bin_offset")
+        val onePass = TrainingSet.packSequencesWhole(
+          docs.filter(col("doc_id") < per * 10), capTokens = 2048)
+        assert(spliced.exceptAll(onePass).isEmpty && onePass.exceptAll(spliced).isEmpty,
+          "10 spliced micro-batches must equal the one-pass batch fold")
+        val lastState = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root, "v9")), "UTF-8").trim
+        println(s"[scale] streaming pack: 10 batches committed, leaving state ($lastState)")
+      }
+      // ---- r13 data card + budget solver at scale: one corpus aggregate
+      // onto the bounded (lang, length) domain, integer percentiles, then
+      // the O(strata) mixture solve. Planted truth: doc conservation, the
+      // percentile chain p50 ≤ p90 ≤ p99 ≤ max per stratum, token totals
+      // matching an independent aggregate, and budget conservation.
+      time(s"corpus data card over ${nDocs} docs (5 langs) + mixture budget") {
+        import graft.operators.TextAnalysis
+        val langed = docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5L))))
+        val report = TextAnalysis.corpusReport(langed)
+        val r = report.collect()
+        assert(r.map(_.getAs[Long]("n_docs")).sum == nDocs, "doc conservation")
+        r.foreach { row =>
+          val (p50, p90, p99, mx) = (row.getAs[Long]("p50_tokens"),
+            row.getAs[Long]("p90_tokens"), row.getAs[Long]("p99_tokens"),
+            row.getAs[Long]("max_tokens"))
+          assert(p50 <= p90 && p90 <= p99 && p99 <= mx, s"percentile chain: $row")
+        }
+        val independent = langed.select(size(split(lower(trim(col("text"))), "\\s+"))
+          .cast("long").as("n")).agg(sum("n")).collect()(0).getLong(0)
+        assert(r.map(_.getAs[Long]("total_tokens")).sum == independent,
+          "token totals must match an independent aggregate")
+        import spark.implicits._
+        val weights = (0 until 5).map(i => (s"l$i", (i + 1).toLong)).toDF("lang", "weight")
+        val budget = TrainingSet.mixtureBudget(report, weights, budgetTokens = independent * 3)
+          .collect()
+        assert(budget.map(_.getAs[Long]("target_tokens")).sum <= independent * 3,
+          "budget conservation")
+        assert(budget.forall(_.getAs[Long]("epochs") >= 1L), "epochs floor")
+        println(s"[scale] data card: ${r.length} strata, $independent tokens; " +
+          s"budget 3× → epochs ${budget.map(b => b.getString(0) -> b.getAs[Long]("epochs")).toMap}")
+      }
+    } // sectionOn("shard")
+
     if (sectionOn("codec")) {
     // ---- binary cell codec at scale: the LongColumnInterpreter path ----
     // encode value → 8-byte BE cell → decode → bucketed sum, all codegen'd;
