@@ -994,6 +994,32 @@ object SparkEntry {
         weights, budgetTokens = 1000000L)
         .orderBy("lang")
     },
+    // the full report → budget → SELECTION chain (r13): each language keeps
+    // its minimal md5-rank prefix reaching the solver's token target, via
+    // the two-level bucket cut (no per-stratum corpus window)
+    "sample_budget_lang" -> { (s, d) =>
+      import s.implicits._
+      val weights = Seq(("en", 60L), ("fr", 20L), ("de", 10L), ("es", 5L), ("zh", 5L))
+        .toDF("lang", "weight")
+      val targets = graft.operators.TrainingSet.mixtureBudget(
+        graft.operators.TextAnalysis.corpusReport(documents(s, d)),
+        weights, budgetTokens = 6000L)
+      graft.operators.TrainingSet.budgetedSample(documents(s, d), targets)
+        .orderBy("lang", "doc_id")
+    },
+    // epoch materialization (r13): the physical upsampling after the budget
+    // solver — skewed weights force zh to 2 full epochs + a fractional one,
+    // en to 1 + fraction, the rest fraction-only, all from one budget
+    "sample_epochs_lang" -> { (s, d) =>
+      import s.implicits._
+      val weights = Seq(("en", 40L), ("fr", 5L), ("de", 10L), ("es", 5L), ("zh", 40L))
+        .toDF("lang", "weight")
+      val targets = graft.operators.TrainingSet.mixtureBudget(
+        graft.operators.TextAnalysis.corpusReport(documents(s, d)),
+        weights, budgetTokens = 30000L)
+      graft.operators.TrainingSet.materializeEpochs(documents(s, d), targets)
+        .orderBy("lang", "epoch", "doc_id")
+    },
     // deterministic per-language quota sample (50 smallest content hashes per
     // stratum) via a bounded bottom-k aggregate, not a window
     "sample_quota_lang" -> ((s, d) =>
@@ -2167,6 +2193,33 @@ object SparkEntry {
           |    ((1000000 * w.weight) // ws.wsum + a.available_tokens - 1) // a.available_tokens END AS epochs
           |FROM avail a JOIN w ON a.lang = w.lang CROSS JOIN ws
           |ORDER BY a.lang""".stripMargin.replace("\n", " "),
+      // budgeted selection: the oracle replays the DEFINITION (one windowed
+      // running sum in md5-rank order per language) — the engine's
+      // two-level bucket cut must equal it exactly
+      "sample_budget_lang" ->
+        """WITH t AS (SELECT lang, doc_id, md5(text) AS rk, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n FROM documents),
+          |w(lang, weight) AS (VALUES ('en', CAST(60 AS BIGINT)), ('fr', 20), ('de', 10), ('es', 5), ('zh', 5)),
+          |ws AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+          |tg AS (SELECT w.lang, (6000 * w.weight) // ws.wsum AS target FROM w CROSS JOIN ws),
+          |c AS (SELECT lang, doc_id, CAST(n AS BIGINT) AS n_tokens,
+          |  CAST(sum(n) OVER (PARTITION BY lang ORDER BY rk, doc_id) AS BIGINT) AS cum FROM t)
+          |SELECT c.lang, c.doc_id, c.n_tokens FROM c JOIN tg ON c.lang = tg.lang
+          |WHERE c.cum - c.n_tokens < tg.target ORDER BY c.lang, c.doc_id""".stripMargin.replace("\n", " "),
+      // epoch materialization: full epochs via unnest(generate_series), the
+      // fractional last epoch via the same windowed running-sum prefix
+      "sample_epochs_lang" ->
+        """WITH t AS (SELECT lang, doc_id, md5(text) AS rk, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n FROM documents),
+          |w(lang, weight) AS (VALUES ('en', CAST(40 AS BIGINT)), ('fr', 5), ('de', 10), ('es', 5), ('zh', 40)),
+          |ws AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+          |tg AS (SELECT w.lang, (30000 * w.weight) // ws.wsum AS target FROM w CROSS JOIN ws),
+          |a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS avail FROM t GROUP BY 1),
+          |p AS (SELECT tg.lang, tg.target // a.avail AS fe, tg.target % a.avail AS rem FROM tg JOIN a USING (lang)),
+          |c AS (SELECT lang, doc_id, n, CAST(sum(n) OVER (PARTITION BY lang ORDER BY rk, doc_id) AS BIGINT) AS cum FROM t),
+          |fullp AS (SELECT c.lang, c.doc_id, unnest(generate_series(1, p.fe)) AS epoch, c.n FROM c JOIN p USING (lang) WHERE p.fe >= 1),
+          |part AS (SELECT c.lang, c.doc_id, p.fe + 1 AS epoch, c.n FROM c JOIN p USING (lang) WHERE c.cum - c.n < p.rem)
+          |SELECT lang, doc_id, epoch, n AS n_tokens FROM fullp
+          |UNION ALL SELECT lang, doc_id, epoch, n AS n_tokens FROM part
+          |ORDER BY lang, epoch, doc_id""".stripMargin.replace("\n", " "),
       // the BPE-priced whole-doc twin: identical fold, counts from the
       // committed sentinel-pinned table (the engine computes them live via
       // the codegen'd BpeCount under the persisted 40-merge model)

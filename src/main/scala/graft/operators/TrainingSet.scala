@@ -473,6 +473,156 @@ object TrainingSet {
   }
 
   /**
+   * Token-budgeted per-stratum sampling — the SELECTION step after
+   * [[mixtureBudget]]: each stratum keeps the minimal md5-rank-ordered
+   * prefix of its documents whose token sum reaches its `target_tokens`
+   * (the same deterministic rank as [[quotaSample]], cut by token mass
+   * instead of doc count — mixtures are specified in tokens, not docs).
+   * A doc is kept iff the token sum of strictly-smaller-ranked docs is
+   * below the target, so the selection overshoots by at most one doc and
+   * a `target ≥ available` stratum keeps everything. Strata absent from
+   * `targets` are dropped (an inner join — the mixture IS the selection).
+   *
+   * The cut needs a running token sum in rank order, but a per-stratum
+   * window over the corpus would funnel each stratum through one reducer
+   * (few strata = few partitions = skew). Instead, a two-level cut: the
+   * first `bucketChars` hex chars of the rank bucket the corpus onto the
+   * bounded (stratum × 16^bucketChars) domain — one partial/final
+   * aggregate, then bucket-level prefix sums on those tiny rows find each
+   * stratum's CROSSING bucket; only that one bucket's docs (corpus/16^k
+   * of the stratum in expectation) get exact in-bucket rank resolution.
+   * Because the bucket is a PREFIX of the rank, bucket order refines to
+   * rank order and the two-level cut is exactly the global prefix — the
+   * property the window-equivalence spec pins on random corpora.
+   *
+   * Output `(strataCol, idCol, n_tokens)`. All-integer, oracle-exact
+   * (DuckDB replays the definition with one windowed running sum).
+   */
+  def budgetedSample(
+      docs: DataFrame,
+      targets: DataFrame,
+      strataCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bucketChars: Int = 2): DataFrame = {
+    val base = rankedBase(docs, strataCol, idCol, textCol, bucketChars)
+    val tg = targets.select(
+      col(strataCol), col("target_tokens").cast("long").as("target"))
+    rankPrefix(base, tg, strataCol, idCol)
+  }
+
+  /** The ranked-and-bucketed corpus projection shared by [[budgetedSample]]
+   *  and [[materializeEpochs]]: `(strata, id, rk=md5(text), n_tokens, bkt)`
+   *  where `bkt` is the first `bucketChars` hex chars of the rank. */
+  private def rankedBase(docs: DataFrame, strataCol: String, idCol: String,
+      textCol: String, bucketChars: Int): DataFrame = {
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be 1..8 hex chars, got $bucketChars")
+    Parallelism.ensure(docs).select(
+      col(strataCol),
+      col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("rk"),
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      .withColumn("bkt", substring(col("rk"), 1, bucketChars))
+  }
+
+  /** The two-level rank-prefix cut over a [[rankedBase]] frame: rows whose
+   *  strictly-smaller-ranked token sum is below `tg.target` (per stratum).
+   *  Output `(strata, id, n_tokens)`. See [[budgetedSample]] for why this
+   *  equals the per-stratum window form without a per-stratum reducer. */
+  private def rankPrefix(base: DataFrame, tgRaw: DataFrame,
+      strataCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tg = broadcast(tgRaw)
+    // level 1: bucket token sums on the bounded domain, prefix-summed
+    val buckets = base.groupBy(col(strataCol), col("bkt"))
+      .agg(sum("n_tokens").as("btok"))
+      .withColumn("cum",
+        sum("btok").over(Window.partitionBy(strataCol).orderBy("bkt")))
+      .withColumn("cum_before", col("cum") - col("btok"))
+      .join(tg, strataCol)
+    // buckets fully inside the prefix vs the one crossing bucket per stratum
+    val fullB = buckets.filter(col("cum") < col("target"))
+      .select(col(strataCol), col("bkt"))
+    val crossB = buckets
+      .filter(col("cum_before") < col("target") && col("target") <= col("cum"))
+      .select(col(strataCol), col("bkt"),
+        (col("target") - col("cum_before")).as("rem"))
+    // level 2: exact rank resolution INSIDE the crossing bucket only — the
+    // frame is one bucket per stratum, so this window is delta-sized
+    val picked = base.join(broadcast(crossB), Seq(strataCol, "bkt"))
+      .withColumn("cumd",
+        sum("n_tokens").over(Window.partitionBy(strataCol).orderBy("rk", idCol)))
+      .filter(col("cumd") - col("n_tokens") < col("rem"))
+    base.join(broadcast(fullB), Seq(strataCol, "bkt"), "leftsemi")
+      .select(col(strataCol), col(idCol), col("n_tokens"))
+      .unionByName(picked.select(col(strataCol), col(idCol), col("n_tokens")))
+  }
+
+  /**
+   * Epoch MATERIALIZATION — the physical upsampling step after
+   * [[mixtureBudget]]: a stratum whose `target_tokens` exceeds its corpus
+   * is trained for multiple epochs, and this operator emits the actual
+   * repeated rows. Every doc appears once per FULL epoch
+   * (`target div available`, epochs numbered from 1), and the fractional
+   * last epoch (`target mod available` tokens) is the same minimal
+   * md5-rank prefix as [[budgetedSample]] — so epoch `full+1` of a
+   * stratum is bit-identical to `budgetedSample` at the remainder target,
+   * and a `target < available` stratum degenerates to exactly
+   * `budgetedSample` tagged epoch 1. Deterministic, all-integer,
+   * oracle-exact (DuckDB replays it with `unnest(generate_series(...))`
+   * plus one windowed running sum).
+   *
+   * Shape at scale: full epochs are a narrow per-row `explode` of at most
+   * `maxEpochs` ints (no shuffle — repetition multiplies the OUTPUT, never
+   * the exchange); the remainder reuses the two-level cut (one bounded
+   * aggregate + one delta-sized window). `maxEpochs` fails loudly on
+   * pathological upsampling (a tiny stratum under a huge weight would
+   * silently explode the output volume by `target/available`).
+   *
+   * Output `(strataCol, idCol, epoch, n_tokens)`, epoch 1-based long.
+   */
+  def materializeEpochs(
+      docs: DataFrame,
+      targets: DataFrame,
+      strataCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bucketChars: Int = 2,
+      maxEpochs: Long = 100L): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be positive, got $maxEpochs")
+    val base = rankedBase(docs, strataCol, idCol, textCol, bucketChars)
+    val tg = targets.select(
+      col(strataCol), col("target_tokens").cast("long").as("target"))
+    // O(strata) plan: per-stratum availability → full-epoch count + remainder
+    val plan = base.groupBy(col(strataCol))
+      .agg(sum("n_tokens").as("avail"))
+      .join(broadcast(tg), strataCol)
+      .select(col(strataCol),
+        expr("target div avail").as("full_epochs"),
+        pmod(col("target"), col("avail")).as("rem"))
+    val tooMany = plan.filter(col("full_epochs") > maxEpochs)
+      .select(col(strataCol), col("full_epochs")).collect()
+    require(tooMany.isEmpty,
+      s"materializeEpochs: strata exceed maxEpochs=$maxEpochs: " +
+        tooMany.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", "))
+    // full epochs: narrow explode, empty array (→ row dropped) when 0
+    val full = base.join(broadcast(plan), strataCol)
+      .select(col(strataCol), col(idCol),
+        explode(when(col("full_epochs") >= 1,
+          sequence(lit(1L), col("full_epochs"))).otherwise(
+          lit(Array.empty[Long]))).as("epoch"),
+        col("n_tokens"))
+    // fractional last epoch: the remainder-target rank prefix
+    val partial = rankPrefix(base,
+      plan.select(col(strataCol), col("rem").as("target")), strataCol, idCol)
+      .join(broadcast(plan.select(col(strataCol), col("full_epochs"))), strataCol)
+      .select(col(strataCol), col(idCol),
+        (col("full_epochs") + 1L).as("epoch"), col("n_tokens"))
+    full.unionByName(partial)
+  }
+
+  /**
    * BPE-priced packing with the MODEL IDENTITY pinned (VERDICT r10 missing
    * #2): [[packSequences]] driven by the trained tokenizer's real subword
    * counts, with the merge table's fingerprint (a) checked against

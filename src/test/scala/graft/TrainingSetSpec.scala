@@ -624,6 +624,86 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(out.map(_.getLong(3)).sum <= 1000L)
   }
 
+  test("budgetedSample equals the window-form prefix on random corpora") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(200)
+      val rows = (1L to n).map { i =>
+        val k = 1 + rnd.nextInt(12)
+        (i, s"l${rnd.nextInt(3)}", (1 to k).map(j => s"t${rnd.nextInt(40)}").mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "lang", "text").repartition(1 + rnd.nextInt(7))
+      val targets = Seq(("l0", 120L), ("l1", 60L), ("l2", 1L)).toDF("lang", "target_tokens")
+      val got = TrainingSet.budgetedSample(docs, targets, bucketChars = 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // reference: the definition, as one window per stratum
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("rk", "doc_id")
+      val expect = docs.select(col("lang"), col("doc_id"),
+          md5(col("text")).as("rk"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+        .withColumn("cum", sum("n").over(w))
+        .join(targets, "lang")
+        .filter(col("cum") - col("n") < col("target_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expect, s"trial $trial: two-level cut must equal the window form")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("budgetedSample: overshoot ≤ 1 doc, target ≥ avail keeps all, absent stratum drops") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 20) "a" else "b",
+      Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "lang", "text")
+    // a: avail 100, target 23 → minimal prefix = 5 docs (25 tokens, last doc
+    // crosses); b: target 9999 ≥ avail 50 → all 10 docs; "c" has no target
+    val targets = Seq(("a", 23L), ("b", 9999L)).toDF("lang", "target_tokens")
+    val out = TrainingSet.budgetedSample(docs, targets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = out.filter(_._1 == "a")
+    assert(a.length == 5 && a.map(_._3).sum == 25L, s"minimal crossing prefix: $a")
+    assert(out.count(_._1 == "b") == 10)
+    // zero-target stratum: nothing qualifies (cum_before < 0 is impossible)
+    val zt = TrainingSet.budgetedSample(docs,
+      Seq(("a", 0L)).toDF("lang", "target_tokens")).count()
+    assert(zt == 0L)
+  }
+
+  test("materializeEpochs: full epochs + fractional prefix, hand-computed") {
+    // a: 4 docs × 5 tokens = 20 avail, target 52 → 2 full epochs + rem 12
+    //    → partial epoch 3 keeps the 3-doc minimal prefix (15 tokens)
+    // b: 3 docs × 4 tokens = 12 avail, target 9 < avail → epoch 1 only,
+    //    and it must equal budgetedSample at the same target
+    val docs = ((1L to 4L).map(i => (i, "a", Seq.fill(5)("w").mkString(" "))) ++
+      (5L to 7L).map(i => (i, "b", Seq.fill(4)("w").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val targets = Seq(("a", 52L), ("b", 9L)).toDF("lang", "target_tokens")
+    val out = TrainingSet.materializeEpochs(docs, targets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = out.filter(_._1 == "a")
+    assert(a.count(_._3 == 1L) == 4 && a.count(_._3 == 2L) == 4)
+    val a3 = a.filter(_._3 == 3L)
+    assert(a3.length == 3 && a3.map(_._4).sum == 15L, s"fractional epoch: ${a3.toSeq}")
+    val b = out.filter(_._1 == "b")
+    assert(b.forall(_._3 == 1L))
+    val bs = TrainingSet.budgetedSample(docs, Seq(("b", 9L)).toDF("lang", "target_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(b.map(t => (t._1, t._2)).toSet == bs,
+      "target < avail must degenerate to budgetedSample tagged epoch 1")
+    // repetition is by reference rank, not doc id: every epoch ≤ full is the
+    // WHOLE stratum
+    assert(a.filter(_._3 == 2L).map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("materializeEpochs: maxEpochs trips loudly, zero-target emits nothing") {
+    val docs = Seq((1L, "a", "w w")).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException](
+      TrainingSet.materializeEpochs(docs,
+        Seq(("a", 1000L)).toDF("lang", "target_tokens"), maxEpochs = 3L))
+    assert(e.getMessage.contains("maxEpochs") && e.getMessage.contains("a=500"))
+    assert(TrainingSet.materializeEpochs(docs,
+      Seq(("a", 0L)).toDF("lang", "target_tokens")).count() == 0L)
+  }
+
   test("packSequencesWhole: oversized doc fails loudly, naming the doc") {
     val d = Seq((7L, 9L)).toDF("doc_id", "n")
     val e = intercept[org.apache.spark.SparkException](
