@@ -534,13 +534,18 @@ object TrainingSet {
       strataCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tg = broadcast(tgRaw)
-    // level 1: bucket token sums on the bounded domain, prefix-summed
+    // level 1: bucket token sums on the bounded domain, prefix-summed.
+    // localCheckpoint: this (strata × 16^bucketChars)-row frame feeds TWO
+    // consumers (fullB, crossB) — without it each re-runs the corpus-wide
+    // bucket aggregate AND the caller's whole targets subtree (often a
+    // corpusReport, itself corpus-sized)
     val buckets = base.groupBy(col(strataCol), col("bkt"))
       .agg(sum("n_tokens").as("btok"))
       .withColumn("cum",
         sum("btok").over(Window.partitionBy(strataCol).orderBy("bkt")))
       .withColumn("cum_before", col("cum") - col("btok"))
       .join(tg, strataCol)
+      .localCheckpoint()
     // buckets fully inside the prefix vs the one crossing bucket per stratum
     val fullB = buckets.filter(col("cum") < col("target"))
       .select(col(strataCol), col("bkt"))
@@ -594,13 +599,17 @@ object TrainingSet {
     val base = rankedBase(docs, strataCol, idCol, textCol, bucketChars)
     val tg = targets.select(
       col(strataCol), col("target_tokens").cast("long").as("target"))
-    // O(strata) plan: per-stratum availability → full-epoch count + remainder
+    // O(strata) plan: per-stratum availability → full-epoch count +
+    // remainder. localCheckpoint: three consumers (the guard collect, the
+    // full-epoch explode, the remainder cut) each otherwise re-run the
+    // corpus-wide availability aggregate
     val plan = base.groupBy(col(strataCol))
       .agg(sum("n_tokens").as("avail"))
       .join(broadcast(tg), strataCol)
       .select(col(strataCol),
         expr("target div avail").as("full_epochs"),
         pmod(col("target"), col("avail")).as("rem"))
+      .localCheckpoint()
     val tooMany = plan.filter(col("full_epochs") > maxEpochs)
       .select(col(strataCol), col("full_epochs")).collect()
     require(tooMany.isEmpty,

@@ -131,6 +131,46 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shard routing must not shuffle:\n$p")
   }
 
+  test("budgetedSample: bounded cut rides a checkpoint; corpus crosses no agg exchange") {
+    val p = plan("sample_budget_lang")
+    // the level-1 bucket aggregate (and the caller's whole corpusReport →
+    // mixtureBudget targets subtree) is checkpointed once — the OUTPUT plan
+    // re-reads only the tiny bucket frame, never re-aggregates the corpus
+    assert(count(p, "Scan ExistingRDD") == 2, s"checkpointed bucket frame ×2:\n$p")
+    assert(count(p, "FileScan parquet") == 2,
+      s"exactly the two probe passes re-scan the corpus:\n$p")
+    // full-bucket membership is a broadcast semi join — the corpus never
+    // shuffles; the ONE hashpartitioning exchange feeds the delta-sized
+    // in-bucket window (crossing bucket only), partitioned per stratum
+    assert(p.contains("LeftSemi, BuildRight"), s"broadcast semi membership:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"one delta-sized exchange (the crossing-bucket window):\n$p")
+    assert(p.contains("windowspecdefinition(lang"), s"rank window per stratum:\n$p")
+  }
+
+  test("materializeEpochs: repetition is a Generate above the scan — no exchange multiplies") {
+    val p = plan("sample_epochs_lang")
+    // full epochs multiply the OUTPUT via explode; nothing between the
+    // corpus scan and the Generate may shuffle (at 100 TB an exchange here
+    // would move target/available copies of the corpus)
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, s"epoch repetition must be a Generate:\n$p")
+    val genToScan = p.substring(gen, p.indexOf("FileScan parquet", gen))
+    // Parallelism.ensure's RoundRobin rebalance (a no-op once partitions ≥
+    // cores, i.e. always at scale) is the only exchange allowed here — a
+    // KEYED exchange would mean the repetition itself moves data
+    assert(!genToScan.contains("Exchange hashpartitioning") &&
+      !genToScan.contains("Exchange rangepartitioning") &&
+      !genToScan.contains("Exchange SinglePartition"),
+      s"no keyed exchange between Generate and its corpus scan:\n$genToScan")
+    assert(!p.contains("SortMergeJoin"), s"epoch plan joins by broadcast only:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"only the remainder cut's delta window exchanges:\n$p")
+    assert(count(p, "FileScan parquet") == 3,
+      s"three probe passes (explode + semi + crossing bucket):\n$p")
+  }
+
   test("ngram jaccard guards hot shingles (frequency cap drops boilerplate keys)") {
     // Since the capByFrequency rewrite the cap is an eager side job + map-side
     // NOT-IN filter (no join in the final plan when nothing is hot), so the
