@@ -1320,6 +1320,79 @@ object ScaleBench {
       }
     } // sectionOn("shard")
 
+    if (nDocs >= 10000 && sectionOn("budget")) {
+      import graft.operators.TrainingSet
+      import graft.functions.TextFunctions.tokens
+      import spark.implicits._
+      val langed = docs.withColumn("lang",
+        concat(lit("l"), pmod(col("doc_id"), lit(5L))))
+      val avails = langed
+        .groupBy("lang").agg(sum(size(tokens(col("text"))).cast("long")).as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // ---- r13 budgeted selection at scale: each stratum cut to ~30% of
+      // its token mass. Planted truth: the minimal-crossing-prefix property
+      // per stratum (target ≤ selected sum < target + largest selected doc)
+      // and, below, bit-equality with the window form that funnels every
+      // stratum through one reducer — the skew this operator exists to avoid.
+      val targets = avails.toSeq.map { case (l, a) => (l, a * 3L / 10L) }
+        .toDF("lang", "target_tokens")
+      var selected: org.apache.spark.sql.DataFrame = null
+      time(s"budgeted selection over ${nDocs} docs (5 strata, 30% token cut, two-level)") {
+        selected = TrainingSet.budgetedSample(langed, targets).localCheckpoint()
+        val got = selected.groupBy("lang")
+          .agg(sum("n_tokens").as("s"), max("n_tokens").as("mx")).collect()
+        assert(got.length == 5, "every stratum selected")
+        got.foreach { r =>
+          val (l, s, mx) = (r.getString(0), r.getLong(1), r.getLong(2))
+          val t = avails(l) * 3L / 10L
+          assert(t <= s && s < t + mx,
+            s"minimal crossing prefix: $l sum=$s target=$t maxdoc=$mx")
+        }
+      }
+      time("window-form baseline (same cut, one reducer per stratum) + bit-equality") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+        val expect = langed.select(col("lang"), col("doc_id"),
+            md5(col("text")).as("rk"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .join(broadcast(targets), "lang")
+          .filter(col("cum") - col("n_tokens") < col("target_tokens"))
+          .select("lang", "doc_id", "n_tokens")
+        assert(expect.exceptAll(selected).isEmpty && selected.exceptAll(expect).isEmpty,
+          "two-level cut must equal the window form at scale")
+      }
+      // ---- r13 epoch materialization at scale: a 2.5× token upsample →
+      // 2 full epochs + a half-corpus fractional one. Planted truth: exact
+      // token conservation per epoch (full epochs carry the whole stratum;
+      // the fraction obeys the crossing bound), and doc-count conservation.
+      time(s"materializeEpochs 2.5x upsample over ${nDocs} docs (2 full + fractional)") {
+        val up = avails.toSeq.map { case (l, a) => (l, a * 5L / 2L) }
+          .toDF("lang", "target_tokens")
+        val out = TrainingSet.materializeEpochs(langed, up)
+        val byEpoch = out.groupBy("lang", "epoch")
+          .agg(sum("n_tokens").as("s"), count(lit(1)).as("n"),
+            max("n_tokens").as("mx")).collect()
+        val docsPer = langed.groupBy("lang").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(byEpoch.map(_.getAs[Long]("epoch")).max == 3L, "2 full + fractional")
+        byEpoch.foreach { r =>
+          val (l, e, s, n, mx) = (r.getString(0), r.getAs[Long]("epoch"),
+            r.getAs[Long]("s"), r.getAs[Long]("n"), r.getAs[Long]("mx"))
+          if (e <= 2L) {
+            assert(s == avails(l) && n == docsPer(l),
+              s"full epoch carries the whole stratum: $l e$e sum=$s n=$n")
+          } else {
+            val rem = avails(l) * 5L / 2L - 2L * avails(l)
+            assert(rem <= s && s < rem + mx,
+              s"fractional epoch crossing bound: $l sum=$s rem=$rem")
+          }
+        }
+        println(s"[scale] epochs: ${byEpoch.map(_.getAs[Long]("n")).sum} rows " +
+          s"from ${docsPer.values.sum} docs (2.5x)")
+      }
+    } // sectionOn("budget")
+
     if (sectionOn("codec")) {
     // ---- binary cell codec at scale: the LongColumnInterpreter path ----
     // encode value → 8-byte BE cell → decode → bucketed sum, all codegen'd;
