@@ -1007,6 +1007,21 @@ object SparkEntry {
       graft.operators.TrainingSet.budgetedSample(documents(s, d), targets)
         .orderBy("lang", "doc_id")
     },
+    // cross-increment token budget (r13): two crawl rounds against one
+    // ledger — round 1 (10% of the corpus) fits inside every target, so
+    // round 2 is cut at target minus the carried acceptance
+    "sample_budget_increment" -> { (s, d) =>
+      import s.implicits._
+      val targets = Seq(("en", 2500L), ("fr", 900L), ("de", 900L), ("es", 900L), ("zh", 900L))
+        .toDF("lang", "target_tokens")
+      val docs = documents(s, d)
+      val (_, ledger) = graft.operators.TrainingSet.budgetIncrement(
+        docs.filter(col("doc_id") % 10 === 0), targets,
+        graft.operators.TrainingSet.emptyBudgetConsumed(s))
+      graft.operators.TrainingSet.budgetIncrement(
+        docs.filter(col("doc_id") % 10 =!= 0), targets, ledger)._1
+        .orderBy("lang", "doc_id")
+    },
     // epoch materialization (r13): the physical upsampling after the budget
     // solver — skewed weights force zh to 2 full epochs + a fractional one,
     // en to 1 + fraction, the rest fraction-only, all from one budget
@@ -2205,6 +2220,16 @@ object SparkEntry {
           |  CAST(sum(n) OVER (PARTITION BY lang ORDER BY rk, doc_id) AS BIGINT) AS cum FROM t)
           |SELECT c.lang, c.doc_id, c.n_tokens FROM c JOIN tg ON c.lang = tg.lang
           |WHERE c.cum - c.n_tokens < tg.target ORDER BY c.lang, c.doc_id""".stripMargin.replace("\n", " "),
+      // cross-increment budget: round 2's window cut at target minus round
+      // 1's accepted token sum (the quota-increment oracle shape, in tokens)
+      "sample_budget_increment" ->
+        """WITH t AS (SELECT lang, doc_id, md5(text) AS rk, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n FROM documents),
+          |w(lang, target) AS (VALUES ('en', CAST(2500 AS BIGINT)), ('fr', 900), ('de', 900), ('es', 900), ('zh', 900)),
+          |r1 AS (SELECT lang, doc_id, n, CAST(sum(n) OVER (PARTITION BY lang ORDER BY rk, doc_id) AS BIGINT) AS cum FROM t WHERE doc_id % 10 = 0),
+          |c1 AS (SELECT r1.lang, CAST(sum(n) AS BIGINT) AS used FROM r1 JOIN w USING (lang) WHERE cum - n < target GROUP BY 1),
+          |r2 AS (SELECT lang, doc_id, n, CAST(sum(n) OVER (PARTITION BY lang ORDER BY rk, doc_id) AS BIGINT) AS cum FROM t WHERE doc_id % 10 <> 0)
+          |SELECT r2.lang, r2.doc_id, r2.n AS n_tokens FROM r2 JOIN w USING (lang) LEFT JOIN c1 USING (lang)
+          |WHERE r2.cum - r2.n < w.target - coalesce(c1.used, 0) ORDER BY r2.lang, r2.doc_id""".stripMargin.replace("\n", " "),
       // epoch materialization: full epochs via unnest(generate_series), the
       // fractional last epoch via the same windowed running-sum prefix
       "sample_epochs_lang" ->

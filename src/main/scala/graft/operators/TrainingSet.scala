@@ -565,6 +565,57 @@ object TrainingSet {
   }
 
   /**
+   * Cross-increment TOKEN budget — [[budgetedSample]] for a crawl loop
+   * (the token analog of `Corpus.domainQuotaIncrement`'s doc-count quota):
+   * round N's delta is cut to each stratum's REMAINING budget
+   * (`target_tokens` minus the tokens accepted by earlier rounds, carried
+   * in `consumed`), by the same md5-rank prefix rule — a delta doc is kept
+   * iff `consumed + (token sum of its smaller-ranked round-mates) <
+   * target`. A stratum at or over budget accepts nothing; per round the
+   * overshoot is at most one doc. Returns `(selected, newConsumed)`:
+   * `selected` is `(strata, id, n_tokens)` and `newConsumed` the updated
+   * `(strata, n_tokens_accepted)` ledger (prior + this round's acceptance,
+   * a recount union exactly like the quota counts table — O(strata) rows).
+   *
+   * Scale shape: the cut is [[budgetedSample]]'s two-level machinery on
+   * the DELTA only (bounded bucket aggregate + one crossing bucket); the
+   * ledger join touches one row per stratum per side. Nothing scales with
+   * the accumulated corpus — the loop's cost is flat across rounds.
+   */
+  def budgetIncrement(
+      delta: DataFrame,
+      targets: DataFrame,
+      consumed: DataFrame,
+      strataCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bucketChars: Int = 2): (DataFrame, DataFrame) = {
+    val base = rankedBase(delta, strataCol, idCol, textCol, bucketChars)
+    val remaining = targets
+      .select(col(strataCol), col("target_tokens").cast("long").as("__t"))
+      .join(consumed.select(col(strataCol),
+        col("n_tokens_accepted").cast("long").as("__c")), Seq(strataCol), "left")
+      .select(col(strataCol),
+        (col("__t") - coalesce(col("__c"), lit(0L))).as("target"))
+    val selected = rankPrefix(base, remaining, strataCol, idCol)
+    val newConsumed = consumed
+      .select(col(strataCol), col("n_tokens_accepted").cast("long").as("n_tokens_accepted"))
+      .unionByName(selected.groupBy(col(strataCol))
+        .agg(sum("n_tokens").as("n_tokens_accepted")))
+      .groupBy(col(strataCol)).agg(sum("n_tokens_accepted").as("n_tokens_accepted"))
+    (selected, newConsumed)
+  }
+
+  /** An empty per-stratum accepted-tokens ledger (round zero's prior). */
+  def emptyBudgetConsumed(spark: org.apache.spark.sql.SparkSession,
+      strataCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(strataCol, StringType),
+        StructField("n_tokens_accepted", LongType))))
+  }
+
+  /**
    * Epoch MATERIALIZATION — the physical upsampling step after
    * [[mixtureBudget]]: a stratum whose `target_tokens` exceeds its corpus
    * is trained for multiple epochs, and this operator emits the actual

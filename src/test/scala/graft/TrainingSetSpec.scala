@@ -668,6 +668,58 @@ class TrainingSetSpec extends AnyFunSuite {
     assert(zt == 0L)
   }
 
+  test("budgetIncrement: two rounds equal the sequential window replay; ledger exact") {
+    val rnd = new scala.util.Random(1313)
+    val rows = (1L to 300L).map { i =>
+      val k = 1 + rnd.nextInt(9)
+      (i, s"l${rnd.nextInt(3)}", (1 to k).map(_ => s"t${rnd.nextInt(30)}").mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "lang", "text").repartition(5)
+    val targets = Seq(("l0", 150L), ("l1", 90L), ("l2", 40L)).toDF("lang", "target_tokens")
+    val (d1, d2) = (docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0))
+    val (s1, c1) = TrainingSet.budgetIncrement(d1, targets,
+      TrainingSet.emptyBudgetConsumed(spark))
+    val (s2, c2) = TrainingSet.budgetIncrement(d2, targets, c1)
+    // reference: the definition — per-round md5-rank running sums, round 2
+    // cut at target minus round 1's acceptance
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    def ranked(d: org.apache.spark.sql.DataFrame) = d.select(col("lang"), col("doc_id"),
+        md5(col("text")).as("rk"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .withColumn("cum", sum("n").over(w))
+    val e1 = ranked(d1).join(targets, "lang")
+      .filter(col("cum") - col("n") < col("target_tokens"))
+    val used = e1.groupBy("lang").agg(sum("n").as("used"))
+    val e2 = ranked(d2).join(targets, "lang").join(used, Seq("lang"), "left")
+      .filter(col("cum") - col("n") < col("target_tokens") - coalesce(col("used"), lit(0L)))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ids(s1) == ids(e1) && ids(s2) == ids(e2),
+      "each round must equal its window-form cut at the remaining budget")
+    // the ledger is the exact acceptance sum, both rounds
+    val led = c2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val sums = (s1.unionByName(s2)).groupBy("lang").agg(sum("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(led == sums, s"ledger $led vs acceptance $sums")
+  }
+
+  test("budgetIncrement: exhausted stratum accepts nothing; overshoot bounded per round") {
+    val docs = (1L to 20L).map(i => (i, "a", Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val targets = Seq(("a", 25L)).toDF("lang", "target_tokens")
+    val (s1, c1) = TrainingSet.budgetIncrement(
+      docs.filter($"doc_id" <= 10), targets, TrainingSet.emptyBudgetConsumed(spark))
+    // 10-token docs vs target 25: minimal crossing prefix = 3 docs (30 tokens)
+    assert(s1.count() == 3L)
+    assert(c1.collect().head.getLong(1) == 30L)
+    // consumed 30 ≥ 25: round 2 must accept zero and leave the ledger alone
+    val (s2, c2) = TrainingSet.budgetIncrement(
+      docs.filter($"doc_id" > 10), targets, c1)
+    assert(s2.count() == 0L)
+    assert(c2.collect().head.getLong(1) == 30L)
+  }
+
   test("materializeEpochs: full epochs + fractional prefix, hand-computed") {
     // a: 4 docs × 5 tokens = 20 avail, target 52 → 2 full epochs + rem 12
     //    → partial epoch 3 keeps the 3-doc minimal prefix (15 tokens)
