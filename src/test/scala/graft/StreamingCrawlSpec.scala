@@ -122,6 +122,51 @@ class StreamingCrawlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("token budget rides the loop: ledger carries, stratum lockout, untargeted strata rejected") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-budget").toString
+    val (root, out, ckpt) = (s"$tmp/index", s"$tmp/accepted", s"$tmp/ckpt")
+
+    def txt(tag: String) = (0 until 18).map(i => s"$tag$i").mkString(" ")
+    val base = Seq((1L, txt("baseword"))).toDF("doc_id", "text")
+    StreamingOps.seedCrawlIndex(graft.operators.Dedup.buildIndex(base), root)
+    val targets = Seq(("a", 30L), ("b", 25L)).toDF("lang", "target_tokens")
+
+    def ledger(v: String) = spark.read.parquet(s"$root/$v/budget_ledger")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def ids(b: Int) = spark.read.parquet(s"$out/batch=$b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.crawlIncrementStream(
+      ms.toDF().toDF("doc_id", "text", "lang"), root, base, out, ckpt,
+      tokenBudget = Some(targets))
+    try {
+      // batch 0: two 18-token 'a' docs (36 ≥ target 30 — the second is the
+      // ≤-1-doc overshoot), one 'b' doc, one untargeted 'c' doc
+      ms.addData((10L, txt("alpha"), "a"), (11L, txt("beta"), "a"),
+        (12L, txt("gamma"), "b"), (13L, txt("delta"), "c"))
+      q.processAllAvailable()
+      assert(ids(0) == Set(10L, 11L, 12L),
+        s"a fills with overshoot ≤ 1 doc, b accepts, untargeted c rejected: ${ids(0)}")
+      assert(ledger("v0") == Map("a" -> 36L, "b" -> 18L), ledger("v0").toString)
+
+      // batch 1: 'a' is LOCKED OUT across batches (36 ≥ 30); 'b' accepts
+      // its crossing doc (consumed 18 < 25)
+      ms.addData((14L, txt("eps"), "a"), (15L, txt("zeta"), "b"))
+      q.processAllAvailable()
+      assert(ids(1) == Set(15L), s"a exhausted, b crossing doc accepted: ${ids(1)}")
+      assert(ledger("v1") == Map("a" -> 36L, "b" -> 36L), ledger("v1").toString)
+
+      // batch 2: both strata over budget — the campaign accepts nothing
+      ms.addData((16L, txt("eta"), "b"))
+      q.processAllAvailable()
+      assert(ids(2).isEmpty, s"b exhausted too: ${ids(2)}")
+      assert(ledger("v2") == Map("a" -> 36L, "b" -> 36L))
+    } finally q.stop()
+  }
+
   test("eTLD+1 default quota key: a subdomain link farm is cut that host keys would pass") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
