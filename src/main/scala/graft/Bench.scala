@@ -273,13 +273,14 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r13: 9 queries new this round, ALL full-oracle: " +
+    val notes = "r13: 10 queries new this round, ALL full-oracle: " +
       "pipeline_training_set_v2_whole (the modern flagship's whole-doc twin - " +
       "stages 1-6 identical, then the no-straddle fill-transition fold replayed as " +
       "a linear recursive CTE sharing the stage 1-6 CTE prefix); the token-budget " +
       "chain corpus_report -> mixture_budget -> sample_budget_lang (two-level " +
       "md5-rank bucket cut, no per-stratum corpus window) -> sample_epochs_lang " +
-      "(full epochs as a narrow explode + the fractional epoch via the same cut); " +
+      "(full epochs as a narrow explode + the fractional epoch via the same cut) " +
+      "-> sample_budget_increment (the cross-round ledger, two rounds replayed); " +
       "the packed-layout surface pack_whole_stats + shard_assign + shard_manifest " +
       "(zero-exchange seeded mix, O(shards) rollup); and dedup_cluster_histogram " +
       "(the dedup audit view). " +
@@ -297,8 +298,8 @@ object Bench {
       "rankings / PQ codes + per-query ADC LUTs as fixtures; candidate joins, the " +
       "m-ordered ADC sum, top-256 shortlist and the exact double cosine re-rank all " +
       "replayed bit-exact - DuckDB's list_sum folds left-to-right like " +
-      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 110 (the two order-dependent " +
-      "sketches, both artifact-gated). Plan changes: none to carried queries - " +
+      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 111 (the two order-dependent " +
+      "sketches, both artifact-gated; 109 of 111 full-oracle). Plan changes: none to carried queries - " +
       "packSequencesWhole's pass-1 summary skips zero-count docs (bound fix, " +
       "identical output), the forced-sketch gate emits an explicit error marker + " +
       "failed query on computation error, the crawl loop resolves+forwards the " +
