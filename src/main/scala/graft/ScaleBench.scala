@@ -1391,6 +1391,52 @@ object ScaleBench {
         println(s"[scale] epochs: ${byEpoch.map(_.getAs[Long]("n")).sum} rows " +
           s"from ${docsPer.values.sum} docs (2.5x)")
       }
+      // ---- r13 budget-increment soak: 5 crawl-style rounds of nDocs/5
+      // deltas against one ledger, targets = 60% of the corpus per stratum.
+      // Planted truth: the ledger equals the cumulative acceptance exactly
+      // after every round; once a stratum fills, later rounds accept zero
+      // from it; per-round cost carries no round index (each round's cut is
+      // delta-sized — the O(strata) ledger is the only carried state).
+      time(s"budget-increment soak: 5 x ${nDocs / 5}-doc rounds against one ledger") {
+        val tg60 = avails.toSeq.map { case (l, a) => (l, a * 6L / 10L) }
+          .toDF("lang", "target_tokens")
+        var ledger = TrainingSet.emptyBudgetConsumed(spark)
+        val per = nDocs / 5
+        var accepted = 0L
+        val roundSecs = (0 until 5).map { r =>
+          val delta = langed.filter(
+            col("doc_id") >= r * per && col("doc_id") < (r + 1) * per)
+          val t0 = System.nanoTime()
+          val (sel, led2) = TrainingSet.budgetIncrement(delta, tg60, ledger)
+          val selSums = sel.groupBy("lang").agg(sum("n_tokens").as("s"))
+            .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+          val ledBefore = ledger.collect()
+            .map(x => x.getString(0) -> x.getLong(1)).toMap
+          ledger = led2.localCheckpoint()
+          val ledAfter = ledger.collect()
+            .map(x => x.getString(0) -> x.getLong(1)).toMap
+          val allLangs = ledAfter.keySet ++ ledBefore.keySet ++ selSums.keySet
+          allLangs.foreach { l =>
+            assert(ledAfter.getOrElse(l, 0L) ==
+              ledBefore.getOrElse(l, 0L) + selSums.getOrElse(l, 0L),
+              s"round $r ledger conservation at $l")
+            // a stratum already at/over target accepts nothing this round
+            if (ledBefore.getOrElse(l, 0L) >= avails(l) * 6L / 10L)
+              assert(selSums.getOrElse(l, 0L) == 0L, s"round $r lockout at $l")
+          }
+          accepted += sel.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // every stratum ends AT its budget (crossing bound): 60% of a
+        // uniform corpus fills within the first 3+ε rounds
+        ledger.collect().foreach { x =>
+          val (l, c) = (x.getString(0), x.getLong(1))
+          val t = avails(l) * 6L / 10L
+          assert(t <= c && c < t + 31L, s"final ledger crossing bound at $l: $c vs $t")
+        }
+        println(f"[scale] budget soak: $accepted docs accepted, per-round " +
+          roundSecs.map(t => f"$t%.2f").mkString(" / ") + " s")
+      }
     } // sectionOn("budget")
 
     if (sectionOn("codec")) {
