@@ -273,7 +273,16 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r13: 10 queries new this round, ALL full-oracle: " +
+    val notes = "r13: 13 queries new this round, ALL full-oracle: " +
+      "chunk_sliding (per-doc sliding-window chunking, the RAG/eval layout - " +
+      "narrow explode, zero exchanges, clamping slice in both engines); " +
+      "quality_train_lr + quality_filter_lr (the CCNet-shape trained quality " +
+      "classifier: 16-iteration full-batch GD logistic regression distilling the " +
+      "hand-tuned quality gate - rational sigmoid so every op is IEEE " +
+      "correctly-rounded with no libm exp, 1e-9-integer-quantized gradient sums so " +
+      "partitioning cannot leak into the trajectory; the DOUBLE weights and scores " +
+      "are bit-equal to the DuckDB chained-CTE replay, ~83% train accuracy vs the " +
+      "50% base rate, learning pinned on a planted concept in QualityModelSpec); " +
       "pipeline_training_set_v2_whole (the modern flagship's whole-doc twin - " +
       "stages 1-6 identical, then the no-straddle fill-transition fold replayed as " +
       "a linear recursive CTE sharing the stage 1-6 CTE prefix); the token-budget " +

@@ -1439,6 +1439,76 @@ object ScaleBench {
       }
     } // sectionOn("budget")
 
+    if (nDocs >= 10000 && sectionOn("quality")) {
+      // ---- sliding-window chunking at corpus scale (r13) ----
+      // every synthetic doc is exactly 30 tokens, so the window layout is
+      // provable corpus-wide: starts 1,5,…,25 (7 windows at chunk 8 /
+      // stride 4), the last covers tokens 25..30, total chunk tokens
+      // 6×8+6 = 54 per doc. The assertions check the whole output against
+      // that closed form — and the op must stay a narrow explode (its only
+      // shuffle here is the verification aggregate's O(partitions) partials)
+      time(s"chunkSliding ${nDocs} docs into 8-token windows, stride 4") {
+        import graft.operators.TrainingSet
+        val ch = TrainingSet.chunkSliding(docs, chunkTokens = 8, stride = 4)
+        val agg = ch.agg(
+          count(lit(1)), sum(col("n_chunk_tokens")),
+          max(col("start_tok") + col("n_chunk_tokens") - 1L),
+          min(col("start_tok") + col("n_chunk_tokens") - 1L)).head()
+        assert(agg.getLong(0) == nDocs * 7, s"window count ${agg.getLong(0)}")
+        assert(agg.getLong(1) == nDocs * 54L, s"token mass ${agg.getLong(1)}")
+        val lastEnd = ch.groupBy("doc_id")
+          .agg(max(col("start_tok") + col("n_chunk_tokens") - 1L).as("e"))
+          .agg(min("e"), max("e")).head()
+        assert(lastEnd.getLong(0) == 30L && lastEnd.getLong(1) == 30L,
+          s"some doc's windows do not reach its end: $lastEnd")
+        println(s"[scale] chunking: ${agg.getLong(0)} windows, ${agg.getLong(1)} chunk tokens")
+      }
+      // ---- trained quality classifier at scale (r13) ----
+      // a PLANTED linear concept (y = 2·x1 − x2 > 0.5, margin ≥ 0.1 by
+      // grid construction) over 200k deterministic feature rows: GD must
+      // recover it (accuracy + signs), and — the design claim behind the
+      // integer-quantized gradients — the trained weights must be
+      // BIT-IDENTICAL when the same rows arrive in a different
+      // partitioning. Each iteration is one scan producing O(features)
+      // longs; the printed wall-clock is 2 × 64 of those (the rational
+      // sigmoid's bounded gradient converges slower than libm-exp logistic
+      // — the price of bit-reproducibility, paid in cheap iterations).
+      time("quality LR: 64 GD iterations over 200k planted feature rows, twice") {
+        import graft.operators.QualityModel
+        val n = 200000L
+        val feats = spark.range(n)
+          .withColumn("x_1", pmod(col("id"), lit(1000L)).cast("double") / 500.0)
+          .withColumn("x_2", pmod(col("id") / 1000L, lit(1000L)).cast("double") / 250.0)
+          .withColumn("m", lit(2.0) * col("x_1") - col("x_2") - lit(0.5))
+          .filter(abs(col("m")) > 0.1)
+          .select(col("id").as("doc_id"),
+            when(col("m") > 0, 1.0).otherwise(0.0).as("y"),
+            lit(1.0).as("x_b"), col("x_1"), col("x_2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cols = Seq("x_b", "x_1", "x_2")
+          val w = QualityModel.trainLr(feats, xCols = cols, iters = 64, lr = 4.0)
+          assert(w(1) > 0 && w(2) < 0, s"planted signs not recovered: ${w.toSeq}")
+          val acc = QualityModel.scoreLr(feats, w, cols)
+            .join(feats.select("doc_id", "y"), "doc_id")
+            .agg(avg(when((col("score") >= 0.5) === (col("y") === 1.0), 1.0)
+              .otherwise(0.0))).head().getDouble(0)
+          assert(acc >= 0.95, s"planted-concept accuracy $acc at $n rows")
+          // the invariance twin gets its own cache: an unpersisted
+          // repartition would re-shuffle the corpus once per iteration
+          val featsR = feats.repartition(67, col("doc_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val w67 =
+            try QualityModel.trainLr(featsR, xCols = cols, iters = 64, lr = 4.0)
+            finally featsR.unpersist(blocking = false): Unit
+          assert(w.toSeq == w67.toSeq,
+            s"partitioning leaked into the gradient at scale: ${w.toSeq} vs ${w67.toSeq}")
+          println(f"[scale] quality LR: accuracy $acc%.4f, weights ${w.toSeq}, " +
+            "bit-identical across partitionings")
+        } finally feats.unpersist(blocking = false): Unit
+      }
+    } // sectionOn("quality")
+
     if (sectionOn("codec")) {
     // ---- binary cell codec at scale: the LongColumnInterpreter path ----
     // encode value → 8-byte BE cell → decode → bucketed sum, all codegen'd;

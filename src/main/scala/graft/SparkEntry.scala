@@ -47,6 +47,19 @@ object SparkEntry {
       maxExactPairs = 0L)
   private def documents(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.documents(s, dir)
+  /** Shared by both quality-classifier queries: featurize + heuristic-gate
+    * label, cached for the 16 one-row gradient aggregates, train. */
+  private def trainQualityLr(s: SparkSession, dir: String): Array[Double] = {
+    import graft.operators.QualityModel
+    val docs = documents(s, dir)
+    val feats = QualityModel.featurize(docs)
+      .join(QualityModel.heuristicLabel(docs), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try QualityModel.trainLr(feats, iters = QualityLrIters, lr = QualityLrRate)
+    finally feats.unpersist(blocking = false): Unit
+  }
+  private val QualityLrIters = 16
+  private val QualityLrRate = 4.0
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.embeddings(s, dir)
 
@@ -723,6 +736,27 @@ object SparkEntry {
     // training, not the serving path a crawl pipeline runs)
     "filter_lm_score" -> ((s, d) =>
       Corpus.lmScoreModel(documents(s, d), Fixtures.lmModel(s, d))),
+    // trained quality classifier (the CCNet/GPT-3 linear-gate shape):
+    // full-batch GD logistic regression distilling the hand-tuned quality
+    // gate (quality_score >= 0.8, a 50/50 split here) into a linear model
+    // over cheap surface features. Exact cross-engine: rational sigmoid
+    // (every op IEEE correctly-rounded — no libm exp) + 1e-9-integer-
+    // quantized gradient sums, so the 16-iteration weight trajectory is
+    // bit-equal to the DuckDB chained-CTE replay. Reaches ~83% train
+    // accuracy vs the 50% base rate (QualityModelSpec pins the learning
+    // claim on a planted concept; this query pins engine parity)
+    "quality_train_lr" -> { (s, d) =>
+      val w = trainQualityLr(s, d)
+      graft.operators.QualityModel.weightsDf(s, w).orderBy("feature")
+    },
+    // the trained gate applied corpus-wide: score + keep per doc, weights
+    // riding the plan as literals (zero exchanges in the scoring pass)
+    "quality_filter_lr" -> { (s, d) =>
+      val w = trainQualityLr(s, d)
+      graft.operators.QualityModel.scoreLr(
+        graft.operators.QualityModel.featurize(documents(s, d)), w)
+        .orderBy("doc_id")
+    },
     // DSIR (Xie et al., NeurIPS 2023) importance weights: log₂-likelihood
     // ratio of each doc under the persisted TARGET (lang='en') vs RAW
     // (whole-table) models — one token explode, four hard-capped broadcast
@@ -952,6 +986,14 @@ object SparkEntry {
         Fixtures.bpeModel(s, d), capTokens = 512, wholeDoc = true)
         .orderBy("doc_id")
     },
+    // per-document sliding-window chunking (chunk = 32 tokens, stride = 16):
+    // the RAG/eval-ingestion layout — overlapping windows, every token
+    // covered, generation stops at the first window reaching the doc end.
+    // Pure narrow explode: zero exchanges at any corpus size
+    "chunk_sliding" -> ((s, d) =>
+      graft.operators.TrainingSet.chunkSliding(documents(s, d),
+        chunkTokens = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")),
     // the bin-utilization report over the whole-doc layout (r13): n_bins /
     // fills / wasted tokens in one row — the number that prices the
     // no-straddle trade at a given cap. One oracle replays fold → per-bin
@@ -2079,6 +2121,21 @@ object SparkEntry {
           |  (start_offset + n_tokens - 1) // 512 AS bin_end,
           |  (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_bins
           |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // per-doc sliding-window chunking: window count by exact integer
+      // arithmetic (ceil((n-chunk)/stride)+1 once past the chunk size),
+      // 1-based starts every `stride`, DuckDB's clamping list slice =
+      // Spark's clamping `slice`
+      "chunk_sliding" ->
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+          |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+          |c AS (SELECT doc_id, toks,
+          |  CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 16 - 1) // 16 + 1 END AS n_starts FROM s),
+          |x AS (SELECT doc_id, unnest(list_transform(range(0, n_starts),
+          |  i -> struct_pack(ci := i, st := i*16 + 1, ch := list_slice(toks, i*16 + 1, i*16 + 32)))) AS u FROM c)
+          |SELECT doc_id, (u).ci AS chunk_idx, (u).st AS start_tok,
+          |  CAST(len((u).ch) AS BIGINT) AS n_chunk_tokens,
+          |  array_to_string((u).ch, ' ') AS chunk_text
+          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
       // the BPE-priced chunk twin, now under a FULL oracle (r13): the same
       // window cumsum with counts from the committed sentinel table — the
       // greedy merge loop stays the fixture, the packing arithmetic is
@@ -2428,6 +2485,28 @@ object SparkEntry {
           |  (lm_bits*tot_tok*1 <= n_tokens*tot_bits*1) AS keep
           |FROM pd CROSS JOIN ct ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+      // trained quality classifier: the FULL 16-iteration GD trajectory
+      // replayed as chained CTEs — rational sigmoid (no libm exp; every op
+      // IEEE correctly-rounded) + integer-quantized gradient sums make the
+      // DOUBLE weights bit-equal across engines, no rounding in the
+      // compared surface
+      "quality_train_lr" ->
+        (s"WITH $qualityLrOracleCtes " +
+          s"SELECT feature, weight FROM (" +
+          s"SELECT 'x_intercept' AS feature, w0 AS weight FROM wi$QualityLrIters " +
+          s"UNION ALL SELECT 'x_tokens_c', w1 FROM wi$QualityLrIters " +
+          s"UNION ALL SELECT 'x_stopword_r', w2 FROM wi$QualityLrIters " +
+          s"UNION ALL SELECT 'x_punct_r', w3 FROM wi$QualityLrIters " +
+          s"UNION ALL SELECT 'x_charlen', w4 FROM wi$QualityLrIters) " +
+          "ORDER BY feature"),
+      // the trained gate applied: same chain, then one scoring pass with
+      // the final weights — score and keep both bit-determined
+      "quality_filter_lr" ->
+        (s"WITH $qualityLrOracleCtes, " +
+          s"sc AS (SELECT fe.doc_id, 0.5 + $qualityLrZ/(2.0*(1.0+abs($qualityLrZ))) AS score " +
+          s"FROM fe CROSS JOIN wi$QualityLrIters) " +
+          "SELECT doc_id, score, score >= 0.5 AS keep FROM sc ORDER BY doc_id"),
+
       // DSIR weights: both models + both ladders replayed relationally —
       // the target/raw CTE chains are the same machinery as
       // filter_lm_score's, name-spaced t_/r_
@@ -2660,6 +2739,59 @@ object SparkEntry {
     * corpus, uncapped unigram counts `uni0`, UNCAPPED total `T`, the two
     * deterministic top-2²⁰ cut tables `uni`/`big` (count desc, key asc —
     * [[graft.operators.Corpus.trainLmModel]]'s exact cut). */
+  /** z = w·x in [[graft.operators.QualityModel]]'s fixed left-fold order —
+    * the evaluation-order contract both engines share. */
+  private val qualityLrZ = "((((w0*x0 + w1*x1) + w2*x2) + w3*x3) + w4*x4)"
+
+  /**
+   * The quality-LR oracle's CTE chain: exact integer surface metrics →
+   * features + heuristic-gate label (y = quality_score ≥ 0.8), then
+   * [[QualityLrIters]] chained (rational-sigmoid → 1e-9-integer-quantized
+   * gradient sum → weight update) CTE triples replaying
+   * [[graft.operators.QualityModel.trainLr]]'s arithmetic op-for-op —
+   * every operation IEEE correctly-rounded in both engines, so the weight
+   * trajectory is bit-identical. Ends at `wi<iters>`(w0..w4); `fe` stays
+   * in scope for the scoring oracle.
+   */
+  private def qualityLrOracleCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN (${sqlList(graft.functions.TextFunctions.StopEn)}))) AS BIGINT) AS n_stop
+        | FROM documents),
+        |fe AS MATERIALIZED (SELECT doc_id,
+        |  CASE WHEN least(1.0, greatest(0.0,
+        |      0.4*least(1.0, CAST(n_tokens AS DOUBLE)/50.0)
+        |      + 0.3*(1.0 - least(1.0, n_punct/greatest(CAST(n_tokens AS DOUBLE), 1.0)))
+        |      + 0.3*least(1.0, n_stop*8.0/greatest(CAST(n_tokens AS DOUBLE), 1.0)))) >= 0.8
+        |    THEN 1.0 ELSE 0.0 END AS y,
+        |  1.0 AS x0,
+        |  CAST(n_tokens AS DOUBLE)/100.0 AS x1,
+        |  CAST(n_stop AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0)*10.0 AS x2,
+        |  CAST(n_punct AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0) AS x3,
+        |  CAST(n_chars AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0)/10.0 AS x4
+        | FROM m),
+        |wi0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""".stripMargin)
+    for (t <- 1 to QualityLrIters) {
+      val grads = (0 to 4)
+        .map(j => s"sum(CAST(round((p - y) * x$j * 1e9) AS BIGINT)) AS g$j")
+        .mkString(", ")
+      val updates = (0 to 4)
+        .map(j => s"w$j - $QualityLrRate*((CAST(g$j AS DOUBLE)/1e9)/CAST(n AS DOUBLE)) AS w$j")
+        .mkString(", ")
+      sb.append(
+        s""",
+          |pi$t AS (SELECT y, x0, x1, x2, x3, x4,
+          |  0.5 + $qualityLrZ/(2.0*(1.0+abs($qualityLrZ))) AS p FROM fe CROSS JOIN wi${t - 1}),
+          |gi$t AS (SELECT $grads, count(*) AS n FROM pi$t),
+          |wi$t AS MATERIALIZED (SELECT $updates FROM gi$t CROSS JOIN wi${t - 1})""".stripMargin)
+    }
+    sb.toString.replace("\n", " ")
+  }
+
   private def lmModelOracleCtes: String =
     lmModelCtesFor("", "substr(md5(text),1,4) < 'f000'", "T")
 

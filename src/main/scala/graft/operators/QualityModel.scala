@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Trained quality classifier — the CCNet/GPT-3-style linear gate: logistic
+ * regression over cheap per-document surface features, trained by
+ * full-batch gradient descent against a labeled seed set, then applied as
+ * a free map-side filter in front of expensive pipeline stages. (CCNet
+ * trains fastText against Wikipedia seeds; GPT-3's quality classifier is
+ * the same shape — a linear model over surface features deciding what the
+ * crawl keeps. The reference engine has no learned operators at all; this
+ * is part of the training-data surface layered beyond it.)
+ *
+ * Everything here is EXACT and engine-reproducible, which for a trained
+ * model takes two deliberate choices:
+ *
+ *  1. The link function is the rational ("fast") sigmoid
+ *     `p = 0.5 + z / (2·(1+|z|))` — not `1/(1+e^-z)`. Every operation in
+ *     it (multiply, divide, add, abs) is IEEE-754 correctly-rounded and
+ *     therefore BIT-IDENTICAL across engines, while `exp` is
+ *     library-defined and differs in final ulps between a JVM and C libm.
+ *     Same monotone S-shape, same gradient sign — a proper GLM link.
+ *  2. Per-document gradient contributions are quantized to a fixed 1e-9
+ *     grid and summed as INTEGERS, so the batch gradient is independent of
+ *     partitioning and row order (float sums are not associative; integer
+ *     sums are). The weight update then runs in doubles on O(features)
+ *     values in a fixed evaluation order.
+ *
+ * Together: the trained weights (and every downstream score) are
+ * bit-equal between this implementation and a DuckDB replay of the same
+ * iteration chain — the `quality_train_lr` / `quality_filter_lr` oracle.
+ *
+ * Scale shape: [[featurize]] is one narrow projection of the corpus
+ * (column pruning reaches the scan). Training caches that numeric frame —
+ * a few doubles per doc, not the text — and each GD iteration is ONE
+ * partial/final aggregate producing `features+1` longs; the driver holds
+ * only the weight vector. Iterations never shuffle rows. At 100 TB you
+ * point `iters × one-scan` at the cached features (or a sample — the
+ * estimator is the mean gradient, so a uniform sample trains the same
+ * model to sampling error), and scoring is a plan-constant dot product:
+ * weights ride into the expression as literals, zero exchanges.
+ */
+object QualityModel {
+
+  /** Feature names, in training order. Fixed order matters: the dot
+    * product folds left in exactly this sequence in both engines. */
+  val FeatureCols: Seq[String] =
+    Seq("x_intercept", "x_tokens_c", "x_stopword_r", "x_punct_r", "x_charlen")
+
+  /**
+   * Cheap per-document surface features, scaled to O(1) ranges so one
+   * global learning rate fits: intercept, tokens/100, 10× the stopword
+   * ratio, the punctuation ratio, and mean word length /10. All exact
+   * integer counts ([[TextAnalysis.qualityMetrics]]'s columns) pushed
+   * through correctly-rounded double divisions — engine-reproducible.
+   */
+  def featurize(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val safeTok = greatest(nTok, lit(1.0))
+    docs.select(
+      col(idCol),
+      lit(1.0).as("x_intercept"),
+      (nTok / lit(100.0)).as("x_tokens_c"),
+      (stopwordCount(toks, StopEn).cast("double") / safeTok * lit(10.0)).as("x_stopword_r"),
+      (length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / safeTok).as("x_punct_r"),
+      (length(t).cast("double") / safeTok / lit(10.0)).as("x_charlen"))
+  }
+
+  /** The heuristic gate label [[TextAnalysis.qualityScore]] ≥ `tau` as
+    * 1.0/0.0 — the seed signal the registered queries distill (training a
+    * linear model to reproduce a hand-tuned gate from raw features is the
+    * compress-the-heuristic direction; a production pipeline supplies its
+    * curated seed corpus as `labels` instead). */
+  def heuristicLabel(docs: DataFrame, tau: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol),
+        when(col("quality_score") >= tau, 1.0).otherwise(0.0).as("y"))
+
+  /** z = w·x folded LEFT in FeatureCols order — the evaluation-order
+    * contract shared with the oracle SQL. */
+  private def dot(w: Array[Double], xCols: Seq[String]): Column =
+    xCols.zip(w).map { case (c, wj) => lit(wj) * col(c) }
+      .reduceLeft(_ + _)
+
+  /** The rational sigmoid 0.5 + z/(2·(1+|z|)) — see the class doc. */
+  private def fastSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /**
+   * Full-batch gradient descent: `iters` rounds of
+   * `w ← w − lr · mean((p − y)·x)` with the mean gradient accumulated as
+   * 1e-9-quantized integers. `feats` must contain `labelCol` and every
+   * `xCols` column; it is the caller's job to cache it if the text
+   * projection is expensive (the registered queries do). Returns the
+   * weight vector in `xCols` order.
+   *
+   * The per-iteration collect is ONE row of `features+1` longs — the
+   * same bounded driver-side pattern as [[packSequences]]'s partition
+   * totals. Integer gradient sums hold exactly to ±2^63 ≈ 9.2e18: at the
+   * 1e-9 grid with O(1) features that is ~1e9 docs per batch; past that,
+   * train on a sample or coarsen the grid (the grid constant is the one
+   * scale knob, and the mean-gradient estimator is unbiased either way).
+   */
+  def trainLr(
+      feats: DataFrame,
+      labelCol: String = "y",
+      xCols: Seq[String] = FeatureCols,
+      iters: Int = 16,
+      lr: Double = 4.0): Array[Double] = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val w = Array.fill(xCols.size)(0.0)
+    for (_ <- 0 until iters) {
+      val p = fastSigmoid(dot(w, xCols))
+      val gradCols = xCols.zipWithIndex.map { case (c, j) =>
+        // explicit round() before the integer cast: both engines round
+        // half away from zero, so the quantized contribution is identical
+        sum(round(((p - col(labelCol)) * col(c)) * lit(1e9))
+          .cast("decimal(38,0)")).as(s"g$j")
+      } :+ count(lit(1)).as("n")
+      val row = feats.agg(gradCols.head, gradCols.tail: _*).head()
+      val n = row.getLong(xCols.size).toDouble
+      for (j <- w.indices) {
+        val g = row.getDecimal(j).doubleValue()
+        w(j) = w(j) - lr * ((g / 1e9) / n)
+      }
+    }
+    w
+  }
+
+  /** The trained model as a tiny frame `(feature, weight)` in feature
+    * order — the manifest/oracle surface for the weights. */
+  def weightsDf(spark: SparkSession, w: Array[Double],
+      xCols: Seq[String] = FeatureCols): DataFrame = {
+    import spark.implicits._
+    xCols.zip(w).toSeq.toDF("feature", "weight")
+  }
+
+  /** Score with a trained model: `(idCol, score, keep)` — weights enter
+    * the plan as literals (zero exchanges, codegen'd dot product). */
+  def scoreLr(
+      feats: DataFrame,
+      w: Array[Double],
+      xCols: Seq[String] = FeatureCols,
+      idCol: String = "doc_id"): DataFrame =
+    feats.select(
+      col(idCol),
+      fastSigmoid(dot(w, xCols)).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+}

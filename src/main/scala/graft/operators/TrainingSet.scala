@@ -724,6 +724,59 @@ object TrainingSet {
   }
 
   /**
+   * Per-document sliding-window chunking — the retrieval/eval-corpus
+   * counterpart to [[packSequences]]: instead of concatenating documents
+   * into a global stream, each document is cut independently into
+   * overlapping windows of `chunkTokens` whitespace tokens advancing by
+   * `stride` (the RAG-ingestion layout: overlap preserves context across
+   * chunk boundaries so a retrieved chunk is self-contained). Start
+   * positions are 1, 1+stride, 2·stride+1, … and generation stops with the
+   * first window that reaches the document end — every token is covered,
+   * no degenerate tail windows past it. Short documents yield exactly one
+   * chunk.
+   *
+   * Output: `(idCol, chunk_idx, start_tok, n_chunk_tokens, chunk_text)`,
+   * one row per window, `chunk_idx` 0-based within the doc, `start_tok`
+   * 1-based in the doc's token array.
+   *
+   * Scale shape: a pure narrow projection — tokenize, compute the window
+   * count with exact integer arithmetic, explode a `sequence`, slice.
+   * Zero exchanges at any corpus size (plan-asserted), column pruning
+   * reaches the scan, and the fan-out is bounded by ~n_tokens/stride rows
+   * per doc, each carrying only its own slice. The one sizing note for
+   * 100 TB: output rows ≈ corpus tokens / stride, so the downstream writer
+   * should partition by a hash of (id, chunk_idx) — the explode itself
+   * never shuffles.
+   */
+  def chunkSliding(
+      docs: DataFrame,
+      chunkTokens: Int = 32,
+      stride: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride (chunkTokens=$chunkTokens)")
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    // ceil((n - chunk) / stride) + 1 windows once n exceeds the chunk size;
+    // integer arithmetic only (no float ceil — exact at any doc length)
+    val nStartsExpr =
+      s"CASE WHEN n <= $chunkTokens THEN 1L " +
+        s"ELSE (n - $chunkTokens + $stride - 1) div $stride + 1L END"
+    Parallelism.ensure(docs)
+      .select(col(idCol), toks.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("chunk_idx", explode(expr(s"sequence(0L, ($nStartsExpr) - 1)")))
+      .withColumn("start_tok", col("chunk_idx") * stride + 1)
+      // Slice wants INT operands; doc-local positions always fit
+      .withColumn("chunk", expr(s"slice(toks, CAST(start_tok AS INT), $chunkTokens)"))
+      .select(
+        col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /**
    * The END-TO-END training-set build — every cleaning stage this library
    * ships, composed in the order a production corpus pipeline runs them:
    *

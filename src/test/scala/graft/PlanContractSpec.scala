@@ -131,6 +131,30 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shard routing must not shuffle:\n$p")
   }
 
+  test("chunk_sliding: narrow explode — no exchange anywhere below the sort") {
+    val sfDocs = graft.sources.Tables.documents(spark, sf)
+    val p = graft.operators.TrainingSet.chunkSliding(sfDocs, 32, 16)
+      .queryExecution.executedPlan.toString
+    // the registered query orders for the oracle; the OPERATOR itself must
+    // be a pure projection+generate — chunking 100 TB may not shuffle it
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected an explode:\n$p")
+  }
+
+  test("quality LR scoring: weights are plan constants — no exchange, no join") {
+    val sfDocs = graft.sources.Tables.documents(spark, sf)
+    val feats = graft.operators.QualityModel.featurize(sfDocs)
+    val p = graft.operators.QualityModel.scoreLr(feats, Array(0.1, 0.2, 0.3, 0.4, 0.5))
+      .queryExecution.executedPlan.toString
+    // the trained model enters the scoring expression as literals: applying
+    // the gate corpus-wide is one map-side pass, exactly like the heuristic
+    // it distills
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"scoring must be map-side only:\n$p")
+  }
+
   test("budgetedSample: bounded cut rides a checkpoint; corpus crosses no agg exchange") {
     val p = plan("sample_budget_lang")
     // the level-1 bucket aggregate (and the caller's whole corpusReport →

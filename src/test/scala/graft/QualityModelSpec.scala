@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.QualityModel
+
+/**
+ * Trained quality classifier: the learning claim on a PLANTED linear
+ * concept (the registered queries pin engine parity; this spec pins that
+ * the GD machinery actually learns), the partitioning-invariance claim
+ * behind the integer-quantized gradient design, and the scoring contract.
+ */
+class QualityModelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  /** A linearly separable planted concept over two features: y = 1 iff
+    * 2·x1 − x2 > 0.5, on a deterministic grid with margin (no RNG — the
+    * grid point nearest the boundary is 0.1 away). */
+  private def plantedFeats = {
+    val rows = for {
+      i <- 0 until 20; j <- 0 until 20
+      x1 = i / 10.0 // 0.0 .. 1.9
+      x2 = j / 5.0 // 0.0 .. 3.8
+      margin = 2.0 * x1 - x2 - 0.5
+      if math.abs(margin) > 0.1 // keep a margin band clear
+    } yield (i.toLong * 100 + j, if (margin > 0) 1.0 else 0.0, 1.0, x1, x2)
+    rows.toDF("doc_id", "y", "x_b", "x_1", "x_2")
+  }
+  private val cols = Seq("x_b", "x_1", "x_2")
+
+  test("trainLr recovers a planted linear concept (accuracy ≥ 0.95, signs right)") {
+    val feats = plantedFeats.persist()
+    try {
+      val w = QualityModel.trainLr(feats, xCols = cols, iters = 64, lr = 4.0)
+      // the concept is +x1, −x2 with a negative offset: signs must match
+      assert(w(1) > 0 && w(2) < 0, s"weight signs: ${w.toSeq}")
+      val scored = QualityModel.scoreLr(feats, w, cols)
+      val acc = scored.join(feats.select("doc_id", "y"), "doc_id")
+        .select(avg(when((col("score") >= 0.5) === (col("y") === 1.0), 1.0)
+          .otherwise(0.0)))
+        .head().getDouble(0)
+      assert(acc >= 0.95, s"planted-concept train accuracy $acc")
+    } finally feats.unpersist(blocking = false): Unit
+  }
+
+  test("trained weights are bit-identical under repartitioning (integer gradient sums)") {
+    val feats = plantedFeats
+    val w1 = QualityModel.trainLr(feats.repartition(1), xCols = cols, iters = 8)
+    val w7 = QualityModel.trainLr(feats.repartition(7, col("doc_id")), xCols = cols, iters = 8)
+    val w32 = QualityModel.trainLr(feats.repartition(32), xCols = cols, iters = 8)
+    assert(w1.toSeq == w7.toSeq && w1.toSeq == w32.toSeq,
+      s"partitioning leaked into the gradient: ${w1.toSeq} / ${w7.toSeq} / ${w32.toSeq}")
+  }
+
+  test("featurize: exact surface features on a hand-computed doc") {
+    val out = QualityModel.featurize(
+      Seq((1L, "The cat, and a dog!")).toDF("doc_id", "text")).head()
+    // tokens of lowercase: [the, cat,, and, a, dog!] → 5 tokens; stopwords
+    // the/and/a → 3; punct ,,! → 2 of which [.,!?;:] matches ',' ',' '!' = 2
+    // (one comma is inside "cat,"): chars 19
+    assert(out.getDouble(1) == 1.0)
+    assert(out.getDouble(2) == 5.0 / 100.0)
+    assert(out.getDouble(3) == 3.0 / 5.0 * 10.0)
+    assert(out.getDouble(4) == 2.0 / 5.0)
+    assert(out.getDouble(5) == 19.0 / 5.0 / 10.0)
+  }
+
+  test("heuristicLabel splits on the documented gate and nothing else") {
+    val df = Seq(
+      (1L, ("the and a of to in is that it for " * 6).trim), // long, stopword-rich → 1
+      (2L, "zz")) // 1 token, no stopwords → low score → 0
+      .toDF("doc_id", "text")
+    val lab = QualityModel.heuristicLabel(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(lab.toSeq == Seq((1L, 1.0), (2L, 0.0)))
+  }
+
+  test("scoreLr: zero weights score exactly 0.5 and keep (boundary is ≥)") {
+    val feats = QualityModel.featurize(Seq((1L, "a b c")).toDF("doc_id", "text"))
+    val r = QualityModel.scoreLr(feats, Array(0.0, 0.0, 0.0, 0.0, 0.0)).head()
+    assert(r.getDouble(1) == 0.5 && r.getBoolean(2))
+  }
+
+  test("trainLr rejects a non-positive iteration count") {
+    intercept[IllegalArgumentException](
+      QualityModel.trainLr(plantedFeats, xCols = cols, iters = 0))
+  }
+}

@@ -762,4 +762,62 @@ class TrainingSetSpec extends AnyFunSuite {
       TrainingSet.packSequencesWhole(d, 4L, tokenCount = Some(col("n"))).collect())
     assert(e.getMessage.contains("doc 7") && e.getMessage.contains("capTokens"))
   }
+
+  // ---- chunkSliding ----------------------------------------------------------
+
+  test("chunkSliding: hand-traced windows — starts, lengths, text, stop-at-end") {
+    // 7 tokens, chunk 4, stride 2 → starts 1, 3 (covers tokens 3-6), 5
+    // (reaches token 7 = the end → generation stops; no start 7)
+    val out = TrainingSet.chunkSliding(
+      docs(1L -> "t1 t2 t3 t4 t5 t6 t7"), chunkTokens = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t3 t4 t5 t6"),
+      (2L, 5L, 3L, "t5 t6 t7")))
+  }
+
+  test("chunkSliding: short doc yields one chunk; exact-cap doc too") {
+    val out = TrainingSet.chunkSliding(
+      docs(1L -> "a b", 2L -> "a b c d"), chunkTokens = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq((1L, 0L, 2L, "a b"), (2L, 0L, 4L, "a b c d")))
+  }
+
+  test("chunkSliding: every token covered, overlap = chunk − stride, bounds hold") {
+    val words = (1 to 137).map(i => s"w$i")
+    val out = TrainingSet.chunkSliding(
+      docs(9L -> words.mkString(" ")), chunkTokens = 32, stride = 16)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ceil((137-32)/16)+1 = 8 windows; all but the last are full
+    assert(out.length == 8)
+    assert(out.init.forall(_._3 == 32L))
+    // coverage: consecutive starts differ by stride < chunk → no gap, and
+    // the last window reaches the end exactly once
+    assert(out.map(_._2).toSeq == (0 until 8).map(i => 16L * i + 1))
+    assert(out.last._2 + out.last._3 - 1 == 137L)
+    // no window past the end: second-to-last must NOT already reach it
+    assert(out.init.last._2 + 32 - 1 < 137L)
+  }
+
+  test("chunkSliding: stride = chunk degenerates to disjoint tiling") {
+    val words = (1 to 10).map(i => s"w$i")
+    val out = TrainingSet.chunkSliding(
+      docs(1L -> words.mkString(" ")), chunkTokens = 4, stride = 4)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 4L), (5L, 4L), (9L, 2L)))
+    assert(out.map(_._2).sum == 10L, "disjoint tiling covers every token once")
+  }
+
+  test("chunkSliding: invalid stride/chunk rejected eagerly") {
+    val d = docs(1L -> "a b c")
+    intercept[IllegalArgumentException](TrainingSet.chunkSliding(d, 0, 1))
+    intercept[IllegalArgumentException](TrainingSet.chunkSliding(d, 4, 0))
+    intercept[IllegalArgumentException](TrainingSet.chunkSliding(d, 4, 5))
+  }
 }
