@@ -45,6 +45,34 @@ object SparkEntry {
   private[graft] def distinctAutoForcedSketch(s: SparkSession, dir: String): DataFrame =
     TsAgg.distinctCountAuto(events(s, dir, spec900), spec900, keyCol = "user_id",
       maxExactPairs = 0L)
+  /** The quantile dispatch's sketch arm, forced (maxExactGroup = 0) — Bench
+    * gates its per-bucket rel-err vs the exact ts_p95_900 twin. */
+  private[graft] def quantileAutoForcedSketch(s: SparkSession, dir: String): DataFrame =
+    TsAgg.quantileAuto(events(s, dir, spec900).withColumn("value_cents", centsCol),
+      spec900.copy(valueCol = "value_cents"), 0.95, maxExactGroup = 0L)
+  /** Rank check for the forced GK arm: per bucket, `(n, n_le)` where
+    * `n_le` counts cells ≤ the sketch's p95 element. Bench gates
+    * `|n_le/n − 0.95|` — the property Greenwald-Khanna actually guarantees
+    * (rank error ≤ n/accuracy, plus the 1/n element discreteness). VALUE
+    * error is the wrong gate for an element-returning sketch: a
+    * heavy-tailed bucket's adjacent-rank values near p95 differ by up to
+    * ~0.8× here at 39 samples, with the sketch exactly on-rank. */
+  private[graft] def quantileSketchRankFracs(s: SparkSession, dir: String): DataFrame = {
+    val est = quantileAutoForcedSketch(s, dir).select(
+      col("bucket_start"), col("p95_est").cast("double").as("est"))
+    val cells = TsAgg.withBuckets(
+      events(s, dir, spec900).withColumn("value_cents", centsCol),
+      spec900.copy(valueCol = "value_cents"))
+    cells.join(broadcast(est), "bucket_start")
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value_cents").cast("double") <= col("est"), 1L)
+          .otherwise(0L)).as("n_le"),
+        // tie count: the element's rank is any of its tie positions, so the
+        // gate's discreteness allowance must cover them
+        sum(when(col("value_cents").cast("double") === col("est"), 1L)
+          .otherwise(0L)).as("n_eq"))
+  }
   private def documents(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.documents(s, dir)
   /** Shared by both quality-classifier queries: featurize + heuristic-gate
@@ -304,6 +332,14 @@ object SparkEntry {
     // phrasing differs in the last ulp and would fail this gate)
     "ts_p95_900" -> ((s, d) =>
       TsAgg.percentile(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), 0.95)),
+    // adaptive quantile front door: the probe (max per-bucket sample
+    // count, O(groups) partials) picks the EXACT interpolated form at
+    // every test SF, so the same quantile_cont SQL oracles the dispatch;
+    // the GK-sketch arm is forced and rel-err-gated in the bench artifact
+    // (quantileAutoForcedSketch below), mirroring the distinct dispatch
+    "ts_p95_auto_900" -> ((s, d) =>
+      TsAgg.quantileAuto(events(s, d, spec900).withColumn("value_cents", centsCol),
         spec900.copy(valueCol = "value_cents"), 0.95)),
     // all five aggregates in ONE scan + one shuffle (the reference needs one
     // coprocessor round-trip per metric — SURVEY §3; this is the Spark win)
@@ -1506,6 +1542,10 @@ object SparkEntry {
         s"median($cents) AS median_value", T0_EVENTS, e900, 900 * MS),
       "ts_p95_900" -> tsAggSql(
         s"quantile_cont($cents, 0.95) AS p95_value", T0_EVENTS, e900, 900 * MS),
+      // the quantile dispatch's exact arm (the probe picks it at every test
+      // SF's group size) — identical SQL, the form-independent alias
+      "ts_p95_auto_900" -> tsAggSql(
+        s"quantile_cont($cents, 0.95) AS p95_est", T0_EVENTS, e900, 900 * MS),
       "ts_summary_900" -> tsAggSql(
         s"max(value) AS max_value, min(value) AS min_value, CAST(sum($cents) AS BIGINT) AS sum_value, " +
           s"count(*) AS count_value, CAST(sum($cents) AS DOUBLE) / count(*) / 100.0 AS avg_value",

@@ -249,6 +249,36 @@ object TsAgg {
   }
 
   /**
+   * Adaptive per-bucket quantile — [[distinctCountAuto]]'s dispatch shape
+   * applied to the ordered statistic. The exact interpolated form buffers
+   * each group's values, so its feasibility is governed by the LARGEST
+   * (series, bucket) sample count: the probe computes exactly that (count
+   * per group, then max — two bounded aggregates whose exchange carries
+   * O(groups) partials, never cells). At or under `maxExactGroup` the
+   * oracle-verifiable exact form serves; past it the Greenwald-Khanna
+   * sketch ([[approxPercentile]]: constant memory per bucket, mergeable
+   * partials) takes over. Both arms alias the form-independent
+   * `p<·>_est`, so a caller's schema is dispatch-stable — and the bench
+   * artifact gates the sketch arm's rel-err vs the exact twin per round
+   * (`ts_p95_auto_900_forced_sketch`), the same
+   * both-arms-always-measured contract as the distinct dispatch.
+   */
+  def quantileAuto(df: DataFrame, spec: TsAggSpec, p: Double,
+      maxExactGroup: Long = 1L << 20, accuracy: Int = 10000): DataFrame = {
+    val probe = withBuckets(df, spec)
+      .groupBy((spec.seriesCols :+ "bucket_start").map(col): _*)
+      .agg(functions.count(functions.lit(1)).as("n"))
+      .agg(functions.max("n")).head()
+    val maxGroup = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val est = s"${pLabel(p)}_est"
+    if (maxGroup <= maxExactGroup)
+      percentile(df, spec, p).withColumnRenamed(s"${pLabel(p)}_value", est)
+    else
+      approxPercentile(df, spec, p, accuracy)
+        .withColumnRenamed(s"${pLabel(p)}_approx", est)
+  }
+
+  /**
    * Per-bucket exact percentile (interpolated, `(n-1)*p` rank convention —
    * the same convention as DuckDB `quantile_cont`/Postgres
    * `percentile_cont`). Bit-exact vs DuckDB at ANY `p`: both engines phrase

@@ -29,6 +29,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TsAgg.distinctCountAuto(before, spec.copy(valueCol = "user"), "user").count() == 0)
   }
 
+  test("quantileAuto: empty input probes to a null max-group and returns empty, exact branch") {
+    val df = Seq.empty[(Long, Long)].toDF("ts", "value")
+    val out = TsAgg.quantileAuto(df, spec, 0.95)
+    assert(out.columns.contains("p95_est") && out.count() == 0)
+    val before = Seq((t0 - 5000L, 7L)).toDF("ts", "value")
+    assert(TsAgg.quantileAuto(before, spec, 0.95).count() == 0)
+  }
+
   test("bpeDrift degenerate corpora: empty vs empty is quiet, not a crash") {
     import graft.operators.{BpeModel, Tokenizer}
     val m = BpeModel(IndexedSeq(("a", "b")))

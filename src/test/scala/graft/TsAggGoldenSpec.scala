@@ -296,6 +296,24 @@ class TsAggGoldenSpec extends AnyFunSuite {
       .map { case (k, v) => k -> v.asInstanceOf[Long] }
     assert(math.abs(approx(BaseMs) - 50L) <= 2, s"got ${approx(BaseMs)}")
     assert(approx(BaseMs + 900000L) == 7L)
+    // the AUTO front door (r13, the distinct dispatch's quantile sibling):
+    // at these group sizes the max-group probe picks the exact branch —
+    // output equals percentile under the form-independent alias
+    val auto = collectMap(
+      TsAgg.quantileAuto(df, spec, 0.95).withColumnRenamed("p95_est", "v"))
+      .map { case (k, v) => k -> v.asInstanceOf[Double] }
+    assert(math.abs(auto(BaseMs) - 95.05) < 1e-9 &&
+      auto == collectMap(TsAgg.percentile(df, spec, 0.95))
+        .map { case (k, v) => k -> v.asInstanceOf[Double] },
+      "default dispatch must take the exact branch here")
+    // forcing maxExactGroup = 0 pins the sketch branch: same schema, an
+    // actual element within GK rank error of the exact answer
+    val forced = collectMap(
+      TsAgg.quantileAuto(df, spec, 0.95, maxExactGroup = 0, accuracy = 100)
+        .withColumnRenamed("p95_est", "v"))
+      .map { case (k, v) => k -> v.asInstanceOf[Long] }
+    assert(math.abs(forced(BaseMs) - 95L) <= 2, s"forced sketch: ${forced(BaseMs)}")
+    assert(forced(BaseMs + 900000L) == 11L)
   }
 
   test("pivotCounts: wide per-type columns, NULL absent cells, two bounded exchanges") {
