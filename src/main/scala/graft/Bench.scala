@@ -310,7 +310,12 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r13: 14 queries new this round, ALL full-oracle: " +
+    val notes = "r13: 15 queries new this round, ALL full-oracle: " +
+      "pipeline_crawl_lr_gate (the crawl composition with the trained linear " +
+      "pre-gate live at stage 4.4 - base-trained weights as plan literals " +
+      "filtering cleaned survivors at score >= 0.5 before any expensive stage; " +
+      "ONE oracle replays five crawl stages + the 16-iteration training " +
+      "trajectory + the scoring filter); " +
       "ts_p95_auto_900 (the adaptive quantile front door - max-group probe " +
       "dispatches exact interpolated percentile vs the GK sketch; exact arm " +
       "oracle-verified, sketch arm forced + rel-err-gated in this artifact as " +

@@ -1199,6 +1199,20 @@ object SparkEntry {
           lmModel = Some(Fixtures.lmModel(s, d)))._1
         .orderBy("doc_id")
     },
+    // the same composition with the stage-4.4 TRAINED LINEAR PRE-GATE
+    // live (r13): the LR model trained on the base corpus (the same
+    // 16-iteration GD as quality_train_lr) rides the plan as literals and
+    // filters the cleaned survivors at score ≥ 0.5 BEFORE any expensive
+    // stage — the cheap-proxy-in-front-of-the-LM-gate composition the
+    // classifier exists for. ONE oracle replays all five crawl stages
+    // plus the full training trajectory plus the scoring filter.
+    "pipeline_crawl_lr_gate" -> { (s, d) =>
+      val (planted, base) = crawlPlantedDelta(s, d)
+      graft.operators.TrainingSet
+        .crawlIncrement(planted, Fixtures.dedupIndex(s, d), base,
+          lrGate = Some(trainQualityLr(s, d)))._1
+        .orderBy("doc_id")
+    },
     // the crawl composition + DSIR target-distribution steering: the
     // accepted manifest's clean_text scored against the SAME persisted
     // target/raw models the standalone dsir queries serve (a crawl
@@ -2475,6 +2489,20 @@ object SparkEntry {
            |lkeep AS (SELECT doc_id FROM lpd CROSS JOIN lct WHERE lm_bits*tot_tok*1 <= lnt*tot_bits*1)
            |SELECT doc_id, clean_text, n_removed, n_emails, n_ips, n_phones, n_tokens
            |FROM acc SEMI JOIN lkeep USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // the LR-pre-gated composition: crawl CTEs + the full 16-iteration
+      // training trajectory (q_-prefixed chain, trained on the base
+      // documents exactly like quality_train_lr) + one scoring pass over
+      // the accepted docs' clean_text — keep iff the bit-identical score
+      // clears 0.5
+      "pipeline_crawl_lr_gate" ->
+        (s"WITH $crawlOracleCtes, ${qualityLrOracleCtes("q_")}, " +
+          s"q_am AS (${qualityLrMetricSql("acc", "clean_text")}), " +
+          s"q_af AS (SELECT doc_id, $qualityLrXItems FROM q_am), " +
+          s"q_sc AS (SELECT doc_id, 0.5 + $qualityLrZ/(2.0*(1.0+abs($qualityLrZ))) AS score " +
+          s"FROM q_af CROSS JOIN q_wi$QualityLrIters) " +
+          "SELECT doc_id, clean_text, n_removed, n_emails, n_ips, n_phones, n_tokens " +
+          "FROM acc SEMI JOIN (SELECT doc_id FROM q_sc WHERE score >= 0.5) USING (doc_id) " +
+          "ORDER BY doc_id").replace("\n", " "),
       // quota sampling: rank = row_number over (md5(text), doc_id) per lang —
       // the engine's bottom-k aggregate must reproduce it exactly
       "sample_quota_lang" ->
@@ -2531,7 +2559,7 @@ object SparkEntry {
       // DOUBLE weights bit-equal across engines, no rounding in the
       // compared surface
       "quality_train_lr" ->
-        (s"WITH $qualityLrOracleCtes " +
+        (s"WITH ${qualityLrOracleCtes()} " +
           s"SELECT feature, weight FROM (" +
           s"SELECT 'x_intercept' AS feature, w0 AS weight FROM wi$QualityLrIters " +
           s"UNION ALL SELECT 'x_tokens_c', w1 FROM wi$QualityLrIters " +
@@ -2542,7 +2570,7 @@ object SparkEntry {
       // the trained gate applied: same chain, then one scoring pass with
       // the final weights — score and keep both bit-determined
       "quality_filter_lr" ->
-        (s"WITH $qualityLrOracleCtes, " +
+        (s"WITH ${qualityLrOracleCtes()}, " +
           s"sc AS (SELECT fe.doc_id, 0.5 + $qualityLrZ/(2.0*(1.0+abs($qualityLrZ))) AS score " +
           s"FROM fe CROSS JOIN wi$QualityLrIters) " +
           "SELECT doc_id, score, score >= 0.5 AS keep FROM sc ORDER BY doc_id"),
@@ -2783,6 +2811,25 @@ object SparkEntry {
     * the evaluation-order contract both engines share. */
   private val qualityLrZ = "((((w0*x0 + w1*x1) + w2*x2) + w3*x3) + w4*x4)"
 
+  /** The four exact integer surface metrics over `$src`.`$textCol` — the
+    * SQL twin of [[graft.operators.QualityModel]]'s feature inputs. */
+  private def qualityLrMetricSql(src: String, textCol: String): String =
+    s"""SELECT doc_id,
+      |  CAST(length($textCol) AS BIGINT) AS n_chars,
+      |  CAST(len(regexp_split_to_array(lower(trim($textCol)), '\\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(regexp_replace($textCol, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(trim($textCol)), '\\s+'), x -> x IN (${sqlList(graft.functions.TextFunctions.StopEn)}))) AS BIGINT) AS n_stop
+      | FROM $src""".stripMargin
+
+  /** The five feature items (x0..x4) from those metrics, identical
+    * arithmetic to `QualityModel.featureExprs`. */
+  private val qualityLrXItems =
+    """1.0 AS x0,
+      |  CAST(n_tokens AS DOUBLE)/100.0 AS x1,
+      |  CAST(n_stop AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0)*10.0 AS x2,
+      |  CAST(n_punct AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0) AS x3,
+      |  CAST(n_chars AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0)/10.0 AS x4""".stripMargin
+
   /**
    * The quality-LR oracle's CTE chain: exact integer surface metrics →
    * features + heuristic-gate label (y = quality_score ≥ 0.8), then
@@ -2790,31 +2837,24 @@ object SparkEntry {
    * gradient sum → weight update) CTE triples replaying
    * [[graft.operators.QualityModel.trainLr]]'s arithmetic op-for-op —
    * every operation IEEE correctly-rounded in both engines, so the weight
-   * trajectory is bit-identical. Ends at `wi<iters>`(w0..w4); `fe` stays
-   * in scope for the scoring oracle.
+   * trajectory is bit-identical. Ends at `${p}wi<iters>`(w0..w4); `${p}fe`
+   * stays in scope for the scoring oracle. CTE names carry prefix `p` so
+   * the chain composes into oracles with their own CTE namespace (the
+   * crawl pre-gate uses `q_`).
    */
-  private def qualityLrOracleCtes: String = {
+  private def qualityLrOracleCtes(p: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""m AS (SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
-        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-        |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN (${sqlList(graft.functions.TextFunctions.StopEn)}))) AS BIGINT) AS n_stop
-        | FROM documents),
-        |fe AS MATERIALIZED (SELECT doc_id,
+      s"""${p}m AS (${qualityLrMetricSql("documents", "text")}),
+        |${p}fe AS MATERIALIZED (SELECT doc_id,
         |  CASE WHEN least(1.0, greatest(0.0,
         |      0.4*least(1.0, CAST(n_tokens AS DOUBLE)/50.0)
         |      + 0.3*(1.0 - least(1.0, n_punct/greatest(CAST(n_tokens AS DOUBLE), 1.0)))
         |      + 0.3*least(1.0, n_stop*8.0/greatest(CAST(n_tokens AS DOUBLE), 1.0)))) >= 0.8
         |    THEN 1.0 ELSE 0.0 END AS y,
-        |  1.0 AS x0,
-        |  CAST(n_tokens AS DOUBLE)/100.0 AS x1,
-        |  CAST(n_stop AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0)*10.0 AS x2,
-        |  CAST(n_punct AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0) AS x3,
-        |  CAST(n_chars AS DOUBLE)/greatest(CAST(n_tokens AS DOUBLE), 1.0)/10.0 AS x4
-        | FROM m),
-        |wi0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""".stripMargin)
+        |  $qualityLrXItems
+        | FROM ${p}m),
+        |${p}wi0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""".stripMargin)
     for (t <- 1 to QualityLrIters) {
       val grads = (0 to 4)
         .map(j => s"sum(CAST(round((p - y) * x$j * 1e9) AS BIGINT)) AS g$j")
@@ -2824,10 +2864,10 @@ object SparkEntry {
         .mkString(", ")
       sb.append(
         s""",
-          |pi$t AS (SELECT y, x0, x1, x2, x3, x4,
-          |  0.5 + $qualityLrZ/(2.0*(1.0+abs($qualityLrZ))) AS p FROM fe CROSS JOIN wi${t - 1}),
-          |gi$t AS (SELECT $grads, count(*) AS n FROM pi$t),
-          |wi$t AS MATERIALIZED (SELECT $updates FROM gi$t CROSS JOIN wi${t - 1})""".stripMargin)
+          |${p}pi$t AS (SELECT y, x0, x1, x2, x3, x4,
+          |  0.5 + $qualityLrZ/(2.0*(1.0+abs($qualityLrZ))) AS p FROM ${p}fe CROSS JOIN ${p}wi${t - 1}),
+          |${p}gi$t AS (SELECT $grads, count(*) AS n FROM ${p}pi$t),
+          |${p}wi$t AS MATERIALIZED (SELECT $updates FROM ${p}gi$t CROSS JOIN ${p}wi${t - 1})""".stripMargin)
     }
     sb.toString.replace("\n", " ")
   }

@@ -51,6 +51,22 @@ object QualityModel {
   val FeatureCols: Seq[String] =
     Seq("x_intercept", "x_tokens_c", "x_stopword_r", "x_punct_r", "x_charlen")
 
+  /** The five feature expressions in [[FeatureCols]] order, over one text
+    * column — shared by [[featurize]] and the inline [[scoreFromText]]
+    * gate so both paths compute identical doubles. */
+  private def featureExprs(textCol: Column): Seq[Column] = {
+    val t = coalesce(textCol, lit(""))
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val safeTok = greatest(nTok, lit(1.0))
+    Seq(
+      lit(1.0),
+      nTok / lit(100.0),
+      stopwordCount(toks, StopEn).cast("double") / safeTok * lit(10.0),
+      length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / safeTok,
+      length(t).cast("double") / safeTok / lit(10.0))
+  }
+
   /**
    * Cheap per-document surface features, scaled to O(1) ranges so one
    * global learning rate fits: intercept, tokens/100, 10× the stopword
@@ -58,18 +74,20 @@ object QualityModel {
    * integer counts ([[TextAnalysis.qualityMetrics]]'s columns) pushed
    * through correctly-rounded double divisions — engine-reproducible.
    */
-  def featurize(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
-    val toks = tokens(t)
-    val nTok = size(toks).cast("double")
-    val safeTok = greatest(nTok, lit(1.0))
-    docs.select(
-      col(idCol),
-      lit(1.0).as("x_intercept"),
-      (nTok / lit(100.0)).as("x_tokens_c"),
-      (stopwordCount(toks, StopEn).cast("double") / safeTok * lit(10.0)).as("x_stopword_r"),
-      (length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / safeTok).as("x_punct_r"),
-      (length(t).cast("double") / safeTok / lit(10.0)).as("x_charlen"))
+  def featurize(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol) +:
+      featureExprs(col(textCol)).zip(FeatureCols).map { case (e, n) => e.as(n) }: _*)
+
+  /** The trained gate as ONE codegen'd Column over raw text — the inline
+    * form a pipeline stage filters on without materializing a feature
+    * frame (weights are plan constants; the whole gate is map-side). Same
+    * feature expressions and left-fold dot product as the frame path. */
+  def scoreFromText(textCol: Column, w: Array[Double]): Column = {
+    require(w.length == FeatureCols.size,
+      s"expected ${FeatureCols.size} weights, got ${w.length}")
+    fastSigmoid(featureExprs(textCol).zip(w)
+      .map { case (x, wj) => lit(wj) * x }
+      .reduceLeft(_ + _))
   }
 
   /** The heuristic gate label [[TextAnalysis.qualityScore]] ≥ `tau` as

@@ -972,7 +972,11 @@ object TrainingSet {
    *  3. PII scrub ([[Corpus.piiScrub]]) over the cut text.
    *  4. repetition gate ([[Corpus.repetitionFilter]]'s exact integer
    *     thresholds) over the scrubbed text — machine-generated/boilerplate
-   *     survivors drop here.
+   *     survivors drop here. Optionally 4.4: the TRAINED linear pre-gate
+   *     (`lrGate` — [[QualityModel.scoreFromText]] ≥ 0.5 as a
+   *     plan-constant codegen'd filter) and 4.5: the LM quality gate
+   *     (`lmModel`); the cheap proxy runs first so the LM never scores a
+   *     doc the linear model already rejects.
    *  5. [[Dedup.appendIndex]]: fold the ACCEPTED documents (their cleaned
    *     text — that is what the corpus now contains) into the index, so
    *     the next crawl probes base ∪ this increment.
@@ -1013,7 +1017,8 @@ object TrainingSet {
       lmModel: Option[Corpus.LmModel] = None,
       lmKeep: (Long, Long) = (1, 1),
       idCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, Dedup.DedupIndex) = {
+      textCol: String = "text",
+      lrGate: Option[Array[Double]] = None): (DataFrame, Dedup.DedupIndex) = {
     val (dn, dd) = maxDupFrac
     val (tn, td) = maxTopTokenFrac
     // 1. exact tier — survivors keep their own content
@@ -1040,20 +1045,32 @@ object TrainingSet {
       .filter(col("top_token_count") * lit(td.toLong) <= col("n_tokens") * lit(tn.toLong))
       .select(col(idCol), col("clean_text"), col("n_removed"),
         col("n_emails"), col("n_ips"), col("n_phones"), col("n_tokens"))
+    // 4.4 (optional) TRAINED linear pre-gate ([[QualityModel]]): the cheap
+    // proxy a pipeline puts IN FRONT of the expensive LM stage — weights
+    // ride the plan as literals, the whole gate is one codegen'd filter
+    // over clean_text (zero exchanges, zero model broadcast), and every
+    // doc it drops is a doc the LM stage never scores. Train once on the
+    // curated base (the CCNet seed direction), pass the weights each round.
+    val preGated = lrGate match {
+      case None => gated
+      case Some(w) =>
+        gated.filter(QualityModel.scoreFromText(col("clean_text"), w) >= 0.5)
+    }
     // 4.5 (optional) LM quality gate against a FIXED persisted model
     // (VERDICT r8 #7): score the cleaned survivors, keep relative to THIS
     // increment's mean ([[Corpus.lmScoreModel]]'s contract) — the model is
     // broadcast count tables, so the stage adds zero wide exchanges over
     // the delta beyond the per-doc score aggregate
     val accepted = lmModel match {
-      case None => gated
+      case None => preGated
       case Some(m) =>
-        // the gate reads `gated` TWICE (the scoring side and the survivor
-        // side of the semi join) — without a scoped persist the whole
-        // probe→cut→scrub→gate chain above would execute twice, and the
-        // bench measured exactly that: the LM-gated pipeline ran ~2× the
-        // ungated one (6.6 s vs 3.7 s at sf0.1) when this frame recomputed
-        val g = Dedup.persistScoped(gated)
+        // the gate reads its input TWICE (the scoring side and the
+        // survivor side of the semi join) — without a scoped persist the
+        // whole probe→cut→scrub→gate chain above would execute twice, and
+        // the bench measured exactly that: the LM-gated pipeline ran ~2×
+        // the ungated one (6.6 s vs 3.7 s at sf0.1) when this frame
+        // recomputed
+        val g = Dedup.persistScoped(preGated)
         g.join(
           Corpus.lmScoreModel(g, m, lmKeep._1, lmKeep._2, idCol, "clean_text")
             .filter(col("keep")).select(col(idCol)),

@@ -88,4 +88,46 @@ class QualityModelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       QualityModel.trainLr(plantedFeats, xCols = cols, iters = 0))
   }
+
+  test("scoreFromText ≡ featurize→scoreLr bit-exactly (the inline gate path)") {
+    val docs = Seq(
+      (1L, "the cat and a dog sat on the mat, mostly."),
+      (2L, "zz qq ww"),
+      (3L, ("the and a of to in is that it for " * 8).trim))
+      .toDF("doc_id", "text")
+    val w = Array(-0.3, 1.7, 0.9, -2.1, 0.4)
+    val frame = QualityModel.scoreLr(QualityModel.featurize(docs), w)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inline = docs.select(col("doc_id"),
+      QualityModel.scoreFromText(col("text"), w).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(frame == inline, s"paths diverge: $frame vs $inline")
+    intercept[IllegalArgumentException](
+      QualityModel.scoreFromText(col("text"), Array(1.0, 2.0)))
+  }
+
+  test("crawlIncrement lrGate: exactly the below-threshold cleaned survivors drop") {
+    import graft.operators.{Dedup, TrainingSet}
+    val base = Seq((1L, "base corpus doc entirely unrelated words here today")).toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(base)
+    // two clean delta docs: one stopword-rich (scores high under +stopword
+    // weights), one stopword-free (scores low) — all tokens DISTINCT (the
+    // repetition gate's top-token ≤ 1/10 bound must not fire), no dups, no
+    // PII, so the LR stage is the ONLY discriminator
+    val delta = Seq(
+      (10L, "the cat of dog in mill at old stone for"), // 4 distinct stopwords / 10 tokens
+      (11L, "zebra quartz wobble nimbus kelp vortex prism glyph ember xylem")) // none
+      .toDF("doc_id", "text")
+    // score = sigmoid(10·stopword_ratio − 1): doc 10 → σ(3) > 0.5,
+    // doc 11 → σ(−1) < 0.5 (a zero-z doc would sit exactly ON the ≥ 0.5
+    // boundary and keep — the bias keeps the fixture off the edge)
+    val w = Array(-1.0, 0.0, 1.0, 0.0, 0.0)
+    val (accepted, _) = TrainingSet.crawlIncrement(delta, idx, base, lrGate = Some(w))
+    assert(accepted.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(10L),
+      "only the stopword-rich doc clears the planted +stopword model")
+    // ungated twin keeps both — the drop is attributable to the LR stage
+    val (ungated, _) = TrainingSet.crawlIncrement(delta, idx, base)
+    assert(ungated.count() == 2L)
+  }
 }
