@@ -310,7 +310,20 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r13: 15 queries new this round, ALL full-oracle: " +
+    val notes = "r13: 21 queries new this round, ALL full-oracle: " +
+      "the bucket-series family ts_moving_avg_900 (trailing RANGE-frame mean " +
+      "over the 900s sums - gap-aware, absent buckets shrink the denominator; " +
+      "exact windowSum/count, one double division) + ts_anomaly_900 (3-sigma " +
+      "flags decided by ONE exact decimal(38) inequality, no float epsilon) + " +
+      "ts_fill_prev_900/ts_fill_linear_900 (dense plan-constant range() spine, " +
+      "forward-fill and no-extrapolation linear interpolation as the same fixed " +
+      "double expression shape in both engines - all four run on the " +
+      "post-aggregate O(buckets) frame, so their cost over a plain sum is ~zero); " +
+      "corpus_snapshot_diff (release-to-release audit - full-outer join on " +
+      "16-byte md5 digests, text never crosses the exchange); " +
+      "embedding_outliers (SemDeDup-shape per-cluster prune: cosine-to-own-" +
+      "centroid threshold sign-aware over decimal(38), centroids broadcast, " +
+      "corpus never shuffles); " +
       "pipeline_crawl_lr_gate (the crawl composition with the trained linear " +
       "pre-gate live at stage 4.4 - base-trained weights as plan literals " +
       "filtering cleaned survivors at score >= 0.5 before any expensive stage; " +
@@ -353,8 +366,8 @@ object Bench {
       "rankings / PQ codes + per-query ADC LUTs as fixtures; candidate joins, the " +
       "m-ordered ADC sum, top-256 shortlist and the exact double cosine re-rank all " +
       "replayed bit-exact - DuckDB's list_sum folds left-to-right like " +
-      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 111 (the two order-dependent " +
-      "sketches, both artifact-gated; 109 of 111 full-oracle). Plan changes: none to carried queries - " +
+      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 122 (the two order-dependent " +
+      "sketches, both artifact-gated; 120 of 122 full-oracle). Plan changes: none to carried queries - " +
       "packSequencesWhole's pass-1 summary skips zero-count docs (bound fix, " +
       "identical output), the forced-sketch gate emits an explicit error marker + " +
       "failed query on computation error, the crawl loop resolves+forwards the " +

@@ -397,6 +397,28 @@ object SparkEntry {
     "ts_diff_daily" -> ((s, d) =>
       TsAgg.diff(events(s, d, specDaily).withColumn("value_cents", centsCol),
         specDaily.copy(valueCol = "value_cents"))),
+    // trailing 1-hour (4-bucket RANGE frame) moving average over the 900s
+    // sum series — gap-aware: absent buckets shrink the denominator
+    "ts_moving_avg_900" -> ((s, d) =>
+      TsAgg.movingAvg(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), nBuckets = 4)),
+    // 3σ bucket anomalies over the 900s sum series, decided by ONE exact
+    // decimal(38) inequality — no float epsilon under the hash gate
+    "ts_anomaly_900" -> ((s, d) =>
+      TsAgg.anomalies(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), thresholdSigma = 3)),
+    // dense-spine gap fill over ONE user's sparse series (19 of 672 buckets
+    // present at sf0.01): forward-fill and linear-interpolation forms
+    "ts_fill_prev_900" -> ((s, d) =>
+      TsAgg.fillGaps(
+        events(s, d, spec900).filter(col("user_id") === 7)
+          .withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), how = "prev")),
+    "ts_fill_linear_900" -> ((s, d) =>
+      TsAgg.fillGaps(
+        events(s, d, spec900).filter(col("user_id") === 7)
+          .withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), how = "linear")),
     // ---- binary-cell queries over the materialized rowkey fixture ----------
     // Fixtures.keyedEvents is the reference's physical cell layout (12-byte
     // rowkey = 8B BE series ++ 4B BE hour-seconds, 4B BE qualifier
@@ -853,6 +875,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 === 0), 20)
         .orderBy(col("cnt_a").desc, col("token").asc)
     },
+    // corpus release diff: v2 derived deterministically from v1 (ids %11
+    // removed, %7 rewritten, %13 re-keyed +1000000 as additions) so both
+    // engines replay the SAME pair of snapshots; the diff itself joins
+    // 16-byte digests, never text
+    "corpus_snapshot_diff" -> { (s, d) =>
+      val v1 = documents(s, d)
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(
+          v1.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L),
+          allowMissingColumns = false)
+      Corpus.snapshotDiff(v1, v2)
+    },
 
     // ---- scale ops: deduplication -------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d)).orderBy("text_hash")),
@@ -1262,6 +1300,11 @@ object SparkEntry {
     // cross the exchange)
     "embedding_dim_stats" -> ((s, d) =>
       Similarity.embeddingDimStats(embeddings(s, d)).orderBy("dim")),
+    // SemDeDup-shape per-cluster quality prune: cosine-to-own-centroid
+    // < 0.1 decided by one exact decimal(38) inequality (169/500 flagged
+    // at sf0.01) — the corpus never shuffles, centroids ride a broadcast
+    "embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(embeddings(s, d))),
     "ann_topk_cosine_lsh" -> { (s, d) => // golden-checked: approximate by design
       val e = embeddings(s, d)
       // 16 tables × 4 planes: tuned for unclustered (random) vectors where
@@ -1460,6 +1503,39 @@ object SparkEntry {
         "src/test/resources/golden").getPath
     }
     val e900 = T0_EVENTS + 7 * DAY
+    // Dense-spine gap-fill oracle: the 672-bucket spine is a plan-time
+    // constant from the spec (range table function), LEFT JOINed with user
+    // 7's 900s sums; fill = IGNORE NULLS window neighbors, and the linear
+    // form is the SAME fixed double expression shape as TsAgg.fillGaps
+    // (`pv + (nv−pv)·(b−pt)/(nt−pt)` — one multiply, one divide, one add
+    // over exact longs, correctly rounded identically in both engines).
+    def fillGapsSql(linear: Boolean): String = {
+      val iv = 900 * MS
+      val n = 7 * DAY / iv
+      val inner = tsAggSql(s"CAST(sum($cents) AS BIGINT) AS sum_value",
+        T0_EVENTS, e900, iv, extraWhere = "user_id = 7")
+      val dense = s"SELECT $T0_EVENTS + $iv * t.i AS bucket_start, b.sum_value " +
+        s"FROM range(0, $n) t(i) LEFT JOIN ($inner) b ON b.bucket_start = $T0_EVENTS + $iv * t.i"
+      if (!linear)
+        s"SELECT bucket_start, sum_value, last_value(sum_value IGNORE NULLS) " +
+          "OVER (ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
+          s"FROM ($dense) ORDER BY bucket_start"
+      else
+        "SELECT bucket_start, sum_value, CASE " +
+          "WHEN sum_value IS NOT NULL THEN CAST(sum_value AS DOUBLE) " +
+          "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN CAST(pv AS DOUBLE) + " +
+          "CAST(nv - pv AS DOUBLE) * (CAST(bucket_start - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) " +
+          "END AS filled_value FROM (" +
+          "SELECT bucket_start, sum_value, " +
+          "last_value(sum_value IGNORE NULLS) OVER wp AS pv, " +
+          "last_value(CASE WHEN sum_value IS NOT NULL THEN bucket_start END IGNORE NULLS) OVER wp AS pt, " +
+          "first_value(sum_value IGNORE NULLS) OVER wf AS nv, " +
+          "first_value(CASE WHEN sum_value IS NOT NULL THEN bucket_start END IGNORE NULLS) OVER wf AS nt " +
+          s"FROM ($dense) WINDOW " +
+          "wp AS (ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+          "wf AS (ORDER BY bucket_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)" +
+          ") ORDER BY bucket_start"
+    }
     // The exact-Jaccard pair definition, shared verbatim by the pair query
     // and the cluster query so the two oracles can never drift apart. `e2`
     // mirrors the engine's default hot-shingle cap (maxShingleFreq = 1000):
@@ -1646,6 +1722,31 @@ object SparkEntry {
           s"OVER (PARTITION BY event_type ORDER BY bucket_start) AS BIGINT) AS diff_value " +
           s"FROM ($inner) ORDER BY event_type, bucket_start"
       },
+      // RANGE frame (3 trailing intervals + current) replayed verbatim; both
+      // engines phrase the average as exact windowSum(BIGINT) → one double
+      // division, so gaps shrinking the denominator stay bit-exact
+      "ts_moving_avg_900" -> {
+        val inner = tsAggSql(s"CAST(sum($cents) AS BIGINT) AS sum_value",
+          T0_EVENTS, e900, 900 * MS)
+        s"SELECT bucket_start, sum_value, CAST(sum(sum_value) OVER w AS DOUBLE) / (count(*) OVER w) AS mavg_value " +
+          s"FROM ($inner) WINDOW w AS (ORDER BY bucket_start RANGE BETWEEN ${3 * 900 * MS} PRECEDING AND CURRENT ROW) " +
+          "ORDER BY bucket_start"
+      },
+      // the 3σ flag as the SAME exact integer inequality (HUGEINT here,
+      // decimal(38) in the engine — both exact at these magnitudes)
+      "ts_anomaly_900" -> {
+        val inner = tsAggSql(s"CAST(sum($cents) AS BIGINT) AS sum_value",
+          T0_EVENTS, e900, 900 * MS)
+        s"WITH b AS ($inner), st AS (SELECT CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(sum_value) AS HUGEINT) AS s1, " +
+          "sum(CAST(sum_value AS HUGEINT) * CAST(sum_value AS HUGEINT)) AS s2 FROM b) " +
+          "SELECT bucket_start, sum_value, (n >= 2 AND " +
+          "(n * CAST(sum_value AS HUGEINT) - s1) * (n * CAST(sum_value AS HUGEINT) - s1) * (n - 1) " +
+          "> 9 * n * (n * s2 - s1 * s1)) AS is_anomaly " +
+          "FROM b, st ORDER BY bucket_start"
+      },
+      "ts_fill_prev_900" -> fillGapsSql(linear = false),
+      "ts_fill_linear_900" -> fillGapsSql(linear = true),
       // decimal fixed-point decode, DOUBLE-finalized on both sides: exact
       // integer cents / 100 is correctly rounded identically by DuckDB's
       // double division and Spark's decimal→double cast (operands < 2^53)
@@ -1850,6 +1951,19 @@ object SparkEntry {
           |  ORDER BY abs(cnt_a*tb - cnt_b*ta) DESC, token LIMIT 20)
           |SELECT token, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b
           |FROM top ORDER BY cnt_a DESC, token""".stripMargin.replace("\n", " "),
+      // the v2 derivation (removals %11, rewrites %7, re-keyed additions %13)
+      // replayed verbatim, then the digest-keyed full-outer diff
+      "corpus_snapshot_diff" ->
+        """WITH v1 AS (SELECT doc_id, text FROM documents),
+          |v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+          |    FROM v1 WHERE doc_id % 11 <> 0
+          |  UNION ALL SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 13 = 0),
+          |ha AS (SELECT doc_id, md5(text) AS h_a FROM v1),
+          |hb AS (SELECT doc_id, md5(text) AS h_b FROM v2)
+          |SELECT coalesce(ha.doc_id, hb.doc_id) AS doc_id,
+          |  CASE WHEN h_a IS NULL THEN 'added' WHEN h_b IS NULL THEN 'removed'
+          |       WHEN h_a = h_b THEN 'unchanged' ELSE 'modified' END AS status
+          |FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id ORDER BY 1""".stripMargin.replace("\n", " "),
 
       // ---- dedup ----
       // span detection re-derived in DuckDB from the committed fingerprint
@@ -2739,6 +2853,20 @@ object SparkEntry {
           |SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
           |  min(q) AS min_q, max(q) AS max_q, CAST(sum(q*q) AS BIGINT) AS sum_q2
           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+      // same quantization, then the sign-aware exact threshold test
+      // (dot ≤ 0 ∨ dot²·den² < num²·|a|²·|c|², τ = 1/10) over HUGEINT —
+      // the engine's decimal(38) twin
+      "embedding_outliers" ->
+        """WITH u0 AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v FROM embeddings),
+          |u AS (SELECT vec_id, label, dim, CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q FROM u0),
+          |c AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS s FROM u GROUP BY 1, 2),
+          |c2 AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS c2 FROM c GROUP BY 1),
+          |d AS (SELECT u.vec_id, u.label, CAST(sum(u.q * c.s) AS BIGINT) AS dot_q,
+          |    CAST(sum(u.q * u.q) AS BIGINT) AS a2
+          |  FROM u JOIN c ON u.label = c.label AND u.dim = c.dim GROUP BY 1, 2)
+          |SELECT d.vec_id, d.label, d.dot_q,
+          |  (d.dot_q <= 0 OR CAST(d.dot_q AS HUGEINT) * d.dot_q * 100 < 1 * CAST(d.a2 AS HUGEINT) * c2.c2) AS is_outlier
+          |FROM d JOIN c2 ON d.label = c2.label ORDER BY 1""".stripMargin.replace("\n", " "),
 
       // ---- temporal joins ----
       // DuckDB's NATIVE ASOF LEFT JOIN vs the engine's union+window plan:

@@ -269,6 +269,43 @@ object Corpus {
       .select("token", "cnt_a", "cnt_b")
   }
 
+  /**
+   * Per-document diff between two corpus snapshots — the audit view a
+   * versioned 100 TB corpus runs between releases (what changed since v(N−1)?
+   * did the scraper refresh rewrite half the corpus?). Each doc keys by
+   * `idCol`; content identity is its 128-bit md5, so the join carries
+   * 16-byte digests, never text. Status per id:
+   *
+   *   - `added`     — id only in `b`
+   *   - `removed`   — id only in `a`
+   *   - `modified`  — id in both, content hash differs
+   *   - `unchanged` — id in both, content hash equal
+   *
+   * Scale shape: two narrow hash projections, one full-outer shuffle join on
+   * the id key — the minimal information-theoretic exchange for a diff (ids +
+   * digests). Pair with [[snapshotDiffSummary]] for the release-note rollup.
+   */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ha = a.select(col(idCol), md5(col(textCol)).as("h_a"))
+    val hb = b.select(col(idCol), md5(col(textCol)).as("h_b"))
+    ha.join(hb, Seq(idCol), "full_outer")
+      .select(
+        col(idCol),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") === col("h_b"), "unchanged")
+          .otherwise("modified")
+          .as("status"))
+      .orderBy(idCol)
+  }
+
+  /** O(4)-row rollup of [[snapshotDiff]]: count per status. */
+  def snapshotDiffSummary(a: DataFrame, b: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    snapshotDiff(a, b, idCol, textCol)
+      .groupBy("status").agg(count(lit(1)).as("n_docs")).orderBy("status")
+
   // -------------------------------------------------------------------------
   // Domain / URL curation — the CCNet / RefinedWeb-style stages a web-crawl
   // corpus runs before any content-level filtering (Wenzek et al.

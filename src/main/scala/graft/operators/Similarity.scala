@@ -644,4 +644,60 @@ object Similarity {
         min(col("q")).as("min_q"),
         max(col("q")).as("max_q"),
         sum(col("q") * col("q")).as("sum_q2"))
+
+  /**
+   * Per-group centroid outlier flags over an embedding column — the
+   * SemDeDup-shape quality prune (Abbas et al. arXiv:2303.09540 §3 runs it
+   * per k-means cluster): a member whose cosine against its own group
+   * centroid falls below `cosNum/cosDen` is flagged for removal (noise,
+   * mislabeled, or encoder-drifted items sit far from their cluster mass).
+   *
+   * Everything is decided in EXACT arithmetic: components quantize to
+   * integers at [[quantize]]'s fixed scale, the un-normalized centroid is the
+   * per-(group, dim) integer component sum (mean = sum/n — the 1/n factor
+   * cancels out of cosine, so it is never divided), and the threshold test
+   * `cos(a, c) < τ` is evaluated sign-aware as
+   * `dot ≤ 0 ∨ dot²·den² < num²·|a|²·|c|²` over decimal(38) — bit-identical
+   * in any engine, no float epsilon under the hash gate.
+   *
+   * Scale shape: the centroid build posexplodes to (group, dim, q) but
+   * map-side combine collapses each partition to O(groups × dim) partial
+   * rows before its ONE exchange; the per-vector pass then joins the
+   * O(groups) centroid-array frame by broadcast and computes dot/norm
+   * map-side with zip_with/aggregate — the corpus itself never shuffles.
+   */
+  def embeddingOutliers(
+      embs: DataFrame,
+      cosNum: Long = 1L, cosDen: Long = 10L,
+      groupCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding", scale: Int = 1000): DataFrame = {
+    require(cosDen > 0 && cosNum >= 0, s"threshold must be >= 0, got $cosNum/$cosDen")
+    val q = quantize(col(vecCol), scale)
+    // un-normalized centroid per group: component sums, assembled back into a
+    // dim-ordered array plus its own squared norm — O(groups) rows
+    val centroids = Parallelism.ensure(embs)
+      .select(col(groupCol), posexplode(q).as(Seq("dim", "qc")))
+      .groupBy(groupCol, "dim")
+      .agg(sum(col("qc")).as("s"))
+      .groupBy(groupCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("s")))), _.getField("s"))
+        .as("cent"))
+      .withColumn("c2",
+        aggregate(col("cent"), lit(0L), (acc, x) => acc + x * x))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    Parallelism.ensure(embs)
+      .select(col(idCol), col(groupCol), q.as("qv"))
+      .join(broadcast(centroids), Seq(groupCol))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("qv"), col("cent"), _ * _), lit(0L), _ + _))
+      .withColumn("a2",
+        aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0L), _ + _))
+      .select(
+        col(idCol), col(groupCol), col("dot_q"),
+        (col("dot_q") <= 0 ||
+          dec(col("dot_q")) * col("dot_q") * lit(cosDen * cosDen) <
+            dec(lit(cosNum * cosNum)) * col("a2") * col("c2")).as("is_outlier"))
+      .orderBy(idCol)
+  }
 }

@@ -589,6 +589,140 @@ object TsAgg {
       .orderBy((spec.seriesCols :+ "bucket_start").map(col): _*)
   }
 
+  /** The series-aware ordered window shared by the bucket-series operators
+    * (diff/movingAvg/fillGaps): partitioned per series when series columns are
+    * present, one ordered partition otherwise — bounded in both cases because
+    * the input is post-aggregate (O(buckets), never O(cells); see [[diff]]). */
+  private def seriesWindow(spec: TsAggSpec) =
+    if (spec.seriesCols.isEmpty) Window.orderBy(col("bucket_start"))
+    else Window.partitionBy(spec.seriesCols.map(col): _*).orderBy(col("bucket_start"))
+
+  /**
+   * Trailing moving average over the bucket series: SUM per bucket, then the
+   * average of the buckets inside the trailing `nBuckets`-wide TIME window —
+   * a RANGE frame of `(nBuckets-1)·interval` ms on `bucket_start`, so absent
+   * (empty) buckets shrink the denominator instead of silently stretching the
+   * time span the way a ROWS frame would (SURVEY §2.3 #4: empty buckets are
+   * omitted, and a smoothing window must respect that).
+   *
+   * The average is phrased as `windowSum / windowCount` over exact integer
+   * sums — one double division at the end, so the result is correctly rounded
+   * and engine-independent. Window input is post-aggregate: O(buckets) rows.
+   */
+  def movingAvg(df: DataFrame, spec: TsAggSpec, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val summed = aggregate(df, spec, Seq(functions.sum(v(spec)).as("sum_value")))
+    val w = seriesWindow(spec).rangeBetween(-(nBuckets - 1) * spec.intervalMs, 0)
+    summed
+      .withColumn(
+        "mavg_value",
+        functions.sum(col("sum_value")).over(w).cast("double") /
+          functions.count(lit(1)).over(w))
+      .orderBy((spec.seriesCols :+ "bucket_start").map(col): _*)
+  }
+
+  /**
+   * Bucket-series anomaly flags: SUM per bucket, then flag buckets whose
+   * deviation from the series mean exceeds `thresholdSigma` sample standard
+   * deviations. The test is evaluated as one EXACT integer inequality —
+   * `(n·x − S)²·(n−1) > t²·n·(n·S2 − S²)` with `S = Σx`, `S2 = Σx²` over
+   * decimal(38) — so no float epsilon ever decides a flag and the result is
+   * bit-deterministic across engines and partitionings (the same
+   * integer-quantization discipline as the quality classifier's gradient
+   * sums). Requires an integer-valued `valueCol` (cents-style), like every
+   * hash-gated sum in this engine.
+   *
+   * Scale shape: the per-series (n, S, S2) statistics frame is O(series) rows
+   * — broadcast back onto the bucket rows, so the corpus-sized side crosses
+   * only the one aggregation exchange every bucket query pays. Buckets with
+   * n < 2 (a one-bucket series has no sample variance) are never flagged.
+   */
+  def anomalies(df: DataFrame, spec: TsAggSpec, thresholdSigma: Int = 3): DataFrame = {
+    require(thresholdSigma >= 1, s"thresholdSigma must be >= 1, got $thresholdSigma")
+    val summed = aggregate(df, spec, Seq(functions.sum(v(spec)).as("sum_value")))
+    val dec = col("sum_value").cast("decimal(38,0)")
+    val statAggs = Seq(
+      functions.count(lit(1)).cast("decimal(38,0)").as("n_b"),
+      functions.sum(dec).as("s1"),
+      functions.sum(dec * dec).as("s2"))
+    val stats =
+      if (spec.seriesCols.isEmpty) summed.agg(statAggs.head, statAggs.tail: _*)
+      else summed.groupBy(spec.seriesCols.map(col): _*).agg(statAggs.head, statAggs.tail: _*)
+    val joined =
+      if (spec.seriesCols.isEmpty) summed.crossJoin(functions.broadcast(stats))
+      else summed.join(functions.broadcast(stats), spec.seriesCols)
+    val t2 = lit(thresholdSigma.toLong * thresholdSigma).cast("decimal(38,0)")
+    val dev = col("n_b") * dec - col("s1")
+    joined
+      .withColumn(
+        "is_anomaly",
+        col("n_b") >= 2 &&
+          dev * dev * (col("n_b") - 1) > t2 * col("n_b") * (col("n_b") * col("s2") - col("s1") * col("s1")))
+      .select((spec.seriesCols :+ "bucket_start" :+ "sum_value" :+ "is_anomaly").map(col): _*)
+      .orderBy((spec.seriesCols :+ "bucket_start").map(col): _*)
+  }
+
+  /**
+   * Materialize the FULL bucket spine of the spec's time range and fill the
+   * empty buckets — the inverse of the engine's native sparse contract
+   * (SURVEY §2.3 #4: empty buckets are naturally absent) for consumers that
+   * need a dense series (charting, models, window features).
+   *
+   * `how`:
+   *  - `"null"`   — dense spine, absent buckets carry NULL.
+   *  - `"prev"`   — forward fill (last present value carries); leading gaps
+   *                 stay NULL (nothing to carry).
+   *  - `"linear"` — linear interpolation between the nearest present
+   *                 neighbors; gaps before the first / after the last present
+   *                 bucket stay NULL (no extrapolation). The interpolation is
+   *                 one fixed double expression (`pv + (nv−pv)·(b−pt)/(nt−pt)`
+   *                 over exact longs), so it is correctly rounded identically
+   *                 in any engine that evaluates the same shape.
+   *
+   * Scale shape: the spine is `range(W)` with `W = (scanEnd−t0)/interval` —
+   * a plan-time constant, generated distributed (no driver materialization),
+   * cross-joined with the O(series) distinct-keys frame when series columns
+   * are present. The fill windows run on the dense O(series·W) post-aggregate
+   * frame, partitioned per series (same boundedness as [[diff]]).
+   */
+  def fillGaps(df: DataFrame, spec: TsAggSpec, how: String = "prev"): DataFrame = {
+    require(Set("null", "prev", "linear")(how), s"how must be null|prev|linear, got '$how'")
+    val summed = aggregate(df, spec, Seq(functions.sum(v(spec)).as("sum_value")))
+    val iv = spec.intervalMs
+    val nBuckets = (spec.scanEndMs - spec.mode.t0Ms + iv - 1) / iv
+    val spine0 = summed.sparkSession
+      .range(nBuckets)
+      .select((lit(spec.mode.t0Ms) + col("id") * iv).as("bucket_start"))
+    val spine =
+      if (spec.seriesCols.isEmpty) spine0
+      else summed.select(spec.seriesCols.map(col): _*).distinct().crossJoin(spine0)
+    val dense = spine.join(summed, spec.seriesCols :+ "bucket_start", "left")
+    val ordered = (spec.seriesCols :+ "bucket_start").map(col)
+    val past = seriesWindow(spec).rowsBetween(Window.unboundedPreceding, 0)
+    val future = seriesWindow(spec).rowsBetween(0, Window.unboundedFollowing)
+    val out = how match {
+      case "null" => dense.withColumn("filled_value", col("sum_value"))
+      case "prev" =>
+        dense.withColumn(
+          "filled_value", functions.last(col("sum_value"), ignoreNulls = true).over(past))
+      case "linear" =>
+        val presentTs = when(col("sum_value").isNotNull, col("bucket_start"))
+        val pv = functions.last(col("sum_value"), ignoreNulls = true).over(past)
+        val pt = functions.last(presentTs, ignoreNulls = true).over(past)
+        val nv = functions.first(col("sum_value"), ignoreNulls = true).over(future)
+        val nt = functions.first(presentTs, ignoreNulls = true).over(future)
+        dense.withColumn(
+          "filled_value",
+          when(col("sum_value").isNotNull, col("sum_value").cast("double"))
+            .when(
+              pv.isNotNull && nv.isNotNull,
+              pv.cast("double") +
+                (nv - pv).cast("double") *
+                ((col("bucket_start") - pt).cast("double") / (nt - pt).cast("double"))))
+    }
+    out.select(ordered :+ col("sum_value") :+ col("filled_value"): _*).orderBy(ordered: _*)
+  }
+
   /**
    * Collect a single-series result to the reference's client return shape,
    * `SortedMap[bucketStartMillis, value]` (`TimeseriesAggregationClient.java:129-131`).

@@ -483,4 +483,32 @@ class CorpusSpec extends AnyFunSuite {
     // none (sort for orderBy is a range exchange)
     assert(!pb.contains("Exchange hashpartitioning"), s"docs must not shuffle:\n$pb")
   }
+
+  test("snapshotDiff: all four statuses, hand-built snapshots; summary rolls up") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text").repartition(3)
+    val v2 = Seq((1L, "alpha"), (3L, "GAMMA2"), (4L, "delta"), (5L, "epsilon"))
+      .toDF("doc_id", "text").repartition(2)
+    val got = Corpus.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "unchanged", 2L -> "removed", 3L -> "modified",
+      4L -> "unchanged", 5L -> "added"))
+    val sum = Corpus.snapshotDiffSummary(v1, v2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(sum == Seq("added" -> 1L, "modified" -> 1L, "removed" -> 1L,
+      "unchanged" -> 2L))
+    // identical snapshots: everything unchanged, nothing invented
+    val same = Corpus.snapshotDiffSummary(v1, v1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(same == Seq("unchanged" -> 4L))
+  }
+
+  test("snapshotDiff plan: the corpus crosses one id-keyed join, digests not text") {
+    val p = SparkEntry.queries("corpus_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // full-outer hash join on the id — text columns must be pruned before
+    // the exchange (only doc_id + the 32-char md5 projection survive)
+    assert(p.contains("FullOuter"), s"expected full-outer join:\n$p")
+    assert(p.contains("md5"), s"expected digest projection:\n$p")
+  }
 }

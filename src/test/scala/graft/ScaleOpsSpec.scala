@@ -385,4 +385,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(p.contains("Generate explode") || p.contains("Generate posexplode"),
       s"expected explode:\n$p")
   }
+
+  test("embeddingOutliers: hand-computed flags — anti-aligned, aligned, singleton group") {
+    // group 0: two vectors near +x and one at −x. Centroid S = (900, 100),
+    // |c|² = 820000. The −x member's dot is negative → flagged by the sign
+    // branch; the aligned pair clears dot²·den² > num²·|a|²·|c|² by orders
+    // of magnitude (hand math in each assert). Group 1 is a singleton — its
+    // centroid IS the vector, cos = 1, never flagged.
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 0, Seq(-1.0f, 0.0f)),
+      (4L, 1, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding").repartition(3)
+    val got = Similarity.embeddingOutliers(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 900000L, false), //  9e5²·100 = 8.1e13 > 1·1e6·8.2e5
+      (2L, 0, 820000L, false), //  8.2e5²·100 = 6.7e13 > 1·8.2e5·8.2e5
+      (3L, 0, -900000L, true), //  dot ≤ 0
+      (4L, 1, 1000000L, false))) // self-centroid, cos ≡ 1
+    // partition-order invariance: the flags are exact integers end-to-end
+    val again = Similarity.embeddingOutliers(df.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("embedding_outliers plan: corpus joins the centroid by broadcast, never shuffles") {
+    val p = SparkEntry.queries("embedding_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"centroids must broadcast:\n$p")
+    // the only hash exchange allowed is the centroid build's own aggregation
+    // (explode side) — the per-vector scoring pass must stay map-side
+    def cnt(n: String) = p.sliding(n.length).count(_ == n)
+    assert(cnt("Exchange hashpartitioning") <= 2, s"too many shuffles:\n$p")
+  }
 }

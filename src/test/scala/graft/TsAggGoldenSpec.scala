@@ -450,6 +450,66 @@ class TsAggGoldenSpec extends AnyFunSuite {
         s"${heavyAuto.toSeq.take(3)}")
   }
 
+  test("movingAvg: RANGE frame is gap-aware (absent bucket shrinks the window)") {
+    import spark.implicits._
+    val t0 = BaseMs
+    val spec = TsAggSpec(1, TimeMode.CellTs(t0, t0 + 10000), valueCol = "cents")
+    // buckets 0, 1, 3 present; bucket 2 EMPTY — the trailing 2-bucket RANGE
+    // window at bucket 3 must contain only bucket 3 (a ROWS frame would
+    // wrongly reach back to bucket 1 and answer 30.0)
+    val df = Seq((t0, 10L), (t0 + 1000L, 20L), (t0 + 3000L, 40L)).toDF("ts", "cents")
+      .repartition(3)
+    val got = TsAgg.movingAvg(df, spec, nBuckets = 2)
+      .collect().map(r => (r.getLong(0) - t0, r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 10L, 10.0), (1000L, 20L, 15.0), (3000L, 40L, 40.0)))
+  }
+
+  test("anomalies: the exact integer 3σ inequality flags the spike and nothing else") {
+    import spark.implicits._
+    val t0 = BaseMs
+    val spec = TsAggSpec(1, TimeMode.CellTs(t0, t0 + 12000), valueCol = "cents")
+    // 11 quiet buckets at 10 + one spike at 1000. Hand-check of
+    // (n·x−S)²·(n−1) > 9·n·(n·S2−S²) with n=12, S=1110, S2=1001100:
+    // spike: 10890²·11 = 1 304 513 100 > 108·10 781 100 = 1 164 358 800 ✓
+    // quiet:   990²·11 =    10 781 100  <                               ✗
+    val df = ((0 until 11).map(i => (t0 + i * 1000L, 10L)) :+ (t0 + 11000L, 1000L))
+      .toDF("ts", "cents").repartition(3)
+    val got = TsAgg.anomalies(df, spec, thresholdSigma = 3)
+      .collect().map(r => (r.getLong(0) - t0, r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 12)
+    assert(got.filter(_._3).toSeq == Seq((11000L, 1000L, true)))
+    // a 1-bucket series has no sample variance — never flagged
+    val one = Seq((t0, 99L)).toDF("ts", "cents")
+    val gotOne = TsAgg.anomalies(one, TsAggSpec(1, TimeMode.CellTs(t0, t0 + 1000),
+      valueCol = "cents"), 3).collect()
+    assert(gotOne.length == 1 && !gotOne(0).getBoolean(2))
+  }
+
+  test("fillGaps: dense spine; prev carries, linear interpolates, edges stay NULL") {
+    import spark.implicits._
+    val t0 = BaseMs
+    val iv = 1000L
+    val spec = TsAggSpec(1, TimeMode.CellTs(t0, t0 + 6000), valueCol = "cents")
+    // values only in buckets 1 and 4 → spine of 6 with leading/trailing gaps
+    val df = Seq((t0 + 1000L, 10L), (t0 + 4000L, 40L)).toDF("ts", "cents").repartition(3)
+    def longs(out: Array[org.apache.spark.sql.Row], i: Int): Seq[Option[Long]] =
+      out.map(r => if (r.isNullAt(i)) None else Some(r.getLong(i))).toSeq
+    val nul = TsAgg.fillGaps(df, spec, "null").orderBy("bucket_start").collect()
+    assert(nul.map(_.getLong(0)).toSeq == (0 until 6).map(t0 + _ * iv).toSeq)
+    assert(longs(nul, 2) == Seq(None, Some(10L), None, None, Some(40L), None))
+    val prev = TsAgg.fillGaps(df, spec, "prev").orderBy("bucket_start").collect()
+    assert(longs(prev, 2) == Seq(None, Some(10L), Some(10L), Some(10L), Some(40L), Some(40L)))
+    val lin = TsAgg.fillGaps(df, spec, "linear").orderBy("bucket_start").collect()
+    // expected values computed by the SAME double expression shape the
+    // operator contracts (pv + (nv−pv)·(b−pt)/(nt−pt)) — exact compare
+    def interp(b: Long): Double = 10.0 + (40L - 10L).toDouble * ((b - 1000L).toDouble / 3000.0)
+    val gotLin = lin.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(gotLin == Seq(None, Some(10.0), Some(interp(2000L)), Some(interp(3000L)),
+      Some(40.0), None))
+    // mode validation is eager
+    intercept[IllegalArgumentException](TsAgg.fillGaps(df, spec, "cubic"))
+  }
+
   test("sessionWindows: touching windows MERGE (diff == gap), strict excess splits") {
     import spark.implicits._
     val gap = 1000L
