@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
+import graft.operators.{Corpus, Dedup, Multimodal, Search, Similarity, TextAnalysis, TimeMode, TsAgg, TsAggSpec}
 import graft.functions.{Decoders, RowKeys}
 import graft.functions.expressions.BinaryCodec
 import graft.sources.Fixtures
@@ -419,6 +419,11 @@ object SparkEntry {
         events(s, d, spec900).filter(col("user_id") === 7)
           .withColumn("value_cents", centsCol),
         spec900.copy(valueCol = "value_cents"), how = "linear")),
+    // running total in bucket order — exact BIGINT accumulation on the
+    // post-aggregate frame (counter-style monitoring view)
+    "ts_cumsum_900" -> ((s, d) =>
+      TsAgg.cumulative(events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"))),
     // ---- binary-cell queries over the materialized rowkey fixture ----------
     // Fixtures.keyedEvents is the reference's physical cell layout (12-byte
     // rowkey = 8B BE series ++ 4B BE hour-seconds, 4B BE qualifier
@@ -697,6 +702,12 @@ object SparkEntry {
     // engine/parallelism reproduces it (CorpusSpec asserts invariance)
     "split_train_val" -> ((s, d) =>
       Corpus.splitAssign(documents(s, d)).orderBy("doc_id")),
+    // group-keyed split: every doc of a source lands on ONE side (the
+    // held-out-domain leakage discipline the content-hash split can't give);
+    // valFrac 1/4 puts 3 of the 20 sources in val at this corpus
+    "split_by_source" -> ((s, d) =>
+      Corpus.splitAssignByGroup(documents(s, d), "source", valFrac = 0.25)
+        .orderBy("doc_id")),
     // PII scrub (detect + redact emails/IPv4/phones) over docs with
     // DETERMINISTICALLY PLANTED PII (the synthetic corpus has none): every
     // 7th doc gains an email, 11th an IP, 13th a phone — the oracle plants
@@ -849,6 +860,12 @@ object SparkEntry {
     "vocab_top20" -> ((s, d) =>
       Corpus.vocabTopK(documents(s, d), 20)
         .orderBy(col("cnt").desc, col("token").asc)),
+    // BM25 top-25 lexical retrieval for a 3-term query with real idf
+    // contrast ('dup' df=25 vs ~390 for the others at sf0.01): rational
+    // k1=6/5, b=3/4 so both factors are single double divisions of exact
+    // decimal(38) integers, per-doc fold LEFT-TO-RIGHT in token order
+    "search_bm25" -> ((s, d) =>
+      Search.bm25TopK(documents(s, d), "dup spark join", k = 25)),
     // REAL BPE token counts (Sennrich et al. 2016) under the persisted
     // 40-merge model trained on this corpus — the sequence-length
     // accounting a packing/budgeting pipeline runs (whitespace counts
@@ -1747,6 +1764,14 @@ object SparkEntry {
       },
       "ts_fill_prev_900" -> fillGapsSql(linear = false),
       "ts_fill_linear_900" -> fillGapsSql(linear = true),
+      // running total: exact BIGINT accumulation, no float ever enters
+      "ts_cumsum_900" -> {
+        val inner = tsAggSql(s"CAST(sum($cents) AS BIGINT) AS sum_value",
+          T0_EVENTS, e900, 900 * MS)
+        s"SELECT bucket_start, sum_value, CAST(sum(sum_value) OVER " +
+          "(ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_value " +
+          s"FROM ($inner) ORDER BY bucket_start"
+      },
       // decimal fixed-point decode, DOUBLE-finalized on both sides: exact
       // integer cents / 100 is correctly rounded identically by DuckDB's
       // double division and Spark's decimal→double cast (operands < 2^53)
@@ -1897,6 +1922,12 @@ object SparkEntry {
         (s"SELECT doc_id, CASE WHEN substr(md5(text), 1, 4) >= " +
           s"'${graft.operators.Corpus.splitThresholdHex(0.0625)}' THEN 'val' ELSE 'train' END AS split " +
           "FROM documents ORDER BY doc_id"),
+      // group-keyed split: the hash input is the SOURCE key, so the whole
+      // source family lands on one side; valFrac 1/4 → threshold "c000"
+      "split_by_source" ->
+        (s"SELECT doc_id, source, CASE WHEN substr(md5(source), 1, 4) >= " +
+          s"'${graft.operators.Corpus.splitThresholdHex(0.25)}' THEN 'val' ELSE 'train' END AS split " +
+          "FROM documents ORDER BY doc_id"),
       // PII scrub replay: identical planted strings, identical patterns
       // (the Java/RE2-common subset), 'g' flag because DuckDB's
       // regexp_replace is first-match by default where Spark's is global;
@@ -1936,6 +1967,26 @@ object SparkEntry {
         """WITH u AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents)
           |SELECT token, count(*) AS cnt FROM u GROUP BY 1
           |ORDER BY cnt DESC, token LIMIT 20""".stripMargin.replace("\n", " "),
+      // BM25 replayed with the ENGINE'S exact arithmetic: both factors are
+      // single double divisions of exact HUGEINT integers (the decimal(38)
+      // twin), the per-term score one multiply, and the per-doc fold
+      // list_sum(list(s ORDER BY token)) — left-to-right like the engine's
+      // array aggregate, so the doubles are bit-equal under the hash gate
+      "search_bm25" ->
+        """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+          |st AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs, CAST(sum(len(tk)) AS HUGEINT) AS total FROM toks),
+          |d AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+          |m AS (SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS tf, CAST(max(dl) AS HUGEINT) AS dl
+          |  FROM d WHERE token IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+          |dft AS (SELECT token, CAST(count(*) AS HUGEINT) AS dft FROM m GROUP BY 1),
+          |sc AS (SELECT m.doc_id, m.token,
+          |    (CAST(2 * (st.n_docs - dft.dft) + 1 AS DOUBLE) / CAST(2 * dft.dft + 1 AS DOUBLE)) *
+          |    (CAST(44 * st.total * m.tf AS DOUBLE) /
+          |     CAST(20 * st.total * m.tf + 6 * st.total + 18 * m.dl * st.n_docs AS DOUBLE)) AS s_t
+          |  FROM m JOIN dft ON m.token = dft.token, st)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+          |  list_sum(list(s_t ORDER BY token)) AS score
+          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin.replace("\n", " "),
       // exact cross-product rate divergence (DuckDB HUGEINT side of the
       // engine's decimal(38) arithmetic); top-20 set cut by (shift, token),
       // then re-sorted by the output columns like the engine

@@ -122,6 +122,30 @@ object Corpus {
   }
 
   /**
+   * Group-keyed train/validation split: EVERY document sharing `groupCol`
+   * lands on the same side, decided by `md5(seed || group)` under the same
+   * 4-hex-digit cut as [[splitAssign]]. This is the leakage model the
+   * content-hash split cannot close: near-duplicates and templated rewrites
+   * from one site/source are different strings (different content hashes —
+   * [[splitAssign]] can land them on opposite sides) but share their origin
+   * key, so grouping by registered domain or source quarantines the whole
+   * family on one side (the GPT-3/C4-style held-out-domain discipline).
+   *
+   * Scale shape: still a pure projection — the group key is a column of the
+   * row, so there is no join and no shuffle; any engine reproduces the
+   * assignment from (seed, group) alone. NULL groups hash as the empty
+   * string (one deterministic side, never a third bucket).
+   */
+  def splitAssignByGroup(df: DataFrame, groupCol: String,
+      valFrac: Double = 0.0625, seed: String = "",
+      idCol: String = "doc_id"): DataFrame = {
+    val f = math.min(1.0, math.max(0.0, valFrac))
+    df.select(col(idCol), col(groupCol),
+      when(substring(md5(concat(lit(seed), coalesce(col(groupCol), lit("")))), 1, 4)
+        >= lit(splitThresholdHex(f)), lit("val")).otherwise(lit("train")).as("split"))
+  }
+
+  /**
    * The 4-hex-digit cut: hashes lexicographically ≥ this land in `val`.
    * A `valFrac` that rounds to zero returns "g" — greater than every hex
    * digit, so no 4-hex prefix reaches it and the split is all-train (a

@@ -724,6 +724,26 @@ object TsAgg {
   }
 
   /**
+   * Running total over the bucket series: SUM per bucket, then the cumulative
+   * sum in bucket order — the counter-style view (total events served so far,
+   * tokens ingested to date) a monitoring consumer derives from the same
+   * sparse bucket frame every other bucket query reads. Exact BIGINT
+   * end-to-end: integer bucket sums accumulate with no float ever entering,
+   * so the result is bit-deterministic at any partitioning.
+   *
+   * Scale shape: same as [[diff]] — the running window consumes the
+   * post-aggregate O(buckets) frame (never O(cells)), partitioned per series
+   * when series columns are present.
+   */
+  def cumulative(df: DataFrame, spec: TsAggSpec): DataFrame = {
+    val summed = aggregate(df, spec, Seq(functions.sum(v(spec)).as("sum_value")))
+    val w = seriesWindow(spec).rowsBetween(Window.unboundedPreceding, 0)
+    summed
+      .withColumn("cum_value", functions.sum(col("sum_value")).over(w))
+      .orderBy((spec.seriesCols :+ "bucket_start").map(col): _*)
+  }
+
+  /**
    * Collect a single-series result to the reference's client return shape,
    * `SortedMap[bucketStartMillis, value]` (`TimeseriesAggregationClient.java:129-131`).
    * API-edge only — never used inside a plan.

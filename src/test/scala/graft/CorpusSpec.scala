@@ -484,6 +484,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(!pb.contains("Exchange hashpartitioning"), s"docs must not shuffle:\n$pb")
   }
 
+  test("splitAssignByGroup: one side per group, frac extremes, null group, zero shuffle") {
+    val df = Seq(
+      (1L, "s1", "text a"), (2L, "s1", "text b"), (3L, "s1", "text c"),
+      (4L, "s2", "text d"), (5L, "s2", "text e"),
+      (6L, null.asInstanceOf[String], "text f")
+    ).toDF("doc_id", "source", "text").repartition(3)
+    val got = Corpus.splitAssignByGroup(df, "source", valFrac = 0.5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    // EVERY doc of a group lands on one side — the leakage guarantee
+    got.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"group $g split across sides")
+    }
+    // the assignment is the md5 cut on the GROUP key, replayed here
+    def side(g: String): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+      if (hex >= Corpus.splitThresholdHex(0.5)) "val" else "train"
+    }
+    assert(got.filter(_._2.contains("s1")).head._3 == side("s1"))
+    assert(got.filter(_._2.contains("s2")).head._3 == side("s2"))
+    // NULL group hashes as the empty string — one deterministic side
+    assert(got.filter(_._2.isEmpty).head._3 == side(""))
+    // frac extremes: 0 → all train, 1 → all val
+    assert(Corpus.splitAssignByGroup(df, "source", valFrac = 0.0)
+      .collect().forall(_.getString(2) == "train"))
+    assert(Corpus.splitAssignByGroup(df, "source", valFrac = 1.0)
+      .collect().forall(_.getString(2) == "val"))
+    // pure projection: no exchange of any kind in the assignment itself
+    val p = Corpus.splitAssignByGroup(docs, "source")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), s"split must not shuffle:\n$p")
+  }
+
   test("snapshotDiff: all four statuses, hand-built snapshots; summary rolls up") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
       .toDF("doc_id", "text").repartition(3)

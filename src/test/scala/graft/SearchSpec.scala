@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Search
+
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bm25TopK: hand-computed exact scores; fold order; partition invariance") {
+    // N=3 docs, T=9 tokens. Query "a c": matches (d1,a,tf2) (d2,a,tf1)
+    // (d2,c,tf1) (d3,c,tf4); df(a)=df(c)=2 → idf = 3/5 = 0.6 exactly.
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "a c"),
+      (3L, "c c c c")
+    ).toDF("doc_id", "text").repartition(3)
+    val got = Search.bm25TopK(docs, "a c", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // expected per-term doubles via the operator's own expression shape:
+    // tf_d = 44·T·tf / (20·T·tf + 6·T + 18·dl·N), one division each
+    val idf = (2.0 * (3 - 2) + 1) / (2.0 * 2 + 1) // 0.6 exact
+    val d1a = idf * (44.0 * 9 * 2 / (20.0 * 9 * 2 + 6 * 9 + 18 * 3 * 3)) // 0.6·1.375
+    val d2t = idf * (44.0 * 9 * 1 / (20.0 * 9 * 1 + 6 * 9 + 18 * 2 * 3))
+    val d3c = idf * (44.0 * 9 * 4 / (20.0 * 9 * 4 + 6 * 9 + 18 * 4 * 3)) // 0.6·1.6
+    // doc 2's fold is (0 + s_a) + s_c with s_a = s_c = d2t — exact doubles
+    val expect = Seq((2L, 2L, d2t + d2t), (3L, 1L, d3c), (1L, 1L, d1a))
+    assert(got.toSeq == expect, s"got ${got.toSeq}")
+    // k cuts after the total order (score desc, id asc)
+    val top1 = Search.bm25TopK(docs, "a c", k = 1).collect().map(_.getLong(0))
+    assert(top1.toSeq == Seq(2L))
+    // exact arithmetic end-to-end → identical bits at any partitioning
+    val again = Search.bm25TopK(docs.repartition(7), "a c", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+    // no-match docs never appear; unknown terms contribute nothing
+    val none = Search.bm25TopK(docs, "zzz", k = 10).collect()
+    assert(none.isEmpty)
+    // eager validation
+    intercept[IllegalArgumentException](Search.bm25TopK(docs, "   "))
+    intercept[IllegalArgumentException](Search.bm25TopK(docs, "a", k = 0))
+  }
+
+  test("bm25TopK: query terms dedupe and lowercase like the corpus side") {
+    val docs = Seq((1L, "Foo bar"), (2L, "baz")).toDF("doc_id", "text")
+    // "FOO foo" is ONE term after normalization — score counts it once
+    val one = Search.bm25TopK(docs, "FOO foo", k = 10).collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(one.head.getLong(1) == 1L)
+  }
+
+  test("search_bm25 plan: postings filtered above the scan, top-k never sorts the corpus") {
+    val p = SparkEntry.queries("search_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the k-cut must be a per-partition-heads TakeOrderedAndProject, not a
+    // global Sort + Limit over corpus rows
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+    // corpus stats and per-term dfs ride broadcasts
+    assert(p.contains("BroadcastExchange"), s"expected broadcast joins:\n$p")
+  }
+}

@@ -510,6 +510,22 @@ class TsAggGoldenSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TsAgg.fillGaps(df, spec, "cubic"))
   }
 
+  test("cumulative: exact BIGINT running total, sparse buckets, partition-invariant") {
+    import spark.implicits._
+    val t0 = BaseMs
+    val spec = TsAggSpec(1, TimeMode.CellTs(t0, t0 + 10000), valueCol = "cents")
+    // buckets 0, 1, 3 present (bucket 2 empty — the running total skips it,
+    // the sparse contract: no bucket row, no cum row)
+    val df = Seq((t0, 10L), (t0 + 1000L, 20L), (t0 + 3000L, 40L)).toDF("ts", "cents")
+      .repartition(3)
+    val got = TsAgg.cumulative(df, spec)
+      .collect().map(r => (r.getLong(0) - t0, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 10L, 10L), (1000L, 20L, 30L), (3000L, 40L, 70L)))
+    val again = TsAgg.cumulative(df.repartition(7), spec)
+      .collect().map(r => (r.getLong(0) - t0, r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("sessionWindows: touching windows MERGE (diff == gap), strict excess splits") {
     import spark.implicits._
     val gap = 1000L
