@@ -310,13 +310,18 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r13: 24 queries new this round, ALL full-oracle: " +
+    val notes = "r13: 25 queries new this round, ALL full-oracle: " +
       "search_bm25 (lexical retrieval, the corpus-mining/RAG front door: " +
       "BM25 with RATIONAL k1=6/5 b=3/4 so both factors are single double " +
       "divisions of exact decimal(38) integers and the per-doc fold runs " +
       "left-to-right in token order - bit-equal to DuckDB's " +
       "list_sum(list(s ORDER BY token)); postings filtered above the scan, " +
-      "O(query postings) ever shuffles, top-k is TakeOrderedAndProject); " +
+      "O(query postings) ever shuffles, top-k is TakeOrderedAndProject) " +
+      "+ its persisted-index serve twin search_bm25_indexed (bucket-" +
+      "partitioned postings, the scan PRUNES to the query terms' " +
+      "directories, zero tokenization - bit-identical to the scan form, " +
+      "SAME oracle SQL gates both; build-once/serve-many like the dedup/" +
+      "ANN/media index tiers); " +
       "split_by_source (group-keyed held-out-domain split - every doc of a " +
       "source on ONE side, the leakage model the content-hash split can't " +
       "close; still a pure zero-shuffle projection); " +
@@ -377,8 +382,8 @@ object Bench {
       "rankings / PQ codes + per-query ADC LUTs as fixtures; candidate joins, the " +
       "m-ordered ADC sum, top-256 shortlist and the exact double cosine re-rank all " +
       "replayed bit-exact - DuckDB's list_sum folds left-to-right like " +
-      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 125 (the two order-dependent " +
-      "sketches, both artifact-gated; 123 of 125 full-oracle). Plan changes: none to carried queries - " +
+      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 126 (the two order-dependent " +
+      "sketches, both artifact-gated; 124 of 126 full-oracle). Plan changes: none to carried queries - " +
       "packSequencesWhole's pass-1 summary skips zero-count docs (bound fix, " +
       "identical output), the forced-sketch gate emits an explicit error marker + " +
       "failed query on computation error, the crawl loop resolves+forwards the " +

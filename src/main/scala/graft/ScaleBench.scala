@@ -316,6 +316,21 @@ object ScaleBench {
           (i, idf * tfD)
         }.sortBy { case (i, s) => (-s, i) }.take(25)
         assert(got.toSeq == expect, s"top-25 replay mismatch: got ${got.take(3).toSeq}")
+        // the SERVE tier: build + persist the inverted index (the O(base)
+        // step), then serve the same query from the pruned postings read —
+        // must reproduce the scan form bit-for-bit at a fraction of the cost
+        val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-searchix").toString
+        time(s"build+write search index over $nDocs docs (O(base), once per snapshot)") {
+          graft.operators.Search.writeSearchIndex(
+            graft.operators.Search.buildSearchIndex(planted), ixDir)
+        }
+        val ix = graft.operators.Search.readSearchIndex(spark, ixDir)
+        var served: Array[(Long, Double)] = null
+        time(s"bm25 SERVE 'needle' from the persisted index (pruned postings read)") {
+          served = graft.operators.Search.bm25TopKIndexed(ix, "needle", k = 25)
+            .collect().map(r => (r.getLong(0), r.getDouble(2)))
+        }
+        assert(served.toSeq == got.toSeq, "serve != scan at corpus scale")
       }
     } // sectionOn("bm25")
 

@@ -866,6 +866,12 @@ object SparkEntry {
     // decimal(38) integers, per-doc fold LEFT-TO-RIGHT in token order
     "search_bm25" -> ((s, d) =>
       Search.bm25TopK(documents(s, d), "dup spark join", k = 25)),
+    // the SERVE path: same query through the persisted inverted index
+    // (Fixtures.searchIndex, built once per corpus fingerprint) — the scan
+    // prunes to the terms' bucket directories, zero tokenization; results
+    // are bit-identical to the scan form, so it shares its oracle shape
+    "search_bm25_indexed" -> ((s, d) =>
+      Search.bm25TopKIndexed(Fixtures.searchIndex(s, d), "dup spark join", k = 25)),
     // REAL BPE token counts (Sennrich et al. 2016) under the persisted
     // 40-merge model trained on this corpus — the sequence-length
     // accounting a packing/budgeting pipeline runs (whitespace counts
@@ -1504,6 +1510,26 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The BM25 oracle, shared verbatim by `search_bm25` (scan form) and
+    * `search_bm25_indexed` (persisted-postings serve form): both engines'
+    * factors are single double divisions of exact integers and the per-doc
+    * fold is order-fixed, so ONE replay gates both plans bit-for-bit. */
+  private val bm25OracleSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |st AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs, CAST(sum(len(tk)) AS HUGEINT) AS total FROM toks),
+      |d AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+      |m AS (SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS tf, CAST(max(dl) AS HUGEINT) AS dl
+      |  FROM d WHERE token IN ('dup', 'spark', 'join') GROUP BY 1, 2),
+      |dft AS (SELECT token, CAST(count(*) AS HUGEINT) AS dft FROM m GROUP BY 1),
+      |sc AS (SELECT m.doc_id, m.token,
+      |    (CAST(2 * (st.n_docs - dft.dft) + 1 AS DOUBLE) / CAST(2 * dft.dft + 1 AS DOUBLE)) *
+      |    (CAST(44 * st.total * m.tf AS DOUBLE) /
+      |     CAST(20 * st.total * m.tf + 6 * st.total + 18 * m.dl * st.n_docs AS DOUBLE)) AS s_t
+      |  FROM m JOIN dft ON m.token = dft.token, st)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  list_sum(list(s_t ORDER BY token)) AS score
+      |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin.replace("\n", " ")
+
   def oracleSql: Map[String, String] = {
     val cents = "CAST(round(value * 100) AS BIGINT)"
     // Sentinel-fixture TSVs resolved RELATIVE TO THE REPO ROOT at
@@ -1971,22 +1997,12 @@ object SparkEntry {
       // single double divisions of exact HUGEINT integers (the decimal(38)
       // twin), the per-term score one multiply, and the per-doc fold
       // list_sum(list(s ORDER BY token)) — left-to-right like the engine's
-      // array aggregate, so the doubles are bit-equal under the hash gate
-      "search_bm25" ->
-        """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
-          |st AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs, CAST(sum(len(tk)) AS HUGEINT) AS total FROM toks),
-          |d AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
-          |m AS (SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS tf, CAST(max(dl) AS HUGEINT) AS dl
-          |  FROM d WHERE token IN ('dup', 'spark', 'join') GROUP BY 1, 2),
-          |dft AS (SELECT token, CAST(count(*) AS HUGEINT) AS dft FROM m GROUP BY 1),
-          |sc AS (SELECT m.doc_id, m.token,
-          |    (CAST(2 * (st.n_docs - dft.dft) + 1 AS DOUBLE) / CAST(2 * dft.dft + 1 AS DOUBLE)) *
-          |    (CAST(44 * st.total * m.tf AS DOUBLE) /
-          |     CAST(20 * st.total * m.tf + 6 * st.total + 18 * m.dl * st.n_docs AS DOUBLE)) AS s_t
-          |  FROM m JOIN dft ON m.token = dft.token, st)
-          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-          |  list_sum(list(s_t ORDER BY token)) AS score
-          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin.replace("\n", " "),
+      // array aggregate, so the doubles are bit-equal under the hash gate.
+      // The indexed serve path shares the SQL verbatim: the index is a
+      // materialization of the same (tf, dl, N, T) values, so one oracle
+      // covers both forms — any drift between scan and serve fails here.
+      "search_bm25" -> bm25OracleSql,
+      "search_bm25_indexed" -> bm25OracleSql,
       // exact cross-product rate divergence (DuckDB HUGEINT side of the
       // engine's decimal(38) arithmetic); top-20 set cut by (shift, token),
       // then re-sorted by the output columns like the engine

@@ -50,10 +50,8 @@ object Search {
    */
   def bm25TopK(docs: DataFrame, query: String, k: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    require(terms.nonEmpty, s"query must contain at least one term, got '$query'")
+    val terms = queryTerms(query)
     require(k >= 1, s"k must be >= 1, got $k")
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     val toked = Parallelism.ensure(docs)
       .select(col(idCol), tokens(col(textCol)).as("tk"))
       .withColumn("dl", size(col("tk")).cast("long"))
@@ -67,6 +65,24 @@ object Search {
       .filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    scoreAndCut(matched, stats, k, idCol)
+  }
+
+  /** Normalized distinct query terms (the corpus-side tokenization rules). */
+  private def queryTerms(query: String): Seq[String] = {
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, s"query must contain at least one term, got '$query'")
+    terms
+  }
+
+  /** The shared exact-arithmetic scorer: per-term df from the matched
+    * postings, the two integer-ratio factors, the order-fixed fold, the
+    * total-order top-k cut. Both the scan form and the indexed form feed
+    * this the SAME `(idCol, token, tf, dl)` frame, so their doubles are
+    * identical bit-for-bit by construction. */
+  private def scoreAndCut(matched: DataFrame, stats: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val dft = matched.groupBy("token").agg(count(lit(1)).as("dft"))
     val scored = matched
       .join(broadcast(dft), Seq("token"))
@@ -91,5 +107,85 @@ object Search {
         aggregate(col("sorted"), lit(0.0), _ + _).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted inverted-index tier — the serve path. bm25TopK re-tokenizes
+  // the corpus per query, which is the right shape for ad-hoc exploration
+  // but not for a search deployment: at 100 TB nobody rescans the corpus
+  // per query. Same build-once/serve-many contract as the dedup, semantic,
+  // ANN and media index tiers.
+  // ---------------------------------------------------------------------
+
+  /** Postings (`bucket, token, doc_id, tf, dl` — one row per distinct
+    * (token, doc) pair, bucketed by token hash for partition pruning) plus
+    * the one-row corpus stats table (`n_docs, total_tokens`). */
+  case class SearchIndex(postings: DataFrame, stats: DataFrame)
+
+  /** Token-hash partition count for the postings layout: the serve path
+    * directory-prunes to the query terms' buckets, so each query reads
+    * ~terms/64 of the postings regardless of corpus size. */
+  val IndexBuckets = 64
+
+  private def tokenBucket(token: Column): Column =
+    pmod(xxhash64(token), lit(IndexBuckets.toLong))
+
+  /**
+   * Build the inverted index: ONE tokenize + one (token, doc) aggregation
+   * over the corpus — the O(base) step, paid once per corpus snapshot. The
+   * postings carry everything scoring needs (`tf`, `dl`); `stats` pins the
+   * corpus-level constants so every query served from a snapshot scores
+   * against the same N and T (the same reproducibility rule as the
+   * persisted LM's normalization constants).
+   */
+  def buildSearchIndex(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): SearchIndex = {
+    val toked = Parallelism.ensure(docs)
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val postings = toked
+      .select(col(idCol), col("dl"), explode(col("tk")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket", tokenBucket(col("token")))
+    val stats = toked.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    SearchIndex(postings, stats)
+  }
+
+  /** Persist: postings laid out as `bucket=N/` parquet directories (what
+    * the serve path's pruning keys on), stats as one tiny table. */
+  def writeSearchIndex(idx: SearchIndex, path: String): Unit = {
+    idx.postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): SearchIndex =
+    SearchIndex(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"))
+
+  /**
+   * Serve a query from the persisted index: filter the postings to the
+   * query terms — the bucket predicate is built from literals, so Catalyst
+   * constant-folds `pmod(xxhash64('term'), 64)` and the scan PRUNES to the
+   * terms' partition directories before reading a row — then run the SAME
+   * shared scorer as [[bm25TopK]]. Results are bit-identical to the scan
+   * form over the indexed corpus (same tf/dl/df/N/T values through the same
+   * expressions); what changes is the cost: O(query-buckets' postings) read,
+   * zero tokenization, vs a full corpus scan.
+   */
+  def bm25TopKIndexed(idx: SearchIndex, query: String, k: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = queryTerms(query)
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bucketPred = terms.map(t => col("bucket") === tokenBucket(lit(t)))
+      .reduce(_ || _)
+    val matched = idx.postings
+      .filter(bucketPred && col("token").isin(terms: _*))
+      .select(col(idCol), col("token"), col("tf"), col("dl"))
+    scoreAndCut(matched, idx.stats, k, idCol)
   }
 }

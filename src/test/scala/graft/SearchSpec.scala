@@ -52,6 +52,37 @@ class SearchSpec extends AnyFunSuite {
     assert(one.head.getLong(1) == 1L)
   }
 
+  test("indexed serve == scan form bit-for-bit, through a write/read round-trip") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "c c c c"), (4L, "b b d"),
+      (5L, "d a c b"), (6L, "e")
+    ).toDF("doc_id", "text").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(docs), dir)
+    val idx = Search.readSearchIndex(spark, dir)
+    // every query and k: the serve path must reproduce the scan form
+    // EXACTLY — same docs, same n_terms, same score bits, same order
+    for (q <- Seq("a c", "d", "a b c d", "zzz e")) {
+      val scan = Search.bm25TopK(docs, q, k = 10).collect().toSeq
+      val served = Search.bm25TopKIndexed(idx, q, k = 10).collect().toSeq
+      assert(served == scan, s"serve != scan for '$q'")
+    }
+    // the stats table pins corpus constants: one row, exact totals
+    val st = idx.stats.collect()
+    assert(st.length == 1 && st(0).getLong(0) == 6L && st(0).getLong(1) == 17L)
+  }
+
+  test("indexed serve plan: partition-pruned postings read, no tokenization") {
+    val p = SparkEntry.queries("search_bm25_indexed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the bucket predicate constant-folds to literals, so the parquet scan
+    // prunes to the query terms' bucket directories
+    assert(p.contains("PartitionFilters: ["), s"expected partition filters:\n$p")
+    assert(p.contains("bucket"), s"expected bucket pruning:\n$p")
+    // serving never re-tokenizes: no split/explode of document text
+    assert(!p.contains("Generate explode"), s"serve path must not explode text:\n$p")
+  }
+
   test("search_bm25 plan: postings filtered above the scan, top-k never sorts the corpus") {
     val p = SparkEntry.queries("search_bm25")(spark, sf)
       .queryExecution.executedPlan.toString
