@@ -331,6 +331,25 @@ object ScaleBench {
             .collect().map(r => (r.getLong(0), r.getDouble(2)))
         }
         assert(served.toSeq == got.toSeq, "serve != scan at corpus scale")
+        // O(delta) append: 1000 fresh docs (ids shifted past the corpus,
+        // 1-in-100 carrying one needle) tokenize alone and land in the same
+        // bucket layout; the grown index must serve EXACTLY what a fresh
+        // scan of base ∪ delta answers — postings, df, N and T decompose
+        val delta = mkDocs(1000)
+          .select((col("doc_id") + lit(10L * nDocs)).as("doc_id"), col("text"))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(100L)) === 0L,
+              concat(col("text"), lit(" needle"))).otherwise(col("text")))
+        var grown: graft.operators.Search.SearchIndex = null
+        time("appendSearchIndex: 1000-doc delta vs the 100k-doc index (O(delta))") {
+          grown = graft.operators.Search.appendSearchIndex(ix, ixDir, delta)
+        }
+        val afterServe = graft.operators.Search.bm25TopKIndexed(grown, "needle", k = 25)
+          .collect().map(r => (r.getLong(0), r.getDouble(2)))
+        val afterScan = graft.operators.Search
+          .bm25TopK(planted.unionByName(delta), "needle", k = 25)
+          .collect().map(r => (r.getLong(0), r.getDouble(2)))
+        assert(afterServe.toSeq == afterScan.toSeq, "grown serve != union scan")
       }
     } // sectionOn("bm25")
 

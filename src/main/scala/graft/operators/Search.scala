@@ -168,6 +168,41 @@ object Search {
       spark.read.parquet(s"$path/stats"))
 
   /**
+   * O(delta) append — the incremental story the other five index tiers
+   * carry (exact/near/span/semantic/image), applied to search: a crawl
+   * round's accepted docs tokenize and aggregate ALONE (delta-sized, the
+   * base postings are never read or re-shuffled), their postings land as
+   * new files inside the same `bucket=N/` layout, and the one-row stats
+   * table is rewritten with the summed totals. Requires delta ids disjoint
+   * from the base (the same contract as every other append tier); under it
+   * the grown index serves BIT-IDENTICAL results to a scan over
+   * base ∪ delta, because postings, df, N and T all decompose exactly.
+   *
+   * Write order: postings first, stats last. The two writes are not atomic;
+   * an orphan postings append (failure between them) leaves delta docs
+   * findable under the stale corpus constants — visible score drift, no
+   * lost candidates — while the reverse order would silently shift every
+   * score before the delta is searchable. Deployments that need atomicity
+   * use the versioned-snapshot store shape (`v<N>` directories, pointer
+   * written last) the streaming loops use for the Sem/Ann tiers.
+   */
+  def appendSearchIndex(ix: SearchIndex, path: String, delta: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): SearchIndex = {
+    val spark = delta.sparkSession
+    val d = buildSearchIndex(delta, idCol, textCol)
+    d.postings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val base = ix.stats.collect()(0)
+    val add = d.stats.collect()(0)
+    spark.range(1)
+      .select(
+        lit(base.getLong(0) + add.getLong(0)).as("n_docs"),
+        lit(base.getLong(1) + add.getLong(1)).as("total_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    readSearchIndex(spark, path)
+  }
+
+  /**
    * Serve a query from the persisted index: filter the postings to the
    * query terms — the bucket predicate is built from literals, so Catalyst
    * constant-folds `pmod(xxhash64('term'), 64)` and the scan PRUNES to the

@@ -72,6 +72,30 @@ class SearchSpec extends AnyFunSuite {
     assert(st.length == 1 && st(0).getLong(0) == 6L && st(0).getLong(1) == 17L)
   }
 
+  test("appendSearchIndex: grown index serves == scan over base ∪ delta, exactly") {
+    val base = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "c c c c")
+    ).toDF("doc_id", "text").repartition(2)
+    val delta = Seq(
+      (10L, "a a a d"), (11L, "c d")
+    ).toDF("doc_id", "text").repartition(2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-app").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(base), dir)
+    val grown = Search.appendSearchIndex(
+      Search.readSearchIndex(spark, dir), dir, delta)
+    // stats summed exactly: 5 docs, 9 + 6 tokens
+    val st = grown.stats.collect()(0)
+    assert(st.getLong(0) == 5L && st.getLong(1) == 15L)
+    // the grown index is indistinguishable from a fresh scan of the union:
+    // delta postings join the same buckets, df/N/T decompose exactly
+    val union = base.unionByName(delta)
+    for (q <- Seq("a", "c d", "a c", "zz d")) {
+      val scan = Search.bm25TopK(union, q, k = 10).collect().toSeq
+      val served = Search.bm25TopKIndexed(grown, q, k = 10).collect().toSeq
+      assert(served == scan, s"grown serve != union scan for '$q'")
+    }
+  }
+
   test("indexed serve plan: partition-pruned postings read, no tokenization") {
     val p = SparkEntry.queries("search_bm25_indexed")(spark, sf)
       .queryExecution.executedPlan.toString
