@@ -310,7 +310,7 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r13: 25 queries new this round, ALL full-oracle: " +
+    val notes = "r13: 26 queries new this round, ALL full-oracle: " +
       "search_bm25 (lexical retrieval, the corpus-mining/RAG front door: " +
       "BM25 with RATIONAL k1=6/5 b=3/4 so both factors are single double " +
       "divisions of exact decimal(38) integers and the per-doc fold runs " +
@@ -329,7 +329,10 @@ object Bench {
       "bucket frame); " +
       "the bucket-series family ts_moving_avg_900 (trailing RANGE-frame mean " +
       "over the 900s sums - gap-aware, absent buckets shrink the denominator; " +
-      "exact windowSum/count, one double division) + ts_anomaly_900 (3-sigma " +
+      "exact windowSum/count, one double division) + ts_ewma_900 (exponentially-" +
+      "decayed trailing mean with exact dyadic weights - decimal(38) weighted " +
+      "sums, one double division, replayed as a trailing self-join in DuckDB) " +
+      "+ ts_anomaly_900 (3-sigma " +
       "flags decided by ONE exact decimal(38) inequality, no float epsilon) + " +
       "ts_fill_prev_900/ts_fill_linear_900 (dense plan-constant range() spine, " +
       "forward-fill and no-extrapolation linear interpolation as the same fixed " +
@@ -382,8 +385,8 @@ object Bench {
       "rankings / PQ codes + per-query ADC LUTs as fixtures; candidate joins, the " +
       "m-ordered ADC sum, top-256 shortlist and the exact double cosine re-rank all " +
       "replayed bit-exact - DuckDB's list_sum folds left-to-right like " +
-      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 126 (the two order-dependent " +
-      "sketches, both artifact-gated; 124 of 126 full-oracle). Plan changes: none to carried queries - " +
+      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 127 (the two order-dependent " +
+      "sketches, both artifact-gated; 125 of 127 full-oracle). Plan changes: none to carried queries - " +
       "packSequencesWhole's pass-1 summary skips zero-count docs (bound fix, " +
       "identical output), the forced-sketch gate emits an explicit error marker + " +
       "failed query on computation error, the crawl loop resolves+forwards the " +

@@ -136,6 +136,19 @@ object ScaleBench {
           assert(r.getDouble(2) == expect, s"mavg replay mismatch at $b")
         }
       }
+      time("ewmaTrailing 4-bucket dyadic weights over 100M-row 900s sums") {
+        val out = TsAgg.ewmaTrailing(df, spec, wBuckets = 4).collect()
+        assert(out.length == 672, s"expected 672 buckets, got ${out.length}")
+        val sums = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        out.foreach { r =>
+          val b = r.getLong(0)
+          val inWin = (0 to 3).flatMap(k =>
+            sums.get(b - k * spec.intervalMs).map(v => (v, 1L << (3 - k))))
+          val expect = inWin.map { case (v, w) => BigInt(v) * w }.sum.toDouble /
+            inWin.map(_._2).sum.toDouble
+          assert(r.getDouble(2) == expect, s"ewma replay mismatch at $b")
+        }
+      }
       time("anomalies 3σ over 100M rows + one planted 2×-hot bucket") {
         // plant: double bucket 100's mass by unioning a copy of its rows —
         // uniform elsewhere, so exactly that bucket must trip the exact test

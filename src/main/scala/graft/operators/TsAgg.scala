@@ -622,6 +622,53 @@ object TsAgg {
   }
 
   /**
+   * Exponentially-decayed trailing mean over the bucket series — the
+   * recency-weighted smoother (monitoring dashboards, rate limiters, drift
+   * baselines) with the decay chosen so EVERY weight is an exact integer:
+   * per half-interval decay 1/2, truncated at `wBuckets`, so a bucket at
+   * lag j weighs `2^(wBuckets−1−j)`. The weighted sum and the weight sum
+   * accumulate in decimal(38) — exact, order-independent — and the mean is
+   * ONE double division at the end, so the result is bit-deterministic at
+   * any partitioning and replayable in any engine (the classic float-α
+   * recursive EWMA is neither: its value depends on the whole history and
+   * accumulates rounding in evaluation order).
+   *
+   * Gap-aware like [[movingAvg]]: absent buckets contribute neither side,
+   * so the mean renormalizes over the present weights (a ROWS frame would
+   * silently stretch the decay horizon across gaps). Window input is
+   * post-aggregate: O(buckets) rows, each carrying a ≤ `wBuckets` list.
+   */
+  def ewmaTrailing(df: DataFrame, spec: TsAggSpec, wBuckets: Int): DataFrame = {
+    require(wBuckets >= 1 && wBuckets <= 32,
+      s"wBuckets must be in [1, 32] (weights are exact 2^j longs), got $wBuckets")
+    val summed = aggregate(df, spec, Seq(functions.sum(v(spec)).as("sum_value")))
+    val w = seriesWindow(spec).rangeBetween(-(wBuckets - 1) * spec.intervalMs, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // 2^(w−1−lag) via the catalyst ShiftLeft (the two-Column form the DSL
+    // helper lacks) — an exact long for every lag in the frame
+    val weight = (p: Column) => org.apache.spark.sql.GraftBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.GraftBridge.toExpression(lit(1L)),
+        org.apache.spark.sql.GraftBridge.toExpression(
+          (lit(wBuckets - 1) -
+            (col("bucket_start") - p.getField("bucket_start")) / spec.intervalMs)
+            .cast("int"))))
+    summed
+      .withColumn("parts",
+        collect_list(struct(col("bucket_start"), col("sum_value"))).over(w))
+      .withColumn(
+        "ewma_value",
+        functions.aggregate(col("parts"), lit(0).cast("decimal(38,0)"),
+          (acc: Column, p: Column) => acc + dec(p.getField("sum_value")) * weight(p))
+          .cast("double") /
+          functions.aggregate(col("parts"), lit(0L),
+            (acc: Column, p: Column) => acc + weight(p))
+            .cast("double"))
+      .drop("parts")
+      .orderBy((spec.seriesCols :+ "bucket_start").map(col): _*)
+  }
+
+  /**
    * Bucket-series anomaly flags: SUM per bucket, then flag buckets whose
    * deviation from the series mean exceeds `thresholdSigma` sample standard
    * deviations. The test is evaluated as one EXACT integer inequality —

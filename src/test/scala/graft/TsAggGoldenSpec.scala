@@ -510,6 +510,32 @@ class TsAggGoldenSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TsAgg.fillGaps(df, spec, "cubic"))
   }
 
+  test("ewmaTrailing: exact dyadic weights, gap renormalizes, partition-invariant") {
+    import spark.implicits._
+    val t0 = BaseMs
+    val spec = TsAggSpec(1, TimeMode.CellTs(t0, t0 + 10000), valueCol = "cents")
+    // buckets 0, 1, 3 present; w=3 → weights 4/2/1 by lag.
+    // bucket 0: {0·w4}                → 40/4  = 10.0
+    // bucket 1: {0·w2, 1·w4}         → (20+80)/6 = 100/6
+    // bucket 3: {1·w1, 3·w4} (2 ABSENT — its weight 2 must NOT enter)
+    //                                 → (20+160)/5 = 36.0
+    val df = Seq((t0, 10L), (t0 + 1000L, 20L), (t0 + 3000L, 40L)).toDF("ts", "cents")
+      .repartition(3)
+    val got = TsAgg.ewmaTrailing(df, spec, wBuckets = 3)
+      .collect().map(r => (r.getLong(0) - t0, r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (0L, 10L, 10.0), (1000L, 20L, 100.0 / 6.0), (3000L, 40L, 36.0)))
+    val again = TsAgg.ewmaTrailing(df.repartition(7), spec, wBuckets = 3)
+      .collect().map(r => (r.getLong(0) - t0, r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+    // w=1 degenerates to the bucket value itself
+    val w1 = TsAgg.ewmaTrailing(df, spec, wBuckets = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(w1.forall { case (s, e) => e == s.toDouble })
+    intercept[IllegalArgumentException](TsAgg.ewmaTrailing(df, spec, 0))
+    intercept[IllegalArgumentException](TsAgg.ewmaTrailing(df, spec, 33))
+  }
+
   test("cumulative: exact BIGINT running total, sparse buckets, partition-invariant") {
     import spark.implicits._
     val t0 = BaseMs
