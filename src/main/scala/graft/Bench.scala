@@ -321,7 +321,10 @@ object Bench {
       "partitioned postings, the scan PRUNES to the query terms' " +
       "directories, zero tokenization - bit-identical to the scan form, " +
       "SAME oracle SQL gates both; build-once/serve-many like the dedup/" +
-      "ANN/media index tiers); " +
+      "ANN/media index tiers, with an O(delta) append and a frames-form grow " +
+      "that rides the crawl loop's versioned snapshots - searchTier=true " +
+      "makes the searchable corpus at any pointer exactly that round's " +
+      "deduplicated corpus, spec-pinned in StreamingCrawlSpec); " +
       "split_by_source (group-keyed held-out-domain split - every doc of a " +
       "source on ONE side, the leakage model the content-hash split can't " +
       "close; still a pure zero-shuffle projection); " +

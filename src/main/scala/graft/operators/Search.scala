@@ -202,6 +202,20 @@ object Search {
     readSearchIndex(spark, path)
   }
 
+  /** The grown index as FRAMES — delta postings unioned, stats re-summed,
+    * nothing written: the versioned-store form of [[appendSearchIndex]] for
+    * loops that persist whole snapshots per round with the pointer written
+    * last (a torn write can never serve). Same disjoint-ids contract. */
+  def growSearchIndex(ix: SearchIndex, delta: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): SearchIndex = {
+    val d = buildSearchIndex(delta, idCol, textCol)
+    SearchIndex(
+      ix.postings.unionByName(d.postings),
+      ix.stats.unionByName(d.stats).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens")))
+  }
+
   /**
    * Serve a query from the persisted index: filter the postings to the
    * query terms — the bucket predicate is built from literals, so Catalyst

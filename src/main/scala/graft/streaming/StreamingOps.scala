@@ -443,6 +443,7 @@ object StreamingOps {
       bpeMonitor: Option[(graft.operators.BpeModel, graft.operators.Tokenizer.BpeBaseline)] = None,
       bpeRetrainAt: Double = 0.0,
       bpeNumMerges: Int = 200,
+      searchTier: Boolean = false,
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, Long) => Unit = {
     require(bpeRetrainAt == 0.0 || bpeRetrainAt > 1.0,
@@ -608,6 +609,28 @@ object StreamingOps {
         Tokenizer.writeBpeBaseline(nextBaseline, spark,
           s"$indexRoot/v$batchId/bpe_baseline")
       }
+      // optional SEARCH tier: the BM25 inverted index rides the same
+      // versioned snapshots as the dedup index, so at any pointer the
+      // searchable corpus IS the deduplicated corpus of that round —
+      // `Search.readSearchIndex(spark, "<root>/<pointer>/search_index")`
+      // serves bm25TopKIndexed against exactly what the crawl accepted.
+      // Enabled mid-stream it backfills once from the grown base (the same
+      // one-time O(corpus) rule as the quota's empty-counts seed); every
+      // round after grows by the delta's postings only.
+      if (searchTier) {
+        import graft.operators.Search
+        val prior = s"$indexRoot/$pointer/search_index"
+        val acceptedClean =
+          keptPersisted.select(col(idCol), col("clean_text").as(textCol))
+        val grownIx =
+          if (new java.io.File(s"$prior/stats").isDirectory)
+            Search.growSearchIndex(
+              Search.readSearchIndex(spark, prior), acceptedClean, idCol, textCol)
+          else Search.buildSearchIndex(
+            grownBase.select(col(idCol), col(textCol)).unionByName(acceptedClean),
+            idCol, textCol)
+        Search.writeSearchIndex(grownIx, s"$indexRoot/v$batchId/search_index")
+      }
       Dedup.writeIndex(Dedup.appendIndex(idx,
         keptPersisted.select(col(idCol), col("clean_text").as(textCol)),
         idCol = idCol, textCol = textCol), s"$indexRoot/v$batchId")
@@ -642,6 +665,7 @@ object StreamingOps {
       bpeMonitor: Option[(graft.operators.BpeModel, graft.operators.Tokenizer.BpeBaseline)] = None,
       bpeRetrainAt: Double = 0.0,
       bpeNumMerges: Int = 200,
+      searchTier: Boolean = false,
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -649,8 +673,8 @@ object StreamingOps {
       .foreachBatch(crawlIncrementBatchFn(indexRoot, base, outDir,
         maxDupFrac, maxTopTokenFrac, lmModel, lmKeep, domainQuota,
         quotaKeyEtld, quotaPsl, dsir, dsirPivotBits, tokenBudget,
-        budgetStrataCol, bpeMonitor, bpeRetrainAt, bpeNumMerges, idCol,
-        textCol))
+        budgetStrataCol, bpeMonitor, bpeRetrainAt, bpeNumMerges, searchTier,
+        idCol, textCol))
       .start()
 
   /** Seed `indexRoot` with the base corpus's index as snapshot `v-seed`. */

@@ -408,4 +408,52 @@ class StreamingCrawlSpec extends AnyFunSuite {
     fnMonitor((1 to 15).map(i => (90L + i, zDoc(i + 21))).toDF("doc_id", "text"), 3L)
     assert(md5At(3) == model2.fingerprint)
   }
+
+  test("search tier rides the loop: the pointed snapshot serves exactly the deduped corpus") {
+    import spark.implicits._
+    import graft.operators.Search
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-search").toString
+    val (root, out, ckpt) = (s"$tmp/index", s"$tmp/accepted", s"$tmp/ckpt")
+
+    val docs = Tables.documents(spark, Sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val delta1 = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    StreamingOps.seedCrawlIndex(Fixtures.dedupIndex(spark, Sf), root)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.crawlIncrementStream(
+      ms.toDF().toDF("doc_id", "text"), root, base, out, ckpt, searchTier = true)
+    try {
+      // batch 0: tier enabled from the start -> one-time backfill of
+      // base ∪ accepted; batch 1: a fresh doc carrying a marker token,
+      // so the serve proof below must see THROUGH the grown postings
+      ms.addData(delta1: _*)
+      q.processAllAvailable()
+      val fresh = ((0 until 19).map(i => s"streamfresh${i}x") :+ "needletok").mkString(" ")
+      ms.addData((900002L, fresh))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "LATEST")), "UTF-8").trim == "v1")
+    // the searchable corpus at the pointer IS base ∪ every accepted
+    // clean_text — serve == a fresh scan of that union, bit-for-bit
+    val acceptedAll = spark.read.parquet(s"$out/batch=0", s"$out/batch=1")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val corpus = base.unionByName(acceptedAll)
+    val ix = Search.readSearchIndex(spark, s"$root/v1/search_index")
+    for (qq <- Seq("needletok", "the data table", "streamfresh0x zz")) {
+      val served = Search.bm25TopKIndexed(ix, qq, k = 10).collect().toSeq
+      val scan = Search.bm25TopK(corpus, qq, k = 10).collect().toSeq
+      assert(served == scan, s"pointed-snapshot serve != corpus scan for '$qq'")
+    }
+    // the marker doc is findable exactly once, through the v1 postings only
+    val hit = Search.bm25TopKIndexed(ix, "needletok", k = 10).collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 900002L)
+    // v0's snapshot must NOT know it (it landed in batch 1)
+    val ix0 = Search.readSearchIndex(spark, s"$root/v0/search_index")
+    assert(Search.bm25TopKIndexed(ix0, "needletok", k = 10).collect().isEmpty)
+  }
 }
