@@ -308,62 +308,63 @@ object ScaleBench {
     // the engine's top-25 equals a DRIVER replay of the exact double formula
     // over the planted (tf, dl) table — values AND order, bit-for-bit.
     if (nDocs >= 10000 && sectionOn("bm25")) {
+      val tfCol = (lit(1L) + pmod((col("doc_id") / 1000L).cast("long"), lit(5L))).cast("int")
+      val planted = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(1000L)) === 0L,
+          concat(col("text"), lit(" "),
+            array_join(array_repeat(lit("needle"), tfCol), " ")))
+          .otherwise(col("text")))
+      var got: Array[(Long, Double)] = null
       time(s"bm25TopK 'needle' over $nDocs docs (100 postings, top-25 exact replay)") {
-        val tfCol = (lit(1L) + pmod((col("doc_id") / 1000L).cast("long"), lit(5L))).cast("int")
-        val planted = docs.withColumn("text",
-          when(pmod(col("doc_id"), lit(1000L)) === 0L,
-            concat(col("text"), lit(" "),
-              array_join(array_repeat(lit("needle"), tfCol), " ")))
-            .otherwise(col("text")))
-        val got = graft.operators.Search.bm25TopK(planted, "needle", k = 25)
+        got = graft.operators.Search.bm25TopK(planted, "needle", k = 25)
           .collect().map(r => (r.getLong(0), r.getDouble(2)))
-        // driver replay with the operator's own expression shapes
-        val plants = (0L until nDocs by 1000L).map(i => (i, 1L + (i / 1000L) % 5L))
-        val nD = nDocs; val tT = 30L * nDocs + plants.map(_._2).sum
-        val dfT = plants.length.toLong
-        val idf = (2.0 * (nD - dfT) + 1) / (2.0 * dfT + 1)
-        val expect = plants.map { case (i, tf) =>
-          val dl = 30L + tf
-          val tfD = (BigDecimal(44L * tT * tf).toDouble) /
-            BigDecimal(20L * tT * tf + 6L * tT + 18L * dl * nD).toDouble
-          (i, idf * tfD)
-        }.sortBy { case (i, s) => (-s, i) }.take(25)
-        assert(got.toSeq == expect, s"top-25 replay mismatch: got ${got.take(3).toSeq}")
-        // the SERVE tier: build + persist the inverted index (the O(base)
-        // step), then serve the same query from the pruned postings read —
-        // must reproduce the scan form bit-for-bit at a fraction of the cost
-        val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-searchix").toString
-        time(s"build+write search index over $nDocs docs (O(base), once per snapshot)") {
-          graft.operators.Search.writeSearchIndex(
-            graft.operators.Search.buildSearchIndex(planted), ixDir)
-        }
-        val ix = graft.operators.Search.readSearchIndex(spark, ixDir)
-        var served: Array[(Long, Double)] = null
-        time(s"bm25 SERVE 'needle' from the persisted index (pruned postings read)") {
-          served = graft.operators.Search.bm25TopKIndexed(ix, "needle", k = 25)
-            .collect().map(r => (r.getLong(0), r.getDouble(2)))
-        }
-        assert(served.toSeq == got.toSeq, "serve != scan at corpus scale")
-        // O(delta) append: 1000 fresh docs (ids shifted past the corpus,
-        // 1-in-100 carrying one needle) tokenize alone and land in the same
-        // bucket layout; the grown index must serve EXACTLY what a fresh
-        // scan of base ∪ delta answers — postings, df, N and T decompose
-        val delta = mkDocs(1000)
-          .select((col("doc_id") + lit(10L * nDocs)).as("doc_id"), col("text"))
-          .withColumn("text",
-            when(pmod(col("doc_id"), lit(100L)) === 0L,
-              concat(col("text"), lit(" needle"))).otherwise(col("text")))
-        var grown: graft.operators.Search.SearchIndex = null
-        time("appendSearchIndex: 1000-doc delta vs the 100k-doc index (O(delta))") {
-          grown = graft.operators.Search.appendSearchIndex(ix, ixDir, delta)
-        }
-        val afterServe = graft.operators.Search.bm25TopKIndexed(grown, "needle", k = 25)
-          .collect().map(r => (r.getLong(0), r.getDouble(2)))
-        val afterScan = graft.operators.Search
-          .bm25TopK(planted.unionByName(delta), "needle", k = 25)
-          .collect().map(r => (r.getLong(0), r.getDouble(2)))
-        assert(afterServe.toSeq == afterScan.toSeq, "grown serve != union scan")
       }
+      // driver replay with the operator's own expression shapes
+      val plants = (0L until nDocs by 1000L).map(i => (i, 1L + (i / 1000L) % 5L))
+      val nD = nDocs; val tT = 30L * nDocs + plants.map(_._2).sum
+      val dfT = plants.length.toLong
+      val idf = (2.0 * (nD - dfT) + 1) / (2.0 * dfT + 1)
+      val expect = plants.map { case (i, tf) =>
+        val dl = 30L + tf
+        val tfD = (BigDecimal(44L * tT * tf).toDouble) /
+          BigDecimal(20L * tT * tf + 6L * tT + 18L * dl * nD).toDouble
+        (i, idf * tfD)
+      }.sortBy { case (i, s) => (-s, i) }.take(25)
+      assert(got.toSeq == expect, s"top-25 replay mismatch: got ${got.take(3).toSeq}")
+      // the SERVE tier: build + persist the inverted index (the O(base)
+      // step), then serve the same query from the pruned postings read —
+      // must reproduce the scan form bit-for-bit at a fraction of the cost
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-searchix").toString
+      time(s"build+write search index over $nDocs docs (O(base), once per snapshot)") {
+        graft.operators.Search.writeSearchIndex(
+          graft.operators.Search.buildSearchIndex(planted), ixDir)
+      }
+      val ix = graft.operators.Search.readSearchIndex(spark, ixDir)
+      var served: Array[(Long, Double)] = null
+      time(s"bm25 SERVE 'needle' from the persisted index (pruned postings read)") {
+        served = graft.operators.Search.bm25TopKIndexed(ix, "needle", k = 25)
+          .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      }
+      assert(served.toSeq == got.toSeq, "serve != scan at corpus scale")
+      // O(delta) append: 1000 fresh docs (ids shifted past the corpus,
+      // 1-in-100 carrying one needle) tokenize alone and land in the same
+      // bucket layout; the grown index must serve EXACTLY what a fresh
+      // scan of base ∪ delta answers — postings, df, N and T decompose
+      val delta = mkDocs(1000)
+        .select((col("doc_id") + lit(10L * nDocs)).as("doc_id"), col("text"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(100L)) === 0L,
+            concat(col("text"), lit(" needle"))).otherwise(col("text")))
+      var grown: graft.operators.Search.SearchIndex = null
+      time("appendSearchIndex: 1000-doc delta vs the 100k-doc index (O(delta))") {
+        grown = graft.operators.Search.appendSearchIndex(ix, ixDir, delta)
+      }
+      val afterServe = graft.operators.Search.bm25TopKIndexed(grown, "needle", k = 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      val afterScan = graft.operators.Search
+        .bm25TopK(planted.unionByName(delta), "needle", k = 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(afterServe.toSeq == afterScan.toSeq, "grown serve != union scan")
     } // sectionOn("bm25")
 
     // ---- incremental (delta-vs-index) dedup: probe cost vs base size ----
