@@ -254,7 +254,9 @@ object Bench {
       }
     sketchFails.foreach(n => System.err.println(
       s"[bench] $n sketch quality below floor — marked failed " +
-        s"(containment < $ContainmentFloor or HLL rel-err > $HllErrCeiling; " +
+        s"(containment < $ContainmentFloor, HLL rel-err > $HllErrCeiling, or " +
+        s"GK rank-error excess > $QuantileRankErrCeiling past the " +
+        "1/accuracy + tie-discreteness allowance; " +
         "see SCALE.md sf1 sweep for when this fires legitimately)"))
     // RECALL GATE (VERDICT r6 #2): an approximate ANN query below the same
     // 0.9 recall floor the specs assert is a FAILURE in the artifact, not a

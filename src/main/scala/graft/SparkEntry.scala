@@ -1968,9 +1968,12 @@ object SparkEntry {
           s"'${graft.operators.Corpus.splitThresholdHex(0.0625)}' THEN 'val' ELSE 'train' END AS split " +
           "FROM documents ORDER BY doc_id"),
       // group-keyed split: the hash input is the SOURCE key, so the whole
-      // source family lands on one side; valFrac 1/4 → threshold "c000"
+      // source family lands on one side; valFrac 1/4 → threshold "c000".
+      // coalesce mirrors the engine's splitAssignByGroup NULL handling
+      // (md5('') >= 'c000' → a NULL-source family is ONE group in val, not
+      // a NULL hash falling through the CASE to train)
       "split_by_source" ->
-        (s"SELECT doc_id, source, CASE WHEN substr(md5(source), 1, 4) >= " +
+        (s"SELECT doc_id, source, CASE WHEN substr(md5(coalesce(source, '')), 1, 4) >= " +
           s"'${graft.operators.Corpus.splitThresholdHex(0.25)}' THEN 'val' ELSE 'train' END AS split " +
           "FROM documents ORDER BY doc_id"),
       // PII scrub replay: identical planted strings, identical patterns
@@ -2044,8 +2047,8 @@ object SparkEntry {
           |v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
           |    FROM v1 WHERE doc_id % 11 <> 0
           |  UNION ALL SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 13 = 0),
-          |ha AS (SELECT doc_id, md5(text) AS h_a FROM v1),
-          |hb AS (SELECT doc_id, md5(text) AS h_b FROM v2)
+          |ha AS (SELECT doc_id, md5(coalesce(text, '')) AS h_a FROM v1),
+          |hb AS (SELECT doc_id, md5(coalesce(text, '')) AS h_b FROM v2)
           |SELECT coalesce(ha.doc_id, hb.doc_id) AS doc_id,
           |  CASE WHEN h_a IS NULL THEN 'added' WHEN h_b IS NULL THEN 'removed'
           |       WHEN h_a = h_b THEN 'unchanged' ELSE 'modified' END AS status
@@ -2947,7 +2950,7 @@ object SparkEntry {
           |u AS (SELECT vec_id, label, dim, CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q FROM u0),
           |c AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS s FROM u GROUP BY 1, 2),
           |c2 AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS c2 FROM c GROUP BY 1),
-          |d AS (SELECT u.vec_id, u.label, CAST(sum(u.q * c.s) AS BIGINT) AS dot_q,
+          |d AS (SELECT u.vec_id, u.label, CAST(sum(u.q * c.s) AS DECIMAL(38,0)) AS dot_q,
           |    CAST(sum(u.q * u.q) AS BIGINT) AS a2
           |  FROM u JOIN c ON u.label = c.label AND u.dim = c.dim GROUP BY 1, 2)
           |SELECT d.vec_id, d.label, d.dot_q,

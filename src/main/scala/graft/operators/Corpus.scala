@@ -311,8 +311,12 @@ object Corpus {
    */
   def snapshotDiff(a: DataFrame, b: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ha = a.select(col(idCol), md5(col(textCol)).as("h_a"))
-    val hb = b.select(col(idCol), md5(col(textCol)).as("h_b"))
+    // coalesce(text, '') — the codebase-wide NULL-text convention: a NULL
+    // md5 would misclassify a doc present in both snapshots as 'added'
+    // (h_a IS NULL wins the CASE) and make a NULL-text removal invisible
+    val ht = md5(coalesce(col(textCol), lit("")))
+    val ha = a.select(col(idCol), ht.as("h_a"))
+    val hb = b.select(col(idCol), ht.as("h_b"))
     ha.join(hb, Seq(idCol), "full_outer")
       .select(
         col(idCol),

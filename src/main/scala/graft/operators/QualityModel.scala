@@ -143,6 +143,11 @@ object QualityModel {
           .cast("decimal(38,0)")).as(s"g$j")
       } :+ count(lit(1)).as("n")
       val row = feats.agg(gradCols.head, gradCols.tail: _*).head()
+      // sums over zero rows come back NULL — fail with the contract, not an
+      // NPE from getDecimal / a NaN weight from the 0/0 mean below
+      require(row.getLong(xCols.size) > 0L,
+        "trainLr needs a non-empty labeled frame (the seed-label join " +
+          "produced zero rows)")
       val n = row.getLong(xCols.size).toDouble
       for (j <- w.indices) {
         val g = row.getDecimal(j).doubleValue()

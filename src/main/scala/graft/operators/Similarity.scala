@@ -665,6 +665,15 @@ object Similarity {
    * rows before its ONE exchange; the per-vector pass then joins the
    * O(groups) centroid-array frame by broadcast and computes dot/norm
    * map-side with zip_with/aggregate — the corpus itself never shuffles.
+   *
+   * Every accumulator past the per-component quantized ints runs in
+   * decimal(38,0), not long: centroid components scale with group size, so
+   * `c2 ≈ dim·(g·scale·|v|)²` wraps a 64-bit long at group sizes in the
+   * low millions — exactly the per-cluster cardinality a 100 TB SemDeDup
+   * pass hits. In decimal(38) the binding term is the final inequality's
+   * `num²·a2·c2` product, which holds exactly to group sizes ~3e9 at the
+   * default scale=1000/dim=64/|v|≤3 (past that the decimal product
+   * overflows loudly rather than wrapping silently).
    */
   def embeddingOutliers(
       embs: DataFrame,
@@ -672,27 +681,29 @@ object Similarity {
       groupCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding", scale: Int = 1000): DataFrame = {
     require(cosDen > 0 && cosNum >= 0, s"threshold must be >= 0, got $cosNum/$cosDen")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dec0 = lit(0).cast("decimal(38,0)")
     val q = quantize(col(vecCol), scale)
-    // un-normalized centroid per group: component sums, assembled back into a
-    // dim-ordered array plus its own squared norm — O(groups) rows
+    // un-normalized centroid per group: decimal component sums, assembled
+    // back into a dim-ordered array plus its own squared norm — O(groups)
+    // rows (long sums would wrap once g·scale·|v| passes ~9e18/scale)
     val centroids = Parallelism.ensure(embs)
       .select(col(groupCol), posexplode(q).as(Seq("dim", "qc")))
       .groupBy(groupCol, "dim")
-      .agg(sum(col("qc")).as("s"))
+      .agg(sum(dec(col("qc"))).as("s"))
       .groupBy(groupCol)
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("s")))), _.getField("s"))
         .as("cent"))
       .withColumn("c2",
-        aggregate(col("cent"), lit(0L), (acc, x) => acc + x * x))
-    val dec = (c: Column) => c.cast("decimal(38,0)")
+        aggregate(col("cent"), dec0, (acc, x) => acc + x * x))
     Parallelism.ensure(embs)
       .select(col(idCol), col(groupCol), q.as("qv"))
       .join(broadcast(centroids), Seq(groupCol))
       .withColumn("dot_q",
-        aggregate(zip_with(col("qv"), col("cent"), _ * _), lit(0L), _ + _))
+        aggregate(zip_with(col("qv"), col("cent"), dec(_) * _), dec0, _ + _))
       .withColumn("a2",
-        aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0L), _ + _))
+        aggregate(zip_with(col("qv"), col("qv"), dec(_) * dec(_)), dec0, _ + _))
       .select(
         col(idCol), col(groupCol), col("dot_q"),
         (col("dot_q") <= 0 ||
