@@ -149,7 +149,10 @@ object Bench {
       if (!selected.exists(_._1 == "ts_trending_approx") ||
           !selected.exists(_._1 == "ts_top3_users_900")) None
       else try {
-        val approx = SparkEntry.queries("ts_trending_approx")(spark, sfDir)
+        // raw sketch rows, not the registered containment-verdict query
+        // (r14: the registered form is oracle-gated booleans; the
+        // quantitative gate still reads the estimates)
+        val approx = SparkEntry.trendingApproxRaw(spark, sfDir)
           .select("bucket_start", "user_id", "est_weight", "err").collect()
         val exactTop1 = SparkEntry.queries("ts_top3_users_900")(spark, sfDir)
           .filter("rank = 1").select("bucket_start", "user_id").collect()
@@ -177,7 +180,7 @@ object Bench {
         val exact = SparkEntry.queries("ts_distinct_users_900")(spark, sfDir)
           .select("bucket_start", "n_distinct").collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val errs = SparkEntry.queries("ts_distinct_approx_900")(spark, sfDir)
+        val errs = SparkEntry.distinctApproxRaw(spark, sfDir)
           .select("bucket_start", "n_distinct_approx").collect()
           .flatMap(r => exact.get(r.getLong(0))
             .map(e => math.abs(r.getLong(1) - e).toDouble / math.max(1L, e)))

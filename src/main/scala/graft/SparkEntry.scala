@@ -45,6 +45,23 @@ object SparkEntry {
   private[graft] def distinctAutoForcedSketch(s: SparkSession, dir: String): DataFrame =
     TsAgg.distinctCountAuto(events(s, dir, spec900), spec900, keyCol = "user_id",
       maxExactPairs = 0L)
+  /** The raw HLL++ sketch values behind `ts_distinct_approx_900` — what
+    * Bench's quantitative rel-err gate reads. The REGISTERED query is the
+    * tolerance VERDICT (per-bucket `|approx − exact| ≤ 0.15·exact` as a
+    * boolean the DuckDB oracle replays as all-true), because sketch VALUES
+    * are merge-order-dependent and have no SQL spelling; the raw numbers
+    * stay first-class here so the artifact keeps measuring real HLL error
+    * instead of just the verdict bit (VERDICT r13 next #1). */
+  private[graft] def distinctApproxRaw(s: SparkSession, dir: String): DataFrame =
+    TsAgg.approxDistinctCount(events(s, dir, spec900), spec900, keyCol = "user_id")
+  /** The raw SpaceSaving/trendingAuto rows behind `ts_trending_approx` —
+    * Bench's containment + err-ratio gate reads these; the registered query
+    * is the per-bucket containment verdict (same split as
+    * [[distinctApproxRaw]]). */
+  private[graft] def trendingApproxRaw(s: SparkSession, dir: String): DataFrame =
+    TsAgg.trendingAuto(events(s, dir, spec900).withColumn("value_cents", centsCol),
+      spec900, keyCol = "user_id", k = 3, m = 256,
+      weightCol = Some("value_cents"))
   /** The quantile dispatch's sketch arm, forced (maxExactGroup = 0) — Bench
     * gates its per-bucket rel-err vs the exact ts_p95_900 twin. */
   private[graft] def quantileAutoForcedSketch(s: SparkSession, dir: String): DataFrame =
@@ -494,13 +511,32 @@ object SparkEntry {
     // this exact form in TsAggGoldenSpec
     "ts_distinct_users_900" -> ((s, d) =>
       TsAgg.distinctCount(events(s, d, spec900), spec900, keyCol = "user_id")),
-    // the HLL++ sketch twin, now driver-graded (rows-only: merge-order-
-    // dependent); Bench measures its max relative error against the exact
-    // twin EVERY RUN and fails the query past 3× the configured rsd — the
-    // same artifact-visible quality gate ANN recall and SpaceSaving
-    // containment get
-    "ts_distinct_approx_900" -> ((s, d) => // rows-only: sketch by design
-      TsAgg.approxDistinctCount(events(s, d, spec900), spec900, keyCol = "user_id")),
+    // the HLL++ sketch twin as a TOLERANCE VERDICT (VERDICT r13 next #1):
+    // sketch VALUES are merge-order-dependent and have no SQL spelling, but
+    // the quality CONTRACT does — per bucket,
+    // |approx − exact| ≤ max(2, 0.15·exact), decided as the integer
+    // inequality 20·|approx − exact| ≤ max(40, 3·exact) (no float). The ±2
+    // absolute allowance is the register-discreteness floor at tiny counts
+    // (Spark's HLL++ has no exact sparse mode, so a 3-distinct bucket can
+    // estimate 4 — a ±1 integer step is 33% "relative error" while the
+    // sketch is behaving exactly as specified; the same reasoning as the
+    // quantile gate's (1+ties)/n rank allowance). The oracle replays the
+    // exact side and expects all-true, so the sketch's error bound sits
+    // under the hash gate while its values stay unpinned (as they must).
+    // Bench still reads the raw sketch via distinctApproxRaw and emits the
+    // quantitative max rel-err per round.
+    // Scale shape: two O(buckets) aggregate frames joined on bucket_start —
+    // the exact arm's dedup-level exchange is the verdict's honest price
+    // (you only run the verdict where you can still afford exact; the pure
+    // sketch front door at uncheckable cardinality is distinctCountAuto).
+    "ts_distinct_approx_900" -> { (s, d) =>
+      val exact = TsAgg.distinctCount(events(s, d, spec900), spec900, keyCol = "user_id")
+      exact.join(distinctApproxRaw(s, d), Seq("bucket_start"))
+        .select(col("bucket_start"), col("n_distinct"),
+          (abs(col("n_distinct_approx") - col("n_distinct")) * 20
+            <= greatest(lit(40L), col("n_distinct") * 3)).as("within_bound"))
+        .orderBy("bucket_start")
+    },
     // the ADAPTIVE front door for distinct counting (VERDICT r10 #4, the
     // topKAuto pattern applied to the last gated row): one HLL probe of the
     // distinct (bucket, key) pair cardinality — the exact form's dedup-level
@@ -545,10 +581,24 @@ object SparkEntry {
     // certificate only proved a heavy key EXISTS; the sf1 sweep showed
     // that passing while containment sat at 0.585 — heavy keys present
     // among the m counters but not provably in the top 3 by estimate.)
-    "ts_trending_approx" -> ((s, d) => // rows-only: sketch is order-dependent
-      TsAgg.trendingAuto(events(s, d, spec900).withColumn("value_cents", centsCol),
-        spec900, keyCol = "user_id", k = 3, m = 256,
-        weightCol = Some("value_cents"))),
+    // — registered as the CONTAINMENT VERDICT since r14 (VERDICT r13 next
+    // #1): per bucket, "the exact top-1 spender appears in the sketch's
+    // top-3" as a boolean; the oracle replays the exact top-1 (ties rank
+    // lower user_id first, the topKPerBucket contract) and expects
+    // all-true. Estimates stay unpinned; Bench keeps the quantitative
+    // containment/err-ratio gate via trendingApproxRaw.
+    "ts_trending_approx" -> { (s, d) =>
+      val exactTop1 = TsAgg.topKPerBucket(
+        events(s, d, spec900).withColumn("value_cents", centsCol),
+        spec900.copy(valueCol = "value_cents"), keyCol = "user_id", k = 1)
+      exactTop1.select(col("bucket_start"), col("user_id"))
+        .join(trendingApproxRaw(s, d)
+            .select(col("bucket_start"), col("user_id"), lit(1).as("hit")),
+          Seq("bucket_start", "user_id"), "left")
+        .select(col("bucket_start"), col("user_id"),
+          col("hit").isNotNull.as("contained"))
+        .orderBy("bucket_start")
+    },
     // the ADAPTIVE front door (VERDICT r6 #8): one approx_count_distinct
     // probe picks exact vs sketch at the measured crossover (936 MB vs
     // 41 MB level-1 shuffle at 10k keys — SCALE.md). Form-independent
@@ -1693,6 +1743,13 @@ object SparkEntry {
         T0_ODD, specTrailing.scanEndMs, 900 * MS),
       "ts_distinct_users_900" -> tsAggSql(
         "count(DISTINCT user_id) AS n_distinct", T0_EVENTS, e900, 900 * MS),
+      // the sketch twin's TOLERANCE VERDICT: the oracle replays the exact
+      // per-bucket distinct count and expects every bucket within the
+      // 15% bound — the sketch VALUE stays unpinned (merge-order-dependent)
+      // but its quality contract is now a hash-matched row per bucket
+      "ts_distinct_approx_900" -> tsAggSql(
+        "count(DISTINCT user_id) AS n_distinct, TRUE AS within_bound",
+        T0_EVENTS, e900, 900 * MS),
       // the auto front door's exact branch (the probe picks it at every
       // test SF's cardinality) — identical SQL, the form-independent alias
       "ts_distinct_auto_900" -> tsAggSql(
@@ -1715,6 +1772,20 @@ object SparkEntry {
            |  ORDER BY sum_value DESC, user_id) AS rank FROM s)
            |SELECT bucket_start, user_id, sum_value, rank FROM r
            |WHERE rank <= 3 ORDER BY bucket_start, rank""".stripMargin.replace("\n", " ")
+      },
+      // the SpaceSaving twin's CONTAINMENT VERDICT: exact top-1 per bucket
+      // (ties rank lower user_id first, the topKPerBucket contract), every
+      // bucket expected contained in the sketch's top-3
+      "ts_trending_approx" -> {
+        val b = bucketSql(T0_EVENTS, 900 * MS, "ms")
+        s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, $cents AS c FROM events
+           |  WHERE epoch_ms(ts) >= $T0_EVENTS AND epoch_ms(ts) < $e900),
+           |s AS (SELECT $b AS bucket_start, user_id,
+           |  CAST(sum(c) AS BIGINT) AS sum_value FROM e GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_start
+           |  ORDER BY sum_value DESC, user_id) AS rank FROM s)
+           |SELECT bucket_start, user_id, TRUE AS contained FROM r
+           |WHERE rank = 1 ORDER BY bucket_start""".stripMargin.replace("\n", " ")
       },
       // the adaptive front door resolves to the EXACT branch at this
       // cardinality (sf0.01 events ≪ maxExactKeys), so the oracle is the

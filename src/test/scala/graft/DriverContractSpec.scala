@@ -22,6 +22,21 @@ class DriverContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("sketch tolerance verdicts hold at sf0.001 (every bucket within bound / contained)") {
+    // the r14 oracle form of the two order-dependent sketches: the
+    // registered output IS the quality contract, so a sketch drifting past
+    // its bound fails here (and in the DuckDB gate) instead of only in the
+    // bench artifact's quantitative block
+    val dist = SparkEntry.queries("ts_distinct_approx_900")(spark, sf)
+    assert(dist.columns.toSeq == Seq("bucket_start", "n_distinct", "within_bound"))
+    val distBad = dist.filter(!org.apache.spark.sql.functions.col("within_bound")).count()
+    assert(distBad == 0L, s"$distBad buckets outside the max(2, 15%) HLL bound")
+    val trend = SparkEntry.queries("ts_trending_approx")(spark, sf)
+    assert(trend.columns.toSeq == Seq("bucket_start", "user_id", "contained"))
+    val trendBad = trend.filter(!org.apache.spark.sql.functions.col("contained")).count()
+    assert(trendBad == 0L, s"$trendBad buckets whose exact top-1 left the sketch top-3")
+  }
+
   test("every registered query constructs and resolves its schema at sf0.001") {
     // .schema forces analysis: unresolved columns, bad casts, or a broken
     // fixture path fail per-query here instead of mid-Verify in the driver
