@@ -92,17 +92,14 @@ object SparkEntry {
   }
   private def documents(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.documents(s, dir)
-  /** Shared by both quality-classifier queries: featurize + heuristic-gate
-    * label, cached for the 16 one-row gradient aggregates, train. */
-  private def trainQualityLr(s: SparkSession, dir: String): Array[Double] = {
-    import graft.operators.QualityModel
-    val docs = documents(s, dir)
-    val feats = QualityModel.featurize(docs)
-      .join(QualityModel.heuristicLabel(docs), "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try QualityModel.trainLr(feats, iters = QualityLrIters, lr = QualityLrRate)
-    finally feats.unpersist(blocking = false): Unit
-  }
+  /** INLINE train for `quality_train_lr` — training IS that query's claim
+    * (the 16-iteration trajectory under the oracle); the serving queries
+    * read the persisted store (`Fixtures.lrModel`) instead. */
+  private def trainQualityLr(s: SparkSession, dir: String): Array[Double] =
+    graft.operators.QualityModel.trainLrModel(documents(s, dir),
+      iters = QualityLrIters, lr = QualityLrRate).weights.toArray
+  // shared with the oracle SQL's chained-CTE replay of the trajectory
+  // (and with Fixtures.lrModel via trainLrModel's defaults)
   private val QualityLrIters = 16
   private val QualityLrRate = 4.0
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -874,11 +871,16 @@ object SparkEntry {
       graft.operators.QualityModel.weightsDf(s, w).orderBy("feature")
     },
     // the trained gate applied corpus-wide: score + keep per doc, weights
-    // riding the plan as literals (zero exchanges in the scoring pass)
+    // riding the plan as literals (zero exchanges in the scoring pass).
+    // Serves from the PERSISTED store (Fixtures.lrModel — r14, VERDICT r13
+    // next #3): the bench now measures scoring, not 16 re-training
+    // aggregates per invocation; the oracle still replays train + score,
+    // which gates the store because the integer-quantized trajectory is
+    // bit-deterministic over the same corpus
     "quality_filter_lr" -> { (s, d) =>
-      val w = trainQualityLr(s, d)
-      graft.operators.QualityModel.scoreLr(
-        graft.operators.QualityModel.featurize(documents(s, d)), w)
+      graft.operators.QualityModel.scoreLrModel(
+        graft.operators.QualityModel.featurize(documents(s, d)),
+        Fixtures.lrModel(s, d))
         .orderBy("doc_id")
     },
     // DSIR (Xie et al., NeurIPS 2023) importance weights: log₂-likelihood
@@ -1320,17 +1322,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     // the same composition with the stage-4.4 TRAINED LINEAR PRE-GATE
-    // live (r13): the LR model trained on the base corpus (the same
-    // 16-iteration GD as quality_train_lr) rides the plan as literals and
-    // filters the cleaned survivors at score ≥ 0.5 BEFORE any expensive
-    // stage — the cheap-proxy-in-front-of-the-LM-gate composition the
-    // classifier exists for. ONE oracle replays all five crawl stages
-    // plus the full training trajectory plus the scoring filter.
+    // live (r13): the LR model rides the plan as literals and filters the
+    // cleaned survivors at score ≥ 0.5 BEFORE any expensive stage — the
+    // cheap-proxy-in-front-of-the-LM-gate composition the classifier
+    // exists for. Since r14 the weights come from the PERSISTED store
+    // (Fixtures.lrModel, the same snapshot quality_filter_lr serves) —
+    // the query measures the crawl + scoring filter, not a 16-aggregate
+    // retrain per invocation. ONE oracle replays all five crawl stages
+    // plus the full training trajectory plus the scoring filter (the
+    // trajectory is bit-deterministic, so the replay gates the store).
     "pipeline_crawl_lr_gate" -> { (s, d) =>
       val (planted, base) = crawlPlantedDelta(s, d)
       graft.operators.TrainingSet
         .crawlIncrement(planted, Fixtures.dedupIndex(s, d), base,
-          lrGate = Some(trainQualityLr(s, d)))._1
+          lrGate = Some(Fixtures.lrModel(s, d).weights.toArray))._1
         .orderBy("doc_id")
     },
     // the crawl composition + DSIR target-distribution steering: the

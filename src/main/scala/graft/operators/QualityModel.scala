@@ -165,6 +165,95 @@ object QualityModel {
     xCols.zip(w).toSeq.toDF("feature", "weight")
   }
 
+  /**
+   * A trained linear gate as a VERSIONED artifact — the same
+   * train-once/serve-many + fingerprint-pin contract every other learned
+   * state here carries ([[BpeModel.fingerprint]], the LM/quantizer
+   * stores): weights plus their feature order, identified by the md5 of
+   * the feature names and the IEEE-754 bit patterns of the weights (bit
+   * patterns, not decimal renderings — two models score identically iff
+   * every weight is bit-equal, which is exactly what the fingerprint must
+   * witness). A consumer that recorded the fingerprint at train time pins
+   * it at scoring time and a silently retrained gate — which would shift
+   * every keep/drop decision downstream — fails loudly instead
+   * (VERDICT r13 next #3).
+   */
+  final case class LrModel(xCols: Seq[String], weights: IndexedSeq[Double])
+      extends Serializable {
+    require(xCols.size == weights.size,
+      s"${xCols.size} features but ${weights.size} weights")
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      xCols.zip(weights).foreach { case (c, w) =>
+        md.update(c.getBytes("UTF-8")); md.update(':'.toByte)
+        val bits = java.lang.Double.doubleToLongBits(w)
+        var i = 7
+        while (i >= 0) { md.update(((bits >>> (8 * i)) & 0xff).toByte); i -= 1 }
+        md.update('\n'.toByte)
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Train the full gate from raw docs — featurize + heuristic seed label
+    * + [[trainLr]], the composition the registered queries run; the
+    * feature frame persists for the `iters` one-row gradient aggregates. */
+  def trainLrModel(docs: DataFrame, iters: Int = 16, lr: Double = 4.0,
+      tau: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): LrModel = {
+    val feats = featurize(docs, idCol, textCol)
+      .join(heuristicLabel(docs, tau, idCol, textCol), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try LrModel(FeatureCols,
+      trainLr(feats, iters = iters, lr = lr).toIndexedSeq)
+    finally feats.unpersist(blocking = false): Unit
+  }
+
+  /** Persist the model — `(rank, feature, weight)` parquet, rank pinning
+    * the feature order (order is semantic: the dot product folds left in
+    * exactly this sequence). */
+  def writeLrModel(m: LrModel, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    m.xCols.zip(m.weights).zipWithIndex
+      .map { case ((c, w), r) => (r, c, w) }
+      .toDF("rank", "feature", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readLrModel(spark: SparkSession, path: String): LrModel = {
+    val rows = spark.read.parquet(path).orderBy("rank").collect()
+    LrModel(rows.map(_.getString(1)).toSeq,
+      rows.map(_.getDouble(2)).toIndexedSeq)
+  }
+
+  private def checkPin(m: LrModel, expectFingerprint: Option[String]): Unit =
+    expectFingerprint.foreach { fp =>
+      require(fp == m.fingerprint,
+        s"LR gate fingerprint mismatch: manifest pins $fp but the supplied " +
+          s"model is ${m.fingerprint} — a retrained gate would silently " +
+          "shift every keep/drop decision; retrain the consumer's manifest " +
+          "or serve the pinned snapshot")
+    }
+
+  /** [[scoreLr]] from a persisted model, optionally pinned: scoring fails
+    * loudly when the store was retrained under the caller. */
+  def scoreLrModel(feats: DataFrame, m: LrModel,
+      expectFingerprint: Option[String] = None,
+      idCol: String = "doc_id"): DataFrame = {
+    checkPin(m, expectFingerprint)
+    scoreLr(feats, m.weights.toArray, m.xCols, idCol)
+  }
+
+  /** [[scoreFromText]] from a persisted model, same pin contract. */
+  def scoreFromTextModel(textCol: Column, m: LrModel,
+      expectFingerprint: Option[String] = None): Column = {
+    checkPin(m, expectFingerprint)
+    require(m.xCols == FeatureCols,
+      s"scoreFromText serves the built-in feature set $FeatureCols, " +
+        s"got ${m.xCols}")
+    scoreFromText(textCol, m.weights.toArray)
+  }
+
   /** Score with a trained model: `(idCol, score, keep)` — weights enter
     * the plan as literals (zero exchanges, codegen'd dot product). */
   def scoreLr(

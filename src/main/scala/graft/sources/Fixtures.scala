@@ -227,6 +227,39 @@ object Fixtures {
   }
 
   /**
+   * Persisted quality-LR gate trained on `dir`'s FULL documents table
+   * (16-iteration GD, the registered `quality_train_lr` recipe) — what
+   * `quality_filter_lr` and the crawl pre-gate SERVE from (VERDICT r13
+   * next #3): with the model trained inline per invocation the bench
+   * measured 16 full-frame gradient aggregates per query instead of the
+   * plan-constant scoring pass the gate exists for, and a silent retrain
+   * could never fail a fingerprint pin. Training is deterministic
+   * (integer-quantized gradients), so the persisted weights are bit-equal
+   * to an inline train over the same corpus — the DuckDB oracle's replay
+   * still gates the serving path end-to-end.
+   */
+  def lrModel(s: SparkSession, dir: String): graft.operators.QualityModel.LrModel =
+    graft.operators.QualityModel.readLrModel(s, lrModelPath(s, dir))
+
+  def lrModelPath(s: SparkSession, dir: String): String = {
+    val out = cachePathFor(dir, "documents", "lr_model_v1")
+    lock.synchronized {
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) buildLrModel(s, dir, out)
+    }
+    out
+  }
+
+  private def buildLrModel(s: SparkSession, dir: String, out: String): Unit = {
+    import graft.operators.QualityModel
+    def m = QualityModel.trainLrModel(Tables.documents(s, dir))
+    val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
+    QualityModel.writeLrModel(m, s, tmp)
+    promote(tmp, out, complete = new java.io.File(s"$out/_SUCCESS").exists()) {
+      QualityModel.writeLrModel(m, s, out)
+    }
+  }
+
+  /**
    * Persisted BM25 inverted index over `dir`'s FULL documents table —
    * what `search_bm25_indexed` serves from. Same build-once/serve-many
    * contract as [[dedupIndex]]/[[lmModel]]/[[annIndex]]: with the index

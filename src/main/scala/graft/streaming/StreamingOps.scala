@@ -433,6 +433,7 @@ object StreamingOps {
       maxTopTokenFrac: (Int, Int) = (1, 10),
       lmModel: Option[graft.operators.Corpus.LmModel] = None,
       lmKeep: (Long, Long) = (1, 1),
+      lrGate: Option[graft.operators.QualityModel.LrModel] = None,
       domainQuota: Option[(String, Int)] = None,
       quotaKeyEtld: Boolean = true,
       quotaPsl: Option[DataFrame] = None,
@@ -466,9 +467,24 @@ object StreamingOps {
       // inside crawlIncrement): without it the probe→cut→scrub→gate chain
       // re-executes for the manifest write, the appendIndex action, and —
       // with quota — the counts write
+      // active LR pre-gate resolution — the BPE pair's rule applied to the
+      // fourth learned tier (VERDICT r13 next #3): the model rides the
+      // versioned snapshots (`v<N>/lr_model`, pointer-resolved like the
+      // index itself; the seed serves until the first snapshot), so every
+      // round scores under the store's ACTIVE weights, and a consumer
+      // pinning the fingerprint (QualityModel.scoreLrModel) fails loudly
+      // if the store is ever re-trained under it. No drift/retrain lever
+      // here — the gate has no fertility analogue; re-training is an
+      // explicit operator decision (write a new snapshot).
+      val activeLr = lrGate.map { seed =>
+        val p = s"$indexRoot/$pointer/lr_model"
+        if (new java.io.File(p).isDirectory)
+          graft.operators.QualityModel.readLrModel(spark, p)
+        else seed
+      }
       val (accepted0, _) = TrainingSet.crawlIncrement(
         batch, idx, grownBase, maxDupFrac, maxTopTokenFrac, lmModel, lmKeep,
-        idCol, textCol)
+        idCol, textCol, lrGate = activeLr.map(_.weights.toArray))
       // optional DSIR steering ((target, raw) persisted models): keep each
       // survivor with probability 2^(per-token advantage − pivot) — the
       // increment drifts toward the target distribution while the gates
@@ -631,6 +647,12 @@ object StreamingOps {
             idCol, textCol)
         Search.writeSearchIndex(grownIx, s"$indexRoot/v$batchId/search_index")
       }
+      // the active LR gate ALWAYS rides forward onto this round's snapshot
+      // (the BPE pair's forward-write rule: a gated round that skipped it
+      // would break the pointer chain for every round after) — a verbatim
+      // re-pin, cost O(features) rows
+      activeLr.foreach(m => graft.operators.QualityModel.writeLrModel(
+        m, spark, s"$indexRoot/v$batchId/lr_model"))
       Dedup.writeIndex(Dedup.appendIndex(idx,
         keptPersisted.select(col(idCol), col("clean_text").as(textCol)),
         idCol = idCol, textCol = textCol), s"$indexRoot/v$batchId")
@@ -655,6 +677,7 @@ object StreamingOps {
       maxDupFrac: (Int, Int) = (1, 2),
       maxTopTokenFrac: (Int, Int) = (1, 10),
       lmKeep: (Long, Long) = (1, 1),
+      lrGate: Option[graft.operators.QualityModel.LrModel] = None,
       domainQuota: Option[(String, Int)] = None,
       quotaKeyEtld: Boolean = true,
       quotaPsl: Option[DataFrame] = None,
@@ -671,7 +694,7 @@ object StreamingOps {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(crawlIncrementBatchFn(indexRoot, base, outDir,
-        maxDupFrac, maxTopTokenFrac, lmModel, lmKeep, domainQuota,
+        maxDupFrac, maxTopTokenFrac, lmModel, lmKeep, lrGate, domainQuota,
         quotaKeyEtld, quotaPsl, dsir, dsirPivotBits, tokenBudget,
         budgetStrataCol, bpeMonitor, bpeRetrainAt, bpeNumMerges, searchTier,
         idCol, textCol))

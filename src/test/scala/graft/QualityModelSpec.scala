@@ -130,4 +130,57 @@ class QualityModelSpec extends AnyFunSuite {
     val (ungated, _) = TrainingSet.crawlIncrement(delta, idx, base)
     assert(ungated.count() == 2L)
   }
+
+  test("LrModel store: write/read round-trips bit-exactly; fingerprint pins the weights") {
+    val tmp = java.nio.file.Files.createTempDirectory("lrmodel").toString
+    val m = QualityModel.LrModel(QualityModel.FeatureCols,
+      IndexedSeq(-1.0, 0.25, 1.0 / 3.0, -0.1, 4.0e-7))
+    QualityModel.writeLrModel(m, spark, s"$tmp/m")
+    val back = QualityModel.readLrModel(spark, s"$tmp/m")
+    // bit-exact round trip: the fingerprint hashes IEEE bit patterns, so
+    // equality of fingerprints IS equality of every weight and its order
+    assert(back.xCols == m.xCols)
+    assert(back.weights.map(java.lang.Double.doubleToLongBits)
+      == m.weights.map(java.lang.Double.doubleToLongBits))
+    assert(back.fingerprint == m.fingerprint)
+    // any weight change (even 1 ulp) or reorder changes the fingerprint
+    val ulp = m.copy(weights = m.weights.updated(1,
+      java.lang.Double.longBitsToDouble(
+        java.lang.Double.doubleToLongBits(m.weights(1)) + 1L)))
+    assert(ulp.fingerprint != m.fingerprint)
+  }
+
+  test("scoreLrModel: a retrained-store fingerprint mismatch fails loudly; the pin passes") {
+    val feats = QualityModel.featurize(
+      Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text"))
+    val m = QualityModel.LrModel(QualityModel.FeatureCols,
+      IndexedSeq(0.5, 0.0, 0.0, 0.0, 0.0))
+    val retrained = m.copy(weights = m.weights.updated(0, 0.75))
+    // pinned + matching: serves
+    assert(QualityModel.scoreLrModel(feats, m,
+      expectFingerprint = Some(m.fingerprint)).count() == 1L)
+    // pinned + retrained store: loud contract error, not a silent shift
+    val e = intercept[IllegalArgumentException](
+      QualityModel.scoreLrModel(feats, retrained,
+        expectFingerprint = Some(m.fingerprint)))
+    assert(e.getMessage.contains("fingerprint mismatch"))
+    val e2 = intercept[IllegalArgumentException](
+      QualityModel.scoreFromTextModel(col("text"), retrained,
+        expectFingerprint = Some(m.fingerprint)))
+    assert(e2.getMessage.contains("fingerprint mismatch"))
+  }
+
+  test("trainLrModel ≡ inline featurize+label+trainLr (the store serves the same bits)") {
+    val docs = (1 to 60).map { i =>
+      (i.toLong,
+        if (i % 2 == 0) "the cat and the dog sat on a mat with them all here."
+        else "zebra quartz wobble nimbus kelp")
+    }.toDF("doc_id", "text")
+    val viaStore = QualityModel.trainLrModel(docs, iters = 4)
+    val feats = QualityModel.featurize(docs)
+      .join(QualityModel.heuristicLabel(docs), "doc_id")
+    val inline = QualityModel.trainLr(feats, iters = 4)
+    assert(viaStore.weights.map(java.lang.Double.doubleToLongBits).toSeq
+      == inline.map(java.lang.Double.doubleToLongBits).toSeq)
+  }
 }

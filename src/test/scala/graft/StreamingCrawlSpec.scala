@@ -409,6 +409,51 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(md5At(3) == model2.fingerprint)
   }
 
+  test("LR pre-gate rides the loop: active model resolves from the pointer, re-pins forward") {
+    // the BPE pair's resolution rule applied to the fourth learned tier
+    // (VERDICT r13 next #3): the seed serves until a snapshot carries
+    // lr_model; after an operator re-train is written into the pointed
+    // snapshot, every later round scores under the STORE's weights, not
+    // the seed the loop was constructed with — and each round re-pins the
+    // active model forward so the chain never breaks.
+    import spark.implicits._
+    import graft.operators.{Dedup, QualityModel}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-lr").toString
+    val base = Seq((900L, "base corpus doc entirely unrelated words here today"))
+      .toDF("doc_id", "text")
+    StreamingOps.seedCrawlIndex(Dedup.buildIndex(base), s"$tmp/index")
+    // z = −1 + 10·stopword_ratio: keeps stopword-rich prose, drops the rest
+    val seed = QualityModel.LrModel(QualityModel.FeatureCols,
+      IndexedSeq(-1.0, 0.0, 1.0, 0.0, 0.0))
+    val fn = StreamingOps.crawlIncrementBatchFn(s"$tmp/index", base,
+      s"$tmp/accepted", lrGate = Some(seed))
+    // round 0 under the seed: 4/10 stopwords → σ(3) keeps; 0/10 → σ(−1) drops
+    fn(Seq(
+      (10L, "the cat of dog in mill at old stone for"),
+      (11L, "zebra quartz wobble nimbus kelp vortex prism glyph ember xylem"))
+      .toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$tmp/accepted/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // the seed rode forward onto the round's snapshot
+    assert(QualityModel.readLrModel(spark, s"$tmp/index/v0/lr_model")
+      .fingerprint == seed.fingerprint)
+    // operator re-train: sign-flipped gate written INTO the pointed snapshot
+    val retrained = seed.copy(weights = IndexedSeq(1.0, 0.0, -1.0, 0.0, 0.0))
+    QualityModel.writeLrModel(retrained, spark, s"$tmp/index/v0/lr_model")
+    // round 1 must gate under the ACTIVE (retrained) model: now the
+    // stopword-rich doc drops (σ(1−4) < 0.5) and the stopword-free keeps
+    fn(Seq(
+      (20L, "and hawk to crow that lynx it fox pine moss"),
+      (21L, "falcon onyx timber raven maple cedar birch walnut aspen alder"))
+      .toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(s"$tmp/accepted/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(21L),
+      "round 1 must score under the store's retrained model, not the seed")
+    // ...and the retrained model re-pins forward for the round after
+    assert(QualityModel.readLrModel(spark, s"$tmp/index/v1/lr_model")
+      .fingerprint == retrained.fingerprint)
+  }
+
   test("search tier rides the loop: the pointed snapshot serves exactly the deduped corpus") {
     import spark.implicits._
     import graft.operators.Search
