@@ -929,6 +929,22 @@ object SparkEntry {
     // are bit-identical to the scan form, so it shares its oracle shape
     "search_bm25_indexed" -> ((s, d) =>
       Search.bm25TopKIndexed(Fixtures.searchIndex(s, d), "dup spark join", k = 25)),
+    // BATCH retrieval (VERDICT r13 next #2): every 5th doc's first three
+    // tokens as a query — 100 queries at the gate sf — resolved in ONE
+    // job: the corpus is tokenized once, each matched (doc, term) scores
+    // once (scores are query-independent), queries fan out through a
+    // broadcast term table, and the per-query k-cut is a bounded TopK
+    // AGGREGATE (O(queries·k) across its exchange), never a row-number
+    // window. One oracle replays query derivation + scoring + ranking.
+    "search_bm25_batch" -> ((s, d) =>
+      Search.bm25TopKAll(documents(s, d), bm25BatchQueries(s, d), k = 5)),
+    // the batch through the persisted index: the whole batch's postings in
+    // ONE pruned scan (the batch vocabulary's buckets constant-fold into
+    // the partition filter), zero tokenization, bit-identical rows — the
+    // same oracle gates both forms
+    "search_bm25_batch_indexed" -> ((s, d) =>
+      Search.bm25TopKAllIndexed(Fixtures.searchIndex(s, d),
+        bm25BatchQueries(s, d), k = 5)),
     // REAL BPE token counts (Sennrich et al. 2016) under the persisted
     // 40-merge model trained on this corpus — the sequence-length
     // accounting a packing/budgeting pipeline runs (whitespace counts
@@ -1595,6 +1611,43 @@ object SparkEntry {
       |  list_sum(list(s_t ORDER BY token)) AS score
       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin.replace("\n", " ")
 
+  /** The deterministic query batch behind `search_bm25_batch[_indexed]`:
+    * every 5th doc's first three tokens under the corpus tokenization
+    * rules — 100 queries at the gate sf, each guaranteed at least one hit
+    * (its own source doc). */
+  private def bm25BatchQueries(s: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.documents(s, d).filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id").as("query_id"),
+        array_join(
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3), " ")
+          .as("query"))
+
+  /** ONE oracle for both batch doors (scan + index must agree
+    * bit-for-bit, the single-pair rule): replays the query derivation,
+    * the per-(doc, term) integer-ratio factors, the order-fixed per-
+    * (query, doc) fold, and the per-query (score desc, doc asc) rank. */
+  private val bm25BatchOracleSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_slice(tk, 1, 3)) AS token
+      |  FROM toks WHERE doc_id % 5 = 1),
+      |st AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs, CAST(sum(len(tk)) AS HUGEINT) AS total FROM toks),
+      |d AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM toks),
+      |m AS (SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS tf, CAST(max(dl) AS HUGEINT) AS dl
+      |  FROM d WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+      |dft AS (SELECT token, CAST(count(*) AS HUGEINT) AS dft FROM m GROUP BY 1),
+      |sc AS (SELECT m.doc_id, m.token,
+      |    (CAST(2 * (st.n_docs - dft.dft) + 1 AS DOUBLE) / CAST(2 * dft.dft + 1 AS DOUBLE)) *
+      |    (CAST(44 * st.total * m.tf AS DOUBLE) /
+      |     CAST(20 * st.total * m.tf + 6 * st.total + 18 * m.dl * st.n_docs AS DOUBLE)) AS s_t
+      |  FROM m JOIN dft ON m.token = dft.token, st),
+      |pq AS (SELECT q.query_id, sc.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    list_sum(list(sc.s_t ORDER BY sc.token)) AS score
+      |  FROM sc JOIN q ON sc.token = q.token GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score DESC, doc_id) AS rank FROM pq)
+      |SELECT query_id, doc_id, n_terms, score, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+
   def oracleSql: Map[String, String] = {
     val cents = "CAST(round(value * 100) AS BIGINT)"
     // Sentinel-fixture TSVs resolved RELATIVE TO THE REPO ROOT at
@@ -2105,6 +2158,8 @@ object SparkEntry {
       // covers both forms — any drift between scan and serve fails here.
       "search_bm25" -> bm25OracleSql,
       "search_bm25_indexed" -> bm25OracleSql,
+      "search_bm25_batch" -> bm25BatchOracleSql,
+      "search_bm25_batch_indexed" -> bm25BatchOracleSql,
       // exact cross-product rate divergence (DuckDB HUGEINT side of the
       // engine's decimal(38) arithmetic); top-20 set cut by (shift, token),
       // then re-sorted by the output columns like the engine

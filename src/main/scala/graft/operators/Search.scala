@@ -75,16 +75,148 @@ object Search {
     terms
   }
 
+  /** Driver-bounded cap on the distinct term vocabulary of a BATCH of
+    * queries: the term table is collected once to build the postings
+    * filter (and, in the indexed form, the constant-folded bucket
+    * predicate), so it must stay driver-sized — 64k distinct terms is
+    * thousands of realistic queries. */
+  val MaxBatchTerms = 1 << 16
+
+  /** The distinct `(qid, token)` table of a query batch under the corpus
+    * tokenization rules, plus the collected distinct-term vocabulary.
+    * Queries whose text yields no tokens simply have no rows — and
+    * therefore no output (their BM25 score is 0 against everything), the
+    * same contract as a term matching no document. */
+  private def queryTermsAll(queries: DataFrame, qidCol: String,
+      queryCol: String): (DataFrame, Seq[String]) = {
+    val qt = Parallelism.ensure(queries)
+      .select(col(qidCol), explode(tokens(col(queryCol))).as("token"))
+      .filter(col("token") =!= "") // blank query ⇒ [""], the single door's filter(_.nonEmpty)
+      .distinct()
+    val terms = qt.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "query batch contains no terms")
+    require(terms.size <= MaxBatchTerms,
+      s"query batch carries ${terms.size} distinct terms — past the " +
+        s"$MaxBatchTerms driver-side vocabulary cap; split the batch")
+    (qt, terms)
+  }
+
+  /**
+   * BATCH retrieval — `k` documents for EVERY query in one job (VERDICT
+   * r13 next #2): the workloads the single-query door exists for (mining
+   * eval-set neighbors, seeding RAG indexes, topical audits) run thousands
+   * of queries per pass, and one plan per query means one corpus pass per
+   * query. `queries` is `(qidCol, queryCol)`; output is
+   * `(qidCol, idCol, n_terms, score, rank)` — each query's top `k` by
+   * (score desc, `idCol` asc), `rank` 1-based — ordered by (query, rank).
+   *
+   * Shape: ONE corpus tokenize feeding one postings filter over the
+   * batch's whole term vocabulary (a plan-literal `isin` — the term table
+   * is driver-bounded by [[MaxBatchTerms]]); per-(doc, term) BM25 partial
+   * scores are computed ONCE — they are query-independent — and only then
+   * fanned out to queries through a broadcast join with the `(qid, token)`
+   * table; the per-query cut is a k-entry [[graft.functions.TopK]]
+   * AGGREGATE (partial trim on every map task, O(queries·k) across the
+   * exchange), NEVER a row-number window funneling each query's candidate
+   * set through one reducer. Nothing corpus-sized is ever sorted: the
+   * final order-by touches queries·k rows.
+   *
+   * Arithmetic is [[bm25TopK]]'s verbatim (same `scoreTerms` expressions,
+   * same order-fixed fold), so a batch containing one query returns that
+   * query's single-form rows bit-for-bit (SearchSpec pins this).
+   */
+  def bm25TopKAll(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (qt, terms) = queryTermsAll(queries, qidCol, queryCol)
+    val toked = Parallelism.ensure(docs)
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val stats = toked.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val matched = toked
+      .select(col(idCol), col("dl"), explode(col("tk")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    scoreAndCutAll(matched, stats, qt, k, idCol, qidCol)
+  }
+
+  /** [[bm25TopKAll]] served from the persisted index: the whole batch's
+    * postings read in ONE pruned scan (the bucket predicate folds the
+    * batch vocabulary's buckets into plan constants, so the scan reads
+    * only the touched `bucket=N/` directories), zero tokenization — the
+    * same bit-identical-to-scan contract as the single-query pair. */
+  def bm25TopKAllIndexed(idx: SearchIndex, queries: DataFrame, k: Int = 10,
+      idCol: String = "doc_id",
+      qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (qt, terms) = queryTermsAll(queries, qidCol, queryCol)
+    val bucketPred = terms.map(t => col("bucket") === tokenBucket(lit(t)))
+      .reduce(_ || _)
+    val matched = idx.postings
+      .filter(bucketPred && col("token").isin(terms: _*))
+      .select(col(idCol), col("token"), col("tf"), col("dl"))
+    scoreAndCutAll(matched, idx.stats, qt, k, idCol, qidCol)
+  }
+
+  /** The batch scorer: per-(doc, term) scores ONCE via [[scoreTerms]]
+    * (query-independent), broadcast-fanned to `(qid, token)`, per-
+    * (query, doc) order-fixed fold, then the bounded per-query TopK cut.
+    * The fold frame persists scoped — the cut reads it twice (the TopK
+    * aggregate and the rank/row join-back). */
+  private def scoreAndCutAll(matched: DataFrame, stats: DataFrame,
+      qt: DataFrame, k: Int, idCol: String, qidCol: String): DataFrame = {
+    val perDoc = graft.operators.Dedup.persistScoped(
+      scoreTerms(matched, stats)
+        .join(broadcast(qt), Seq("token"))
+        .groupBy(col(qidCol), col(idCol))
+        .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
+        .withColumn("sorted",
+          transform(array_sort(col("parts")), _.getField("s_t")))
+        .select(
+          col(qidCol), col(idCol),
+          size(col("sorted")).cast("long").as("n_terms"),
+          aggregate(col("sorted"), lit(0.0), _ + _).as("score")))
+    val cut = perDoc.groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topKDouble(k)(col("score"), col(idCol)).as("tk"))
+      .select(col(qidCol), posexplode(col("tk.entries")).as(Seq("r0", "e")))
+      .select(col(qidCol), col("e.id").as(idCol),
+        (col("r0") + 1).cast("long").as("rank"))
+    perDoc.join(broadcast(cut), Seq(qidCol, idCol))
+      .select(col(qidCol), col(idCol), col("n_terms"), col("score"), col("rank"))
+      .orderBy(col(qidCol), col("rank"))
+  }
+
   /** The shared exact-arithmetic scorer: per-term df from the matched
     * postings, the two integer-ratio factors, the order-fixed fold, the
     * total-order top-k cut. Both the scan form and the indexed form feed
     * this the SAME `(idCol, token, tf, dl)` frame, so their doubles are
     * identical bit-for-bit by construction. */
   private def scoreAndCut(matched: DataFrame, stats: DataFrame, k: Int,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    scoreTerms(matched, stats)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
+      .withColumn("sorted",
+        transform(array_sort(col("parts")), _.getField("s_t")))
+      .select(
+        col(idCol),
+        size(col("sorted")).cast("long").as("n_terms"),
+        aggregate(col("sorted"), lit(0.0), _ + _).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Per-(doc, term) BM25 partial scores `s_t` — the two integer-ratio
+    * factors over `(idCol, token, tf, dl)` + the broadcast one-row stats:
+    * query-INDEPENDENT, so the batch door computes each matched posting's
+    * score exactly once no matter how many queries share the term. */
+  private def scoreTerms(matched: DataFrame, stats: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val dft = matched.groupBy("token").agg(count(lit(1)).as("dft"))
-    val scored = matched
+    matched
       .join(broadcast(dft), Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_d",
@@ -96,17 +228,6 @@ object Search {
             dec(lit(6)) * col("total_tokens") +
             dec(lit(18)) * col("dl") * col("n_docs")).cast("double"))
       .withColumn("s_t", col("idf_d") * col("tf_d"))
-    scored
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
-      .withColumn("sorted",
-        transform(array_sort(col("parts")), _.getField("s_t")))
-      .select(
-        col(idCol),
-        size(col("sorted")).cast("long").as("n_terms"),
-        aggregate(col("sorted"), lit(0.0), _ + _).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
   }
 
   // ---------------------------------------------------------------------

@@ -107,6 +107,89 @@ class SearchSpec extends AnyFunSuite {
     assert(!p.contains("Generate explode"), s"serve path must not explode text:\n$p")
   }
 
+  test("bm25TopKAll: batch-of-one == single-query form bit-for-bit; per-query ranks") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "c c c c"), (4L, "b b d"),
+      (5L, "d a c b"), (6L, "e")
+    ).toDF("doc_id", "text").repartition(3)
+    val single = Search.bm25TopK(docs, "a c", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2))))
+    val batch1 = Search.bm25TopKAll(docs,
+        Seq((7L, "a c")).toDF("query_id", "query"), k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+    assert(batch1.toSeq == single.toSeq,
+      "a batch containing one query must return the single door's rows bit-for-bit")
+    // two queries resolve independently in the same job; ranks are 1-based
+    // per query and the term-vocabulary union doesn't leak across queries
+    val two = Search.bm25TopKAll(docs,
+      Seq((7L, "a c"), (8L, "e")).toDF("query_id", "query"), k = 3)
+    val byQ = two.collect().groupBy(_.getLong(0))
+    assert(byQ(7L).map(r => (r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .toSeq == single.map(t => (t._1, t._3)).toSeq)
+    assert(byQ(8L).map(_.getLong(1)).toSeq == Seq(6L), "query 'e' hits only doc 6")
+    assert(byQ(7L).map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L))
+    // a query with no tokens has no rows (score 0 everywhere); an
+    // all-empty batch is a contract error
+    val withEmpty = Search.bm25TopKAll(docs,
+      Seq((7L, "a"), (9L, "   ")).toDF("query_id", "query"), k = 3)
+    assert(withEmpty.filter(col("query_id") === 9L).count() == 0L)
+    intercept[IllegalArgumentException](
+      Search.bm25TopKAll(docs, Seq((9L, " ")).toDF("query_id", "query")).collect())
+    intercept[IllegalArgumentException](
+      Search.bm25TopKAll(docs, Seq((9L, "a")).toDF("query_id", "query"), k = 0))
+  }
+
+  test("bm25TopKAllIndexed == batch scan form bit-for-bit through a persisted index") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "c c c c"), (4L, "b b d"),
+      (5L, "d a c b"), (6L, "e")
+    ).toDF("doc_id", "text").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-b").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(docs), dir)
+    val ix = Search.readSearchIndex(spark, dir)
+    val qs = Seq((1L, "a c"), (2L, "b d e"), (3L, "zzz")).toDF("query_id", "query")
+    val scan = Search.bm25TopKAll(docs, qs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4)))
+    val served = Search.bm25TopKAllIndexed(ix, qs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4)))
+    assert(served.toSeq == scan.toSeq)
+  }
+
+  test("search_bm25_batch plan: vocabulary filter above the explode, TopK partials, no window") {
+    val p = SparkEntry.queries("search_bm25_batch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the batch vocabulary filters the token explode as ONE plan-literal
+    // set (INSET) — only matched postings ever reach an exchange, and the
+    // matched frame is shared by every query (the fan-out join sits above
+    // the scoring, so corpus reads cannot scale with query count)
+    assert(p.contains("INSET") || p.contains("token#"),
+      s"expected the plan-literal vocabulary filter:\n$p")
+    // the per-query cut is the bounded TopK AGGREGATE — partial trim on
+    // every map task (O(queries·k) across the exchange) — NEVER a
+    // row_number window funneling a query's candidates into one reducer
+    assert(p.contains("partial_topkdouble"), s"expected TopK partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"no per-query row_number window allowed:\n$p")
+    assert(p.contains("BroadcastExchange"), s"term/stats tables must broadcast:\n$p")
+  }
+
+  test("search_bm25_batch_indexed plan: pruned postings read, corpus never tokenized, no window") {
+    val p = SparkEntry.queries("search_bm25_batch_indexed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the batch vocabulary's buckets constant-fold into the postings scan's
+    // partition filter — the read prunes to the touched bucket=N dirs
+    assert(p.contains("PartitionFilters: [((") && p.contains("bucket#"),
+      s"expected constant-folded bucket pruning:\n$p")
+    // the only tokenize is the QUERY batch's own derivation (one explode
+    // over the 100-row query frame); the corpus text is never split again
+    val explodes = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(explodes.nonEmpty && explodes.forall(_.contains("query")),
+      s"serve path must only explode the query frame:\n$p")
+    assert(p.contains("partial_topkdouble"), s"expected TopK partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"no per-query row_number window allowed:\n$p")
+  }
+
   test("search_bm25 plan: postings filtered above the scan, top-k never sorts the corpus") {
     val p = SparkEntry.queries("search_bm25")(spark, sf)
       .queryExecution.executedPlan.toString
