@@ -357,7 +357,7 @@ object ScaleBench {
             concat(col("text"), lit(" needle"))).otherwise(col("text")))
       var grown: graft.operators.Search.SearchIndex = null
       time("appendSearchIndex: 1000-doc delta vs the 100k-doc index (O(delta))") {
-        grown = graft.operators.Search.appendSearchIndex(ix, ixDir, delta)
+        grown = graft.operators.Search.appendSearchIndex(ixDir, delta)
       }
       val afterServe = graft.operators.Search.bm25TopKIndexed(grown, "needle", k = 25)
         .collect().map(r => (r.getLong(0), r.getDouble(2)))

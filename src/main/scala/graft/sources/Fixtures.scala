@@ -271,7 +271,8 @@ object Fixtures {
     graft.operators.Search.readSearchIndex(s, searchIndexPath(s, dir))
 
   def searchIndexPath(s: SparkSession, dir: String): String = {
-    val out = cachePathFor(dir, "documents", "search_index_v1")
+    // v2: versioned segment layout (seg-N/ + vN/ manifests + CURRENT)
+    val out = cachePathFor(dir, "documents", "search_index_v2")
     lock.synchronized {
       if (!new java.io.File(s"$out/_OK").exists()) buildSearchIndex(s, dir, out)
     }

@@ -639,7 +639,7 @@ object StreamingOps {
         val acceptedClean =
           keptPersisted.select(col(idCol), col("clean_text").as(textCol))
         val grownIx =
-          if (new java.io.File(s"$prior/stats").isDirectory)
+          if (Search.searchIndexExists(prior))
             Search.growSearchIndex(
               Search.readSearchIndex(spark, prior), acceptedClean, idCol, textCol)
           else Search.buildSearchIndex(

@@ -81,19 +81,48 @@ class SearchSpec extends AnyFunSuite {
     ).toDF("doc_id", "text").repartition(2)
     val dir = java.nio.file.Files.createTempDirectory("graft-searchix-app").toString
     Search.writeSearchIndex(Search.buildSearchIndex(base), dir)
-    val grown = Search.appendSearchIndex(
-      Search.readSearchIndex(spark, dir), dir, delta)
+    val grown = Search.appendSearchIndex(dir, delta)
     // stats summed exactly: 5 docs, 9 + 6 tokens
     val st = grown.stats.collect()(0)
     assert(st.getLong(0) == 5L && st.getLong(1) == 15L)
     // the grown index is indistinguishable from a fresh scan of the union:
-    // delta postings join the same buckets, df/N/T decompose exactly
+    // delta postings land in a new segment, df/N/T decompose exactly
     val union = base.unionByName(delta)
     for (q <- Seq("a", "c d", "a c", "zz d")) {
       val scan = Search.bm25TopK(union, q, k = 10).collect().toSeq
       val served = Search.bm25TopKIndexed(grown, q, k = 10).collect().toSeq
       assert(served == scan, s"grown serve != union scan for '$q'")
     }
+  }
+
+  test("torn append: a crash before the pointer flip serves the OLD version bit-consistently") {
+    // the r13 flat layout's documented failure mode (postings appended,
+    // stats not yet rewritten → scores drift under stale constants) must
+    // be impossible in the versioned store: segments and stats only become
+    // visible together, at the CURRENT flip.
+    val base = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, "a a a d"), (11L, "c d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-torn").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(base), dir)
+    val before = Search.bm25TopKIndexed(
+      Search.readSearchIndex(spark, dir), "a d", k = 10).collect().toSeq
+    // simulate the crash window: the delta's segment (and even the next
+    // manifest) fully written, CURRENT not yet flipped
+    val d = Search.buildSearchIndex(delta)
+    d.postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/seg-1/postings")
+    Seq("seg-0", "seg-1").toDF("seg").write.mode("overwrite").parquet(s"$dir/v1/segs")
+    // a reader resolves CURRENT → v0 → seg-0 only: identical answers, the
+    // orphan segment is invisible (no stale-stats drift, no partial corpus)
+    val after = Search.bm25TopKIndexed(
+      Search.readSearchIndex(spark, dir), "a d", k = 10).collect().toSeq
+    assert(after == before, "torn append must be invisible until the pointer flips")
+    // the retried append self-heals: overwrites the orphan, commits, and
+    // the grown store now equals the union scan
+    val grown = Search.appendSearchIndex(dir, delta)
+    val scan = Search.bm25TopK(base.unionByName(delta), "a d", k = 10).collect().toSeq
+    assert(Search.bm25TopKIndexed(grown, "a d", k = 10).collect().toSeq == scan)
   }
 
   test("indexed serve plan: partition-pruned postings read, no tokenization") {
