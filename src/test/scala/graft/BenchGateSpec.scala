@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BenchGateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val baseline = BenchGate.Baseline(
+    medians = Map("q_fast" -> 0.2, "q_slow" -> 2.0, "q_replanned" -> 1.0,
+      "q_retired" -> 0.5),
+    plans = Map("q_fast" -> "fpA", "q_slow" -> "fpB", "q_replanned" -> "fpC",
+      "q_retired" -> "fpD"))
+
+  test("a synthetic >1.5× slowdown at an unchanged plan FIRES the gate") {
+    val r = BenchGate.regressions(
+      medians = Map("q_fast" -> 0.21, "q_slow" -> 3.5),
+      plans = Map("q_fast" -> "fpA", "q_slow" -> "fpB"),
+      baseline)
+    assert(r.map(_.name) == Seq("q_slow"))
+    assert(math.abs(r.head.ratio - 1.75) < 1e-9)
+    assert(r.head.baselineMedian == 2.0 && r.head.median == 3.5)
+  }
+
+  test("a changed plan fingerprint SUPPRESSES the comparison; new queries never flag") {
+    val r = BenchGate.regressions(
+      medians = Map("q_replanned" -> 10.0, "q_new" -> 99.0),
+      plans = Map("q_replanned" -> "fpC-CHANGED", "q_new" -> "fpN"),
+      baseline)
+    assert(r.isEmpty, "the new plan owns its cost; a new query has no baseline")
+  }
+
+  test("exactly-at-threshold does not fire; just past it does") {
+    def run(m: Double) = BenchGate.regressions(
+      Map("q_slow" -> m), Map("q_slow" -> "fpB"), baseline)
+    assert(run(3.0).isEmpty, "1.5× exactly is the boundary, not a regression")
+    assert(run(3.0000001).nonEmpty)
+  }
+
+  test("baseline TSV round-trips; absent file reads None") {
+    val tmp = java.nio.file.Files.createTempDirectory("benchgate").toString
+    val medians = Map("a" -> 0.123456, "b" -> 12.5)
+    val plans = Map("a" -> "fp1", "b" -> "fp2", "orphan" -> "fp3")
+    BenchGate.writeBaseline(s"$tmp/b.tsv", medians, plans)
+    val back = BenchGate.readBaseline(s"$tmp/b.tsv").get
+    // only names with BOTH a median and a plan are written
+    assert(back.medians.keySet == Set("a", "b"))
+    assert(math.abs(back.medians("a") - 0.123456) < 1e-9)
+    assert(back.plans == Map("a" -> "fp1", "b" -> "fp2"))
+    assert(BenchGate.readBaseline(s"$tmp/missing.tsv").isEmpty)
+  }
+
+  test("planFingerprint is stable across identical plans, differs across shapes") {
+    // parquet-backed frames (a LocalRelation constant-folds to a dataless
+    // string, which can neither witness stability nor a predicate change)
+    def docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def q(minId: Long) = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id") > minId)
+      .groupBy("lang").count()
+    // fresh frames allocate fresh expression ids — normalization must
+    // erase them, or every run of the same code would read as a replan
+    assert(BenchGate.planFingerprint(q(0)) == BenchGate.planFingerprint(q(0)))
+    assert(BenchGate.planFingerprint(q(0)) != BenchGate.planFingerprint(q(1)),
+      "a real predicate change must change the fingerprint")
+    // a registered query fingerprints identically across invocations (the
+    // gate's actual use: same code + registry => same fingerprint)
+    val r1 = BenchGate.planFingerprint(
+      SparkEntry.queries("ts_sum_900")(spark, "/root/testdata/sf0.001"))
+    val r2 = BenchGate.planFingerprint(
+      SparkEntry.queries("ts_sum_900")(spark, "/root/testdata/sf0.001"))
+    assert(r1 == r2)
+  }
+}
