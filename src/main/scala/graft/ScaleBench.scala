@@ -1600,6 +1600,64 @@ object ScaleBench {
         println(f"[scale] budget soak: $accepted docs accepted, per-round " +
           roundSecs.map(t => f"$t%.2f").mkString(" / ") + " s")
       }
+      // ---- r14 (VERDICT r13 next #7): the cut at DOMAIN-level stratum
+      // cardinality. The 5-lang rows above never stress the bounded-domain
+      // claim — the eTLD+1 quota's shape is 10k+ strata, where the level-1
+      // bucket domain (strata × 256) is 2.56M and, at 300 docs/stratum,
+      // ~70% of each stratum's 256 buckets are occupied (~1.8M bucket rows
+      // cross the level-1 exchange — (strata, bkt, partial) triples, never
+      // the corpus text). Planted truth: EVERY one of the 10k strata
+      // selects, every stratum obeys the crossing bound, and the two-level
+      // selection equals the window form bit-for-bit. The window baseline
+      // runs second so SCALE.md records both sections' shuffle columns
+      // side by side (the two-level exchange carries ~45 B bucket triples
+      // vs the window's ~80 B per-doc ranked rows — and at few-strata
+      // cardinality the window form additionally funnels each stratum
+      // through ONE reducer, the skew the operator exists to avoid).
+      val n10k = nDocs * 30
+      def docs10k = spark.range(n10k)
+        .withColumn("lang", concat(lit("d"), pmod(col("id"), lit(10000L))))
+        .withColumn("text", concat_ws(" ", (0 until 8).map(j =>
+          concat(lit("w"), pmod(xxhash64(col("id") * lit(31L) + lit(j.toLong)),
+            lit(50000L)))): _*))
+        .select(col("id").as("doc_id"), col("lang"), col("text"))
+      val targets10k = docs10k.groupBy("lang")
+        .agg((sum(size(graft.functions.TextFunctions.tokens(col("text"))))
+          .cast("long") * 3L / 10L).as("target_tokens"))
+        .localCheckpoint()
+      var sel10k: org.apache.spark.sql.DataFrame = null
+      time(s"budgeted selection over $n10k docs at 10k strata (bucket domain 2.56M, two-level)") {
+        sel10k = TrainingSet.budgetedSample(docs10k, targets10k).localCheckpoint()
+        val got = sel10k.groupBy("lang")
+          .agg(sum("n_tokens").as("s"), max("n_tokens").as("mx"))
+        assert(got.count() == 10000L, "every stratum must select")
+        val violations = got.join(broadcast(targets10k), "lang")
+          .filter(!(col("target_tokens") <= col("s") &&
+            col("s") < col("target_tokens") + col("mx")))
+          .count()
+        assert(violations == 0L,
+          s"$violations of 10000 strata violate the crossing bound")
+        val occupied = docs10k
+          .select(col("lang"), substring(md5(col("text")), 1, 2).as("bkt"))
+          .distinct().count()
+        println(s"[scale] 10k-strata cut: level-1 bucket frame $occupied rows " +
+          s"(domain 2560000), corpus $n10k docs — the exchange carries bucket " +
+          "triples, the text never shuffles")
+      }
+      time(s"window-form baseline at 10k strata over $n10k docs + bit-equality") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+        val expect = docs10k.select(col("lang"), col("doc_id"),
+            md5(col("text")).as("rk"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .join(broadcast(targets10k), "lang")
+          .filter(col("cum") - col("n_tokens") < col("target_tokens"))
+          .select("lang", "doc_id", "n_tokens")
+        assert(expect.exceptAll(sel10k).isEmpty && sel10k.exceptAll(expect).isEmpty,
+          "two-level cut must equal the window form at 10k strata")
+      }
     } // sectionOn("budget")
 
     if (nDocs >= 10000 && sectionOn("quality")) {
