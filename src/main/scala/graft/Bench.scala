@@ -352,92 +352,41 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r13: 26 queries new this round, ALL full-oracle: " +
-      "search_bm25 (lexical retrieval, the corpus-mining/RAG front door: " +
-      "BM25 with RATIONAL k1=6/5 b=3/4 so both factors are single double " +
-      "divisions of exact decimal(38) integers and the per-doc fold runs " +
-      "left-to-right in token order - bit-equal to DuckDB's " +
-      "list_sum(list(s ORDER BY token)); postings filtered above the scan, " +
-      "O(query postings) ever shuffles, top-k is TakeOrderedAndProject) " +
-      "+ its persisted-index serve twin search_bm25_indexed (bucket-" +
-      "partitioned postings, the scan PRUNES to the query terms' " +
-      "directories, zero tokenization - bit-identical to the scan form, " +
-      "SAME oracle SQL gates both; build-once/serve-many like the dedup/" +
-      "ANN/media index tiers, with an O(delta) append and a frames-form grow " +
-      "that rides the crawl loop's versioned snapshots - searchTier=true " +
-      "makes the searchable corpus at any pointer exactly that round's " +
-      "deduplicated corpus, spec-pinned in StreamingCrawlSpec); " +
-      "split_by_source (group-keyed held-out-domain split - every doc of a " +
-      "source on ONE side, the leakage model the content-hash split can't " +
-      "close; still a pure zero-shuffle projection); " +
-      "ts_cumsum_900 (exact BIGINT running totals on the post-aggregate " +
-      "bucket frame); " +
-      "the bucket-series family ts_moving_avg_900 (trailing RANGE-frame mean " +
-      "over the 900s sums - gap-aware, absent buckets shrink the denominator; " +
-      "exact windowSum/count, one double division) + ts_ewma_900 (exponentially-" +
-      "decayed trailing mean with exact dyadic weights - decimal(38) weighted " +
-      "sums, one double division, replayed as a trailing self-join in DuckDB) " +
-      "+ ts_anomaly_900 (3-sigma " +
-      "flags decided by ONE exact decimal(38) inequality, no float epsilon) + " +
-      "ts_fill_prev_900/ts_fill_linear_900 (dense plan-constant range() spine, " +
-      "forward-fill and no-extrapolation linear interpolation as the same fixed " +
-      "double expression shape in both engines - all four run on the " +
-      "post-aggregate O(buckets) frame, so their cost over a plain sum is ~zero); " +
-      "corpus_snapshot_diff (release-to-release audit - full-outer join on " +
-      "16-byte md5 digests, text never crosses the exchange); " +
-      "embedding_outliers (SemDeDup-shape per-cluster prune: cosine-to-own-" +
-      "centroid threshold sign-aware over decimal(38), centroids broadcast, " +
-      "corpus never shuffles); " +
-      "pipeline_crawl_lr_gate (the crawl composition with the trained linear " +
-      "pre-gate live at stage 4.4 - base-trained weights as plan literals " +
-      "filtering cleaned survivors at score >= 0.5 before any expensive stage; " +
-      "ONE oracle replays five crawl stages + the 16-iteration training " +
-      "trajectory + the scoring filter); " +
-      "ts_p95_auto_900 (the adaptive quantile front door - max-group probe " +
-      "dispatches exact interpolated percentile vs the GK sketch; exact arm " +
-      "oracle-verified, sketch arm forced + rel-err-gated in this artifact as " +
-      "ts_p95_auto_900_forced_sketch, ceiling 0.05); " +
-      "chunk_sliding (per-doc sliding-window chunking, the RAG/eval layout - " +
-      "narrow explode, zero exchanges, clamping slice in both engines); " +
-      "quality_train_lr + quality_filter_lr (the CCNet-shape trained quality " +
-      "classifier: 16-iteration full-batch GD logistic regression distilling the " +
-      "hand-tuned quality gate - rational sigmoid so every op is IEEE " +
-      "correctly-rounded with no libm exp, 1e-9-integer-quantized gradient sums so " +
-      "partitioning cannot leak into the trajectory; the DOUBLE weights and scores " +
-      "are bit-equal to the DuckDB chained-CTE replay, ~83% train accuracy vs the " +
-      "50% base rate, learning pinned on a planted concept in QualityModelSpec); " +
-      "pipeline_training_set_v2_whole (the modern flagship's whole-doc twin - " +
-      "stages 1-6 identical, then the no-straddle fill-transition fold replayed as " +
-      "a linear recursive CTE sharing the stage 1-6 CTE prefix); the token-budget " +
-      "chain corpus_report -> mixture_budget -> sample_budget_lang (two-level " +
-      "md5-rank bucket cut, no per-stratum corpus window) -> sample_epochs_lang " +
-      "(full epochs as a narrow explode + the fractional epoch via the same cut) " +
-      "-> sample_budget_increment (the cross-round ledger, two rounds replayed); " +
-      "the packed-layout surface pack_whole_stats + shard_assign + shard_manifest " +
-      "(zero-exchange seeded mix, O(shards) rollup); and dedup_cluster_histogram " +
-      "(the dedup audit view). " +
-      "12 queries converted from golden-pinned/rows-only to FULL DuckDB oracle via " +
-      "the sentinel-fixture pattern (VERDICT r12 next #4, extended): dedup_minhash + " +
-      "dedup_incremental_near (committed 64-permutation signatures; banding as slice " +
-      "equality, caps, position-match estimate), dedup_simhash (packed words; chunk " +
-      "keys + bit_count(xor)), text_winnow (ordered gram hashes; windowed-min as " +
-      "rightmost-argmin change detection), text_fingerprint (per-shingle hashes; " +
-      "min-reduction), pack_sequences_bpe + text_tokens_bpe + vocab_bpe_top20 (the " +
-      "BPE count/subword tables), dedup_image_phash + dedup_incremental_image + " +
-      "_image_edit (per-image dHash pairs; chunk blocking + Hamming in SQL), " +
-      "multimodal_features (per-record featurize table; per-kind agg), and all three " +
-      "approximate-ANN tiers ann_topk_cosine_{lsh,ivf,ivfpq} (band keys / probe-cell " +
-      "rankings / PQ codes + per-query ADC LUTs as fixtures; candidate joins, the " +
-      "m-ordered ADC sum, top-256 shortlist and the exact double cosine re-rank all " +
-      "replayed bit-exact - DuckDB's list_sum folds left-to-right like " +
-      "ArrayDotProduct). No-oracle surface: 17 -> 2 of 127 (the two order-dependent " +
-      "sketches, both artifact-gated; 125 of 127 full-oracle). Plan changes: none to carried queries - " +
-      "packSequencesWhole's pass-1 summary skips zero-count docs (bound fix, " +
-      "identical output), the forced-sketch gate emits an explicit error marker + " +
-      "failed query on computation error, the crawl loop resolves+forwards the " +
-      "active BPE model every monitored round (ADVICE r12). Golden fixtures " +
-      "regenerated byte-identical; 13 new sentinel TSVs. Carried-query deltas are " +
-      "machine state"
+    val notes = "r14: 2 queries new, both full-oracle: search_bm25_batch + " +
+      "search_bm25_batch_indexed (BATCH retrieval - 100 queries x top-5 in ONE " +
+      "job: corpus tokenized once, per-(doc,term) scores computed once (BM25 " +
+      "partials are query-independent), queries fan out via a broadcast term " +
+      "table, per-query cut is the bounded TopK aggregate, never a row_number " +
+      "window; the indexed door reads the whole batch's postings in one " +
+      "partition-pruned scan; ONE oracle replays derivation+scoring+ranking " +
+      "for both). No-oracle surface 2 -> 0 of 129: ts_distinct_approx_900 and " +
+      "ts_trending_approx re-registered as TOLERANCE VERDICTS (per-bucket " +
+      "|approx-exact| <= max(2, 0.15*exact) as an integer inequality / exact-" +
+      "top1-contained-in-sketch-top3; DuckDB replays the exact side, expects " +
+      "all-true - sketch VALUES stay unpinned, Bench's quantitative gates now " +
+      "read the raw sketches via distinctApproxRaw/trendingApproxRaw, so the " +
+      "sketch block below is unchanged in meaning). Plan changes to carried " +
+      "queries, all deliberate: quality_filter_lr + pipeline_crawl_lr_gate " +
+      "now SERVE from the persisted fingerprint-pinned LR store " +
+      "(Fixtures.lrModel - they measured 16 retraining aggregates per " +
+      "invocation in r13; expect both sharply down), dedup_cluster_histogram " +
+      "reads the persisted cluster labelling (was a full pair-gen+CC pass, " +
+      "expect ~3.5s -> ~0.3s), embedding_outliers accumulates in decimal(38) " +
+      "(long wrapped at 1e6-member groups; slight cost up), the search index " +
+      "store is now a versioned SEGMENT store with an atomic CURRENT pointer " +
+      "(torn appends impossible; *_indexed plans read segments via union), " +
+      "and the two verdict queries now join exact+sketch frames (they " +
+      "measure both arms by construction). NEW: carried-query regression " +
+      "gate - medians vs the committed bench_baseline.tsv compared at " +
+      "unchanged optimized-plan fingerprints, >1.5x flags into the " +
+      "regressions block + unstable. The baseline was SEEDED THIS ROUND " +
+      "from r14's final builder run, so BENCH_r14's own gate detects " +
+      "builder-vs-driver machine drift at identical code and r15 makes the " +
+      "first true cross-round comparison. The forced GK sketch arm's gate " +
+      "is a rank-error-excess test (max over buckets of |rank(elem)/n - " +
+      "0.95| minus the 1/accuracy + (1+ties)/n allowance) gated at <= 0; " +
+      "HLL rel-err ceiling 0.15, SpaceSaving containment floor 0.95, ANN " +
+      "recall floor 0.9 unchanged. Golden fixtures byte-identical."
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"regressions":$regressionsJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window
