@@ -365,6 +365,33 @@ object ScaleBench {
         .bm25TopK(planted.unionByName(delta), "needle", k = 25)
         .collect().map(r => (r.getLong(0), r.getDouble(2)))
       assert(afterServe.toSeq == afterScan.toSeq, "grown serve != union scan")
+      // COMPACTION (r15, VERDICT r14 missing #3): grow the store to 6 live
+      // segments with four more disjoint 1000-doc deltas, then fold them
+      // back to ONE — the read-plan bound that keeps a long append loop's
+      // per-query cost O(1) segments. The fold is an O(live postings)
+      // rewrite into a FRESH segment (old versions' files never touched),
+      // and the compacted store must serve the pre-compact answers
+      // bit-for-bit.
+      (2 to 5).foreach { i =>
+        val d = mkDocs(1000)
+          .select((col("doc_id") + lit((10L + i) * nDocs)).as("doc_id"), col("text"))
+        graft.operators.Search.appendSearchIndex(ixDir, d): Unit
+      }
+      assert(graft.operators.Search.searchIndexSegments(spark, ixDir) == 6)
+      val preCompact = graft.operators.Search.bm25TopKIndexed(
+        graft.operators.Search.readSearchIndex(spark, ixDir), "needle", k = 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      var compacted: graft.operators.Search.SearchIndex = null
+      time(s"compactSearchIndex: 6 segments over ~${nDocs / 1000 + 5}k docs -> 1 (O(live postings) rewrite)") {
+        compacted = graft.operators.Search.compactSearchIndex(spark, ixDir)
+      }
+      assert(graft.operators.Search.searchIndexSegments(spark, ixDir) == 1)
+      var afterCompact: Array[(Long, Double)] = null
+      time("bm25 SERVE from the compacted single-segment store") {
+        afterCompact = graft.operators.Search.bm25TopKIndexed(compacted, "needle", k = 25)
+          .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      }
+      assert(afterCompact.toSeq == preCompact.toSeq, "compact changed served results")
     } // sectionOn("bm25")
 
     // ---- incremental (delta-vs-index) dedup: probe cost vs base size ----

@@ -3085,7 +3085,7 @@ object SparkEntry {
           |u AS (SELECT vec_id, label, dim, CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS q FROM u0),
           |c AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS s FROM u GROUP BY 1, 2),
           |c2 AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS c2 FROM c GROUP BY 1),
-          |d AS (SELECT u.vec_id, u.label, CAST(sum(u.q * c.s) AS DECIMAL(38,0)) AS dot_q,
+          |d AS (SELECT u.vec_id, u.label, CAST(sum(u.q * c.s) AS BIGINT) AS dot_q,
           |    CAST(sum(u.q * u.q) AS BIGINT) AS a2
           |  FROM u JOIN c ON u.label = c.label AND u.dim = c.dim GROUP BY 1, 2)
           |SELECT d.vec_id, d.label, d.dot_q,

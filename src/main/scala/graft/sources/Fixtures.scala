@@ -251,7 +251,10 @@ object Fixtures {
 
   private def buildLrModel(s: SparkSession, dir: String, out: String): Unit = {
     import graft.operators.QualityModel
-    def m = QualityModel.trainLrModel(Tables.documents(s, dir))
+    // val, not def: the promote fallback re-writes the model when the tmp
+    // rename loses the cross-JVM race — training is deterministic, but a
+    // def would re-run the full 16-iteration train a second time (ADVICE r14)
+    val m = QualityModel.trainLrModel(Tables.documents(s, dir))
     val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}"
     QualityModel.writeLrModel(m, s, tmp)
     promote(tmp, out, complete = new java.io.File(s"$out/_SUCCESS").exists()) {

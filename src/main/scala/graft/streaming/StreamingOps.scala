@@ -478,9 +478,18 @@ object StreamingOps {
       // explicit operator decision (write a new snapshot).
       val activeLr = lrGate.map { seed =>
         val p = s"$indexRoot/$pointer/lr_model"
-        if (new java.io.File(p).isDirectory)
-          graft.operators.QualityModel.readLrModel(spark, p)
-        else seed
+        val m =
+          if (new java.io.File(p).isDirectory)
+            graft.operators.QualityModel.readLrModel(spark, p)
+          else seed
+        // crawlIncrement receives the raw weight ARRAY positionally (ADVICE
+        // r14): a snapshot written under a different feature order would
+        // silently misalign every weight — fail loudly here, the same guard
+        // scoreFromTextModel enforces on its own door.
+        require(m.xCols == graft.operators.QualityModel.FeatureCols,
+          s"LR snapshot at $p has feature columns ${m.xCols.mkString(",")} — " +
+            s"expected ${graft.operators.QualityModel.FeatureCols.mkString(",")}")
+        m
       }
       val (accepted0, _) = TrainingSet.crawlIncrement(
         batch, idx, grownBase, maxDupFrac, maxTopTokenFrac, lmModel, lmKeep,

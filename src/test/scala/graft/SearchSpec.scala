@@ -206,10 +206,11 @@ class SearchSpec extends AnyFunSuite {
   test("search_bm25_batch_indexed plan: pruned postings read, corpus never tokenized, no window") {
     val p = SparkEntry.queries("search_bm25_batch_indexed")(spark, sf)
       .queryExecution.executedPlan.toString
-    // the batch vocabulary's buckets constant-fold into the postings scan's
-    // partition filter — the read prunes to the touched bucket=N dirs
-    assert(p.contains("PartitionFilters: [((") && p.contains("bucket#"),
-      s"expected constant-folded bucket pruning:\n$p")
+    // the batch vocabulary's DISTINCT buckets form the postings scan's
+    // partition filter — one flat IN/INSET node, never a per-term Or chain
+    val pf = p.linesIterator.find(_.contains("PartitionFilters: [")).getOrElse("")
+    assert(pf.contains("bucket#") && (pf.contains(" IN ") || pf.contains("INSET")),
+      s"expected a flat distinct-bucket IN partition filter:\n$p")
     // the only tokenize is the QUERY batch's own derivation (one explode
     // over the 100-row query frame); the corpus text is never split again
     val explodes = p.linesIterator.filter(_.contains("Generate explode")).toSeq
@@ -217,6 +218,129 @@ class SearchSpec extends AnyFunSuite {
       s"serve path must only explode the query frame:\n$p")
     assert(p.contains("partial_topkdouble"), s"expected TopK partial aggregation:\n$p")
     assert(!p.contains("Window"), s"no per-query row_number window allowed:\n$p")
+  }
+
+  test("bucket predicate: driver hash == plan hash; one flat In bounded at 64 at a 10k-term batch") {
+    // the driver-side bucket twin must agree with the plan-side expression
+    // for every token shape the tokenizer can emit (ascii, unicode, long)
+    val terms = (0 until 500).map(i => s"tok$i") ++
+      Seq("a", "naïve", "日本語", "x" * 300, "0", "ZZZ".toLowerCase)
+    val planSide = terms.toDF("t")
+      .select(col("t"), Search.tokenBucket(col("t")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      assert(Search.tokenBucketDriver(t) == planSide(t),
+        s"driver bucket != plan bucket for '$t'")
+    }
+    // ADVICE r14: the old per-term `bucket === hash(t)` Or chain was a
+    // 10k-node tree at a 10k-term vocabulary (StackOverflow in Catalyst's
+    // recursive transforms well below the documented 64k cap). The
+    // predicate must now be ONE flat In whose children are the DISTINCT
+    // bucket literals — semantically identical pruning, O(IndexBuckets).
+    val big = (0 until 10000).map(i => s"term$i")
+    import org.apache.spark.sql.catalyst.expressions.{In, Literal}
+    val cond = spark.range(1).select(col("id").as("bucket"))
+      .filter(Search.bucketPredicate(big))
+      .queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition }.get
+    cond match {
+      case In(_, list) =>
+        assert(list.length <= Search.IndexBuckets, s"${list.length} children")
+        assert(list.forall(_.isInstanceOf[Literal]))
+        val got = list.map(_.asInstanceOf[Literal].value.asInstanceOf[Long]).toSet
+        assert(got == big.map(Search.tokenBucketDriver).toSet,
+          "In children must be exactly the batch's distinct buckets")
+      case other => fail(s"expected a flat In, got ${other.getClass}: $other")
+    }
+    // and the full indexed batch door plan-compiles at 10k distinct terms
+    // (the Or-chain form could not): same corpus, 10k one-term queries
+    val docs = Seq((1L, "term1 term2"), (2L, "term3")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-10k").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(docs), dir)
+    val ix = Search.readSearchIndex(spark, dir)
+    val qs = big.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "query")
+    val plan = Search.bm25TopKAllIndexed(ix, qs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.nonEmpty) // materializing the plan IS the regression test
+    assert(Search.bm25TopKAllIndexed(ix, qs, k = 3)
+      .filter(col("query_id") === 1L).collect().map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("compactSearchIndex: append ×5 → one segment, serves bit-identically; torn compact invisible") {
+    val base = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-cmp").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(base), dir)
+    val deltas = (1 to 5).map(i =>
+      Seq((10L * i, s"a d$i"), (10L * i + 1, s"c d$i d$i")).toDF("doc_id", "text"))
+    deltas.foreach(d => Search.appendSearchIndex(dir, d))
+    assert(Search.searchIndexSegments(spark, dir) == 6)
+    val union = deltas.foldLeft(base)(_.unionByName(_))
+    val queries = Seq("a", "c d1", "a d3 d5", "zzz c")
+    val before = queries.map(q =>
+      Search.bm25TopKIndexed(Search.readSearchIndex(spark, dir), q, k = 10)
+        .collect().toSeq)
+    val compacted = Search.compactSearchIndex(spark, dir)
+    // ONE live segment, stats unchanged, every query bit-identical to both
+    // the pre-compact store and a fresh scan over the unioned corpus
+    assert(Search.searchIndexSegments(spark, dir) == 1)
+    queries.zip(before).foreach { case (q, b) =>
+      val served = Search.bm25TopKIndexed(compacted, q, k = 10).collect().toSeq
+      assert(served == b, s"compact changed results for '$q'")
+      assert(served == Search.bm25TopK(union, q, k = 10).collect().toSeq)
+    }
+    // torn compact: the rewritten segment + next manifest fully written,
+    // CURRENT not flipped — the live version must keep serving, untouched
+    // (the rewrite lands in a NEW directory; ADVICE r14's in-place hazard)
+    val cur = Search.readSearchIndex(spark, dir)
+    cur.postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/seg-99/postings")
+    Seq("seg-99").toDF("seg").write.mode("overwrite").parquet(s"$dir/v99/segs")
+    queries.zip(before).foreach { case (q, b) =>
+      assert(Search.bm25TopKIndexed(
+        Search.readSearchIndex(spark, dir), q, k = 10).collect().toSeq == b)
+    }
+  }
+
+  test("appendSearchIndex compactAt: auto-trips back to one segment at the bound") {
+    val base = Seq((1L, "a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-at").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(base), dir)
+    Search.appendSearchIndex(dir, Seq((10L, "a c")).toDF("doc_id", "text"), compactAt = 3)
+    assert(Search.searchIndexSegments(spark, dir) == 2) // below the bound
+    val ix = Search.appendSearchIndex(dir,
+      Seq((20L, "b c")).toDF("doc_id", "text"), compactAt = 3)
+    assert(Search.searchIndexSegments(spark, dir) == 1) // tripped
+    val union = base.unionByName(Seq((10L, "a c"), (20L, "b c")).toDF("doc_id", "text"))
+    assert(Search.bm25TopKIndexed(ix, "a b c", k = 10).collect().toSeq ==
+      Search.bm25TopK(union, "a b c", k = 10).collect().toSeq)
+  }
+
+  test("writeSearchIndex re-init: a live reader's version is never rewritten") {
+    val a = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val b = Seq((1L, "x y"), (2L, "y y z")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-re").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(a), dir)
+    val oldIx = Search.readSearchIndex(spark, dir) // a reader holding v0
+    val oldServed = Search.bm25TopKIndexed(oldIx, "a c", k = 10).collect().toSeq
+    // rebuild over the SAME path (the compaction-adjacent re-init ADVICE
+    // r14 flagged): must land in seg-1/v1, never touching seg-0's files
+    Search.writeSearchIndex(Search.buildSearchIndex(b), dir)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "CURRENT")), "UTF-8").trim == "v1")
+    // new readers serve corpus B...
+    val newIx = Search.readSearchIndex(spark, dir)
+    assert(Search.bm25TopKIndexed(newIx, "y z", k = 10).collect().toSeq ==
+      Search.bm25TopK(b, "y z", k = 10).collect().toSeq)
+    assert(Search.bm25TopKIndexed(newIx, "a c", k = 10).collect().isEmpty)
+    // ...while the v0 holder's postings and stats are bit-unchanged: the
+    // OLD frames re-read from disk still answer identically
+    assert(Search.bm25TopKIndexed(oldIx, "a c", k = 10).collect().toSeq == oldServed)
+    val v0 = Search.SearchIndex(
+      spark.read.parquet(s"$dir/seg-0/postings"),
+      spark.read.parquet(s"$dir/v0/stats"))
+    assert(Search.bm25TopKIndexed(v0, "a c", k = 10).collect().toSeq == oldServed)
   }
 
   test("search_bm25 plan: postings filtered above the scan, top-k never sorts the corpus") {
