@@ -23,7 +23,13 @@ import org.apache.spark.sql.DataFrame
  */
 object BenchGate {
 
-  final case class Baseline(medians: Map[String, Double], plans: Map[String, String])
+  /** `sf` records which data directory the baseline's medians were measured
+    * on (a `# sf=<dir>` header line; None on pre-r15 files). A median is
+    * only comparable at the SAME scale factor — the r15 sf1 sweep flagged
+    * six nonsense "regressions" because a 10×-data run was compared
+    * against the committed sf0.1 medians at unchanged plans. */
+  final case class Baseline(medians: Map[String, Double], plans: Map[String, String],
+      sf: Option[String] = None)
 
   final case class Regression(name: String, ratio: Double, median: Double,
       baselineMedian: Double)
@@ -68,10 +74,11 @@ object BenchGate {
   }
 
   def writeBaseline(path: String, medians: Map[String, Double],
-      plans: Map[String, String]): Unit = {
-    val lines = medians.keySet.intersect(plans.keySet).toSeq.sorted.map { n =>
-      f"$n\t${medians(n)}%.6f\t${plans(n)}"
-    }
+      plans: Map[String, String], sf: Option[String] = None): Unit = {
+    val lines = sf.map(s => s"# sf=$s").toSeq ++
+      medians.keySet.intersect(plans.keySet).toSeq.sorted.map { n =>
+        f"$n\t${medians(n)}%.6f\t${plans(n)}"
+      }
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       (lines.mkString("\n") + "\n").getBytes("UTF-8")): Unit
   }
@@ -82,9 +89,13 @@ object BenchGate {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) None
     else {
-      val rows = scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(p)).asScala
-        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      val all = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.map(_.trim)
+      val sf = all.collectFirst {
+        case l if l.startsWith("# sf=") => l.stripPrefix("# sf=").trim
+      }
+      val rows = all
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l =>
           val f = l.split("\t")
           require(f.length == 3, s"malformed baseline line: $l")
@@ -92,7 +103,8 @@ object BenchGate {
         }.toSeq
       Some(Baseline(
         rows.map(r => r._1 -> r._2).toMap,
-        rows.map(r => r._1 -> r._3).toMap))
+        rows.map(r => r._1 -> r._3).toMap,
+        sf))
     }
   }
 }

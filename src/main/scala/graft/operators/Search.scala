@@ -168,10 +168,15 @@ object Search {
   /** The batch scorer: per-(doc, term) scores ONCE via [[scoreTerms]]
     * (query-independent), broadcast-fanned to `(qid, token)`, per-
     * (query, doc) order-fixed fold, then the bounded per-query TopK cut.
-    * The fold frame persists scoped — the cut reads it twice (the TopK
-    * aggregate and the rank/row join-back). */
-  private def scoreAndCutAll(matched: DataFrame, stats: DataFrame,
+    * BOTH multi-consumer frames persist scoped: `matched` feeds the df
+    * broadcast job AND the scoring chain — unpersisted, the indexed door
+    * paid a full postings-parquet scan (batch-vocabulary INSET over every
+    * row) per consumer, which the r15 sf1 sweep measured as 6.0× growth
+    * on 10× data (62 s, slower than the scan door) — and the fold frame
+    * feeds the TopK aggregate and the rank/row join-back. */
+  private def scoreAndCutAll(matched0: DataFrame, stats: DataFrame,
       qt: DataFrame, k: Int, idCol: String, qidCol: String): DataFrame = {
+    val matched = graft.operators.Dedup.persistScoped(matched0)
     val perDoc = graft.operators.Dedup.persistScoped(
       scoreTerms(matched, stats)
         .join(broadcast(qt), Seq("token"))

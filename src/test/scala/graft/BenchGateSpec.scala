@@ -37,7 +37,7 @@ class BenchGateSpec extends AnyFunSuite {
     assert(run(3.0000001).nonEmpty)
   }
 
-  test("baseline TSV round-trips; absent file reads None") {
+  test("baseline TSV round-trips (with and without the sf header); absent file reads None") {
     val tmp = java.nio.file.Files.createTempDirectory("benchgate").toString
     val medians = Map("a" -> 0.123456, "b" -> 12.5)
     val plans = Map("a" -> "fp1", "b" -> "fp2", "orphan" -> "fp3")
@@ -47,7 +47,15 @@ class BenchGateSpec extends AnyFunSuite {
     assert(back.medians.keySet == Set("a", "b"))
     assert(math.abs(back.medians("a") - 0.123456) < 1e-9)
     assert(back.plans == Map("a" -> "fp1", "b" -> "fp2"))
+    assert(back.sf.isEmpty, "no sf header written -> none read (pre-r15 files)")
     assert(BenchGate.readBaseline(s"$tmp/missing.tsv").isEmpty)
+    // the sf header rides a comment line: data rows parse identically, and
+    // the recorded scale factor comes back (Bench skips the gate when the
+    // current run's sfDir differs — cross-SF medians are not comparable)
+    BenchGate.writeBaseline(s"$tmp/c.tsv", medians, plans, sf = Some("/data/sf0.1"))
+    val withSf = BenchGate.readBaseline(s"$tmp/c.tsv").get
+    assert(withSf.sf.contains("/data/sf0.1"))
+    assert(withSf.medians == back.medians && withSf.plans == back.plans)
   }
 
   test("planFingerprint is stable across identical plans, differs across shapes") {
