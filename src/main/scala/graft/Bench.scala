@@ -370,18 +370,20 @@ object Bench {
       "output; accumulators stay decimal(38) for the real 1e6-member-group " +
       "overflow; rule adopted suite-wide: outputs are BIGINT/DOUBLE/" +
       "BOOLEAN/VARCHAR/TIMESTAMP only). (2) The batch doors persist BOTH " +
-      "multi-consumer frames: the scan door's tokenized corpus (stats + " +
-      "postings share one tokenize; -8% at sf0.1) and the matched-" +
-      "postings frame (the df-broadcast and scoring jobs each re-read the " +
-      "postings parquet in the indexed door - at 100TB that is two index " +
-      "scans where one suffices). Profiled honestly (BatchProf, new dev " +
-      "tool): BOTH batch doors' sf1 cost is the per-(query,doc,term) " +
-      "fanout the exact order-fixed fold requires - the sweep corpus's " +
-      "300-token shared vocabulary makes every 3-token query match ~23k " +
-      "of 50k docs, so ~116M fanout rows cross the fold exchange (10x " +
-      "sf0.1's ~12M) and the doors converge (~2.1x/6x growth on 10x " +
-      "data; the indexed door's larger ratio is its smaller sf0.1 " +
-      "numerator - at sf1 the two run within ~20% of each other). " +
+      "multi-consumer frames - the scan door's tokenized corpus (stats + " +
+      "postings share one tokenize) and the matched-postings frame (the " +
+      "df-broadcast job and the scoring chain each re-derived it; in the " +
+      "indexed door that was two full postings-parquet scans where one " +
+      "suffices). Measured at sf0.1 vs the r14 baseline: search_bm25_batch " +
+      "36.2 -> 9.6s, search_bm25_batch_indexed 13.6 -> 9.0s (deliberate " +
+      "plan changes, gate rightly suppresses; the round's headline wins). " +
+      "Profiled honestly (BatchProf, new dev tool): what remains in BOTH " +
+      "doors is the per-(query,doc,term) fanout the exact order-fixed " +
+      "fold requires - the sweep corpus's 300-token shared vocabulary " +
+      "makes every 3-token query match ~23k of 50k docs, so ~116M fanout " +
+      "rows cross the fold exchange at sf1 (10x sf0.1's ~12M) and the " +
+      "doors converge there (47.8 / 50.2s = 5.0x/5.6x on 10x data - the " +
+      "sweep's top ratios, fanout-bound by contract, see SCALE.md). " +
       "(3) Both *_indexed doors build their partition " +
       "predicate as ONE flat bucket-IN over the <=64 DISTINCT driver-" +
       "hashed buckets instead of a per-term OR chain (ADVICE r14: the " +
