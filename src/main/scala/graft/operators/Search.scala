@@ -162,7 +162,8 @@ object Search {
     val matched = idx.postings
       .filter(bucketPredicate(terms) && col("token").isin(terms: _*))
       .select(col(idCol), col("token"), col("tf"), col("dl"))
-    scoreAndCutAll(matched, idx.stats, qt, k, idCol, qidCol)
+    scoreAndCutAll(matched, idx.stats, qt, k, idCol, qidCol,
+      dfTable = idx.df.map(_.filter(col("token").isin(terms: _*))))
   }
 
   /** The batch scorer: per-(doc, term) scores ONCE via [[scoreTerms]]
@@ -175,10 +176,11 @@ object Search {
     * on 10× data (62 s, slower than the scan door) — and the fold frame
     * feeds the TopK aggregate and the rank/row join-back. */
   private def scoreAndCutAll(matched0: DataFrame, stats: DataFrame,
-      qt: DataFrame, k: Int, idCol: String, qidCol: String): DataFrame = {
+      qt: DataFrame, k: Int, idCol: String, qidCol: String,
+      dfTable: Option[DataFrame] = None): DataFrame = {
     val matched = graft.operators.Dedup.persistScoped(matched0)
     val perDoc = graft.operators.Dedup.persistScoped(
-      scoreTerms(matched, stats)
+      scoreTerms(matched, stats, dfTable)
         .join(broadcast(qt), Seq("token"))
         .groupBy(col(qidCol), col(idCol))
         .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
@@ -204,8 +206,8 @@ object Search {
     * this the SAME `(idCol, token, tf, dl)` frame, so their doubles are
     * identical bit-for-bit by construction. */
   private def scoreAndCut(matched: DataFrame, stats: DataFrame, k: Int,
-      idCol: String): DataFrame =
-    scoreTerms(matched, stats)
+      idCol: String, dfTable: Option[DataFrame] = None): DataFrame =
+    scoreTerms(matched, stats, dfTable)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
       .withColumn("sorted",
@@ -220,10 +222,16 @@ object Search {
   /** Per-(doc, term) BM25 partial scores `s_t` — the two integer-ratio
     * factors over `(idCol, token, tf, dl)` + the broadcast one-row stats:
     * query-INDEPENDENT, so the batch door computes each matched posting's
-    * score exactly once no matter how many queries share the term. */
-  private def scoreTerms(matched: DataFrame, stats: DataFrame): DataFrame = {
+    * score exactly once no matter how many queries share the term.
+    * `dfTable` (the indexed doors): per-term df from the index's persisted
+    * df tier, filtered to the query terms — O(terms) rows, no second pass
+    * over the postings. None (the scan doors): df re-aggregated from
+    * `matched`, which counts exactly the same (token, doc) pairs. */
+  private def scoreTerms(matched: DataFrame, stats: DataFrame,
+      dfTable: Option[DataFrame] = None): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val dft = matched.groupBy("token").agg(count(lit(1)).as("dft"))
+    val dft = dfTable.getOrElse(
+      matched.groupBy("token").agg(count(lit(1)).as("dft")))
     matched
       .join(broadcast(dft), Seq("token"))
       .crossJoin(broadcast(stats))
@@ -247,9 +255,19 @@ object Search {
   // ---------------------------------------------------------------------
 
   /** Postings (`bucket, token, doc_id, tf, dl` — one row per distinct
-    * (token, doc) pair, bucketed by token hash for partition pruning) plus
-    * the one-row corpus stats table (`n_docs, total_tokens`). */
-  case class SearchIndex(postings: DataFrame, stats: DataFrame)
+    * (token, doc) pair, bucketed by token hash for partition pruning), the
+    * one-row corpus stats table (`n_docs, total_tokens`), and — r15 — the
+    * per-term DOCUMENT-FREQUENCY table (`token, dft`). df decomposes
+    * exactly across disjoint-doc segments (sum), so the store persists it
+    * per segment and a reader sums the unions; with it the serve path
+    * reads the postings ONCE per query — before r15 the per-term df was
+    * re-aggregated from the matched postings, a second pruned postings
+    * scan per serve. `None` = derive df from the matched frame (the scan
+    * doors' semantics, and the fallback for pre-r15 stores whose segments
+    * carry no df files) — both routes count the same (token, doc) pairs,
+    * so scores are bit-identical by construction (SearchSpec pins it). */
+  case class SearchIndex(postings: DataFrame, stats: DataFrame,
+      df: Option[DataFrame] = None)
 
   /** Token-hash partition count for the postings layout: the serve path
     * directory-prunes to the query terms' buckets, so each query reads
@@ -303,8 +321,13 @@ object Search {
       .withColumn("bucket", tokenBucket(col("token")))
     val stats = toked.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    SearchIndex(postings, stats)
+    SearchIndex(postings, stats, Some(dfOf(postings)))
   }
+
+  /** The document-frequency table of a postings set: one (token, dft) row
+    * per distinct term — O(vocabulary), the index's third persisted tier. */
+  private def dfOf(postings: DataFrame): DataFrame =
+    postings.groupBy("token").agg(count(lit(1)).as("dft"))
 
   /**
    * Persist as a VERSIONED SEGMENT STORE (r14, VERDICT r13 next #6 — the
@@ -315,6 +338,9 @@ object Search {
    *   `path/seg-<N>/postings/bucket=B/` parquet — immutable segments,
    *       each a complete postings set for a disjoint doc subset (the
    *       LSM/Lucene shape: appends create segments, never touch old ones)
+   *   `path/seg-<N>/df` — the segment's (token, dft) table (r15): df sums
+   *       across disjoint segments, so serving never re-aggregates it
+   *       from the postings
    *   `path/v<N>/segs`  — the segment list this version serves
    *   `path/v<N>/stats` — the version's corpus constants (one row)
    *   `path/CURRENT`    — `v<N>`, written LAST via tmp + ATOMIC_MOVE
@@ -339,9 +365,17 @@ object Search {
       if (searchIndexExists(path)) readCurrent(path).stripPrefix("v").toInt + 1
       else 0
     val seg = s"seg-$n"
-    idx.postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/$seg/postings")
+    writeSegment(idx, s"$path/$seg")
     writeManifest(idx.stats.sparkSession, path, n, Seq(seg), idx.stats)
+  }
+
+  /** One immutable segment = bucketed postings + the segment's df table
+    * (derived from the postings when the frames don't carry one). */
+  private def writeSegment(idx: SearchIndex, segPath: String): Unit = {
+    idx.postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$segPath/postings")
+    idx.df.getOrElse(dfOf(idx.postings))
+      .write.mode("overwrite").parquet(s"$segPath/df")
   }
 
   def readSearchIndex(spark: org.apache.spark.sql.SparkSession,
@@ -355,10 +389,18 @@ object Search {
     // ~terms/64 of every segment's postings. Appends grow the segment
     // count by one per round; [[compactSearchIndex]] folds them back to
     // one when the list gets long (the crawl loop auto-trips it).
-    SearchIndex(
-      segs.map(sg => spark.read.parquet(s"$path/$sg/postings"))
-        .reduce(_.unionByName(_)),
-      spark.read.parquet(s"$path/$v/stats"))
+    val postings = segs.map(sg => spark.read.parquet(s"$path/$sg/postings"))
+      .reduce(_.unionByName(_))
+    // per-segment df summed (disjoint doc sets decompose exactly); a
+    // pre-r15 segment without a df file falls back to deriving the WHOLE
+    // df from the unioned postings — correct, just not one-scan-serve
+    val df =
+      if (!segs.forall(sg => new java.io.File(s"$path/$sg/df").isDirectory))
+        dfOf(postings)
+      else segs.map(sg => spark.read.parquet(s"$path/$sg/df"))
+        .reduce(_.unionByName(_))
+        .groupBy("token").agg(sum(col("dft")).as("dft"))
+    SearchIndex(postings, spark.read.parquet(s"$path/$v/stats"), Some(df))
   }
 
   /**
@@ -383,8 +425,7 @@ object Search {
     val n = cur.stripPrefix("v").toInt
     val d = buildSearchIndex(delta, idCol, textCol)
     val seg = s"seg-${n + 1}"
-    d.postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/$seg/postings")
+    writeSegment(d, s"$path/$seg")
     val oldSegs = spark.read.parquet(s"$path/$cur/segs")
       .collect().map(_.getString(0)).toSeq
     val base = spark.read.parquet(s"$path/$cur/stats").collect()(0)
@@ -416,8 +457,7 @@ object Search {
     val n = readCurrent(path).stripPrefix("v").toInt
     val ix = readSearchIndex(spark, path)
     val seg = s"seg-${n + 1}"
-    ix.postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/$seg/postings")
+    writeSegment(ix, s"$path/$seg")
     writeManifest(spark, path, n + 1, Seq(seg), ix.stats)
     readSearchIndex(spark, path)
   }
@@ -472,11 +512,17 @@ object Search {
   def growSearchIndex(ix: SearchIndex, delta: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): SearchIndex = {
     val d = buildSearchIndex(delta, idCol, textCol)
+    val postings = ix.postings.unionByName(d.postings)
     SearchIndex(
-      ix.postings.unionByName(d.postings),
+      postings,
       ix.stats.unionByName(d.stats).agg(
         sum(col("n_docs")).as("n_docs"),
-        sum(col("total_tokens")).as("total_tokens")))
+        sum(col("total_tokens")).as("total_tokens")),
+      Some((ix.df, d.df) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+          .groupBy("token").agg(sum(col("dft")).as("dft"))
+        case _ => dfOf(postings)
+      }))
   }
 
   /**
@@ -486,8 +532,10 @@ object Search {
    * terms' partition directories before reading a row — then run the SAME
    * shared scorer as [[bm25TopK]]. Results are bit-identical to the scan
    * form over the indexed corpus (same tf/dl/df/N/T values through the same
-   * expressions); what changes is the cost: O(query-buckets' postings) read,
-   * zero tokenization, vs a full corpus scan.
+   * expressions); what changes is the cost: ONE O(query-buckets' postings)
+   * read (per-term df comes from the store's persisted df tier — r15; the
+   * scan form re-aggregates it from the matched postings), zero
+   * tokenization, vs a full corpus scan.
    */
   def bm25TopKIndexed(idx: SearchIndex, query: String, k: Int = 10,
       idCol: String = "doc_id"): DataFrame = {
@@ -496,6 +544,7 @@ object Search {
     val matched = idx.postings
       .filter(bucketPredicate(terms) && col("token").isin(terms: _*))
       .select(col(idCol), col("token"), col("tf"), col("dl"))
-    scoreAndCut(matched, idx.stats, k, idCol)
+    scoreAndCut(matched, idx.stats, k, idCol,
+      dfTable = idx.df.map(_.filter(col("token").isin(terms: _*))))
   }
 }

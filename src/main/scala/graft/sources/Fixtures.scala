@@ -275,7 +275,8 @@ object Fixtures {
 
   def searchIndexPath(s: SparkSession, dir: String): String = {
     // v2: versioned segment layout (seg-N/ + vN/ manifests + CURRENT)
-    val out = cachePathFor(dir, "documents", "search_index_v2")
+    // v3: segments carry the persisted df tier (serve = one postings read)
+    val out = cachePathFor(dir, "documents", "search_index_v3")
     lock.synchronized {
       if (!new java.io.File(s"$out/_OK").exists()) buildSearchIndex(s, dir, out)
     }

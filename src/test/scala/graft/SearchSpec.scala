@@ -317,6 +317,43 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopK(union, "a b c", k = 10).collect().toSeq)
   }
 
+  test("df tier: per-segment dfs sum to the postings-derived table; legacy stores fall back") {
+    val base = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c")).toDF("doc_id", "text")
+    val delta = Seq((10L, "a a a d"), (11L, "c d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-df").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(base), dir)
+    val grown = Search.appendSearchIndex(dir, delta)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the store's summed per-segment dfs == a fresh aggregation over the
+    // unioned postings (disjoint doc sets decompose exactly)
+    val fromStore = toMap(grown.df.get)
+    val derived = toMap(grown.postings.groupBy("token")
+      .agg(count(lit(1)).as("dft")))
+    assert(fromStore == derived, s"store df $fromStore != derived $derived")
+    assert(fromStore == Map("a" -> 3L, "b" -> 1L, "c" -> 3L, "d" -> 2L))
+    val before = Search.bm25TopKIndexed(grown, "a c d", k = 10).collect().toSeq
+    // compaction rewrites ONE segment whose df is the summed table
+    Search.compactSearchIndex(spark, dir)
+    val compacted = Search.readSearchIndex(spark, dir)
+    assert(toMap(compacted.df.get) == fromStore)
+    assert(Search.bm25TopKIndexed(compacted, "a c d", k = 10).collect().toSeq == before)
+    // PRE-r15 store: delete every segment's df dir — the reader must fall
+    // back to deriving df from the unioned postings and serve bit-identically
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).filter(p =>
+        p.getFileName.toString == "df" &&
+          p.getParent.getFileName.toString.startsWith("seg-"))
+      .forEach { d =>
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    val legacy = Search.readSearchIndex(spark, dir)
+    assert(toMap(legacy.df.get) == fromStore, "fallback df must count the same pairs")
+    assert(Search.bm25TopKIndexed(legacy, "a c d", k = 10).collect().toSeq == before)
+  }
+
   test("writeSearchIndex re-init: a live reader's version is never rewritten") {
     val a = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val b = Seq((1L, "x y"), (2L, "y y z")).toDF("doc_id", "text")
