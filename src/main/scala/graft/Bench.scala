@@ -375,16 +375,21 @@ object Bench {
       "df-broadcast job and the scoring chain each re-derived it; in the " +
       "indexed door that was two full postings-parquet scans where one " +
       "suffices). Measured at sf0.1 vs the r14 baseline: search_bm25_batch " +
-      "36.2 -> 9.6s, search_bm25_batch_indexed 13.6 -> 9.0s (deliberate " +
+      "36.2 -> 8.5s, search_bm25_batch_indexed 13.6 -> 9.5s (deliberate " +
       "plan changes, gate rightly suppresses; the round's headline wins). " +
+      "The index store also gained a persisted per-segment (token, df) " +
+      "tier - df sums exactly across disjoint segments - so every indexed " +
+      "serve reads the postings ONCE (per-term df was previously " +
+      "re-aggregated from the matched postings, a second pruned read per " +
+      "query); pre-r15 stores fall back and serve bit-identically. " +
       "Profiled honestly (BatchProf, new dev tool): what remains in BOTH " +
-      "doors is the per-(query,doc,term) fanout the exact order-fixed " +
-      "fold requires - the sweep corpus's 300-token shared vocabulary " +
-      "makes every 3-token query match ~23k of 50k docs, so ~116M fanout " +
-      "rows cross the fold exchange at sf1 (10x sf0.1's ~12M) and the " +
-      "doors converge there (47.8 / 50.2s = 5.0x/5.6x on 10x data - the " +
-      "sweep's top ratios, fanout-bound by contract, see SCALE.md). " +
-      "(3) Both *_indexed doors build their partition " +
+      "batch doors is the per-(query,doc,term) fanout the exact " +
+      "order-fixed fold requires - the sweep corpus's 300-token shared " +
+      "vocabulary makes every 3-token query match ~23k of 50k docs, so " +
+      "~116M fanout rows cross the fold exchange at sf1 (10x sf0.1's " +
+      "~12M) and the doors converge there (47.3 / 58.2s = 5.6x/6.1x on " +
+      "10x data - the sweep's top ratios, fanout-bound by contract, see " +
+      "SCALE.md). (3) Both *_indexed doors build their partition " +
       "predicate as ONE flat bucket-IN over the <=64 DISTINCT driver-" +
       "hashed buckets instead of a per-term OR chain (ADVICE r14: the " +
       "chain StackOverflowed Catalyst at ~10k terms, far below the 64k " +
