@@ -462,6 +462,48 @@ object Search {
     readSearchIndex(spark, path)
   }
 
+  /**
+   * Garbage-collect superseded versions: delete every `v<k>` manifest with
+   * `k < CURRENT − keepVersions + 1` and every `seg-*` directory no KEPT
+   * manifest references. Compaction and re-init deliberately never touch
+   * old files (a reader holding an old pointer keeps serving), so a
+   * long-lived store accumulates dead segments until something collects
+   * them — this is that something. Safety contract: only run once readers
+   * of the pruned versions have drained (the same rule as any MVCC GC);
+   * the CURRENT version and the `keepVersions − 1` before it survive with
+   * every file they reference, so a crash mid-prune leaves the store
+   * serving bit-identically (deletion order: manifests of dead versions
+   * first, then unreferenced segments — a torn prune only strands MORE
+   * garbage, never a referenced file). Returns (versions, segments)
+   * deleted.
+   */
+  def pruneSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, s"must keep >= 1 version, got $keepVersions")
+    val cur = readCurrent(path).stripPrefix("v").toInt
+    val dir = java.nio.file.Paths.get(path)
+    def list(prefix: String): Seq[String] = {
+      val s = java.nio.file.Files.list(dir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .map(_.getFileName.toString).filter(_.startsWith(prefix)).toVector
+      finally s.close()
+    }
+    val cut = cur - keepVersions + 1
+    val deadVersions = list("v").filter(_.stripPrefix("v").toIntOption.exists(_ < cut))
+    val keptVersions = list("v").filter(_.stripPrefix("v").toIntOption.exists(_ >= cut))
+    val referenced = keptVersions.flatMap { v =>
+      spark.read.parquet(s"$path/$v/segs").collect().map(_.getString(0))
+    }.toSet
+    val deadSegs = list("seg-").filterNot(referenced)
+    def rmTree(name: String): Unit =
+      java.nio.file.Files.walk(dir.resolve(name))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    deadVersions.foreach(rmTree) // manifests first: a torn prune never
+    deadSegs.foreach(rmTree)     // leaves a manifest pointing at nothing
+    (deadVersions.size, deadSegs.size)
+  }
+
   /** Live-segment count of the CURRENT version — the crawl loop's
     * compaction trip-wire reads this instead of re-parsing manifests. */
   def searchIndexSegments(spark: org.apache.spark.sql.SparkSession,

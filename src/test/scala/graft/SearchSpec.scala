@@ -354,6 +354,35 @@ class SearchSpec extends AnyFunSuite {
     assert(Search.bm25TopKIndexed(legacy, "a c d", k = 10).collect().toSeq == before)
   }
 
+  test("pruneSearchIndex: dead versions and unreferenced segments collected, serving unchanged") {
+    val base = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-gc").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(base), dir)                 // v0: seg-0
+    (1 to 3).foreach(i => Search.appendSearchIndex(dir,
+      Seq((10L * i, s"a d$i")).toDF("doc_id", "text")))                         // v1..v3
+    Search.compactSearchIndex(spark, dir)                                       // v4: seg-4 alone
+    val served = Search.bm25TopKIndexed(
+      Search.readSearchIndex(spark, dir), "a d1 d3", k = 10).collect().toSeq
+    def names(prefix: String) = new java.io.File(dir).list().toSeq
+      .filter(_.startsWith(prefix)).sorted
+    assert(names("v") == Seq("v0", "v1", "v2", "v3", "v4"))
+    // keep 2 versions: v3 still references seg-0..3, so ONLY v0..v2's
+    // manifests die and no segment is collectable yet
+    assert(Search.pruneSearchIndex(spark, dir, keepVersions = 2) == (3, 0))
+    assert(names("v") == Seq("v3", "v4"))
+    assert(names("seg-").size == 5)
+    // keep 1: only v4 (seg-4) survives — the four pre-compact segments go
+    assert(Search.pruneSearchIndex(spark, dir, keepVersions = 1) == (1, 4))
+    assert(names("v") == Seq("v4") && names("seg-") == Seq("seg-4"))
+    assert(Search.bm25TopKIndexed(
+      Search.readSearchIndex(spark, dir), "a d1 d3", k = 10).collect().toSeq == served)
+    // idempotent: nothing left to collect; and the store still appends
+    assert(Search.pruneSearchIndex(spark, dir) == (0, 0))
+    val grown = Search.appendSearchIndex(dir, Seq((99L, "a zz")).toDF("doc_id", "text"))
+    assert(Search.bm25TopKIndexed(grown, "zz", k = 10).collect().map(_.getLong(0)).toSeq == Seq(99L))
+    intercept[IllegalArgumentException](Search.pruneSearchIndex(spark, dir, 0))
+  }
+
   test("writeSearchIndex re-init: a live reader's version is never rewritten") {
     val a = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val b = Seq((1L, "x y"), (2L, "y y z")).toDF("doc_id", "text")
