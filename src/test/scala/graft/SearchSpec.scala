@@ -168,6 +168,58 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopKAll(docs, Seq((9L, "a")).toDF("query_id", "query"), k = 0))
   }
 
+  test("bound prune: adversarial all-ties corpus — pruned batch == unpruned single door bit-for-bit") {
+    // r16: the batch doors prune (query, doc) candidates whose score upper
+    // bound cannot reach the k-th lower bound BEFORE the exact fold. Ties
+    // are the adversarial case: the k-th score shared by many documents
+    // means the bound filter must keep EVERY tied pair (hi >= theta, never
+    // >) or the exact cut's (score desc, id asc) tie order silently loses
+    // candidates. Corpus: 40 byte-identical docs (identical score for any
+    // matching query) + near-tied variants, k far below the tie-group size.
+    // The single-query door folds every matched doc with NO pruning, so it
+    // is the unpruned reference the batch must reproduce bit-for-bit.
+    val ties = (1L to 40L).map(i => (i, "alpha beta gamma"))
+    val near = (41L to 60L).map(i => (i, "alpha beta"))
+    val far = (61L to 70L).map(i => (i, "delta"))
+    val docs = (ties ++ near ++ far).toDF("doc_id", "text").repartition(5)
+    val qs = Seq((1L, "alpha beta"), (2L, "alpha delta"), (3L, "gamma")).toDF("query_id", "query")
+    for (k <- Seq(1, 5, 39, 40, 41, 70)) {
+      val batch = Search.bm25TopKAll(docs, qs, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4)))
+        .groupBy(_._1)
+      for ((qid, q) <- Seq((1L, "alpha beta"), (2L, "alpha delta"), (3L, "gamma"))) {
+        val single = Search.bm25TopK(docs, q, k = k).collect().zipWithIndex
+          .map { case (r, i) => (qid, r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)), i + 1L) }
+        assert(batch.getOrElse(qid, Array.empty).toSeq == single.toSeq,
+          s"pruned batch != unpruned single door at k=$k query '$q'")
+      }
+      graft.operators.Dedup.clearCaches()
+    }
+  }
+
+  test("batch plan: fanout never crosses an exchange — doc-clustered repartition, no (qid, doc) shuffle") {
+    // r16 scale contract: the ONLY corpus-shaped exchange in either batch
+    // door is the scalar repartition of the matched postings by document
+    // id (REPARTITION_BY_NUM — pinned, so AQE cannot coalesce it to one
+    // partition under the fanout multiplier). hash(doc) satisfies the
+    // clustering of the bounds aggregate and the survivor fold, so the
+    // (query, doc, term) fanout — the r15 sweep's ~116 M-row exchange at
+    // sf1 — stays narrow end-to-end.
+    for (name <- Seq("search_bm25_batch", "search_bm25_batch_indexed")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$name must pin the doc repartition:\n$p")
+      val fanoutExchange = p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning(query_id#") && l.contains("doc_id#"))
+      assert(fanoutExchange.isEmpty,
+        s"$name must not shuffle the (query, doc) fanout:\n${fanoutExchange.mkString("\n")}")
+      graft.operators.Dedup.clearCaches()
+    }
+  }
+
   test("bm25TopKAllIndexed == batch scan form bit-for-bit through a persisted index") {
     val docs = Seq(
       (1L, "a b a"), (2L, "a c"), (3L, "c c c c"), (4L, "b b d"),
