@@ -453,8 +453,29 @@ object Search {
       .write.mode("overwrite").parquet(s"$segPath/df")
   }
 
+  /** Once-per-JVM tripwire (ADVICE r15): one sentinel token through the
+    * PLAN-side hash and the driver twin. [[tokenBucketDriver]] hardcodes
+    * Catalyst's internal xxhash64 default seed; a Spark upgrade changing
+    * it would silently diverge driver buckets from plan buckets and prune
+    * away live partitions — this makes every store open fail loudly
+    * instead of dropping postings. */
+  @volatile private var bucketSelfChecked = false
+  private def checkBucketTwin(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!bucketSelfChecked) {
+      val sentinel = "graft-bucket-sentinel"
+      val plan = spark.range(1)
+        .select(tokenBucket(lit(sentinel)).as("b")).head.getLong(0)
+      require(plan == tokenBucketDriver(sentinel),
+        s"driver-side token bucket (${tokenBucketDriver(sentinel)}) != " +
+          s"plan-side bucket ($plan) for the sentinel token — this Spark " +
+          "version hashes differently than the driver twin assumes; the " +
+          "indexed doors' partition pruning would drop live postings")
+      bucketSelfChecked = true
+    }
+
   def readSearchIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): SearchIndex = {
+    checkBucketTwin(spark)
     val v = readCurrent(path)
     val segs = spark.read.parquet(s"$path/$v/segs")
       .collect().map(_.getString(0)).sorted
@@ -468,9 +489,12 @@ object Search {
       .reduce(_.unionByName(_))
     // per-segment df summed (disjoint doc sets decompose exactly); a
     // pre-r15 segment without a df file falls back to deriving the WHOLE
-    // df from the unioned postings — correct, just not one-scan-serve
+    // df from the unioned postings — correct, just not one-scan-serve.
+    // The probe goes through the same Hadoop FS layer as the parquet
+    // reads (ADVICE r15: a java.io probe returned false for any URI-style
+    // or non-local path, silently re-introducing the second postings scan)
     val df =
-      if (!segs.forall(sg => new java.io.File(s"$path/$sg/df").isDirectory))
+      if (!segs.forall(sg => graft.sources.StoreIO.isDirectory(s"$path/$sg/df")))
         dfOf(postings)
       else segs.map(sg => spark.read.parquet(s"$path/$sg/df"))
         .reduce(_.unionByName(_))
@@ -555,28 +579,40 @@ object Search {
   def pruneSearchIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, keepVersions: Int = 1): (Int, Int) = {
     require(keepVersions >= 1, s"must keep >= 1 version, got $keepVersions")
-    val cur = readCurrent(path).stripPrefix("v").toInt
-    val dir = java.nio.file.Paths.get(path)
-    def list(prefix: String): Seq[String] = {
-      val s = java.nio.file.Files.list(dir)
-      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
-        .map(_.getFileName.toString).filter(_.startsWith(prefix)).toVector
-      finally s.close()
+    import graft.sources.StoreIO
+    var attempt = 0
+    while (true) {
+      val cur = readCurrent(path).stripPrefix("v").toInt
+      val cut = cur - keepVersions + 1
+      val versions = StoreIO.list(path, "v")
+      val deadVersions = versions.filter(_.stripPrefix("v").toIntOption.exists(_ < cut))
+      // kept = every version >= cut INCLUDING ones past CURRENT: a higher
+      // manifest is a concurrent append/compact mid-commit, and its
+      // segments must survive the collection (ADVICE r15)
+      val keptVersions = versions.filter(_.stripPrefix("v").toIntOption.exists(_ >= cut))
+      val referenced = keptVersions.flatMap { v =>
+        spark.read.parquet(s"$path/$v/segs").collect().map(_.getString(0))
+      }.toSet
+      // second writer guard: version k's newest segment is seg-k (every
+      // writer's invariant), so seg-N with N > cur is an in-flight commit
+      // whose manifest may not exist yet — never collectable here
+      val deadSegs = StoreIO.list(path, "seg-").filterNot(referenced)
+        .filter(_.stripPrefix("seg-").toIntOption.exists(_ <= cur))
+      // writer-quiesce check (ADVICE r15): a writer that flipped CURRENT
+      // between the snapshot above and now may reference segments this
+      // plan calls dead — re-scan against the advanced pointer instead of
+      // deleting a just-committed segment out from under it
+      if (readCurrent(path).stripPrefix("v").toInt == cur) {
+        deadVersions.foreach(v => StoreIO.deleteTree(s"$path/$v")) // manifests
+        deadSegs.foreach(sg => StoreIO.deleteTree(s"$path/$sg"))   // first
+        return (deadVersions.size, deadSegs.size)
+      }
+      attempt += 1
+      require(attempt < 8,
+        s"pruneSearchIndex at $path lost the CURRENT race $attempt times — " +
+          "quiesce writers (or raise keepVersions) and retry")
     }
-    val cut = cur - keepVersions + 1
-    val deadVersions = list("v").filter(_.stripPrefix("v").toIntOption.exists(_ < cut))
-    val keptVersions = list("v").filter(_.stripPrefix("v").toIntOption.exists(_ >= cut))
-    val referenced = keptVersions.flatMap { v =>
-      spark.read.parquet(s"$path/$v/segs").collect().map(_.getString(0))
-    }.toSet
-    val deadSegs = list("seg-").filterNot(referenced)
-    def rmTree(name: String): Unit =
-      java.nio.file.Files.walk(dir.resolve(name))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    deadVersions.foreach(rmTree) // manifests first: a torn prune never
-    deadSegs.foreach(rmTree)     // leaves a manifest pointing at nothing
-    (deadVersions.size, deadSegs.size)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Live-segment count of the CURRENT version — the crawl loop's
@@ -598,29 +634,24 @@ object Search {
   }
 
   private def readCurrent(path: String): String = {
-    val p = java.nio.file.Paths.get(path, "CURRENT")
-    require(java.nio.file.Files.exists(p),
+    require(graft.sources.StoreIO.exists(s"$path/CURRENT"),
       s"search index not initialized: $path/CURRENT missing — " +
         "writeSearchIndex creates the store")
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    graft.sources.StoreIO.readString(s"$path/CURRENT").trim
   }
 
-  /** The commit point: tmp file + ATOMIC_MOVE — a reader never observes a
-    * torn pointer, a crashed writer leaves the old pointer intact. */
-  private def writeCurrent(path: String, v: String): Unit = {
-    val dir = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s"CURRENT.tmp.${java.lang.ProcessHandle.current.pid}")
-    java.nio.file.Files.write(tmp, v.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, dir.resolve("CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-  }
+  /** The commit point: tmp file + rename-with-overwrite through the
+    * Hadoop FS layer (r16, VERDICT r15 missing #1) — atomic on HDFS and
+    * POSIX local paths, so a reader never observes a torn pointer and a
+    * crashed writer leaves the old pointer intact. Object-store caveat:
+    * see [[graft.sources.StoreIO.writeStringAtomic]]. */
+  private def writeCurrent(path: String, v: String): Unit =
+    graft.sources.StoreIO.writeStringAtomic(path, "CURRENT", v)
 
   /** True iff `path` holds an initialized store (the crawl loop's
     * tier-enabled-mid-stream probe). */
   def searchIndexExists(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "CURRENT"))
+    graft.sources.StoreIO.exists(s"$path/CURRENT")
 
   /** The grown index as FRAMES — delta postings unioned, stats re-summed,
     * nothing written: the versioned-store form of [[appendSearchIndex]] for

@@ -479,7 +479,7 @@ object StreamingOps {
       val activeLr = lrGate.map { seed =>
         val p = s"$indexRoot/$pointer/lr_model"
         val m =
-          if (new java.io.File(p).isDirectory)
+          if (graft.sources.StoreIO.isDirectory(p))
             graft.operators.QualityModel.readLrModel(spark, p)
           else seed
         // crawlIncrement receives the raw weight ARRAY positionally (ADVICE
@@ -522,7 +522,7 @@ object StreamingOps {
         case Some((domainCol, quota)) =>
           val countsPath = s"$indexRoot/$pointer/domain_counts"
           val counts =
-            if (new java.io.File(countsPath).isDirectory)
+            if (graft.sources.StoreIO.isDirectory(countsPath))
               Corpus.readDomainCounts(spark, countsPath)
             else Corpus.emptyDomainCounts(spark, domainCol) // seed / quota enabled mid-stream
           val withHost = accepted.join(
@@ -558,7 +558,7 @@ object StreamingOps {
         case Some(targets) =>
           val ledgerPath = s"$indexRoot/$pointer/budget_ledger"
           val ledger =
-            if (new java.io.File(ledgerPath).isDirectory)
+            if (graft.sources.StoreIO.isDirectory(ledgerPath))
               spark.read.parquet(ledgerPath)
             else TrainingSet.emptyBudgetConsumed(spark, budgetStrataCol)
           val withStrata = keptFinal.join(
@@ -599,7 +599,7 @@ object StreamingOps {
         // every subsequent round under stale pricing).
         val (model, baseline) = {
           val mPath = s"$indexRoot/$pointer/bpe_model"
-          if (new java.io.File(mPath).isDirectory)
+          if (graft.sources.StoreIO.isDirectory(mPath))
             (Tokenizer.readBpeModel(spark, mPath),
               Tokenizer.readBpeBaseline(spark, s"$indexRoot/$pointer/bpe_baseline"))
           else (seedModel, seedBaseline)
@@ -716,33 +716,24 @@ object StreamingOps {
   }
 
   private def readPointer(indexRoot: String): String = {
-    val p = java.nio.file.Paths.get(indexRoot, "LATEST")
-    require(java.nio.file.Files.exists(p),
+    require(graft.sources.StoreIO.exists(s"$indexRoot/LATEST"),
       s"versioned store not seeded: $indexRoot/LATEST missing — call the " +
         "matching seed helper (seedCrawlIndex / seedSemIndex / seedAnnIndex / " +
         "seedPackState) first")
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    graft.sources.StoreIO.readString(s"$indexRoot/LATEST").trim
   }
 
-  /** Pointer update is write-temp + ATOMIC_MOVE: a reader never observes a
-    * torn pointer, and a crashed writer leaves the old pointer intact. */
-  private def writePointer(indexRoot: String, name: String): Unit = {
-    val dir = java.nio.file.Paths.get(indexRoot)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s"LATEST.tmp.${java.lang.ProcessHandle.current.pid}")
-    java.nio.file.Files.write(tmp, name.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, dir.resolve("LATEST"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Pointer update is write-temp + rename-with-overwrite through the
+    * Hadoop FS layer (r16): a reader never observes a torn pointer, and a
+    * crashed writer leaves the old pointer intact — atomic on HDFS/POSIX;
+    * object-store caveat in [[graft.sources.StoreIO.writeStringAtomic]]. */
+  private def writePointer(indexRoot: String, name: String): Unit =
+    graft.sources.StoreIO.writeStringAtomic(indexRoot, "LATEST", name)
 
-  private def listAcceptedBatches(outDir: String): Seq[Long] = {
-    val d = new java.io.File(outDir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getName.stripPrefix("batch=").toLong).sorted
-  }
+  private def listAcceptedBatches(outDir: String): Seq[Long] =
+    graft.sources.StoreIO.list(outDir, "batch=")
+      .filter(n => graft.sources.StoreIO.isDirectory(s"$outDir/$n"))
+      .map(_.stripPrefix("batch=").toLong).sorted
 
   /**
    * Continuous whole-doc sequence packing — the streaming twin of
@@ -810,17 +801,13 @@ object StreamingOps {
     writePointer(stateRoot, "v-seed")
   }
 
-  private def writePackState(stateRoot: String, name: String, st: (Long, Long)): Unit = {
-    val dir = java.nio.file.Paths.get(stateRoot)
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve(name), s"${st._1} ${st._2}".getBytes("UTF-8"))
-  }
+  private def writePackState(stateRoot: String, name: String, st: (Long, Long)): Unit =
+    graft.sources.StoreIO.writeStringAtomic(stateRoot, name, s"${st._1} ${st._2}")
 
   private def readPackState(stateRoot: String, name: String): (Long, Long) = {
-    val p = java.nio.file.Paths.get(stateRoot, name)
-    require(java.nio.file.Files.exists(p),
+    require(graft.sources.StoreIO.exists(s"$stateRoot/$name"),
       s"pack state store missing snapshot $name under $stateRoot — call seedPackState first")
-    val Array(b, f) = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.split(' ')
+    val Array(b, f) = graft.sources.StoreIO.readString(s"$stateRoot/$name").trim.split(' ')
     (b.toLong, f.toLong)
   }
 
