@@ -130,8 +130,12 @@ object Bench {
       BenchGate.readBaseline("bench_baseline.tsv") match {
         // a median is only comparable at the SAME data scale: an sf1 sweep
         // run against the committed sf0.1 baseline flags growth-with-data
-        // as "regression" (r15) — skip the gate, loudly, on a mismatch
-        case Some(b) if !b.sf.forall(_ == sfDir) =>
+        // as "regression" (r15) — skip the gate, loudly, on a mismatch.
+        // Compared as normalized scale tokens, not raw strings (ADVICE
+        // r15: a trailing slash or a different mount root must not
+        // permanently disable the gate)
+        case Some(b) if !b.sf.forall(s =>
+            BenchGate.sfToken(s) == BenchGate.sfToken(sfDir)) =>
           System.err.println(s"[bench] regression gate skipped: baseline sf " +
             s"${b.sf.get} != this run's $sfDir (cross-SF medians not comparable)")
           Seq.empty

@@ -35,21 +35,38 @@ object BenchGate {
       baselineMedian: Double)
 
   /** Flag carried queries (present in both runs) whose median grew past
-    * `factor ×` the baseline's at an unchanged plan fingerprint. Queries
-    * new this round, or whose plan changed, are never flagged. */
+    * `factor ×` the baseline's at an unchanged plan fingerprint — AND by
+    * more than `minDelta` seconds absolute (r16, VERDICT r15 wrong #2:
+    * sub-0.3 s queries flagged at +40–80 ms with run spreads near 2× —
+    * r14's `corpus_mix_cube` and r15's `asof_join_tolerance`, DIFFERENT
+    * micro-queries across two runs of the same code, which is itself the
+    * noise signature; a ratio floor alone cannot separate +78 ms of
+    * scheduler jitter from a real 1.6× on a 10 s query). Queries new this
+    * round, or whose plan changed, are never flagged. */
   def regressions(
       medians: Map[String, Double],
       plans: Map[String, String],
       baseline: Baseline,
-      factor: Double = 1.5): Seq[Regression] =
+      factor: Double = 1.5,
+      minDelta: Double = 0.15): Seq[Regression] =
     medians.toSeq.sortBy(_._1).flatMap { case (name, m) =>
       for {
         bm <- baseline.medians.get(name)
         cp <- plans.get(name)
         bp <- baseline.plans.get(name)
-        if bp == cp && bm > 0.0 && m > factor * bm
+        if bp == cp && bm > 0.0 && m > factor * bm && m - bm > minDelta
       } yield Regression(name, m / bm, m, bm)
     }.sortBy(-_.ratio)
+
+  /** Scale identity of a data dir for the cross-SF guard — the trailing
+    * path segment, slash- and dot-normalized (ADVICE r15: comparing raw
+    * strings permanently disabled the gate for the same data mounted at a
+    * different root or written with a trailing slash). */
+  def sfToken(dir: String): String = {
+    val segs = dir.replace('\\', '/').split('/').filter(_.nonEmpty)
+    require(segs.nonEmpty, s"empty sf dir: '$dir'")
+    segs.last
+  }
 
   /**
    * Stable identity of a query's OPTIMIZED plan: the logical plan string

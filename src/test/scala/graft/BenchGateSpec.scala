@@ -37,6 +37,41 @@ class BenchGateSpec extends AnyFunSuite {
     assert(run(3.0000001).nonEmpty)
   }
 
+  test("absolute-delta floor: a 2× ratio at +40 ms stays quiet; at +400 ms it fires") {
+    // r16 (VERDICT r15 wrong #2): two consecutive rounds adjudicated a
+    // sub-0.3 s micro-query flag as scheduler noise (corpus_mix_cube r14,
+    // asof_join_tolerance r15 — +78 ms at spread 1.94, code untouched).
+    // The gate now requires the regression to be big in seconds, not just
+    // in ratio: ratio > 1.5 AND delta > 0.15 s.
+    val micro = BenchGate.Baseline(
+      medians = Map("q_micro" -> 0.04, "q_real" -> 0.4),
+      plans = Map("q_micro" -> "fpM", "q_real" -> "fpR"))
+    val quiet = BenchGate.regressions(
+      medians = Map("q_micro" -> 0.08), // 2.0× but +40 ms — jitter territory
+      plans = Map("q_micro" -> "fpM"), micro)
+    assert(quiet.isEmpty, "+40 ms on a 40 ms query is noise, not a regression")
+    val fired = BenchGate.regressions(
+      medians = Map("q_real" -> 0.8), // 2.0× AND +400 ms — a real slowdown
+      plans = Map("q_real" -> "fpR"), micro)
+    assert(fired.map(_.name) == Seq("q_real"))
+    // the floor is exclusive: exactly +0.15 s does not fire
+    val boundary = BenchGate.Baseline(
+      medians = Map("q" -> 0.1), plans = Map("q" -> "fp"))
+    assert(BenchGate.regressions(Map("q" -> 0.25), Map("q" -> "fp"), boundary).isEmpty)
+    assert(BenchGate.regressions(Map("q" -> 0.2501), Map("q" -> "fp"), boundary).nonEmpty)
+  }
+
+  test("sfToken normalizes mount roots and trailing slashes (the cross-SF guard's identity)") {
+    // ADVICE r15: raw-string comparison disabled the gate forever when the
+    // same-scale data moved or gained a trailing slash
+    assert(BenchGate.sfToken("/root/testdata/sf0.1") == "sf0.1")
+    assert(BenchGate.sfToken("/root/testdata/sf0.1/") == "sf0.1")
+    assert(BenchGate.sfToken("/mnt/other/sf0.1") == "sf0.1")
+    assert(BenchGate.sfToken("sf0.1") == "sf0.1")
+    assert(BenchGate.sfToken("/a/sf1") != BenchGate.sfToken("/a/sf0.1"))
+    intercept[IllegalArgumentException](BenchGate.sfToken("/"))
+  }
+
   test("baseline TSV round-trips (with and without the sf header); absent file reads None") {
     val tmp = java.nio.file.Files.createTempDirectory("benchgate").toString
     val medians = Map("a" -> 0.123456, "b" -> 12.5)
