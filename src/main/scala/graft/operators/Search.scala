@@ -428,7 +428,8 @@ object Search {
    * serves BIT-IDENTICAL results to a scan over the unioned corpus —
    * SearchSpec pins both that and the torn-write invariant.
    */
-  def writeSearchIndex(idx: SearchIndex, path: String): Unit = {
+  def writeSearchIndex(idx: SearchIndex, path: String,
+      tag: Option[String] = None): Unit = {
     // Re-initializing a LIVE store must never rewrite files an existing
     // manifest references (ADVICE r14): a reader holding the old pointer
     // would observe new postings under old stats — the torn-read class the
@@ -441,7 +442,7 @@ object Search {
       else 0
     val seg = s"seg-$n"
     writeSegment(idx, s"$path/$seg")
-    writeManifest(idx.stats.sparkSession, path, n, Seq(seg), idx.stats)
+    writeManifest(idx.stats.sparkSession, path, n, Seq(seg), idx.stats, tag)
   }
 
   /** One immutable segment = bucketed postings + the segment's df table
@@ -474,9 +475,18 @@ object Search {
     }
 
   def readSearchIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): SearchIndex = {
+      path: String): SearchIndex =
+    readSearchIndexAt(spark, path, readCurrent(path))
+
+  /** Read a SPECIFIC version — MVCC time travel for a reader holding an
+    * older pointer (the crawl loop's shared tier: a consumer pinned to
+    * crawl round k serves `v<k>` here until it advances; [[pruneSearchIndex]]
+    * `keepVersions` bounds how far back that works). */
+  def readSearchIndexAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, v: String): SearchIndex = {
     checkBucketTwin(spark)
-    val v = readCurrent(path)
+    require(graft.sources.StoreIO.exists(s"$path/$v/segs"),
+      s"search index at $path has no version $v (pruned, or never written)")
     val segs = spark.read.parquet(s"$path/$v/segs")
       .collect().map(_.getString(0)).sorted
     require(segs.nonEmpty, s"empty segment manifest at $path/$v")
@@ -518,7 +528,7 @@ object Search {
    */
   def appendSearchIndex(path: String, delta: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      compactAt: Int = 0): SearchIndex = {
+      compactAt: Int = 0, tag: Option[String] = None): SearchIndex = {
     val spark = delta.sparkSession
     val cur = readCurrent(path)
     val n = cur.stripPrefix("v").toInt
@@ -532,7 +542,7 @@ object Search {
     val stats = spark.range(1).select(
       lit(base.getLong(0) + add.getLong(0)).as("n_docs"),
       lit(base.getLong(1) + add.getLong(1)).as("total_tokens"))
-    writeManifest(spark, path, n + 1, oldSegs :+ seg, stats)
+    writeManifest(spark, path, n + 1, oldSegs :+ seg, stats, tag)
     if (compactAt > 0 && oldSegs.size + 1 >= compactAt)
       compactSearchIndex(spark, path)
     else readSearchIndex(spark, path)
@@ -557,8 +567,24 @@ object Search {
     val ix = readSearchIndex(spark, path)
     val seg = s"seg-${n + 1}"
     writeSegment(ix, s"$path/$seg")
-    writeManifest(spark, path, n + 1, Seq(seg), ix.stats)
+    // the corpus is unchanged, so the version TAG (the appenders\'
+    // idempotency token) carries forward: a replay probing the tag after
+    // a compact still sees its own append as applied
+    writeManifest(spark, path, n + 1, Seq(seg), ix.stats,
+      currentSearchTag(path))
     readSearchIndex(spark, path)
+  }
+
+  /** The CURRENT version\'s tag — the append idempotency token a streaming
+    * writer passes ([[appendSearchIndex]] `tag`): "has my batch already
+    * committed?" survives any crash window because the tag becomes visible
+    * atomically WITH the version it describes (manifest first, pointer
+    * flip last). None on untagged versions/stores. */
+  def currentSearchTag(path: String): Option[String] = {
+    val p = s"$path/${readCurrent(path)}/TAG"
+    if (graft.sources.StoreIO.exists(p))
+      Some(graft.sources.StoreIO.readString(p).trim)
+    else None
   }
 
   /**
@@ -623,13 +649,15 @@ object Search {
     spark.read.parquet(s"$path/$v/segs").count().toInt
   }
 
-  /** Manifest write order: segs, stats, THEN the pointer — the flip is the
-    * commit point. */
+  /** Manifest write order: segs, stats, tag, THEN the pointer — the flip
+    * is the commit point, so tag and contents become visible together. */
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, v: Int, segs: Seq[String], stats: DataFrame): Unit = {
+      path: String, v: Int, segs: Seq[String], stats: DataFrame,
+      tag: Option[String] = None): Unit = {
     import spark.implicits._
     segs.toDF("seg").coalesce(1).write.mode("overwrite").parquet(s"$path/v$v/segs")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/v$v/stats")
+    tag.foreach(t => graft.sources.StoreIO.writeStringAtomic(s"$path/v$v", "TAG", t))
     writeCurrent(path, s"v$v")
   }
 
@@ -652,26 +680,6 @@ object Search {
     * tier-enabled-mid-stream probe). */
   def searchIndexExists(path: String): Boolean =
     graft.sources.StoreIO.exists(s"$path/CURRENT")
-
-  /** The grown index as FRAMES — delta postings unioned, stats re-summed,
-    * nothing written: the versioned-store form of [[appendSearchIndex]] for
-    * loops that persist whole snapshots per round with the pointer written
-    * last (a torn write can never serve). Same disjoint-ids contract. */
-  def growSearchIndex(ix: SearchIndex, delta: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): SearchIndex = {
-    val d = buildSearchIndex(delta, idCol, textCol)
-    val postings = ix.postings.unionByName(d.postings)
-    SearchIndex(
-      postings,
-      ix.stats.unionByName(d.stats).agg(
-        sum(col("n_docs")).as("n_docs"),
-        sum(col("total_tokens")).as("total_tokens")),
-      Some((ix.df, d.df) match {
-        case (Some(a), Some(b)) => a.unionByName(b)
-          .groupBy("token").agg(sum(col("dft")).as("dft"))
-        case _ => dfOf(postings)
-      }))
-  }
 
   /**
    * Serve a query from the persisted index: filter the postings to the

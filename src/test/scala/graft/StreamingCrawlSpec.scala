@@ -454,7 +454,7 @@ class StreamingCrawlSpec extends AnyFunSuite {
       .fingerprint == retrained.fingerprint)
   }
 
-  test("search tier rides the loop: the pointed snapshot serves exactly the deduped corpus") {
+  test("search tier rides the loop: one shared store, O(delta) appends, round history via versions") {
     import spark.implicits._
     import graft.operators.Search
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -483,22 +483,106 @@ class StreamingCrawlSpec extends AnyFunSuite {
 
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, "LATEST")), "UTF-8").trim == "v1")
-    // the searchable corpus at the pointer IS base ∪ every accepted
+    // ONE shared store (r16): batch 0 backfilled it, batch 1 APPENDED the
+    // delta's postings (O(delta), never a second O(corpus) rewrite); the
+    // committed version is tagged with the crawl round that wrote it
+    val store = s"$root/search_index"
+    assert(Search.currentSearchTag(store).contains("v1"))
+    // the searchable corpus at the store's head IS base ∪ every accepted
     // clean_text — serve == a fresh scan of that union, bit-for-bit
     val acceptedAll = spark.read.parquet(s"$out/batch=0", s"$out/batch=1")
       .select(col("doc_id"), col("clean_text").as("text"))
     val corpus = base.unionByName(acceptedAll)
-    val ix = Search.readSearchIndex(spark, s"$root/v1/search_index")
+    val ix = Search.readSearchIndex(spark, store)
     for (qq <- Seq("needletok", "the data table", "streamfresh0x zz")) {
       val served = Search.bm25TopKIndexed(ix, qq, k = 10).collect().toSeq
       val scan = Search.bm25TopK(corpus, qq, k = 10).collect().toSeq
-      assert(served == scan, s"pointed-snapshot serve != corpus scan for '$qq'")
+      assert(served == scan, s"store-head serve != corpus scan for '$qq'")
     }
-    // the marker doc is findable exactly once, through the v1 postings only
+    // the marker doc is findable exactly once, through the head postings
     val hit = Search.bm25TopKIndexed(ix, "needletok", k = 10).collect()
     assert(hit.length == 1 && hit(0).getLong(0) == 900002L)
-    // v0's snapshot must NOT know it (it landed in batch 1)
-    val ix0 = Search.readSearchIndex(spark, s"$root/v0/search_index")
+    // round-0 history is the store's OWN retained version (keepVersions=2
+    // keeps it): a reader pinned to crawl round 0 time-travels to v0,
+    // which must NOT know the batch-1 marker
+    val ix0 = Search.readSearchIndexAt(spark, store, "v0")
     assert(Search.bm25TopKIndexed(ix0, "needletok", k = 10).collect().isEmpty)
+  }
+
+  test("search tier soak: segments bounded by compactAt, dead versions collected, serve stays exact") {
+    // VERDICT r15 next #3's done-criterion: a long-running crawl must keep
+    // the store's live-segment count <= compactAt and collect superseded
+    // versions WITHOUT operator intervention, while every round's serve
+    // stays bit-identical to a fresh scan of the accepted corpus.
+    import spark.implicits._
+    import graft.operators.Search
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-soak").toString
+    val (root, out) = (s"$tmp/index", s"$tmp/accepted")
+    val docs = Tables.documents(spark, Sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    StreamingOps.seedCrawlIndex(Fixtures.dedupIndex(spark, Sf), root)
+    val fn = StreamingOps.crawlIncrementBatchFn(root, base, out,
+      searchTier = true, searchCompactAt = 3)
+    val store = s"$root/search_index"
+    def segDirs = new java.io.File(store).list().toSeq.count(_.startsWith("seg-"))
+    def verDirs = new java.io.File(store).list().toSeq.count(_.startsWith("v"))
+    var corpus = base
+    for (b <- 0 to 5) {
+      // 12 distinct tokens: past the loop's 1/10 top-token repetition gate
+      val fresh = (0 until 12).map(i => s"soak${b}tok$i").mkString(" ")
+      val delta = Seq((900100L + b, fresh)).toDF("doc_id", "text")
+      fn(delta, b.toLong)
+      corpus = corpus.unionByName(delta) // PII-clean tokens: clean_text == text
+      // live segments bounded by compactAt — the auto-trip keeps read
+      // plans O(1) segments however long the loop runs
+      assert(Search.searchIndexSegments(spark, store) <= 3,
+        s"round $b: live segments past the compactAt bound")
+      // prune(keepVersions=2) ran in-loop: at most 2 version dirs remain,
+      // and on-disk segments are only those the kept manifests reference
+      // (+ nothing orphaned): the store cannot grow with round count
+      assert(verDirs <= 2, s"round $b: dead versions not collected ($verDirs)")
+      assert(segDirs <= 4, s"round $b: dead segments not collected ($segDirs)")
+      // serve == scan of base ∪ accepted-so-far, bit-for-bit, every round
+      val served = Search.bm25TopKIndexed(
+        Search.readSearchIndex(spark, store), s"soak${b}tok0 soak${b}tok11", k = 5)
+        .collect().toSeq
+      assert(served == Search.bm25TopK(corpus, s"soak${b}tok0 soak${b}tok11", k = 5)
+        .collect().toSeq, s"round $b: soak serve != scan")
+      assert(Search.currentSearchTag(store).contains(s"v$b"))
+    }
+  }
+
+  test("search tier replay: a crash after the store commit but before the pointer flip cannot double-append") {
+    // the TAG is the commit witness: rewinding the crawl pointer (the
+    // crash window's state) and re-running the batch must see the append
+    // already applied and skip it — without the guard the delta's postings
+    // and the corpus stats would double, shifting every BM25 score.
+    import spark.implicits._
+    import graft.operators.Search
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crawl-replay").toString
+    val (root, out) = (s"$tmp/index", s"$tmp/accepted")
+    val docs = Tables.documents(spark, Sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    StreamingOps.seedCrawlIndex(Fixtures.dedupIndex(spark, Sf), root)
+    val fn = StreamingOps.crawlIncrementBatchFn(root, base, out, searchTier = true)
+    val store = s"$root/search_index"
+    def doc(tag: String) = (0 until 11).map(i => s"$tag$i").mkString(" ") + " " + tag
+    fn(Seq((900200L, doc("replaybase"))).toDF("doc_id", "text"), 0L)
+    fn(Seq((900201L, doc("replayneedle"))).toDF("doc_id", "text"), 1L)
+    val stats = Search.readSearchIndex(spark, store).stats.collect()(0)
+    val served = Search.bm25TopKIndexed(
+      Search.readSearchIndex(spark, store), "replayneedle replayneedle3", k = 10).collect().toSeq
+    // simulate the crash window: the store committed batch 1 (tag v1) but
+    // the crawl pointer still reads v0 — the checkpoint will replay batch 1
+    graft.sources.StoreIO.writeStringAtomic(root, "LATEST", "v0")
+    fn(Seq((900201L, doc("replayneedle"))).toDF("doc_id", "text"), 1L)
+    val statsAfter = Search.readSearchIndex(spark, store).stats.collect()(0)
+    assert(statsAfter.getLong(0) == stats.getLong(0) &&
+      statsAfter.getLong(1) == stats.getLong(1),
+      "replay doubled the corpus stats — the tag guard failed")
+    assert(Search.bm25TopKIndexed(Search.readSearchIndex(spark, store),
+      "replayneedle replayneedle3", k = 10).collect().toSeq == served,
+      "replay changed the served scores")
+    assert(Search.currentSearchTag(store).contains("v1"))
   }
 }
