@@ -392,6 +392,64 @@ object ScaleBench {
           .collect().map(r => (r.getLong(0), r.getDouble(2)))
       }
       assert(afterCompact.toSeq == preCompact.toSeq, "compact changed served results")
+      // MVCC under a CONCURRENT reader (r16, VERDICT r15 next #6): the
+      // store's crash contracts are spec'd single-threaded; this measures
+      // the multi-version claim live. A reader pins the current version
+      // (v6, the compacted store) and serves in a loop on its own thread
+      // while the writer commits an append (v7) and a compact (v8)
+      // underneath it — every concurrent serve must be bit-identical to
+      // the pinned baseline because v6's files are immutable until no
+      // manifest references them. Only after the reader DRAINS does prune
+      // collect, and it must collect exactly the dead set: manifests
+      // v0..v6 (7) and the pre-compact segments seg-0..seg-5 (6) — seg-6
+      // stays alive because v7's manifest still references it.
+      locally {
+        import graft.operators.Search
+        val pinned = Search.readSearchIndex(spark, ixDir) // resolves v6
+        def serve(ix: Search.SearchIndex): Seq[(Long, Long)] =
+          Search.bm25TopKIndexed(ix, "needle", k = 25).collect()
+            .map(r => (r.getLong(0),
+              java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+        val expect = serve(pinned)
+        val mismatches = new java.util.concurrent.atomic.AtomicInteger(0)
+        val serves = new java.util.concurrent.atomic.AtomicInteger(0)
+        @volatile var stopReader = false
+        val reader = new Thread(() => {
+          while (!stopReader) {
+            if (serve(pinned) != expect) mismatches.incrementAndGet(): Unit
+            serves.incrementAndGet(): Unit
+          }
+        })
+        reader.start()
+        time("MVCC: append(v7)+compact(v8) commit under a live v6 reader (serves stay bit-identical)") {
+          val d = mkDocs(1000)
+            .select((col("doc_id") + lit(16L * nDocs)).as("doc_id"), col("text"))
+          Search.appendSearchIndex(ixDir, d): Unit
+          Search.compactSearchIndex(spark, ixDir): Unit
+        }
+        // let the reader observe the post-commit world for a few serves
+        while (serves.get() < 3) Thread.sleep(50)
+        stopReader = true
+        reader.join()
+        println(s"[scale]   concurrent serves=${serves.get()} mismatches=${mismatches.get()}")
+        assert(mismatches.get() == 0,
+          "a pinned reader observed changed results while the writer committed")
+        assert(serves.get() >= 3, "the reader never actually served concurrently")
+        // reader drained -> GC: exactly the dead set, nothing referenced
+        var pruned: (Int, Int) = null
+        time("pruneSearchIndex(keepVersions=2) after reader drain") {
+          pruned = Search.pruneSearchIndex(spark, ixDir, keepVersions = 2)
+        }
+        assert(pruned == (7, 6), s"expected (7 manifests, 6 segments) collected, got $pruned")
+        // the pinned version's manifest is gone (the drain rule made this
+        // legal); the store's head still serves the grown corpus
+        val v6Gone =
+          try { Search.readSearchIndexAt(spark, ixDir, "v6"); false }
+          catch { case _: IllegalArgumentException => true }
+        assert(v6Gone, "pruned v6 must no longer resolve")
+        assert(Search.bm25TopKIndexed(Search.readSearchIndex(spark, ixDir),
+          "needle", k = 25).collect().length == 25)
+      }
     } // sectionOn("bm25")
 
     // ---- incremental (delta-vs-index) dedup: probe cost vs base size ----
