@@ -219,32 +219,46 @@ object Search {
   private def scoreAndCutAll(matched0: DataFrame, stats: DataFrame,
       qt: DataFrame, k: Int, idCol: String, qidCol: String,
       dfTable: Option[DataFrame] = None): DataFrame = {
+    // Score FIRST, shuffle SECOND: the repartition exchange materializes
+    // s_t as a plain double, so the decimal-exact factor arithmetic runs
+    // exactly once per MATCHED row on the map side. Left inside the
+    // downstream pipeline, whole-stage codegen DEFERS the projection to
+    // its point of use — inside the query-fanout join's match loop, i.e.
+    // once per (query, doc, term) row (measured at sf1: ~400 CPU-seconds
+    // of decimal(38) ops on 112.7 M fanout rows vs 1.16 M matched rows).
+    //
     // EXPLICIT partition count: AQE would right-size this shuffle to the
-    // matched frame's bytes (at gate SF that is one partition) — but the
+    // scored frame's bytes (at gate SF that is one partition) — but the
     // query fan-out multiplies rows ~queries× immediately above it, which
     // AQE cannot see, and every downstream aggregate inherits this
     // partitioning. Measured: coalesced-to-1, the bounds pass ran
     // single-task at 6–18 s; pinned, it rides all cores.
     val spark = matched0.sparkSession
-    val matched = matched0.repartition(
-      spark.sessionState.conf.numShufflePartitions, col(idCol))
-    // the (query, doc, term) fanout: NARROW broadcast joins over the
-    // doc-clustered matched frame, recomputed per consumer (see scaladoc)
-    def scored = scoreTerms(matched, stats, dfTable)
-      .join(broadcast(qt), Seq("token"))
-    // persisted: θ's subtree and the survivor filter both read it, and a
-    // pair-count scalar cache is far cheaper than a second bounds pass
-    // over the fanout. (Caching PAIRS is safe where caching MATCHED was
-    // not: the doc-clustering that must stay visible to the planner lives
-    // on `scored`, which feeds the survivor fold directly — nothing below
-    // `pairs` needs its partitioning.)
+    val scoredBase = scoreTerms(matched0, stats, dfTable)
+      .select(col(idCol), col("token"), col("s_t"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+    // the (query, doc, term) fanout: NARROW broadcast join over the
+    // doc-clustered scored frame, recomputed per consumer (see scaladoc)
+    def scored = scoredBase.join(broadcast(qt), Seq("token"))
+    // The bounds pass — the batch's ONE pass over the full fanout — is a
+    // bare sum(s_t): the slimmest sound form, because with every s_t ≥ 0
+    // the unordered sum is within nt·2⁻⁵³ relative of the order-fixed
+    // fold and nt is at most the QUERY's term count, a per-query constant
+    // broadcast in below — so neither a per-pair count nor a max is
+    // needed. Persisted scoped: θ and the survivor filter both read it,
+    // and a pair-count scalar cache is far cheaper than a second
+    // 10⁸-row fanout pass. (Caching PAIRS is safe where caching the
+    // scored frame was not: the doc-clustering that must stay visible to
+    // the planner lives on `scoredBase`, which feeds the aggregates
+    // directly — nothing below `pairs` needs its partitioning.)
+    val qEps = qt.groupBy(col(qidCol))
+      .agg((count(lit(1)).cast("double") * lit(1e-13)).as("eps"))
     val pairs = graft.operators.Dedup.persistScoped(
       scored.groupBy(col(qidCol), col(idCol))
-        .agg(sum(col("s_t")).as("apx"), max(col("s_t")).as("mx"),
-          count(lit(1)).as("nt"))
-        .withColumn("eps", col("nt").cast("double") * lit(1e-13))
+        .agg(sum(col("s_t")).as("apx"))
+        .join(broadcast(qEps), Seq(qidCol))
         .select(col(qidCol), col(idCol),
-          greatest(col("mx"), col("apx") * (lit(1.0) - col("eps"))).as("lo"),
+          (col("apx") * (lit(1.0) - col("eps"))).as("lo"),
           (col("apx") * (lit(1.0) + col("eps"))).as("hi")))
     val theta = pairs.groupBy(col(qidCol))
       .agg(graft.functions.TopK.topKDouble(k)(col("lo"), col(idCol)).as("tk"))
@@ -255,8 +269,17 @@ object Search {
     val surv = pairs.join(broadcast(theta), Seq(qidCol))
       .filter(col("hi") >= col("theta"))
       .select(col(qidCol), col(idCol))
+    // The exact fold touches the fanout of SURVIVOR DOCUMENTS only: the
+    // scored frame is cut to survivor doc ids (a broadcast semi-join on
+    // ~queries·k ids) BEFORE the query join re-fans anything out, then
+    // fanned to queries and semi-joined to the exact surviving pairs — so
+    // this pass reads the scored shuffle once and materializes only
+    // ~queries·k·terms rows, never a second full fanout.
+    val survDocs = surv.select(col(idCol)).distinct()
     val perDoc = graft.operators.Dedup.persistScoped(
-      scored.join(broadcast(surv), Seq(qidCol, idCol))
+      scoredBase.join(broadcast(survDocs), Seq(idCol), "leftsemi")
+        .join(broadcast(qt), Seq("token"))
+        .join(broadcast(surv), Seq(qidCol, idCol), "leftsemi")
         .groupBy(col(qidCol), col(idCol))
         .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
         .withColumn("sorted",

@@ -81,6 +81,12 @@ object PruneProf {
         size(col("sorted")).cast("long").as("n_terms"),
         aggregate(col("sorted"), lit(0.0), _ + _).as("score"))
     t("perDoc count") { println("[probe] perDoc=" + perDoc.count()) }
+    // the r15-vs-r16 fold-exchange metric: rows the exact order-fixed fold
+    // consumes — r15 folded the FULL fanout; r16 folds survivors only
+    t("fold input (survivors' term rows)") {
+      println("[probe] fold_input=" + scored
+        .join(broadcast(surv), Seq("query_id", "doc_id")).count())
+    }
     t("full door") {
       println("[probe] rows=" + graft.operators.Search
         .bm25TopKAllIndexed(ix, queries, k = 5).count())
