@@ -98,12 +98,19 @@ object StoreIO {
     fsOf(p).create(p, true).close()
   }
 
-  /** Plain (non-atomic) rename — the fixture promoter's move-if-absent.
-    * Returns false when the filesystem refuses (destination exists, or a
-    * cross-filesystem move), mirroring `java.io.File.renameTo`. */
+  /** Plain (non-atomic) move-IF-ABSENT — the fixture promoter's rename.
+    * Returns false when the destination already exists or the filesystem
+    * refuses (e.g. a cross-filesystem move), mirroring
+    * `java.io.File.renameTo`. The existence check is explicit because
+    * Hadoop's local `rename` onto an existing DIRECTORY silently moves
+    * the source INSIDE it (POSIX `mv` semantics — StoreIOSpec pins the
+    * refusal instead); callers needing check-then-move atomicity hold the
+    * promote lock (local) or the single-writer contract (remote). */
   def rename(src: String, dst: String): Boolean = {
-    val s = new Path(src)
-    fsOf(s).rename(s, new Path(dst))
+    val d = new Path(dst)
+    val fs = fsOf(d)
+    if (fs.exists(d)) false
+    else fs.rename(new Path(src), d)
   }
 
   def mkdirs(path: String): Unit = {
