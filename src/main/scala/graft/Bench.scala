@@ -416,7 +416,12 @@ object Bench {
       "immunity). Gate adjudication this round: ZERO regressions flagged " +
       "in the final full 3-pass runs at BOTH SFs (the replanned batch " +
       "pair is fingerprint-suppressed, as designed - the new plan owns " +
-      "its cost and is faster). bench_baseline.tsv PROMOTED to this " +
+      "its cost and is faster). Closing r15's open flag: " +
+      "asof_join_tolerance re-measured 0.119s median this round at " +
+      "untouched code (r15 flagged 0.214s vs the 0.136s baseline) - " +
+      "adjudicated NOISE, the exact class the new absolute floor " +
+      "retires; corpus_mix_cube likewise back at 0.19s. " +
+      "bench_baseline.tsv PROMOTED to this " +
       "round's final sf0.1 medians per VERDICT r15 next #5 (the r14 " +
       "medians would mask regressions up to 3.4x against the post-fix " +
       "batch plans). Sketch gates unchanged and green at both SFs: GK " +
