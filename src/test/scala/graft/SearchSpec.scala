@@ -199,6 +199,43 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("bound prune: seeded random corpora — batch == single door bit-for-bit across shapes") {
+    // property-style soundness guard for the r16 bound pruning: random
+    // corpora over a tiny alphabet force heavy score collisions, varied
+    // document frequencies, single-token docs, and queries whose term
+    // sets overlap arbitrarily — shapes no hand case enumerates. The
+    // single-query door folds every matched doc with no pruning, so any
+    // unsound bound (a pair pruned that the exact cut would select)
+    // breaks the equality somewhere in this grid.
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Vector("ax", "bx", "cx", "dx", "ex", "fx")
+    for (trial <- 0 until 3) {
+      val docs = (1L to 60L).map { i =>
+        val n = 1 + rnd.nextInt(8)
+        (i, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }.toDF("doc_id", "text").repartition(1 + trial * 3)
+      val qs = (1L to 8L).map { q =>
+        val n = 1 + rnd.nextInt(3)
+        (q, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }.toDF("query_id", "query")
+      val qList = qs.collect().map(r => (r.getLong(0), r.getString(1)))
+      for (k <- Seq(1, 4, 60)) {
+        val batch = Search.bm25TopKAll(docs, qs, k = k).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4)))
+          .groupBy(_._1)
+        for ((qid, q) <- qList) {
+          val single = Search.bm25TopK(docs, q, k = k).collect().zipWithIndex
+            .map { case (r, i) => (qid, r.getLong(0), r.getLong(1),
+              java.lang.Double.doubleToLongBits(r.getDouble(2)), i + 1L) }
+          assert(batch.getOrElse(qid, Array.empty).toSeq == single.toSeq,
+            s"trial $trial k=$k query '$q': pruned batch != unpruned single door")
+        }
+        graft.operators.Dedup.clearCaches()
+      }
+    }
+  }
+
   test("batch plan: fanout never crosses an exchange — doc-clustered repartition, no (qid, doc) shuffle") {
     // r16 scale contract: the ONLY corpus-shaped exchange in either batch
     // door is the scalar repartition of the matched postings by document
