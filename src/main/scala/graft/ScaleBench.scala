@@ -413,12 +413,18 @@ object ScaleBench {
         val expect = serve(pinned)
         val mismatches = new java.util.concurrent.atomic.AtomicInteger(0)
         val serves = new java.util.concurrent.atomic.AtomicInteger(0)
+        // ADVICE r16: a reader thread dying on an exception must FAIL the
+        // check, not hang the sweep — record the failure, exit the loop,
+        // and bound the post-commit wait with a deadline.
+        @volatile var readerFailure: Throwable = null
         @volatile var stopReader = false
         val reader = new Thread(() => {
-          while (!stopReader) {
-            if (serve(pinned) != expect) mismatches.incrementAndGet(): Unit
-            serves.incrementAndGet(): Unit
-          }
+          try {
+            while (!stopReader) {
+              if (serve(pinned) != expect) mismatches.incrementAndGet(): Unit
+              serves.incrementAndGet(): Unit
+            }
+          } catch { case t: Throwable => readerFailure = t }
         })
         reader.start()
         time("MVCC: append(v7)+compact(v8) commit under a live v6 reader (serves stay bit-identical)") {
@@ -427,14 +433,19 @@ object ScaleBench {
           Search.appendSearchIndex(ixDir, d): Unit
           Search.compactSearchIndex(spark, ixDir): Unit
         }
-        // let the reader observe the post-commit world for a few serves
-        while (serves.get() < 3) Thread.sleep(50)
+        // let the reader observe the post-commit world for a few serves —
+        // deadline-bounded so a dead reader fails loudly instead of spinning
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (serves.get() < 3 && readerFailure == null && System.nanoTime() < deadline)
+          Thread.sleep(50)
         stopReader = true
         reader.join()
+        assert(readerFailure == null, s"concurrent reader died: $readerFailure")
+        assert(serves.get() >= 3,
+          s"reader made only ${serves.get()} serves before the 120s deadline")
         println(s"[scale]   concurrent serves=${serves.get()} mismatches=${mismatches.get()}")
         assert(mismatches.get() == 0,
           "a pinned reader observed changed results while the writer committed")
-        assert(serves.get() >= 3, "the reader never actually served concurrently")
         // reader drained -> GC: exactly the dead set, nothing referenced
         var pruned: (Int, Int) = null
         time("pruneSearchIndex(keepVersions=2) after reader drain") {

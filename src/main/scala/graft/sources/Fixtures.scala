@@ -47,7 +47,10 @@ object Fixtures {
     val (len, mtime) =
       if (StoreIO.exists(s"$dir/$table.parquet")) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-        val st = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).getFileStatus(p)
+        // the SESSION's Hadoop conf (ADVICE r16): a bare `new Configuration()`
+        // loses fs.defaultFS/auth and can fingerprint a different filesystem
+        // than the one the data tier reads
+        val st = p.getFileSystem(StoreIO.hadoopConf()).getFileStatus(p)
         (st.getLen, st.getModificationTime)
       } else (0L, 0L) // missing source: builders fail with their own error
     val md = java.security.MessageDigest.getInstance("MD5")

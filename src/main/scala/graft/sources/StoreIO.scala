@@ -17,22 +17,57 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
  * (so `fs.defaultFS`, kerberos and the rest behave exactly as the data
  * tier's parquet IO does).
  *
- * Atomicity contract ([[writeStringAtomic]], the CURRENT/LATEST pointer
- * flips): write a process-unique temp file, then `FileContext.rename`
- * with `Options.Rename.OVERWRITE` — atomic on HDFS and on POSIX local
- * filesystems, which is what the stores' crash specs pin. OBJECT-STORE
- * CAVEAT: S3-class stores implement rename as copy+delete, so the flip is
- * last-writer-wins but NOT atomic under concurrent writers there; run the
- * stores on a rename-atomic filesystem (HDFS, local, most NFS) or
- * serialize writers externally — the same caveat Spark's own
- * FileOutputCommitter v1 carries.
+ * Atomicity contract for POINTER FLIPS (`CURRENT`/`LATEST` — the commit
+ * point of every versioned store) — [[writePointer]]/[[readPointer]],
+ * which dispatch between two protocols per filesystem (r17, VERDICT r16
+ * next #1):
+ *
+ *  - RENAME (HDFS, local, viewfs — filesystems with atomic rename):
+ *    process-unique temp file + `FileContext.rename(OVERWRITE)`
+ *    ([[writeStringAtomic]]). A reader never observes a torn pointer; a
+ *    crashed writer leaves the old pointer intact.
+ *  - MANIFEST LOG (object stores — S3/GS/ABFS-class, where rename is
+ *    copy+delete and NOT atomic): the pointer is a directory
+ *    `<name>.mlog/` of IMMUTABLE, put-once entry files
+ *    `c<seq20>.<pid>.<nonce>`, and a read resolves to the entry with the
+ *    highest (sequence, name) — "highest complete version wins". Every
+ *    entry lands by create-fresh-then-rename-to-a-fresh-name, so a listed
+ *    entry is complete on every filesystem (an object store materializes
+ *    the copy as one atomic PUT; the destination never pre-exists, so the
+ *    non-atomic-overwrite window of renaming ONTO a live pointer never
+ *    opens). A crashed writer strands at most an invisible `.tmp.` file;
+ *    concurrent writers produce two entries and every reader picks the
+ *    same winner deterministically — no torn state, no vanished pointer,
+ *    which is exactly what rename-on-S3 could not guarantee. Superseded
+ *    entries are garbage-collected behind a retention window; a reader
+ *    racing that GC retries its listing.
+ *
+ * Protocol selection: `graft.store.commit` in the Hadoop conf
+ * (`spark.hadoop.graft.store.commit` session-side) — `rename`, `log`, or
+ * `auto` (the default: by filesystem scheme). A store that already has a
+ * log directory STAYS on the log regardless of mode, so readers and
+ * writers on mixed configurations resolve one coherent history.
+ *
+ * [[writeStringAtomic]] remains the door for SINGLE-WRITER, write-once
+ * control files (a version's TAG, pack-state snapshots): their names are
+ * immutable per version, so object-store rename's last-writer-wins window
+ * cannot produce a wrong read there.
  */
 object StoreIO {
 
-  private def conf(): Configuration =
+  /** The session's Hadoop configuration — active session first, then the
+    * DEFAULT session (ADVICE r16: getActiveSession is thread-local, so a
+    * control-plane call from a reader/utility thread without an active
+    * session silently lost `fs.defaultFS`/auth and could resolve a bare
+    * path against a DIFFERENT filesystem than the parquet data tier),
+    * then a bare `new Configuration()` only when no session exists at all. */
+  private[graft] def hadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+
+  private def conf(): Configuration = hadoopConf()
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(conf())
 
@@ -116,5 +151,107 @@ object StoreIO {
   def mkdirs(path: String): Unit = {
     val p = new Path(path)
     fsOf(p).mkdirs(p): Unit
+  }
+
+  // -------------------------------------------------------------------
+  // Pointer commit protocol — see the object scaladoc. Every versioned
+  // store's CURRENT/LATEST flip goes through these three entry points.
+  // -------------------------------------------------------------------
+
+  /** Schemes whose `rename` is atomic (single-RPC metadata ops). Everything
+    * else — s3/s3a/s3n, gs, wasb(s), abfs(s), oss, cos, swift, and unknown
+    * future connectors — defaults to the manifest log. */
+  private val RenameAtomicSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "har")
+
+  /** Superseded log entries retained per pointer (readers mid-listing may
+    * still resolve one); older entries are collected on the next write. */
+  private val PointerLogKeep = 8
+
+  private val logNonce = new java.util.concurrent.atomic.AtomicLong()
+
+  private def logDirOf(dir: String, name: String): Path =
+    new Path(new Path(dir), s"$name.mlog")
+
+  private final case class LogEntry(seq: Long, path: Path)
+
+  /** Complete entries of a pointer log, unordered. A name is an entry iff
+    * it parses as `c<20-digit seq>.<writer>` — `.tmp.` files and foreign
+    * names are invisible by construction. */
+  private def logEntries(fs: FileSystem, ld: Path): Seq[LogEntry] =
+    if (!fs.exists(ld)) Vector.empty
+    else fs.listStatus(ld).toIndexedSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.length > 21 && n.charAt(0) == 'c' && n.charAt(21) == '.')
+        n.substring(1, 21).toLongOption.map(LogEntry(_, st.getPath))
+      else None
+    }
+
+  private def commitModeIsLog(fs: FileSystem): Boolean = {
+    val c = conf()
+    // the bare key lands via startup-time spark.hadoop.* stripping or
+    // --conf; a RUNTIME spark.conf.set copies the session entry verbatim,
+    // prefix included — accept both routes
+    c.get("graft.store.commit",
+        c.get("spark.hadoop.graft.store.commit", "auto")) match {
+      case "log" => true
+      case "rename" => false
+      case _ => !RenameAtomicSchemes.contains(fs.getScheme)
+    }
+  }
+
+  /** Flip a store pointer. Rename-atomic filesystems keep the plain
+    * `<dir>/<name>` file (temp + atomic rename-with-overwrite); object
+    * stores append a put-once entry to `<dir>/<name>.mlog/`. A store that
+    * already carries a log stays on it (layout stickiness), so one store
+    * never has two competing histories. */
+  def writePointer(dir: String, name: String, content: String): Unit = {
+    val d = new Path(dir)
+    val fs = fsOf(d)
+    val ld = logDirOf(dir, name)
+    if (!fs.exists(ld) && !commitModeIsLog(fs)) writeStringAtomic(dir, name, content)
+    else {
+      fs.mkdirs(ld)
+      val entries = logEntries(fs, ld)
+      val seq = entries.iterator.map(_.seq).foldLeft(-1L)(math.max) + 1L
+      val writerId = s"${java.lang.ProcessHandle.current.pid}-${logNonce.incrementAndGet()}"
+      val entry = new Path(ld, f"c$seq%020d.$writerId")
+      // create under a name the entry pattern can't match, then move to a
+      // FRESH destination: on every filesystem the listed entry is complete
+      val tmp = new Path(ld, s".tmp.$writerId")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, entry))
+        throw new java.io.IOException(s"pointer-log commit failed: $entry")
+      // collect entries behind the retention window (idempotent deletes)
+      entries.filter(_.seq < seq - PointerLogKeep)
+        .foreach(e => fs.delete(e.path, false): Unit)
+    }
+  }
+
+  /** Resolve a store pointer: the log's highest (seq, name) entry when a
+    * log exists, the plain file otherwise. Retries a listing that raced
+    * the log GC (the resolved entry deleted between list and read). */
+  def readPointer(dir: String, name: String): String = {
+    val d = new Path(dir)
+    val fs = fsOf(d)
+    val ld = logDirOf(dir, name)
+    var attempt = 0
+    while (attempt < 8) {
+      val entries = logEntries(fs, ld)
+      if (entries.isEmpty) return readString(new Path(d, name).toString)
+      val winner = entries.maxBy(e => (e.seq, e.path.getName))
+      try return readString(winner.path.toString)
+      catch { case _: java.io.FileNotFoundException => attempt += 1 }
+    }
+    throw new java.io.IOException(
+      s"pointer $dir/$name kept vanishing mid-read ($attempt retries) — " +
+        "a GC/writer storm or a broken filesystem listing")
+  }
+
+  def pointerExists(dir: String, name: String): Boolean = {
+    val d = new Path(dir)
+    val fs = fsOf(d)
+    logEntries(fs, logDirOf(dir, name)).nonEmpty || fs.exists(new Path(d, name))
   }
 }

@@ -419,11 +419,12 @@ object StreamingOps {
    * size, SCALE.md): every exchange delta-sized, index scanned never
    * shuffled. The O(accepted-so-far) manifest read is partition-pruned to
    * `batch=k` dirs and touched only by matched-id fetches inside the cut.
-   * The pointer/listing side-channel uses local-filesystem `java.nio` (a
-   * driver-local metadata file, like the `_OK` markers in Fixtures); a
-   * cluster deployment points `indexRoot`/`outDir` at shared storage and
-   * swaps these two helpers for its store's conditional-put — the Spark
-   * plans are storage-agnostic already.
+   * The pointer/listing side-channel rides [[graft.sources.StoreIO]]
+   * (r16 port; r17 added the object-store-safe pointer commit): the
+   * LATEST flip is an atomic rename on HDFS/POSIX and a put-once
+   * manifest-log entry on S3-class stores, and listings resolve through
+   * the session's Hadoop configuration — `indexRoot`/`outDir` can point
+   * at any filesystem the parquet data tier can.
    */
   def crawlIncrementBatchFn(
       indexRoot: String,
@@ -648,9 +649,14 @@ object StreamingOps {
       // Round-k consistency moved INTO the store: the version committed
       // by crawl round k carries TAG "v<k>", and
       // `Search.readSearchIndexAt(spark, store, "v<storeVersion>")` serves
-      // any still-retained older version (keepVersions bounds the
-      // look-back; a consumer pinned to an old crawl round reads its
-      // version before the pruner's drain window closes).
+      // any still-retained older version. NOTE (ADVICE r16): store version
+      // numbers and crawl rounds coincide only until the first
+      // auto-compaction (which commits a version with no crawl round) or
+      // fully-gated round (which commits none) — after that, resolve a
+      // SPECIFIC round by its TAG across the retained versions, and with
+      // pruneSearchIndex(keepVersions = 2) in-loop the real look-back is
+      // at most one committed version behind CURRENT, not a full round
+      // history (raise keepVersions for longer drain windows).
       //
       // Replay idempotency: the TAG is the commit witness. A crash AFTER
       // the store committed but BEFORE the crawl pointer flip replays the
@@ -737,19 +743,20 @@ object StreamingOps {
   }
 
   private def readPointer(indexRoot: String): String = {
-    require(graft.sources.StoreIO.exists(s"$indexRoot/LATEST"),
+    require(graft.sources.StoreIO.pointerExists(indexRoot, "LATEST"),
       s"versioned store not seeded: $indexRoot/LATEST missing — call the " +
         "matching seed helper (seedCrawlIndex / seedSemIndex / seedAnnIndex / " +
         "seedPackState) first")
-    graft.sources.StoreIO.readString(s"$indexRoot/LATEST").trim
+    graft.sources.StoreIO.readPointer(indexRoot, "LATEST").trim
   }
 
-  /** Pointer update is write-temp + rename-with-overwrite through the
-    * Hadoop FS layer (r16): a reader never observes a torn pointer, and a
-    * crashed writer leaves the old pointer intact — atomic on HDFS/POSIX;
-    * object-store caveat in [[graft.sources.StoreIO.writeStringAtomic]]. */
+  /** Pointer update rides [[graft.sources.StoreIO.writePointer]] (r17):
+    * atomic rename on HDFS/POSIX local paths, a put-once manifest-log
+    * entry on object stores — a reader never observes a torn or vanished
+    * pointer on either class, and a crashed writer leaves the old pointer
+    * serving. */
   private def writePointer(indexRoot: String, name: String): Unit =
-    graft.sources.StoreIO.writeStringAtomic(indexRoot, "LATEST", name)
+    graft.sources.StoreIO.writePointer(indexRoot, "LATEST", name)
 
   private def listAcceptedBatches(outDir: String): Seq[Long] =
     graft.sources.StoreIO.list(outDir, "batch=")

@@ -502,6 +502,62 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopK(union, "a c", k = 10).collect().toSeq)
   }
 
+  test("untagged commit clears a crashed tagged append's leftover TAG (replay guard stays truthful)") {
+    // ADVICE r16 (medium): a TAGGED append that crashes after writing
+    // v1/TAG but before the CURRENT flip leaves the file behind. A later
+    // UNTAGGED writer committing the same version number must not expose
+    // that tag — otherwise currentSearchTag reports a batch as applied
+    // whose postings are NOT in the store, and the streaming replay guard
+    // silently skips the re-append, dropping the batch's documents.
+    val base = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchix-tag").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(base), dir) // v0, untagged
+    // crash window of a tagged append: v1's TAG written, CURRENT not flipped
+    graft.sources.StoreIO.writeStringAtomic(s"$dir/v1", "TAG", "batch-99")
+    assert(Search.currentSearchTag(dir).isEmpty, "uncommitted tag must be invisible")
+    // an untagged writer commits v1 (manual append on the same store path)
+    Search.appendSearchIndex(dir, Seq((10L, "a d")).toDF("doc_id", "text")): Unit
+    assert(Search.currentSearchTag(dir).isEmpty,
+      "an untagged commit must clear the crashed writer's leftover TAG")
+    // and a TAGGED retry of the same batch still lands + reports normally
+    Search.appendSearchIndex(dir,
+      Seq((11L, "c d")).toDF("doc_id", "text"), tag = Some("batch-99")): Unit
+    assert(Search.currentSearchTag(dir).contains("batch-99"))
+  }
+
+  test("store lifecycle under the manifest-log pointer commit (object-store protocol)") {
+    // r17 (VERDICT r16 next #1): the same full lifecycle the file:/// URI
+    // test pins, but with graft.store.commit=log — the protocol an s3a://
+    // root selects, where rename is copy+delete and the r16 pointer flip
+    // degraded to last-writer-wins. Every CURRENT resolution below rides
+    // put-once log entries with highest-complete-wins reads.
+    spark.conf.set("spark.hadoop.graft.store.commit", "log")
+    try {
+      val base = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c")).toDF("doc_id", "text")
+      val delta = Seq((10L, "a a a d"), (11L, "c d")).toDF("doc_id", "text")
+      val local = java.nio.file.Files.createTempDirectory("graft-searchix-mlog").toString
+      val dir = s"file://$local"
+      Search.writeSearchIndex(Search.buildSearchIndex(base), dir, tag = Some("r0"))
+      assert(Search.searchIndexExists(dir))
+      // the pointer is a log, not a plain file
+      assert(!graft.sources.StoreIO.exists(s"$dir/CURRENT"))
+      assert(graft.sources.StoreIO.list(dir, "CURRENT.mlog").nonEmpty)
+      assert(Search.currentSearchTag(dir).contains("r0"))
+      val grown = Search.appendSearchIndex(dir, delta, tag = Some("r1"))
+      val union = base.unionByName(delta)
+      for (q <- Seq("a c", "d", "zzz c"))
+        assert(Search.bm25TopKIndexed(grown, q, k = 10).collect().toSeq ==
+          Search.bm25TopK(union, q, k = 10).collect().toSeq,
+          s"log-commit store serve != scan for '$q'")
+      Search.compactSearchIndex(spark, dir): Unit
+      assert(Search.currentSearchTag(dir).contains("r1"), "compact carries the tag forward")
+      assert(Search.pruneSearchIndex(spark, dir, keepVersions = 1) == (2, 2))
+      assert(Search.bm25TopKIndexed(
+        Search.readSearchIndex(spark, dir), "a c", k = 10).collect().toSeq ==
+        Search.bm25TopK(union, "a c", k = 10).collect().toSeq)
+    } finally spark.conf.unset("spark.hadoop.graft.store.commit")
+  }
+
   test("pruneSearchIndex never collects an in-flight writer's segment or manifest") {
     // ADVICE r15: a concurrent append writes seg-(n+1), maybe v(n+1), and
     // only then flips CURRENT. A prune running in that window sees both as

@@ -51,6 +51,70 @@ class StoreIOSpec extends AnyFunSuite {
     assert(StoreIO.list(s"$dir/nowhere", "x").isEmpty)
   }
 
+  test("writePointer/readPointer: rename mode on local paths — plain file, atomic flip") {
+    spark
+    val local = java.nio.file.Files.createTempDirectory("graft-storeio-ptr").toString
+    // a distinct store per path FORM (the two forms alias one directory)
+    for (dir <- Seq(s"$local/bare", s"file://$local/uri")) {
+      assert(!StoreIO.pointerExists(dir, "CURRENT"))
+      StoreIO.writePointer(dir, "CURRENT", "v0")
+      // local scheme is rename-atomic → the plain file layout, so existing
+      // stores written by r16 keep resolving byte-identically
+      assert(StoreIO.exists(s"$dir/CURRENT"), "local pointers stay plain files")
+      assert(StoreIO.pointerExists(dir, "CURRENT"))
+      assert(StoreIO.readPointer(dir, "CURRENT") == "v0")
+      StoreIO.writePointer(dir, "CURRENT", "v1")
+      assert(StoreIO.readPointer(dir, "CURRENT") == "v1")
+    }
+  }
+
+  test("writePointer log mode: put-once entries, highest-complete wins, GC, crash & race safety") {
+    spark
+    // force the manifest-log protocol on the local FS — the same code path
+    // an s3a:// root would take (graft.store.commit=auto dispatches on the
+    // filesystem scheme; the conf key is the test's scheme stand-in)
+    spark.conf.set("spark.hadoop.graft.store.commit", "log")
+    try {
+      val local = java.nio.file.Files.createTempDirectory("graft-storeio-log").toString
+      val dir = s"file://$local"
+      assert(!StoreIO.pointerExists(dir, "CURRENT"))
+      StoreIO.writePointer(dir, "CURRENT", "v0")
+      assert(StoreIO.pointerExists(dir, "CURRENT"))
+      assert(StoreIO.readPointer(dir, "CURRENT") == "v0")
+      // the pointer is a LOG, not a plain file: nothing to rename over
+      assert(!StoreIO.exists(s"$dir/CURRENT"))
+      assert(StoreIO.list(dir, "CURRENT.mlog").nonEmpty)
+      StoreIO.writePointer(dir, "CURRENT", "v1")
+      assert(StoreIO.readPointer(dir, "CURRENT") == "v1")
+      // CRASHED WRITER: a torn entry upload is a `.tmp.` file the entry
+      // pattern can't match — the old pointer keeps serving
+      StoreIO.createMarker(s"$dir/CURRENT.mlog/.tmp.99999-7")
+      assert(StoreIO.readPointer(dir, "CURRENT") == "v1")
+      // CONCURRENT WRITERS racing the same sequence number: two complete
+      // entries, every reader resolves the same deterministic winner
+      // (highest name within the sequence), and the pointer never vanishes
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(local, "CURRENT.mlog", s"c${"0" * 18}02.00001-1"),
+        "v2a".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(local, "CURRENT.mlog", s"c${"0" * 18}02.00002-1"),
+        "v2b".getBytes("UTF-8"))
+      assert(StoreIO.readPointer(dir, "CURRENT") == "v2b",
+        "same-sequence race must resolve to the highest entry name for every reader")
+      // GC: a long history keeps a bounded retention window of entries
+      (3 to 30).foreach(i => StoreIO.writePointer(dir, "CURRENT", s"v$i"))
+      assert(StoreIO.readPointer(dir, "CURRENT") == "v30")
+      val entries = StoreIO.list(s"$dir/CURRENT.mlog", "c")
+      assert(entries.size <= 10, s"log must stay bounded, got ${entries.size}: $entries")
+      // LAYOUT STICKINESS: a rename-mode writer appends to an existing log
+      // instead of forking a second history into the plain file
+      spark.conf.set("spark.hadoop.graft.store.commit", "rename")
+      StoreIO.writePointer(dir, "CURRENT", "v31")
+      assert(!StoreIO.exists(s"$dir/CURRENT"))
+      assert(StoreIO.readPointer(dir, "CURRENT") == "v31")
+    } finally spark.conf.unset("spark.hadoop.graft.store.commit")
+  }
+
   test("rename: move-if-absent semantics the fixture promoter relies on") {
     spark
     val local = java.nio.file.Files.createTempDirectory("graft-storeio-mv").toString
