@@ -25,7 +25,13 @@ object Dedup {
    * the jaccard operator before either has executed) keep both their caches;
    * access is synchronized to keep the bound exact under concurrent sessions.
    */
-  private val MaxLiveCaches = 4
+  // Sized for the deepest single-operator cache chain (the batch-BM25
+  // scan door registers five: toked, scored postings, doc vectors,
+  // survivors, per-doc folds — r17). Eviction is FIFO at REGISTRATION
+  // time, so a bound below an operator's own chain evicts its earliest
+  // cache before the action that needs it even runs (measured: the scan
+  // door re-tokenized the sf1 corpus three times, +14 s).
+  private val MaxLiveCaches = 8
   private val liveCaches = new java.util.ArrayDeque[DataFrame]()
   private[graft] def persistScoped(df: DataFrame): DataFrame = {
     // idempotent: an already-persisted frame (iterative operators manage

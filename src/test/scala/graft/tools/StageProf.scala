@@ -1,37 +1,42 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev loop: per-stage wall/records breakdown of one batch door run. */
+/** Dev loop: per-STAGE wall/CPU/rows for one registered query — the
+  * attribution PruneProf's cumulative phase counts can't give.
+  * `sbt "Test/runMain graft.tools.StageProf search_bm25_batch_indexed /root/testdata/sf0.1"`. */
 object StageProf {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/graft-sf1")
+    val name = args.headOption.getOrElse("search_bm25_batch_indexed")
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val i = sc.stageInfo
-        val ms = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
-        val tm = i.taskMetrics
-        if (ms > 300) println(f"[stage] ${ms / 1000.0}%6.1fs tasks=${i.numTasks}%3d " +
-          f"in=${tm.inputMetrics.recordsRead}%11d sr=${tm.shuffleReadMetrics.recordsRead}%11d " +
-          f"sw=${tm.shuffleWriteMetrics.recordsWritten}%11d cpu=${tm.executorCpuTime / 1e9}%7.1fs " +
-          i.name.take(60))
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        val m = si.taskMetrics
+        val det = si.details.linesIterator
+          .filter(l => l.contains("graft") && !l.contains("StageProf"))
+          .take(2).mkString(" <- ")
+        rows.add(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%3d " +
+          f"wall=$wall%7.2fs cpu=${m.executorCpuTime / 1e9}%8.2fs " +
+          f"run=${m.executorRunTime / 1e3}%8.2fs " +
+          f"in=${m.inputMetrics.recordsRead}%12d shIn=${m.shuffleReadMetrics.recordsRead}%12d " +
+          f"shOut=${m.shuffleWriteMetrics.recordsWritten}%12d  ${si.name.take(40)} | $det")
       }
     })
-    val docs = graft.sources.Tables.documents(spark, dir)
-    val queries = docs.filter(col("doc_id") % 5 === 1)
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3), " ")
-          .as("query"))
-    val ix = graft.sources.Fixtures.searchIndex(spark, dir)
-    val s = System.nanoTime()
-    println("[probe] rows=" + graft.operators.Search
-      .bm25TopKAllIndexed(ix, queries, k = 5).count())
-    println(f"[probe] indexed door: ${(System.nanoTime() - s) / 1e9}%.2f s")
+    // warm the fixture path outside the measured run
+    graft.sources.Fixtures.searchIndex(spark, dir): Unit
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(name)(spark, dir).collect().length
+    println(f"[stageprof] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    Thread.sleep(1000) // let listener drain
+    rows.forEach(println(_))
     spark.stop()
   }
 }
