@@ -25,12 +25,21 @@ object CellRegions {
   private val lock = new Object
 
   /** Cache path keyed by source fingerprint (length+mtime of events.parquet),
-    * so regenerated testdata can never serve a stale region dir. */
+    * so regenerated testdata can never serve a stale region dir. The probe
+    * rides the session's Hadoop conf (r17 FS port) — a URI-style testdata
+    * dir fingerprints the same filesystem the parquet read uses. */
   private def cachePath(dir: String): String = {
-    val f = new java.io.File(s"$dir/events.parquet")
+    val (len, mtime) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = p.getFileSystem(graft.sources.StoreIO.hadoopConf())
+      if (fs.exists(p)) {
+        val st = fs.getFileStatus(p)
+        (st.getLen, st.getModificationTime)
+      } else (0L, 0L) // missing source: the fixture build fails with its own error
+    }
     val fp = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(s"${f.length}:${f.lastModified}".getBytes("UTF-8"))
+      md.update(s"$len:$mtime".getBytes("UTF-8"))
       md.digest().map("%02x".format(_)).mkString.take(16)
     }
     s"/tmp/graft-fixtures/cells-$Version/${dir.replaceAll("[^A-Za-z0-9.]", "_")}-$fp"
@@ -43,7 +52,7 @@ object CellRegions {
   def path(s: SparkSession, dir: String): String = {
     val out = cachePath(dir)
     lock.synchronized {
-      if (!new java.io.File(s"$out/_SUCCESS").exists()) build(s, dir, out)
+      if (!graft.sources.StoreIO.exists(s"$out/_SUCCESS")) build(s, dir, out)
     }
     out
   }
@@ -57,7 +66,10 @@ object CellRegions {
    * writer the fixture path uses.
    */
   def writeRegionDir(cells: DataFrame, out: String, numRegions: Int = NumRegions): Unit = {
-    new java.io.File(out).mkdirs()
+    graft.sources.StoreIO.mkdirs(out)
+    // the DRIVER session's Hadoop conf travels with the tasks (r17 FS
+    // port): executor-side getActiveSession is thread-local and absent
+    val conf = graft.sources.SerializableHadoopConf.fromSession()
     val sorted = cells
       .repartitionByRange(numRegions, col("key"))
       .sortWithinPartitions("key", "qual")
@@ -71,12 +83,15 @@ object CellRegions {
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
+        val outP = new org.apache.hadoop.fs.Path(out)
+        val fs = outP.getFileSystem(conf.value)
         // the tmp name carries the task ATTEMPT id: with a deterministic name
         // a speculative/retried attempt could interleave writes with a still-
-        // running zombie of the same partition before the atomic rename
-        val tmpFile = new java.io.File(out, f"part-$pid%05d-a${tc.taskAttemptId()}.inprogress")
+        // running zombie of the same partition before the rename publishes
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          outP, f"part-$pid%05d-a${tc.taskAttemptId()}.inprogress")
         val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(tmpFile), 1 << 20))
+          fs.create(tmpPath, true), 1 << 20))
         var first: Array[Byte] = null
         var last: Array[Byte] = null
         try {
@@ -90,11 +105,18 @@ object CellRegions {
               r.getLong(3), r.getDouble(4), r.getString(5)))
           }
         } finally dos.close()
-        val target = new java.io.File(out, CellRegionFormat.regionFileName(pid, first, last))
-        if (!tmpFile.renameTo(target)) throw new java.io.IOException(s"rename failed: $target")
+        val target = new org.apache.hadoop.fs.Path(
+          outP, CellRegionFormat.regionFileName(pid, first, last))
+        // attempt race: partition content is deterministic (range-partitioned
+        // + sorted), so if another attempt already published the target, this
+        // attempt's identical bytes are redundant — drop the tmp and succeed
+        if (!fs.rename(tmpPath, target)) {
+          if (fs.exists(target)) fs.delete(tmpPath, false): Unit
+          else throw new java.io.IOException(s"rename failed: $target")
+        }
       }
     }
-    new java.io.FileOutputStream(new java.io.File(out, "_SUCCESS")).close()
+    graft.sources.StoreIO.createMarker(s"$out/_SUCCESS")
   }
 
   private def build(s: SparkSession, dir: String, out: String): Unit =

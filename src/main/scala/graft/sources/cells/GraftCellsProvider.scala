@@ -231,7 +231,8 @@ class GraftCellsScan(
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCellsReaderFactory(required, pushedAgg)
+    new GraftCellsReaderFactory(required, pushedAgg,
+      graft.sources.SerializableHadoopConf.fromSession())
 
   /** Streaming entry: tail the region directory as new region files land —
     * the Spark-native analogue of consuming HBase's WAL/replication feed
@@ -248,12 +249,15 @@ case class CellRegionPartition(
     file: String, startKey: Option[Array[Byte]], stopKey: Option[Array[Byte]]) extends InputPartition
 
 class GraftCellsReaderFactory(
-    required: StructType, pushedAgg: Option[PushedAggregation]) extends PartitionReaderFactory {
+    required: StructType, pushedAgg: Option[PushedAggregation],
+    conf: graft.sources.SerializableHadoopConf) extends PartitionReaderFactory {
+  // the factory is what Spark serializes per task, so it carries the
+  // driver session's Hadoop conf to the executor-side cursors (r17 FS port)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CellRegionPartition]
     pushedAgg match {
-      case Some(agg) => new GraftCellsAggPartitionReader(p, agg)
-      case None => new GraftCellsPartitionReader(p, required)
+      case Some(agg) => new GraftCellsAggPartitionReader(p, agg, conf)
+      case None => new GraftCellsPartitionReader(p, required, conf)
     }
   }
 }
@@ -270,7 +274,8 @@ class GraftCellsReaderFactory(
  * .scanLoop]] for why that placement is load-bearing).
  */
 class GraftCellsPartitionReader(
-    partition: CellRegionPartition, required: StructType) extends PartitionReader[InternalRow] {
+    partition: CellRegionPartition, required: StructType,
+    conf: graft.sources.SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   import CellRegionFormat.CellCursor
 
@@ -286,7 +291,7 @@ class GraftCellsPartitionReader(
     i
   }
 
-  private val cur = new CellCursor(partition.file)
+  private val cur = new CellCursor(partition.file, conf.value)
 
   private val startBound = partition.startKey.orNull
   private val stopBound = partition.stopKey.orNull
@@ -353,7 +358,8 @@ class GraftCellsPartitionReader(
  * plain reader (sorted file: skip to start, stop at stop).
  */
 class GraftCellsAggPartitionReader(
-    partition: CellRegionPartition, agg: PushedAggregation) extends PartitionReader[InternalRow] {
+    partition: CellRegionPartition, agg: PushedAggregation,
+    conf: graft.sources.SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   import CellRegionFormat.CellCursor
 
@@ -482,7 +488,7 @@ class GraftCellsAggPartitionReader(
     // java LinkedHashMap: deterministic order AND null keys (a null
     // event_type group is legal)
     val groups = new java.util.LinkedHashMap[AnyRef, GroupAcc]()
-    val cur = new CellCursor(partition.file)
+    val cur = new CellCursor(partition.file, conf.value)
     try scanLoop(cur, groups)
     finally cur.close()
 
@@ -565,7 +571,8 @@ class GraftCellsMicroBatchStream(
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def sortedRegions = CellRegionFormat.listRegionsUnchecked(path)
-  private def nameOf(r: CellRegionFormat.Region): String = new java.io.File(r.file).getName
+  private def nameOf(r: CellRegionFormat.Region): String =
+    new org.apache.hadoop.fs.Path(r.file).getName
 
   override def initialOffset(): Offset = CellFilesOffset(0, "")
   override def latestOffset(): Offset = {
@@ -601,7 +608,8 @@ class GraftCellsMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCellsReaderFactory(required, pushedAgg = None)
+    new GraftCellsReaderFactory(required, pushedAgg = None,
+      graft.sources.SerializableHadoopConf.fromSession())
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
