@@ -364,70 +364,65 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r16: no new queries (129 carried; 129/129 oracle-green " +
-      "at every commit). The round executed VERDICT r15's list 1:1. " +
-      "(1) HEADLINE - the batch-BM25 fanout exchange is GONE (the r15 " +
-      "suite's one weak component): the batch scorer now repartitions the " +
-      "scored postings by DOCUMENT id once (hash(doc) satisfies every " +
-      "downstream (qid,doc) clustering, so the (query,doc,term) fanout " +
-      "never crosses an exchange - plan-asserted; the partition count is " +
-      "pinned because AQE coalesced the small pre-fanout shuffle to ONE " +
-      "partition under the fanout multiplier it cannot see, measured as " +
-      "6-18s single-task stages; the shuffle also materializes s_t so the " +
-      "decimal-exact arithmetic runs once per matched row, not per fanout " +
-      "row - ~400 CPU-s of deferred-codegen decimal ops at sf1 before the " +
-      "fix), runs ONE scalar sum(s_t) bounds pass giving each pair a " +
-      "sound [lo,hi] interval (the batch adaptation of WAND/MaxScore " +
-      "block-max pruning - per-PAIR bounds, strictly tighter than " +
-      "per-term ceilings), and folds+cuts EXACTLY on the pairs whose hi " +
-      "reaches their query's kth-largest lo (ties survive by >=, so the " +
-      "UNCHANGED shared DuckDB oracle gates it; SearchSpec adds an " +
-      "adversarial all-ties corpus, pruned==unpruned at six k values). " +
-      "Measured: fanout rows into the exact fold at sf1 112.7M -> 145,860 " +
-      "(773x less, PruneProf); sweep search_bm25_batch 47.3 -> 23.2s and " +
-      "search_bm25_batch_indexed 58.2 -> 20.5s at sf1, ratios 5.6x/6.1x " +
-      "-> 3.3x/3.4x; sf0.1 medians 7.0/6.0s (r15 committed 10.6/9.6). " +
-      "FULL-SUITE sweep: 200.3s at sf1 vs 109.7s at sf0.1 = 1.83x wall " +
-      "for 10x data (2.29x r15), ONE query >4x (the adjudicated " +
-      "dedup_embedding all-pairs arm, 4.2x), zero failed/unstable/" +
-      "regressions at both SFs. (2) Every persisted store's control plane " +
-      "ported to the Hadoop FileSystem API (StoreIO: pointer flips via " +
-      "FileContext.rename OVERWRITE - atomic on HDFS/POSIX, object-store " +
-      "caveat documented; listings, GC deletes, markers, df-tier probes) " +
-      "- specs run the full store lifecycle through file:/// URIs, " +
-      "torn-write specs unchanged, zero java.nio.file in store code. " +
-      "(3) Crawl-loop store hygiene wired: the search tier is ONE shared " +
-      "versioned store grown by O(delta) appends (searchCompactAt=8 " +
-      "auto-compaction bound, pruneSearchIndex(keepVersions=2) in-loop, " +
-      "round-tagged versions double as the replay-idempotency witness - " +
-      "a crash between store commit and crawl pointer flip cannot " +
-      "double-append; 6-round soak spec holds segments<=compactAt and " +
-      "versions<=2 with bit-identical serves). (4) pruneSearchIndex " +
-      "writer-safety (ADVICE r15): kept-version manifests protect their " +
-      "segments, seg-N past CURRENT never collectable, pointer re-read " +
-      "after planning. (5) MVCC measured under a CONCURRENT reader " +
-      "(ScaleBench): 24 serves bit-identical while append+compact " +
-      "committed underneath, then prune collected exactly the dead set " +
-      "(7 manifests, 6 segments). (6) Regression gate gained the " +
-      "absolute-delta floor (ratio>1.5 AND delta>0.15s - r14/r15 both " +
-      "adjudicated sub-0.3s flags as scheduler noise; spec pins 2x at " +
-      "+40ms quiet, +400ms fires) and the cross-SF guard compares " +
-      "normalized scale tokens (ADVICE r15: trailing slash/mount-root " +
-      "immunity). Gate adjudication this round: ZERO regressions flagged " +
-      "in the final full 3-pass runs at BOTH SFs (the replanned batch " +
-      "pair is fingerprint-suppressed, as designed - the new plan owns " +
-      "its cost and is faster). Closing r15's open flag: " +
-      "asof_join_tolerance re-measured 0.119s median this round at " +
-      "untouched code (r15 flagged 0.214s vs the 0.136s baseline) - " +
-      "adjudicated NOISE, the exact class the new absolute floor " +
-      "retires; corpus_mix_cube likewise back at 0.19s. " +
-      "bench_baseline.tsv PROMOTED to this " +
-      "round's final sf0.1 medians per VERDICT r15 next #5 (the r14 " +
-      "medians would mask regressions up to 3.4x against the post-fix " +
-      "batch plans). Sketch gates unchanged and green at both SFs: GK " +
-      "rank-error-excess <= 0 (-0.0039 sf1), HLL rel-err 0.1235 < 0.15, " +
-      "trending containment 1.0, ANN recalls 0.94-0.96 vs 0.9 floor. " +
-      "Golden fixtures byte-identical."
+    val notes = "r17: no new queries (129 carried; 129/129 oracle-green " +
+      "at every commit). The round executed VERDICT r16's list and all " +
+      "five ADVICE items. (1) OBJECT-STORE-SAFE COMMIT (next #1): " +
+      "StoreIO.writePointer/readPointer dispatch per filesystem - " +
+      "rename-atomic schemes keep the plain-file atomic-rename flip; " +
+      "S3-class schemes (or graft.store.commit=log) commit put-once " +
+      "manifest-log entries with highest-complete-entry-wins reads, " +
+      "bounded-retention GC and reader retry; a store with an existing " +
+      "log stays on it. Specs pin torn-upload, same-sequence writer race, " +
+      "GC retention, layout stickiness, and a full search-store lifecycle " +
+      "(write/append/compact/tag/prune) under the log protocol. " +
+      "(2) BATCH-BM25 (next #2): the prescribed union-ceiling + " +
+      "theta-seed staging was implemented and MEASURED OUT - on this " +
+      "corpus the ~30-term sf0.1 batch vocabulary puts every doc's union " +
+      "ceiling ~10x above any 3-term query's k-th score, so it pruned " +
+      "ZERO of the 11.3M fanout rows (seeded_bounds_input == fanout, " +
+      "PruneProf) while paying its own passes; a dense per-doc " +
+      "score-vector cross join (codegen'd index-sum per pair, no fanout " +
+      "generated) also lost at BOTH SFs (docs x queries = 4.4x the " +
+      "fanout at sf1's 10k queries; nested-loop row path not codegen'd). " +
+      "What DID land, exact output bits unchanged: (a) scored postings " +
+      "cached once - broadcast subqueries had defeated exchange reuse, " +
+      "StageProf measured FIVE scan+score+shuffle executions per call; " +
+      "(b) the survivor fold reordered PAIR-FIRST - the r16 token-first " +
+      "order regenerated the full per-token query fanout (~1e9 " +
+      "intermediate rows at sf1, 546 of the door's 730 CPU-seconds) " +
+      "before the pair semi-join could cut it, the pair-first order " +
+      "produces the identical 145,860-row fold input through ~1.5M rows; " +
+      "(c) the survivor broadcasts are guarded by a cached count with a " +
+      "shuffle-join fallback past 2M pairs (ADVICE r16). Measured: sf1 " +
+      "medians 23.2/20.5s -> 17.6/15.3s, sf0.1 at baseline parity; " +
+      "10x-data ratios 3.3x/3.4x -> 2.2x/2.5x. The remaining ceiling is " +
+      "the fanout bounds aggregate itself, now with measured evidence " +
+      "that doc-level ceilings cannot prune this corpus and the dense " +
+      "alternative is slower. (3) V2 CELL REGION STORE ported to the " +
+      "Hadoop FS API (next #3): executor cursors open regions via " +
+      "Path.getFileSystem with the driver session's conf shipped in the " +
+      "reader factory; listing/pruning/write/publish all URI-capable; " +
+      "CellSourceSpec adds a write+scan+pushed-agg lifecycle through " +
+      "file:///. (4) CODEGEN RESTORED in the ScaleBench V2 training-set " +
+      "section (next #4): the >64KB method was the HARNESS's synthetic " +
+      "Range->generator text expression re-inlined ~5x into the " +
+      "pipeline's first quality gate, not the operator; persisting the " +
+      "synthetic corpus fixed it (section 44.1s -> 37.5s, zero " +
+      "CodeGenerator errors, outputs identical). (5) Stale docs fixed " +
+      "(next #5, ADVICE round-vs-version); writeManifest clears a " +
+      "crashed tagged append's leftover TAG on untagged commits (ADVICE " +
+      "medium - the replay guard can no longer skip a batch whose " +
+      "postings are absent); StoreIO/fingerprint conf resolution falls " +
+      "back to the default session (ADVICE); the MVCC concurrent-reader " +
+      "check is deadline-bounded and fails loudly on reader death " +
+      "(ADVICE). Scoped-cache retention raised 4 -> 8: FIFO eviction at " +
+      "registration time dropped the tokenized-corpus cache before its " +
+      "action ran in the 5-cache batch scan door (measured: three " +
+      "redundant sf1 re-tokenizes, +14s). (6) ann_topk_cosine_lsh " +
+      "re-measured in isolation at untouched code per next #6 - see " +
+      "bench notes adjudication; bench_baseline.tsv promoted to this " +
+      "round's finals (the batch pair's new plans own their cost). " +
+      "Sketch gates green at both SFs; golden fixtures byte-identical."
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"regressions":$regressionsJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window

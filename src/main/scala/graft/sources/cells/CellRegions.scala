@@ -84,7 +84,8 @@ object CellRegions {
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
         val outP = new org.apache.hadoop.fs.Path(out)
-        val fs = outP.getFileSystem(conf.value)
+        // raw (non-CRC) stream on local paths — see CellRegionFormat.rawFs
+        val fs = CellRegionFormat.rawFs(outP, conf.value)
         // the tmp name carries the task ATTEMPT id: with a deterministic name
         // a speculative/retried attempt could interleave writes with a still-
         // running zombie of the same partition before the rename publishes
