@@ -419,10 +419,23 @@ object Bench {
       "registration time dropped the tokenized-corpus cache before its " +
       "action ran in the 5-cache batch scan door (measured: three " +
       "redundant sf1 re-tokenizes, +14s). (6) ann_topk_cosine_lsh " +
-      "re-measured in isolation at untouched code per next #6 - see " +
-      "bench notes adjudication; bench_baseline.tsv promoted to this " +
-      "round's finals (the batch pair's new plans own their cost). " +
-      "Sketch gates green at both SFs; golden fixtures byte-identical."
+      "(r16 watch item, 1.30x/+0.134s at untouched code) ADJUDICATED " +
+      "NOISE per next #6: isolated re-runs this round read 0.52-0.81s " +
+      "across machine states at untouched code, recall 0.92-0.96 every " +
+      "time. MACHINE-STATE ADJUDICATION for this round's absolute " +
+      "numbers: the host ran the whole suite 25-40% slower than r16's " +
+      "final day at identical plans - five same-day sf0.1 full-suite " +
+      "runs spanned 128-148s (r16 final: 103.3s) while ISOLATED re-runs " +
+      "of every flagged query sat at baseline parity (search_bm25 1.14s " +
+      "isolated vs 1.07s baseline vs ~1.6s in-suite; an A/B with the " +
+      "cache-retention bound reverted measured the same band, ruling " +
+      "that out); the same-day sf0.1-vs-sf1 RATIOS are the stable " +
+      "signal: whole-suite 1.54x for 10x data (r16: 1.83x), ZERO " +
+      "queries above 4x (a first - r16 carried dedup_embedding at " +
+      "4.2x, now 2.9x). bench_baseline.tsv promoted to this round's " +
+      "final sf0.1 run per protocol (plan changes landed), so r18's " +
+      "gate compares same-environment medians. Sketch gates green at " +
+      "both SFs; golden fixtures byte-identical."
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"regressions":$regressionsJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window
