@@ -115,6 +115,26 @@ class StoreIOSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.hadoop.graft.store.commit")
   }
 
+  test("SerializableHadoopConf: java round-trip preserves session FS settings") {
+    // the carrier ships the driver session's Hadoop conf to executor-side
+    // region cursors/writers (r17 cell-store FS port) — a silent drop of
+    // settings here would make executors resolve a DIFFERENT filesystem
+    // than the planner listed regions on
+    spark.conf.set("spark.hadoop.graft.test.marker", "carried-42")
+    try {
+      val c = graft.sources.SerializableHadoopConf.fromSession()
+      val bytes = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bytes)
+      oos.writeObject(c); oos.close()
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes.toByteArray))
+        .readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+      assert(back.value.get("spark.hadoop.graft.test.marker") == "carried-42",
+        "session conf entries must survive the executor round-trip")
+      assert(back.value.get("fs.defaultFS", "") == c.value.get("fs.defaultFS", ""))
+    } finally spark.conf.unset("spark.hadoop.graft.test.marker")
+  }
+
   test("rename: move-if-absent semantics the fixture promoter relies on") {
     spark
     val local = java.nio.file.Files.createTempDirectory("graft-storeio-mv").toString
