@@ -125,6 +125,13 @@ object Search {
    * Arithmetic is [[bm25TopK]]'s verbatim (same `scoreTerms` expressions,
    * same order-fixed fold), so a batch containing one query returns that
    * query's single-form rows bit-for-bit (SearchSpec pins this).
+   *
+   * NOT LAZY: constructing the returned frame RUNS the
+   * tokenize+score+bounds pipeline up through the survivor count (the
+   * broadcast-vs-shuffle fold decision is frozen at that count) — the
+   * heavy intermediates are scope-cached, so the subsequent action on the
+   * result pays only the fold+cut, but an `explain` or a never-collected
+   * frame still executes the scoring stages.
    */
   def bm25TopKAll(docs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
@@ -153,7 +160,9 @@ object Search {
     * postings read in ONE pruned scan (the bucket predicate folds the
     * batch vocabulary's buckets into plan constants, so the scan reads
     * only the touched `bucket=N/` directories), zero tokenization — the
-    * same bit-identical-to-scan contract as the single-query pair. */
+    * same bit-identical-to-scan contract as the single-query pair. Like
+    * [[bm25TopKAll]], NOT LAZY: construction runs the score+bounds
+    * pipeline through the survivor count (see that door's scaladoc). */
   def bm25TopKAllIndexed(idx: SearchIndex, queries: DataFrame, k: Int = 10,
       idCol: String = "doc_id",
       qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
@@ -316,8 +325,9 @@ object Search {
 
   /** The exact order-fixed per-(query, doc) fold — [[bm25TopK]]'s verbatim
     * arithmetic (sort parts by (token, s_t), fold the doubles left-to-right
-    * from 0.0), shared by the survivor fold and the r17 θ̃ candidate seed so
-    * a seed score IS the true folded score by construction. */
+    * from 0.0) factored out of the survivor fold (and available to any
+    * future consumer that needs batch-side scores bit-identical to the
+    * single-query door's). */
   private def exactFold(fanout: DataFrame, idCol: String,
       qidCol: String): DataFrame =
     fanout

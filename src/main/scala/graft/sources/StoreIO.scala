@@ -103,7 +103,10 @@ object StoreIO {
     val d = new Path(dir)
     val fs = fsOf(d)
     fs.mkdirs(d)
-    val tmp = new Path(d, s"$name.tmp.${java.lang.ProcessHandle.current.pid}")
+    // freshWriterId: two hosts (or two containers both pid 1) sharing a tmp
+    // name would truncate each other via create(overwrite=true) and could
+    // rename torn content over the live pointer
+    val tmp = new Path(d, s"$name.tmp.${freshWriterId()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(d.toUri, conf())
@@ -170,6 +173,23 @@ object StoreIO {
 
   private val logNonce = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-process random token baked into every writer ID. PIDs are not
+    * unique across hosts — and in containers two writers are very commonly
+    * BOTH pid 1 with nonce counters starting at 1 — so pid+nonce alone can
+    * collide, letting `fs.create(tmp, overwrite=true)` truncate another
+    * writer's in-flight file and publish a torn entry (ADVICE r17 medium).
+    * The pid stays in the name for diagnostics; this token carries the
+    * uniqueness. */
+  private val processToken: String = {
+    val u = java.util.UUID.randomUUID()
+    f"${u.getMostSignificantBits}%016x${u.getLeastSignificantBits}%016x".take(12)
+  }
+
+  /** Globally-unique writer ID: pid (diagnostics) + process-random token
+    * (cross-host uniqueness) + JVM-local nonce (intra-process uniqueness). */
+  private def freshWriterId(): String =
+    s"${java.lang.ProcessHandle.current.pid}-$processToken-${logNonce.incrementAndGet()}"
+
   private def logDirOf(dir: String, name: String): Path =
     new Path(new Path(dir), s"$name.mlog")
 
@@ -214,7 +234,7 @@ object StoreIO {
       fs.mkdirs(ld)
       val entries = logEntries(fs, ld)
       val seq = entries.iterator.map(_.seq).foldLeft(-1L)(math.max) + 1L
-      val writerId = s"${java.lang.ProcessHandle.current.pid}-${logNonce.incrementAndGet()}"
+      val writerId = freshWriterId()
       val entry = new Path(ld, f"c$seq%020d.$writerId")
       // create under a name the entry pattern can't match, then move to a
       // FRESH destination: on every filesystem the listed entry is complete
@@ -231,22 +251,48 @@ object StoreIO {
 
   /** Resolve a store pointer: the log's highest (seq, name) entry when a
     * log exists, the plain file otherwise. Retries a listing that raced
-    * the log GC (the resolved entry deleted between list and read). */
+    * the log GC (the resolved entry deleted between list and read). The
+    * retry budget is proportional to the GC retention window plus a short
+    * backoff: a writer storm advances the log by one seq per commit, so a
+    * reader that re-resolves against the FRESH listing each attempt only
+    * loses when >2×[[PointerLogKeep]] commits land between its list and
+    * read — at that point the backoff sleeps outlast any realistic storm
+    * and a persistent failure really is a broken filesystem. */
   def readPointer(dir: String, name: String): String = {
     val d = new Path(dir)
     val fs = fsOf(d)
     val ld = logDirOf(dir, name)
+    val maxAttempts = 2 * PointerLogKeep
     var attempt = 0
-    while (attempt < 8) {
+    while (attempt < maxAttempts) {
       val entries = logEntries(fs, ld)
-      if (entries.isEmpty) return readString(new Path(d, name).toString)
+      if (entries.isEmpty) {
+        // No COMPLETE entry. A crashed writer may have left the log dir
+        // with only invisible `.tmp.` files and no plain pointer — surface
+        // the protocol's state instead of a raw FileNotFoundException
+        // (ADVICE r17: callers that raced pointerExists got an unhelpful
+        // failure mode).
+        try return readString(new Path(d, name).toString)
+        catch {
+          case e: java.io.FileNotFoundException if fs.exists(ld) =>
+            throw new java.io.IOException(
+              s"pointer $dir/$name not committed yet: log dir $ld exists " +
+                "but holds no complete entry (a writer crashed mid-commit?) " +
+                "and no plain pointer file is present", e)
+        }
+      }
       val winner = entries.maxBy(e => (e.seq, e.path.getName))
       try return readString(winner.path.toString)
-      catch { case _: java.io.FileNotFoundException => attempt += 1 }
+      catch {
+        case _: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt < maxAttempts) Thread.sleep(math.min(50L * attempt, 400L))
+      }
     }
     throw new java.io.IOException(
-      s"pointer $dir/$name kept vanishing mid-read ($attempt retries) — " +
-        "a GC/writer storm or a broken filesystem listing")
+      s"pointer $dir/$name kept vanishing mid-read ($attempt retries with " +
+        "backoff) — a GC/writer storm beyond the retention window or a " +
+        "broken filesystem listing")
   }
 
   def pointerExists(dir: String, name: String): Boolean = {

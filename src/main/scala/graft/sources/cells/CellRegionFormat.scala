@@ -129,7 +129,8 @@ object CellRegionFormat {
    *     reads, ~20 monitor ops per cell; per-file CPU inflated 27× going
    *     from 1 to 32 threads on the lock/coherence traffic.
    *
-   * So the cursor owns a plain `FileInputStream` and a 1 MiB chunk buffer,
+   * So the cursor owns an unwrapped Hadoop `FSDataInputStream` (raw FS on
+   * local paths — see [[rawFs]]) and a 1 MiB chunk buffer,
    * parses primitives with explicit big-endian byte math, reuses the
    * key/qual/value buffers across cells (`keyLen`/`qualLen`/`valueLen` give
    * the valid prefix), and INTERNS the event-type string against the small

@@ -143,8 +143,21 @@ object CellRegions {
    * complete dir can never be deleted (ADVICE r3: an unlocked
    * check-then-rm self-heal could delete the dir another JVM just renamed
    * into place).
+   *
+   * LOCAL-FILESYSTEM ONLY, by contract: this guards the per-machine
+   * `/tmp/graft-fixtures` cache, whose whole point is host-local reuse —
+   * `java.io.File` + `FileChannel.lock` are the right primitives for that
+   * and have no meaning on HDFS/S3. Enforced below; a remote store's
+   * publish goes through [[graft.sources.StoreIO]]'s pointer protocol
+   * instead (VERDICT r17 what's-missing #3).
    */
   def promoteUnderLock(out: String)(write: String => Unit): Unit = {
+    val scheme = new java.net.URI(out).getScheme
+    require(scheme == null,
+      s"promoteUnderLock is local-only (it guards the per-host fixture " +
+        s"cache with java.io.File + an OS file lock); pass a bare local " +
+        s"path, got scheme '$scheme' in $out — remote stores publish " +
+        "through StoreIO's pointer protocol")
     val tmp = s"$out.tmp.${java.lang.ProcessHandle.current.pid}.t${Thread.currentThread().getId}"
     write(tmp)
     def rm(f: java.io.File): Unit = {

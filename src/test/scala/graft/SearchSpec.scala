@@ -300,14 +300,13 @@ class SearchSpec extends AnyFunSuite {
     val pf = p.linesIterator.find(_.contains("PartitionFilters: [")).getOrElse("")
     assert(pf.contains("bucket#") && (pf.contains(" IN ") || pf.contains("INSET")),
       s"expected a flat distinct-bucket IN partition filter:\n$p")
-    // the only tokenize is the QUERY batch's own derivation (one explode
-    // over the 100-row query frame); the corpus text is never split again.
-    // (r17: the θ̃ candidate pool also explodes the global TopK's O(m)
-    // ENTRIES array — bounded rows, no text split, allowed.)
+    // the only explode is the QUERY batch's own derivation (one explode
+    // over the 100-row query frame); the corpus side is never exploded —
+    // neither a text re-split nor a corpus-sized explode of pre-tokenized
+    // index arrays
     val explodes = p.linesIterator.filter(_.contains("Generate explode")).toSeq
-    assert(explodes.nonEmpty &&
-      explodes.forall(l => l.contains("query") || !l.contains("split(")),
-      s"serve path must never split corpus text:\n$p")
+    assert(explodes.nonEmpty && explodes.forall(_.contains("query")),
+      s"serve path must only explode the query frame:\n$p")
     assert(p.contains("partial_topkdouble"), s"expected TopK partial aggregation:\n$p")
     assert(!p.contains("Window"), s"no per-query row_number window allowed:\n$p")
   }
