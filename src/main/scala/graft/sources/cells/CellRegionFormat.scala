@@ -12,11 +12,23 @@ import org.apache.spark.sql.types._
  * analogue: `README.md:42-54`'s one-row-per-period layout), length-prefixed:
  *
  * {{{
- *   magic "GCEL2\n"
+ *   magic "GCEL3\n"
  *   cell*: keyLen:int32 key qualLen:int32 qual valLen:int32 value
  *          valueLong:int64 valueDouble:float64
  *          etLen:int32 eventTypeUtf8   (etLen −1 = null)
+ *   footer: sentinel:int32 = −1 (in keyLen position)
+ *           xxhash64:int64 of every preceding byte (magic + cells)
  * }}}
+ *
+ * The footer (v3) restores at-rest bit-flip detection after [[rawFs]]
+ * bypassed Hadoop's client-side CRC (VERDICT r17 next #3): magic + length
+ * bounds catch truncation and framing damage, but a flipped bit inside an
+ * 8-byte value field decodes to a silently wrong long/double. The cursor
+ * folds every consumed byte into a streaming [[XxHash64Stream]] at buffer
+ * compaction (per ~1 MiB, not per cell) and compares ONCE at EOF — a file
+ * ending without the footer is reported truncated, so the hash also closes
+ * the clean-EOF-at-a-cell-boundary truncation blind spot the length bounds
+ * alone could not see.
  *
  * `value_long` is the interpreter-decoded integer (cents) of the binary
  * `value` — stored typed so pushed-down aggregation ([[GraftCellsScanBuilder]]
@@ -32,7 +44,14 @@ import org.apache.spark.sql.types._
  */
 object CellRegionFormat {
 
-  val Magic = "GCEL2\n"
+  val Magic = "GCEL3\n" // v3: +integrity footer (v2 files fail the magic check and rebuild)
+
+  /** Footer marker in the keyLen position — no valid cell has a negative
+    * key length, so the sentinel is unambiguous mid-stream. */
+  val FooterSentinel: Int = -1
+
+  /** Seed for the footer hash (any fixed constant; "GCL3" in ASCII). */
+  val FooterSeed: Long = 0x47434c33L
 
   val Schema: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = false),
@@ -99,20 +118,62 @@ object CellRegionFormat {
       case fs => fs
     }
 
-  def writeHeader(out: DataOutputStream): Unit =
+  /** Tee that folds every byte into the footer hash on its way down. The
+    * 1 MiB BufferedOutputStream sits ABOVE this, so updates arrive in
+    * buffer-sized runs — per flush, not per field. */
+  private final class HashingOutputStream(dst: java.io.OutputStream,
+      h: XxHash64Stream) extends java.io.OutputStream {
+    private val one = new Array[Byte](1)
+    override def write(b: Int): Unit = {
+      one(0) = b.toByte; h.update(one, 0, 1); dst.write(b)
+    }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      h.update(b, off, len); dst.write(b, off, len)
+    }
+    override def flush(): Unit = dst.flush()
+    override def close(): Unit = dst.close()
+  }
+
+  /**
+   * The ONLY region-file encoder (the [[CellCursor]]'s write-side twin):
+   * magic, cells, then the integrity footer — sentinel + xxhash64 of every
+   * preceding byte. [[finish]] publishes the footer and closes; closing
+   * WITHOUT `finish` (the abort path) leaves a footer-less file that every
+   * reader rejects as truncated, so a crashed writer can never pass for a
+   * complete region.
+   */
+  final class RegionFileWriter(rawOut: java.io.OutputStream) {
+    private val hasher = new XxHash64Stream(FooterSeed)
+    private val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new HashingOutputStream(rawOut, hasher), 1 << 20))
     out.write(Magic.getBytes("US-ASCII"))
 
-  def writeCell(out: DataOutputStream, c: Cell): Unit = {
-    out.writeInt(c.key.length); out.write(c.key)
-    out.writeInt(c.qual.length); out.write(c.qual)
-    out.writeInt(c.value.length); out.write(c.value)
-    out.writeLong(c.valueLong)
-    out.writeDouble(c.valueDouble)
-    if (c.eventType == null) out.writeInt(-1)
-    else {
-      val b = c.eventType.getBytes("UTF-8")
-      out.writeInt(b.length); out.write(b)
+    def write(c: Cell): Unit = {
+      out.writeInt(c.key.length); out.write(c.key)
+      out.writeInt(c.qual.length); out.write(c.qual)
+      out.writeInt(c.value.length); out.write(c.value)
+      out.writeLong(c.valueLong)
+      out.writeDouble(c.valueDouble)
+      if (c.eventType == null) out.writeInt(-1)
+      else {
+        val b = c.eventType.getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b)
+      }
     }
+
+    /** Flush the payload through the hash, freeze the digest, append the
+      * footer (whose own bytes are past the digest point by construction),
+      * close. */
+    def finish(): Unit = {
+      out.flush()
+      val h = hasher.digest()
+      out.writeInt(FooterSentinel)
+      out.writeLong(h)
+      out.close()
+    }
+
+    /** Abort: close without a footer — readers report the file truncated. */
+    def close(): Unit = out.close()
   }
 
   /**
@@ -166,6 +227,13 @@ object CellRegionFormat {
     private var pos = 0
     private var base = 0L // file offset of buf(0) — for corrupt-file diagnostics
 
+    // Footer verification state: every CONSUMED byte below `hashedAbs` has
+    // been folded into the stream hash. Updates ride buffer compaction
+    // (once per ~1 MiB refill, not per cell) plus one final fold at the
+    // sentinel — see verifyFooter.
+    private val hasher = new XxHash64Stream(CellRegionFormat.FooterSeed)
+    private var hashedAbs = 0L
+
     // verify the magic up front (the header is the only non-cell content);
     // close the just-opened stream on failure — the constructor throw happens
     // before any caller's try/finally can reach close()
@@ -180,6 +248,11 @@ object CellRegionFormat {
     /** Make `n` bytes available at `pos`; false only at clean end-of-file. */
     private def ensure(n: Int): Boolean = {
       if (limit - pos >= n) return true
+      // fold the bytes this compaction discards into the footer hash
+      if (base + pos > hashedAbs) {
+        hasher.update(buf, (hashedAbs - base).toInt, (base + pos - hashedAbs).toInt)
+        hashedAbs = base + pos
+      }
       System.arraycopy(buf, pos, buf, 0, limit - pos)
       base += pos
       limit -= pos; pos = 0
@@ -252,10 +325,17 @@ object CellRegionFormat {
       len
     }
 
-    /** Advance to the next cell; false at (clean) end-of-file. */
+    /** Advance to the next cell; false exactly once, at the VERIFIED
+      * integrity footer. A file that simply ends — even cleanly at a cell
+      * boundary — is reported truncated: before the v3 footer that
+      * truncation class was invisible to the length bounds. */
     def advance(): Boolean = {
-      if (!ensure(4)) return false
-      keyLen = checkLen(i32(), "key")
+      if (!ensure(4)) throw new java.io.EOFException(
+        s"truncated region file $file: ended at offset ${base + pos} " +
+          "without the integrity footer")
+      val len0 = i32()
+      if (len0 == CellRegionFormat.FooterSentinel) { verifyFooter(); return false }
+      keyLen = checkLen(len0, "key")
       if (!ensure(keyLen + 4)) throw new java.io.EOFException(s"truncated cell in $file")
       key = copyOut(key, keyLen)
       qualLen = checkLen(i32(), "qualifier")
@@ -267,13 +347,34 @@ object CellRegionFormat {
       valueLong = i64()
       valueDouble = java.lang.Double.longBitsToDouble(i64())
       val etLen = i32()
-      if (etLen == -1) eventType = null // writeCell's null sentinel; any other
+      if (etLen == -1) eventType = null // the writer's null sentinel; any other
       else {                            // negative length is corruption
         checkLen(etLen, "event-type")
         if (!ensure(etLen)) throw new java.io.EOFException(s"truncated cell in $file")
         eventType = internEt(etLen)
       }
       true
+    }
+
+    /** Compare the stored footer hash against the streamed payload hash.
+      * Called with `pos` just past the sentinel int; the payload is every
+      * byte in [0, sentinelStart). The digest is frozen BEFORE the footer
+      * bytes can reach the hasher through a later compaction. */
+    private def verifyFooter(): Unit = {
+      val sentinelStart = base + pos - 4
+      if (sentinelStart > hashedAbs) {
+        hasher.update(buf, (hashedAbs - base).toInt, (sentinelStart - hashedAbs).toInt)
+        hashedAbs = sentinelStart
+      }
+      val computed = hasher.digest()
+      if (!ensure(8)) throw new java.io.EOFException(
+        s"truncated region file $file: footer sentinel present but hash missing")
+      val stored = i64()
+      if (stored != computed) throw new java.io.IOException(
+        f"corrupt region file $file: integrity hash mismatch (stored 0x$stored%016x, " +
+          f"computed 0x$computed%016x) — at-rest damage in the payload")
+      if (ensure(1)) throw new java.io.IOException(
+        s"corrupt region file $file: ${limit - pos} trailing byte(s) after the integrity footer")
     }
 
     /** Unsigned-lexicographic compare of the current key against `bound`. */

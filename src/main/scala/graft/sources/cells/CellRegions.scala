@@ -20,7 +20,7 @@ import graft.sources.Fixtures
  */
 object CellRegions {
 
-  private val Version = "v2" // v2: +value_long (typed cents for pushed aggregation)
+  private val Version = "v3" // v3: +integrity footer (v2: +value_long for pushed aggregation)
   private val NumRegions = 8
   private val lock = new Object
 
@@ -91,21 +91,22 @@ object CellRegions {
         // running zombie of the same partition before the rename publishes
         val tmpPath = new org.apache.hadoop.fs.Path(
           outP, f"part-$pid%05d-a${tc.taskAttemptId()}.inprogress")
-        val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-          fs.create(tmpPath, true), 1 << 20))
+        val w = new CellRegionFormat.RegionFileWriter(fs.create(tmpPath, true))
         var first: Array[Byte] = null
         var last: Array[Byte] = null
+        var finished = false
         try {
-          CellRegionFormat.writeHeader(dos)
           it.foreach { r =>
             val key = r.getAs[Array[Byte]](0)
             if (first == null) first = key
             last = key
-            CellRegionFormat.writeCell(dos, CellRegionFormat.Cell(
+            w.write(CellRegionFormat.Cell(
               key, r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2),
               r.getLong(3), r.getDouble(4), r.getString(5)))
           }
-        } finally dos.close()
+          w.finish() // seals the integrity footer; abort leaves no footer
+          finished = true
+        } finally if (!finished) w.close()
         val target = new org.apache.hadoop.fs.Path(
           outP, CellRegionFormat.regionFileName(pid, first, last))
         // attempt race: partition content is deterministic (range-partitioned

@@ -163,12 +163,9 @@ class CellSourceSpec extends AnyFunSuite {
   private def writeRegion(dir: java.io.File, id: Int, cells: Seq[Cell]): Unit = {
     val sorted = cells.sortBy(c => CellRegionFormat.hex(c.key))
     val tmp = new java.io.File(dir, s"r$id.inprogress")
-    val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(tmp)))
-    try {
-      CellRegionFormat.writeHeader(dos)
-      sorted.foreach(CellRegionFormat.writeCell(dos, _))
-    } finally dos.close()
+    val w = new CellRegionFormat.RegionFileWriter(new java.io.FileOutputStream(tmp))
+    sorted.foreach(w.write)
+    w.finish()
     val target = new java.io.File(dir,
       CellRegionFormat.regionFileName(id, sorted.head.key, sorted.last.key))
     assert(tmp.renameTo(target), s"atomic publish failed for $target")
@@ -291,11 +288,10 @@ class CellSourceSpec extends AnyFunSuite {
     import graft.sources.cells.CellRegionFormat
     def writeFile(patch: (Array[Byte]) => Unit): java.io.File = {
       val bos = new java.io.ByteArrayOutputStream()
-      val dos = new java.io.DataOutputStream(bos)
-      CellRegionFormat.writeHeader(dos)
-      CellRegionFormat.writeCell(dos, CellRegionFormat.Cell(
+      val w = new CellRegionFormat.RegionFileWriter(bos)
+      w.write(CellRegionFormat.Cell(
         Array[Byte](1, 2, 3, 4), Array[Byte](9), Array[Byte](7, 7), 42L, 0.5, "et0"))
-      dos.flush()
+      w.finish()
       val bytes = bos.toByteArray
       patch(bytes)
       val f = java.io.File.createTempFile("corrupt-", ".gcell")
@@ -303,9 +299,10 @@ class CellSourceSpec extends AnyFunSuite {
       java.nio.file.Files.write(f.toPath, bytes)
       f
     }
-    // keyLen int32 sits right after the 6-byte magic
+    // keyLen int32 sits right after the 6-byte magic (−2: −1 is the footer
+    // sentinel, exercised by RegionIntegritySpec)
     val negative = writeFile(b => { b(6) = 0xff.toByte; b(7) = 0xff.toByte
-      b(8) = 0xff.toByte; b(9) = 0xff.toByte })
+      b(8) = 0xff.toByte; b(9) = 0xfe.toByte })
     val huge = writeFile(b => { b(6) = 0x7f.toByte }) // keyLen ≈ 2^31
     for (f <- Seq(negative, huge)) {
       val cur = new CellRegionFormat.CellCursor(f.getAbsolutePath)
