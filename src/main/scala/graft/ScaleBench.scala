@@ -47,21 +47,38 @@ object ScaleBench {
     // are for order-of-magnitude plan-shape verification (is this section's
     // shuffle O(buckets) or O(rows)?), not accounting-grade.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // GRAFT_SCALE_STAGES=1: per-section top-stages report (executor run
+    // time + spill), for attributing a section's wall to its plan stages
+    val stageProf = sys.env.get("GRAFT_SCALE_STAGES").contains("1")
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          if (stageProf) stageRows.add((
+            sc.stageInfo.name.takeWhile(_ != '\n').take(90),
+            m.executorRunTime, m.memoryBytesSpilled + m.diskBytesSpilled,
+            sc.stageInfo.numTasks.toLong))
+        }
       }
     })
     def time(name: String)(f: => Unit): Unit = {
       Thread.sleep(200) // settle listener events from the previous section
       val s0 = shuffleBytes.get()
+      stageRows.clear()
       val t = System.nanoTime(); f
       val secs = (System.nanoTime() - t) / 1e9
       Thread.sleep(200)
       val sMb = (shuffleBytes.get() - s0) / 1e6
       println(f"[scale] $name: $secs%.2f s, shuffle $sMb%.1f MB ($rows%,d rows)")
+      if (stageProf) {
+        import scala.jdk.CollectionConverters._
+        stageRows.asScala.toSeq.sortBy(-_._2).take(6).foreach { case (n, rt, sp, nt) =>
+          println(f"[stages]   ${rt / 1e3}%8.1f cpu-s  spill ${sp / 1e6}%7.0f MB  tasks $nt%4d  $n")
+        }
+      }
     }
 
     // Run only matching sections: GRAFT_SCALE_ONLY=psl,soak (comma-separated
@@ -462,6 +479,54 @@ object ScaleBench {
           "needle", k = 25).collect().length == 25)
       }
     } // sectionOn("bm25")
+
+    // ---- batch BM25 one decade past the sweep (VERDICT r17 next #7) ----
+    // Probes the two REGISTERED batch doors (same query derivation as
+    // search_bm25_batch[_indexed]) on a MakeScaled corpus directory —
+    // default /tmp/graft-sf10, i.e. 100× the graded sf0.1 corpus, one
+    // decade past the sf1 sweep. The graded question: does the
+    // 2.0–2.6×-per-decade wall band hold sf1→sf10, and what is the
+    // measured size of the linear term (the bounds aggregate's
+    // O(Σ_t df(t)·queries(t)) fanout) and of the exact fold's input?
+    // Set GRAFT_SEARCH_PROF=1 to print those counts from the operator.
+    if (sectionOn("bm25batchx")) {
+      import graft.operators.Search
+      // comma-separated corpus dirs, interleaved across GRAFT_SCALE_BM25_PASSES
+      // in-JVM passes (the per-round bench's median protocol: single-shot
+      // walls at this scale vary ±40% with JIT/page-cache state)
+      val dirsX = sys.env.getOrElse("GRAFT_SCALE_BM25_DIR", "/tmp/graft-sf10")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val passesX = sys.env.get("GRAFT_SCALE_BM25_PASSES").map(_.toInt).getOrElse(1)
+      for (dirX <- dirsX if !graft.sources.StoreIO.exists(s"$dirX/documents.parquet"))
+        println(s"[scale] bm25batchx SKIPPED: $dirX absent " +
+          "(sbt \"runMain graft.MakeScaled /root/testdata/sf0.1 /tmp/graft-sf10 100\")")
+      for (pass <- 1 to passesX;
+           dirX <- dirsX if graft.sources.StoreIO.exists(s"$dirX/documents.parquet")) {
+        val docsX = graft.sources.Tables.documents(spark, dirX)
+        val nDocsX = docsX.count()
+        val queriesX = docsX.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(
+              graft.functions.TextFunctions.tokens(col("text")), 1, 3), " ")
+              .as("query"))
+        var scanRows = 0L
+        time(s"bm25TopKAll scan door [$dirX pass $pass]: $nDocsX docs, ${nDocsX / 5} queries") {
+          scanRows = Search.bm25TopKAll(docsX, queriesX, k = 5).count()
+        }
+        // index build is the once-per-snapshot cost — timed separately so
+        // the serve row is comparable to the sweep's per-call number
+        var ix: Search.SearchIndex = null
+        time(s"build+write search index [$dirX pass $pass] (once per snapshot)") {
+          ix = graft.sources.Fixtures.searchIndex(spark, dirX)
+        }
+        var ixRows = 0L
+        time(s"bm25TopKAllIndexed serve [$dirX pass $pass]: $nDocsX docs, ${nDocsX / 5} queries") {
+          ixRows = Search.bm25TopKAllIndexed(ix, queriesX, k = 5).count()
+        }
+        assert(scanRows == ixRows && scanRows > 0,
+          s"batch doors disagree at scale: scan=$scanRows indexed=$ixRows")
+      }
+    } // sectionOn("bm25batchx")
 
     // ---- incremental (delta-vs-index) dedup: probe cost vs base size ----
     // The production claim under measurement: deduplicating a crawl
