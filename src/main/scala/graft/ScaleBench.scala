@@ -1926,7 +1926,10 @@ object ScaleBench {
     // every cell into Spark's aggregate. Same files, same readers — the
     // delta is what aggregation-at-the-source buys.
     val nCells = rows / 5 // 20M for the default 100M run
-    val cellDir = s"/tmp/graft-fixtures/scalebench-cells-v1-$nCells"
+    // keyed on the format magic so a format bump (e.g. the v3 integrity
+    // footer) invalidates the cache instead of serving unreadable files
+    val cellDir = "/tmp/graft-fixtures/scalebench-cells-" +
+      s"${graft.sources.cells.CellRegionFormat.Magic.trim.toLowerCase}-$nCells"
     if (!new java.io.File(s"$cellDir/_SUCCESS").exists()) {
       import graft.functions.expressions.LongToBytesBE
       val cents = pmod(col("id") * lit(40503L), lit(100000L))
