@@ -18,6 +18,14 @@ import org.apache.spark.sql.DataFrame
  * round's final bench run (`bench_baseline_candidate.tsv`, written by every
  * Bench run): `name<TAB>median_seconds<TAB>plan_fingerprint` lines.
  *
+ * WHICH TOTAL PROMOTIONS COMPARE (VERDICT r18 next #4): everything on this
+ * gate — per-query flags and the run-total quoted in promotion notes — is
+ * MEDIAN vs MEDIAN. The bench JSON's headline `value` sums per-query MINS
+ * (the steady-state floor, a deliberately different statistic) and never
+ * enters a promotion comparison; Bench prints both (`value_median` rides
+ * next to `value` in every output form) so the ~13% min-vs-median spread
+ * reads as what it is instead of a phantom slow-host window.
+ *
  * The gate is deliberately PURE (maps in, flags out) so a synthetic
  * slowdown is testable without running a benchmark (BenchGateSpec).
  */

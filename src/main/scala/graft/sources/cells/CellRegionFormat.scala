@@ -30,6 +30,17 @@ import org.apache.spark.sql.types._
  * the clean-EOF-at-a-cell-boundary truncation blind spot the length bounds
  * alone could not see.
  *
+ * SCOPE (ADVICE r18): the comparison point is EOF, so detection covers
+ * scans that DRAIN the file — the full-region reads the correctness gate
+ * exercises. A key-bounded scan that stops early at its `stopBound`, or a
+ * pushed-agg scan over a pruned key range, never reaches the footer, and a
+ * bit flip confined to its consumed prefix decodes silently there (the
+ * length bounds and magic still police framing). Per-block hashing would
+ * close that window at the cost of a footer per flush; at the current
+ * region sizes (whole files fit the 1 MiB window several times over, and
+ * the gate reads every file fully at least once per round) the one-footer
+ * form is the measured-zero-cost point on that tradeoff.
+ *
  * `value_long` is the interpreter-decoded integer (cents) of the binary
  * `value` — stored typed so pushed-down aggregation ([[GraftCellsScanBuilder]]
  * `SupportsPushDownAggregates`) can SUM it exactly (integer arithmetic is
@@ -233,6 +244,7 @@ object CellRegionFormat {
     // sentinel — see verifyFooter.
     private val hasher = new XxHash64Stream(CellRegionFormat.FooterSeed)
     private var hashedAbs = 0L
+    private var footerVerified = false // latches advance() at idempotent-false
 
     // verify the magic up front (the header is the only non-cell content);
     // close the just-opened stream on failure — the constructor throw happens
@@ -325,11 +337,17 @@ object CellRegionFormat {
       len
     }
 
-    /** Advance to the next cell; false exactly once, at the VERIFIED
-      * integrity footer. A file that simply ends — even cleanly at a cell
-      * boundary — is reported truncated: before the v3 footer that
-      * truncation class was invisible to the length bounds. */
+    /** Advance to the next cell; false at the VERIFIED integrity footer,
+      * and IDEMPOTENTLY false on every call after that (ADVICE r18: the
+      * buffer is exhausted once the footer is consumed, so without the
+      * latch a re-poll after false would surface as a spurious
+      * "truncated" EOFException — a silent contract change from
+      * idempotent-false to throw-on-reuse). A file that simply ends —
+      * even cleanly at a cell boundary — is reported truncated: before
+      * the v3 footer that truncation class was invisible to the length
+      * bounds. */
     def advance(): Boolean = {
+      if (footerVerified) return false
       if (!ensure(4)) throw new java.io.EOFException(
         s"truncated region file $file: ended at offset ${base + pos} " +
           "without the integrity footer")
@@ -375,6 +393,7 @@ object CellRegionFormat {
           f"computed 0x$computed%016x) — at-rest damage in the payload")
       if (ensure(1)) throw new java.io.IOException(
         s"corrupt region file $file: ${limit - pos} trailing byte(s) after the integrity footer")
+      footerVerified = true
     }
 
     /** Unsigned-lexicographic compare of the current key against `bound`. */

@@ -153,7 +153,10 @@ object CellRegions {
    * instead (VERDICT r17 what's-missing #3).
    */
   def promoteUnderLock(out: String)(write: String => Unit): Unit = {
-    val scheme = new java.net.URI(out).getScheme
+    // Hadoop Path parsing, not java.net.URI (ADVICE r18): legal local paths
+    // with spaces or other non-URI characters must pass the guard, not die
+    // in URISyntaxException before the descriptive require can fire.
+    val scheme = new org.apache.hadoop.fs.Path(out).toUri.getScheme
     require(scheme == null,
       s"promoteUnderLock is local-only (it guards the per-host fixture " +
         s"cache with java.io.File + an OS file lock); pass a bare local " +

@@ -17,8 +17,8 @@ package graft.sources.cells
  * reader (they differ: the writer flushes at buffer fills, the cursor
  * compacts at cell boundaries). This class keeps the standard XXH64
  * streaming state (4 lane accumulators + a 32-byte carry), so the digest
- * is boundary-independent — XxHashSpec pins it byte-for-byte against
- * Spark's one-shot across lengths and split points.
+ * is boundary-independent — RegionIntegritySpec pins it byte-for-byte
+ * against Spark's one-shot across lengths and split points.
  *
  * Not thread-safe (one instance per stream, like the cursor itself).
  */

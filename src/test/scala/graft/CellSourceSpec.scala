@@ -317,6 +317,29 @@ class CellSourceSpec extends AnyFunSuite {
     val cur = new CellRegionFormat.CellCursor(ok.getAbsolutePath)
     assert(cur.advance() && cur.valueLong == 42L && cur.eventType == "et0")
     assert(!cur.advance())
+    // IDEMPOTENT false after the verified footer (ADVICE r18): a re-poll
+    // must not morph into a spurious "truncated" EOFException
+    assert(!cur.advance() && !cur.advance())
     cur.close()
+  }
+
+  test("promoteUnderLock enforces its local-only contract (VERDICT r18 next #6)") {
+    val local = java.nio.file.Files.createTempDirectory("graft-promote").toString
+    for (bad <- Seq(s"file://$local/out", "hdfs://nn:8020/cache/out")) {
+      val e = intercept[IllegalArgumentException](
+        CellRegions.promoteUnderLock(bad)(_ => fail("write must never run")))
+      assert(e.getMessage.contains("local-only"), e.getMessage)
+    }
+    // a bare local path with SPACES must pass the guard (ADVICE r18: the
+    // old java.net.URI parse threw URISyntaxException before the require)
+    val spaced = s"$local/with space/out"
+    CellRegions.promoteUnderLock(spaced) { tmp =>
+      val d = new java.io.File(tmp); d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, "data").toPath, "x")
+      java.nio.file.Files.writeString(new java.io.File(d, "_SUCCESS").toPath, "")
+    }
+    assert(new java.io.File(s"$spaced/_SUCCESS").exists())
+    assert(java.nio.file.Files.readString(
+      new java.io.File(s"$spaced/data").toPath) == "x")
   }
 }

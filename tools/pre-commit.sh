@@ -26,6 +26,12 @@ if ! git diff --cached --name-only | grep -qE '\.(scala|sbt)$'; then
 fi
 echo "[pre-commit] staged Scala/sbt changes — running sbt Test/compile ..." >&2
 cd "$(git rev-parse --show-toplevel)" || exit 1
+# Doc-reference rot guard (VERDICT r18 wrong #1, three rounds running):
+# every `FooSpec` a main-source comment cites must exist under src/test.
+if ! tools/docrefs.sh; then
+  echo "[pre-commit] REFUSED: stale spec name cited in main source (see above)." >&2
+  exit 1
+fi
 if ! sbt -batch Test/compile >/tmp/precommit_compile.log 2>&1; then
   echo "[pre-commit] REFUSED: sbt Test/compile failed — the snapshot must build." >&2
   tail -n 30 /tmp/precommit_compile.log >&2
