@@ -945,6 +945,16 @@ object SparkEntry {
     "search_bm25_batch_indexed" -> ((s, d) =>
       Search.bm25TopKAllIndexed(Fixtures.searchIndex(s, d),
         bm25BatchQueries(s, d), k = 5)),
+    // the QUERY-SHARD door (VERDICT r18 next #1 — SCALE.md's stated
+    // escape hatch for the batch's linear fanout term, now registered
+    // code): the query set hash-splits into 4 slices that replay ONE
+    // shared scored cache, so per-pair state (bounds aggregate maps,
+    // survivor broadcast, fold buffers) is ~1/4 per slice while every
+    // query's arithmetic is untouched — output bit-identical to
+    // search_bm25_batch, gated by the SAME oracle SQL
+    "search_bm25_batch_sharded" -> ((s, d) =>
+      Search.bm25TopKAllSharded(documents(s, d), bm25BatchQueries(s, d),
+        k = 5, shards = 4)),
     // REAL BPE token counts (Sennrich et al. 2016) under the persisted
     // 40-merge model trained on this corpus — the sequence-length
     // accounting a packing/budgeting pipeline runs (whitespace counts
@@ -1053,7 +1063,8 @@ object SparkEntry {
     },
     // near-dup tier of the same delta-vs-index probe: oracled through the
     // committed 64-permutation signature TSV (the sentinel-fixture pattern,
-    // same as dedup_minhash) and ALSO cross-checked in DedupSpec: its pairs
+    // same as dedup_minhash) and ALSO cross-checked in IncrementalDedupSpec:
+    // its pairs
     // must equal full-corpus minhashNearDup's delta×base pairs.
     "dedup_incremental_near" -> { (s, d) => // full oracle via the committed signature TSV
       Dedup.incrementalNearDup(
@@ -2160,6 +2171,7 @@ object SparkEntry {
       "search_bm25_indexed" -> bm25OracleSql,
       "search_bm25_batch" -> bm25BatchOracleSql,
       "search_bm25_batch_indexed" -> bm25BatchOracleSql,
+      "search_bm25_batch_sharded" -> bm25BatchOracleSql,
       // exact cross-product rate divergence (DuckDB HUGEINT side of the
       // engine's decimal(38) arithmetic); top-20 set cut by (shift, token),
       // then re-sorted by the output columns like the engine

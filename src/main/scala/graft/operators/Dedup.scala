@@ -31,8 +31,19 @@ object Dedup {
   // time, so a bound below an operator's own chain evicts its earliest
   // cache before the action that needs it even runs (measured: the scan
   // door re-tokenized the sf1 corpus three times, +14 s).
-  private val MaxLiveCaches = 8
+  private val MaxLiveCachesBase = 8
+  // Raised (never lowered) by ensureCacheBudget when one operator call
+  // legitimately holds a deeper live chain than the base bound — the
+  // K-shard batch-BM25 door keeps 2 shared + 2 per-shard caches alive
+  // across its construction+action window (r19), and FIFO eviction at the
+  // base bound would silently drop the shared scored cache mid-run,
+  // recomputing the corpus tokenize once per remaining shard (the exact
+  // r17 +14 s failure mode, ×K at probe scale). Still a bound: the
+  // session's high-water operator depth, not unbounded accumulation.
+  @volatile private var maxLiveCaches = MaxLiveCachesBase
   private val liveCaches = new java.util.ArrayDeque[DataFrame]()
+  private[graft] def ensureCacheBudget(n: Int): Unit =
+    liveCaches.synchronized { if (n > maxLiveCaches) maxLiveCaches = n }
   private[graft] def persistScoped(df: DataFrame): DataFrame = {
     // idempotent: an already-persisted frame (iterative operators manage
     // round-by-round persistence themselves) is only TRACKED, not re-persisted
@@ -42,7 +53,7 @@ object Dedup {
       else df
     liveCaches.synchronized {
       liveCaches.addLast(p)
-      while (liveCaches.size > MaxLiveCaches) liveCaches.pollFirst().unpersist(blocking = false)
+      while (liveCaches.size > maxLiveCaches) liveCaches.pollFirst().unpersist(blocking = false)
     }
     p
   }

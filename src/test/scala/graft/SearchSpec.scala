@@ -625,4 +625,40 @@ class SearchSpec extends AnyFunSuite {
     // corpus stats and per-term dfs ride broadcasts
     assert(p.contains("BroadcastExchange"), s"expected broadcast joins:\n$p")
   }
+
+  test("sharded doors == unsharded bit-for-bit: scan + indexed, all-ties corpus, empty shards") {
+    // VERDICT r18 next #1: the query-shard door must reproduce the
+    // unsharded output EXACTLY — hash slicing partitions work, never
+    // arithmetic. The all-ties corpus is the adversarial case for the
+    // per-slice bound pass (every tied pair must survive in every slice),
+    // and shards beyond the live query count leave EMPTY slices the door
+    // must skip, not crash on. A blank query rides along to pin the
+    // no-tokens-no-rows contract through the shard split.
+    val ties = (1L to 40L).map(i => (i, "alpha beta gamma"))
+    val near = (41L to 60L).map(i => (i, "alpha beta"))
+    val far = (61L to 70L).map(i => (i, "delta"))
+    val docs = (ties ++ near ++ far).toDF("doc_id", "text").repartition(5)
+    val qs = Seq((1L, "alpha beta"), (2L, "alpha delta"), (3L, "gamma"),
+      (4L, "beta"), (5L, "delta gamma"), (6L, "   ")).toDF("query_id", "query")
+    def bits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4))).toSeq
+    val unsharded = bits(Search.bm25TopKAll(docs, qs, k = 5))
+    graft.operators.Dedup.clearCaches()
+    for (shards <- Seq(2, 3, 16)) { // 16 > live queries ⇒ empty slices
+      assert(bits(Search.bm25TopKAllSharded(docs, qs, k = 5, shards = shards))
+        == unsharded, s"scan door diverges at shards=$shards")
+      graft.operators.Dedup.clearCaches()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardix").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(docs), dir)
+    val ix = Search.readSearchIndex(spark, dir)
+    assert(bits(Search.bm25TopKAllIndexed(ix, qs, k = 5)) == unsharded)
+    graft.operators.Dedup.clearCaches()
+    assert(bits(Search.bm25TopKAllIndexedSharded(ix, qs, k = 5, shards = 3))
+      == unsharded, "indexed door diverges at shards=3")
+    graft.operators.Dedup.clearCaches()
+    intercept[IllegalArgumentException](
+      Search.bm25TopKAllSharded(docs, qs, k = 5, shards = 0))
+  }
 }
