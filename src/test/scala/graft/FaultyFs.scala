@@ -43,7 +43,7 @@ class FaultyFs extends RawLocalFileSystem {
   private def localFile(p: Path): File = new File(p.toUri.getPath)
 
   override def rename(src: Path, dst: Path): Boolean = {
-    maybeKill("rename:before")
+    maybeKill("rename:before", dst)
     val s = localFile(src)
     if (!s.exists()) return false
     // Hadoop contract: renaming onto an existing directory moves INSIDE it
@@ -55,26 +55,26 @@ class FaultyFs extends RawLocalFileSystem {
     val tmp = new File(d.getParentFile, s".faultyput.${d.getName}.${System.nanoTime()}")
     copyTree(s, tmp)
     if (!tmp.renameTo(d)) { deleteTree(tmp); throw new IOException(s"faulty put failed: $d") }
-    maybeKill("rename:after-put") // dest committed, source still present
+    maybeKill("rename:after-put", dst) // dest committed, source still present
     if (renameDelayMs > 0) Thread.sleep(renameDelayMs)
     deleteTree(s)
-    maybeKill("rename:after-delete") // op complete, caller never learns
+    maybeKill("rename:after-delete", dst) // op complete, caller never learns
     true
   }
 
   // every public create overload funnels through this protected hook
   override def createOutputStreamWithMode(f: Path, append: Boolean,
       permission: FsPermission): java.io.OutputStream = {
-    maybeKill("create:before")
+    maybeKill("create:before", f)
     val out = super.createOutputStreamWithMode(f, append, permission)
-    if ("create:torn" == killAt.get()) new java.io.OutputStream {
+    if ("create:torn" == killAt.get() && pathArmed(f)) new java.io.OutputStream {
       override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
       override def write(b: Array[Byte], off: Int, len: Int): Unit = {
         // half the first write reaches the file, then the writer dies —
         // the torn content stays VISIBLE at `f`
         out.write(b, off, math.max(1, len / 2))
         out.close()
-        maybeKill("create:torn")
+        maybeKill("create:torn", f)
       }
       override def close(): Unit = () // already closed at the kill
     }
@@ -85,10 +85,15 @@ class FaultyFs extends RawLocalFileSystem {
     val real = super.listStatus(f)
       .filterNot(st => hidden.contains(st.getPath.toUri.getPath))
     val dirPath = f.toUri.getPath
+    // the budget counts listings OF A PHANTOM'S PARENT only (ADVICE r18:
+    // decrementing on every listing of ANY directory let an unrelated
+    // concurrent listing — Spark parquet IO on the same scheme — drain the
+    // budget before the reader under test ever saw a ghost)
+    val mine = phantoms.filter(_.getParent.toString == dirPath)
     val ghosts =
-      if (phantomListings.get() > 0) {
+      if (mine.nonEmpty && phantomListings.get() > 0) {
         phantomListings.decrementAndGet()
-        phantoms.filter(_.getParent.toString == dirPath).map { gp =>
+        mine.map { gp =>
           new FileStatus(0L, false, 1, 4096L, 0L,
             new Path("faulty://" + gp.toString))
         }.toArray
@@ -129,6 +134,13 @@ object FaultyFs {
   final class Killed(point: String) extends IOException(s"injected kill at $point")
 
   private val killAt = new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** When non-null, armed kills fire only on operations whose local path
+    * contains this substring — the lever that targets a specific commit
+    * step (e.g. the LATEST pointer flip) inside a lifecycle that does
+    * plenty of unrelated parquet IO on the same scheme. An unscoped kill
+    * inside a Spark TASK models a task failure (retried and survived),
+    * not the writer crash under test. */
+  @volatile private var killPathFilter: String = null
   /** Absolute local paths omitted from listings (lagging visibility). */
   @volatile var hidden: Set[String] = Set.empty
   /** Deleted paths still served by the next [[phantomListings]] listings
@@ -137,16 +149,26 @@ object FaultyFs {
   private val phantomListings = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var renameDelayMs: Long = 0L
 
-  def arm(point: String): Unit = killAt.set(point)
+  def arm(point: String): Unit = { killPathFilter = null; killAt.set(point) }
+  /** One-shot kill scoped to paths containing `pathContains`. */
+  def arm(point: String, pathContains: String): Unit = {
+    killPathFilter = pathContains
+    killAt.set(point)
+  }
+  private def pathArmed(p: Path): Boolean = {
+    val f = killPathFilter
+    f == null || p.toUri.getPath.contains(f)
+  }
   def armPhantoms(paths: Set[String], listings: Int): Unit = {
     phantoms = paths.map(java.nio.file.Paths.get(_))
     phantomListings.set(listings)
   }
-  private def maybeKill(point: String): Unit =
-    if (killAt.compareAndSet(point, null)) throw new Killed(point)
+  private def maybeKill(point: String, p: Path): Unit =
+    if (pathArmed(p) && killAt.compareAndSet(point, null)) throw new Killed(point)
 
   def reset(): Unit = {
     killAt.set(null)
+    killPathFilter = null
     hidden = Set.empty
     phantoms = Set.empty
     phantomListings.set(0)
