@@ -955,6 +955,13 @@ object SparkEntry {
     "search_bm25_batch_sharded" -> ((s, d) =>
       Search.bm25TopKAllSharded(documents(s, d), bm25BatchQueries(s, d),
         k = 5, shards = 4)),
+    // the PLAN-ONLY batch door (VERDICT r18 next #3): every driver-side
+    // action in the eager door replaced by its declarative twin (semi-join
+    // vocabulary filter, AQE-decided survivor joins) — construction
+    // launches zero jobs (SearchSpec pins it with a job listener) and the
+    // output is bit-identical, gated by the same oracle SQL
+    "search_bm25_batch_lazy" -> ((s, d) =>
+      Search.bm25TopKAllLazy(documents(s, d), bm25BatchQueries(s, d), k = 5)),
     // REAL BPE token counts (Sennrich et al. 2016) under the persisted
     // 40-merge model trained on this corpus — the sequence-length
     // accounting a packing/budgeting pipeline runs (whitespace counts
@@ -2172,6 +2179,7 @@ object SparkEntry {
       "search_bm25_batch" -> bm25BatchOracleSql,
       "search_bm25_batch_indexed" -> bm25BatchOracleSql,
       "search_bm25_batch_sharded" -> bm25BatchOracleSql,
+      "search_bm25_batch_lazy" -> bm25BatchOracleSql,
       // exact cross-product rate divergence (DuckDB HUGEINT side of the
       // engine's decimal(38) arithmetic); top-20 set cut by (shift, token),
       // then re-sorted by the output columns like the engine

@@ -135,7 +135,8 @@ object Search {
    * broadcast-vs-shuffle fold decision is frozen at that count) — the
    * heavy intermediates are scope-cached, so the subsequent action on the
    * result pays only the fold+cut, but an `explain` or a never-collected
-   * frame still executes the scoring stages.
+   * frame still executes the scoring stages. [[bm25TopKAllLazy]] is the
+   * plan-only variant (zero jobs at construction, bit-identical output).
    */
   def bm25TopKAll(docs: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
@@ -223,6 +224,129 @@ object Search {
     scoreAndCutAll(matched, idx.stats, qt, qCounts, k, idCol, qidCol,
       dfTable = idx.df.map(_.filter(col("token").isin(terms: _*))),
       shards = shards)
+  }
+
+  // ---------------------------------------------------------------------
+  // LAZY batch doors (VERDICT r18 next #3). The default doors are
+  // deliberately EAGER at construction: the vocabulary collect builds the
+  // plan-literal isin + the constant-folded bucket predicate, the fanout
+  // estimate sizes the bounds exchange past the gate, and the survivor
+  // count freezes the broadcast-vs-shuffle fold decision — every one a
+  // measured win, every one a driver-side action, so `explain()` (or a
+  // frame the caller never collects) executes real jobs. These variants
+  // are PLAN-ONLY by construction: every driver decision is replaced by
+  // its declarative equivalent, construction launches ZERO jobs
+  // (SearchSpec pins it with a job listener), and the first action pays
+  // everything. The trade, stated: no vocabulary cap (nothing collects,
+  // so nothing needs capping), the bounds exchange stays at the session
+  // default (a caller at probe scale sets spark.sql.shuffle.partitions
+  // or uses the eager door), the survivor joins rely on AQE's runtime
+  // broadcast conversion instead of the counted decision, and the
+  // indexed form's bucket pruning rides dynamic partition pruning
+  // instead of a constant-folded predicate. Output is bit-identical to
+  // the eager doors (same scorer, same fold, same cut; the shared
+  // oracle gates the scan form as `search_bm25_batch_lazy`).
+  // ---------------------------------------------------------------------
+
+  /** Plan-only [[bm25TopKAll]]: same output, zero jobs at construction. */
+  def bm25TopKAllLazy(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qt = queryTermTable(queries, qidCol, queryCol)
+    val vocab = qt.select(col("token")).distinct()
+    val toked = persistHot(
+      Parallelism.ensure(docs)
+        .select(col(idCol), tokens(col(textCol)).as("tk"))
+        .withColumn("dl", size(col("tk")).cast("long")))
+    val stats = toked.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    // the isin literal's declarative twin: a broadcast semi-join cuts the
+    // exploded postings to the batch vocabulary BEFORE any exchange, the
+    // same map-side filtering the plan literal buys
+    val matched = toked
+      .select(col(idCol), col("dl"), explode(col("tk")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "leftsemi")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    cutLazy(scoreTerms(matched, stats, None), qt, k, idCol, qidCol)
+  }
+
+  /** Plan-only [[bm25TopKAllIndexed]]: the constant-folded `bucket IN`
+    * predicate becomes a broadcast semi-join on (bucket, token) — Spark's
+    * dynamic partition pruning recovers the directory pruning at RUNTIME
+    * from the same join when it fires; either way no postings row outside
+    * the batch vocabulary survives the join. */
+  def bm25TopKAllIndexedLazy(idx: SearchIndex, queries: DataFrame,
+      k: Int = 10, idCol: String = "doc_id",
+      qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qt = queryTermTable(queries, qidCol, queryCol)
+    val vocabB = qt.select(col("token")).distinct()
+      .withColumn("bucket", tokenBucket(col("token")))
+    val matched = idx.postings
+      .join(broadcast(vocabB), Seq("bucket", "token"), "leftsemi")
+      .select(col(idCol), col("token"), col("tf"), col("dl"))
+    val dft = idx.df.map(
+      _.join(broadcast(qt.select(col("token")).distinct()), Seq("token"), "leftsemi"))
+    cutLazy(scoreTerms(matched, idx.stats, dft), qt, k, idCol, qidCol)
+  }
+
+  /** [[queryTermsAll]] minus the driver collect: just the distinct
+    * `(qid, token)` table (same normalization, same blank-query contract —
+    * an ALL-blank batch yields an empty output instead of the eager
+    * doors' eager require, the price of not counting anything). */
+  private def queryTermTable(queries: DataFrame, qidCol: String,
+      queryCol: String): DataFrame =
+    Parallelism.ensure(queries)
+      .select(col(qidCol), explode(tokens(col(queryCol))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+
+  /** The lazy twin of [[cutSlice]]: identical arithmetic (same bounds
+    * algebra, same theta, same survivor filter, same exact fold and cut)
+    * with the two driver actions replaced — the bounds exchange keeps the
+    * session partitioning (no fanout estimate) and the survivor joins
+    * carry no broadcast hint (AQE's runtime size check replaces the
+    * counted [[MaxBroadcastSurvivors]] decision, with the same
+    * degrade-to-shuffle safety on adversarial tie sets). */
+  private def cutLazy(scored0: DataFrame, qt: DataFrame, k: Int,
+      idCol: String, qidCol: String): DataFrame = {
+    val scored = persistHot(scored0.select(col(idCol), col("token"), col("s_t")))
+    def scoredBase = scored.repartition(col(idCol))
+    val qEps = qt.groupBy(col(qidCol))
+      .agg((count(lit(1)).cast("double") * lit(1e-13)).as("eps"))
+    val pairs = graft.operators.Dedup.persistScoped(
+      scoredBase.join(broadcast(qt), Seq("token"))
+        .groupBy(col(qidCol), col(idCol))
+        .agg(sum(col("s_t")).as("apx"))
+        .join(broadcast(qEps), Seq(qidCol))
+        .select(col(qidCol), col(idCol),
+          (col("apx") * (lit(1.0) - col("eps"))).as("lo"),
+          (col("apx") * (lit(1.0) + col("eps"))).as("hi")))
+    val theta = pairs.groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topKDouble(k)(col("lo"), col(idCol)).as("tk"))
+      .select(col(qidCol),
+        when(size(col("tk.entries")) < k, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("tk.entries"), k).getField("score"))
+          .as("theta"))
+    val surv = graft.operators.Dedup.persistScoped(
+      pairs.join(broadcast(theta), Seq(qidCol))
+        .filter(col("hi") >= col("theta"))
+        .select(col(qidCol), col(idCol)))
+    val perDoc = graft.operators.Dedup.persistScoped(
+      exactFold(
+        scoredBase.join(surv, Seq(idCol))
+          .join(broadcast(qt), Seq(qidCol, "token"), "leftsemi"),
+        idCol, qidCol))
+    val cut = perDoc.groupBy(col(qidCol))
+      .agg(graft.functions.TopK.topKDouble(k)(col("score"), col(idCol)).as("tk"))
+      .select(col(qidCol), posexplode(col("tk.entries")).as(Seq("r0", "e")))
+      .select(col(qidCol), col("e.id").as(idCol),
+        (col("r0") + 1).cast("long").as("rank"))
+    perDoc.join(broadcast(cut), Seq(qidCol, idCol))
+      .select(col(qidCol), col(idCol), col("n_terms"), col("score"), col("rank"))
+      .orderBy(col(qidCol), col("rank"))
   }
 
   /** Scoped persist with an A/B storage-level override for the batch

@@ -661,4 +661,53 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Search.bm25TopKAllSharded(docs, qs, k = 5, shards = 0))
   }
+
+  test("lazy doors: construction + explain launch ZERO jobs; output bit-identical to eager") {
+    // VERDICT r18 next #3: the eager doors run tokenize+score+bounds at
+    // CONSTRUCTION (vocabulary collect, fanout gate, survivor count). The
+    // lazy variants must be plan-only — a job listener counts Spark jobs
+    // across construction AND explain() of both doors; the first action
+    // then pays everything and produces the eager doors' rows bit-for-bit.
+    val ties = (1L to 40L).map(i => (i, "alpha beta gamma"))
+    val near = (41L to 60L).map(i => (i, "alpha beta"))
+    val far = (61L to 70L).map(i => (i, "delta"))
+    val docs = (ties ++ near ++ far).toDF("doc_id", "text").repartition(5)
+    val qs = Seq((1L, "alpha beta"), (2L, "alpha delta"), (3L, "gamma"),
+      (4L, "beta"), (5L, "   ")).toDF("query_id", "query")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lazyix").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(docs), dir)
+    val ix = Search.readSearchIndex(spark, dir)
+    graft.operators.Dedup.clearCaches()
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (lazyScan, lazyIx) = (
+        Search.bm25TopKAllLazy(docs, qs, k = 5),
+        Search.bm25TopKAllIndexedLazy(ix, qs, k = 5))
+      lazyScan.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")): Unit
+      lazyIx.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")): Unit
+      Thread.sleep(500) // listener delivery is async
+      assert(jobs.get() == 0,
+        s"lazy door construction/explain launched ${jobs.get()} jobs — must be plan-only")
+
+      def bits(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4))).toSeq
+      val lazyScanRows = bits(lazyScan)
+      val lazyIxRows = bits(lazyIx)
+      assert(jobs.get() > 0, "the action must execute the deferred pipeline")
+      graft.operators.Dedup.clearCaches()
+      val eager = bits(Search.bm25TopKAll(docs, qs, k = 5))
+      assert(lazyScanRows == eager, "lazy scan door != eager door")
+      assert(lazyIxRows == eager, "lazy indexed door != eager door")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
