@@ -373,80 +373,68 @@ object Bench {
     // BENCH PROVENANCE (VERDICT r7 #8): say whether round-over-round
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
-    val notes = "r18: no new queries (129 carried; 129/129 oracle-green " +
-      "at every commit; suite 449/449 after +17 new tests). The round " +
-      "executed VERDICT r17's list and all five ADVICE items. " +
-      "(1) FAULT-INJECTED OBJECT-STORE SEMANTICS (next #1): a test " +
-      "FileSystem under the faulty:// scheme (auto-selects the manifest " +
-      "log, like s3a) implements rename as VISIBLE copy-then-delete with " +
-      "kill points, create that can die mid-write leaving torn visible " +
-      "bytes, and listings that lag writes or serve phantoms of deleted " +
-      "entries. FaultInjectionSpec drives the commit protocol through it: " +
-      "a writer killed at EVERY commit step never torns or loses the " +
-      "pointer (steps after the put-once entry lands read the NEW value - " +
-      "the commit happened, the writer just never learned), a lagging " +
-      "reader resolves the previous committed value, a reader racing GC " +
-      "retries to a live winner (a permanent phantom surfaces the " +
-      "descriptive error, not a hang), 4 concurrent writers x a racing " +
-      "reader produce zero torn/vanished reads, and the FULL search-store " +
-      "lifecycle (build, 3 append rounds, serve, compact, prune) runs on " +
-      "faulty:// with serve bit-equal to scan. The S3 safety claim is now " +
-      "demonstrated, not structural. (2) REGION-FILE INTEGRITY FOOTER " +
-      "(next #3): every region file ends with sentinel + xxhash64 of all " +
-      "preceding bytes (magic GCEL2->GCEL3, fixture cache v3); the writer " +
-      "folds bytes per buffered flush, the cursor per ~1MiB refill " +
-      "compaction, ONE comparison at EOF - cellsource bench unchanged " +
-      "(0.25-0.29s vs 0.41s baseline, same hashes). The hash is a " +
-      "hand-rolled STREAMING XXH64 (Spark ships only one-shot; " +
-      "writer/reader chunk boundaries differ) pinned bit-for-bit against " +
-      "Spark's across lengths and split points; every single-bit flip " +
-      "across a whole file fails loudly (spec brute-forces all of them), " +
-      "and the footer also closes the clean-EOF truncation blind spot. " +
-      "(3) SF10 PROBE OF THE BATCH-BM25 DOORS (next #7): the 2.0-2.6x " +
-      "per-decade band does NOT hold a second decade - it was fixed-cost " +
-      "amortization. At 500k docs / 100k queries (MakeScaled 100x) the " +
-      "counts are EXACTLY linear (fanout 1.127G = 10x sf1's 112.7M, " +
-      "fold input 1,458,600 = 10x sf1's 145,860, GRAFT_SEARCH_PROF " +
-      "measured) but walls read ~7-12x per decade: the stage profile " +
-      "named the cost - the bounds pass's (qid,doc) hash aggregate at " +
-      "the pinned 32-partition exchange held ~23M groups per task and " +
-      "spilled 166GB (3,584 cpu-s). SHIPPED: the exchange is now sized " +
-      "to the exact fanout Sum_t df(t)*q(t) (one partition per ~4M " +
-      "fanout rows; spill 166->75GB, sf10 walls ~1.3-1.6x better), " +
-      "GATED so graded scales keep the prior plan verbatim - the gate " +
-      "reads driver-side per-term query counts the vocabulary collect " +
-      "already returns (A/B 7-pass medians at sf0.1: ungated estimate " +
-      "+1.2s/15% scan door, +0.4s indexed; gated, both doors inside the " +
-      "prior code's noise band; past ~17k 3-term queries the indexed " +
-      "door estimates through the index's O(vocab) df tier, the scan " +
-      "door pays one O(matched) pass). Honest ceiling statement: the " +
-      "doors are linear in the fanout (the information the scores " +
-      "carry); past one node the levers are memory-proportional " +
-      "executors and query-batch sharding (queries are independent, " +
-      "scores query-independent). (4) baseline RE-PROMOTED from the " +
-      "day's BEST run per next #2 (132.9s total, same-day band " +
-      "132.9-149.6 at identical plans; the candidate tsv sums 150.9 " +
-      "because it stores per-query MEDIANS while the total sums mins - " +
-      "that 13% gap is the median-vs-min spread, not a slow-host " +
-      "window). (5) smaller fixes: CellCursor scaladoc names the " +
-      "Hadoop-FS stream (next #4); promoteUnderLock enforces its " +
-      "local-only contract with a scheme require (next #5); readPointer " +
-      "retries are bound to 2x the GC retention window with backoff " +
-      "(next #6) and a log dir holding only torn .tmp files reports " +
-      "'not committed yet' instead of raw FileNotFound (ADVICE); writer " +
-      "IDs carry a per-process random token - pid+nonce collides across " +
-      "containers where every writer is pid 1, letting create(overwrite) " +
-      "truncate another writer's in-flight file (ADVICE medium); the " +
-      "batch doors' scaladoc documents their eager construction " +
-      "(ADVICE); the indexed-door plan assertion is restored to the " +
-      "strict only-query-side-explodes form (ADVICE). MACHINE-STATE: " +
-      "same-day sf0.1 totals spanned 132.9-149.6s at identical plans " +
-      "(the host is bimodal; r17 saw 128-148); the stable signal - " +
-      "same-day sf0.1-vs-sf1 ratios, both columns from the final-code " +
-      "runs - reads 1.66x wall for 10x data (r17: 1.54x, r16: 1.83x), " +
-      "ZERO queries above 4x for the second consecutive round (top: " +
-      "dedup_embedding 2.8x, its adjudicated band), every recall/sketch " +
-      "gate green at both SFs for the seventh consecutive round."
+    val notes = "r19: +2 queries (129 -> 131), all oracle-green at every " +
+      "commit, suite 456/456 at HEAD. The round executed VERDICT r18's " +
+      "list 1:1 plus all four ADVICE items. (1) QUERY-SHARD BATCH-BM25 " +
+      "DOOR (next #1): bm25TopKAllSharded[/IndexedSharded] hash-split " +
+      "the query set into K slices replaying ONE shared scored cache - " +
+      "per-pair state (bounds aggregate maps, survivor broadcast, fold " +
+      "buffers) is ~1/K while every query's arithmetic is untouched; " +
+      "output BIT-IDENTICAL for every K (SearchSpec pins scan+indexed " +
+      "on the all-ties corpus incl. empty slices; " +
+      "search_bm25_batch_sharded K=4 rides the same oracle SQL). sf10 " +
+      "probe: per-shard fanout 279.7-283.9M (sum = the unsharded " +
+      "1.127G), checksum == unsharded at every config, and the bounds " +
+      "stage's 62-74GB spill at 16g goes to ZERO sharded - scan " +
+      "217.3 -> 137.6s at 16g; across all six heap x storage configs " +
+      "the sharded walls sit in one 138-170s band while unsharded " +
+      "ranges 122-323s. The 16g/32g memory gap the r18 probe measured " +
+      "is erased; SCALE.md now carries the provisioning rule as a " +
+      "formula (M_task ~ 64B x fanout/(K*P)). (2) FAULT MATRIX over " +
+      "every LATEST-pointer store (next #2): StoreFaultMatrixSpec " +
+      "drives the crawl (dedup index + LR model + BPE model + search " +
+      "tier), semantic-index, ANN-index and pack-state loops' real " +
+      "foreachBatch bodies on faulty:// - writer killed at every " +
+      "pointer-commit step (lost kills leave the old snapshot serving " +
+      "+ replay completes; landed kills are visible commits + replay " +
+      "no-ops), lagging-listing readers resolve the previous version; " +
+      "kills are path-scoped to the pointer log (an unscoped kill in a " +
+      "Spark task is a retried task failure, not a writer crash). " +
+      "(3) LAZY DOORS (next #3): bm25TopKAllLazy[/IndexedLazy] are " +
+      "plan-only - semi-join vocabulary filter, AQE-decided survivor " +
+      "joins, DPP instead of the folded bucket predicate; SearchSpec's " +
+      "job listener pins ZERO jobs at construction+explain, output " +
+      "bit-identical, search_bm25_batch_lazy oracle-green. (4) Bench " +
+      "prints BOTH totals (min-sum 'value' + median-sum 'value_median', " +
+      "next #4); promotions compare median/median per BenchGate docs. " +
+      "(5) tools/docrefs.sh greps main source for stale spec citations " +
+      "in pre-commit (next #5; the r16/r17/r18 doc-rot class), and the " +
+      "one live instance (XxHash64Stream citing a suite name that never " +
+      "existed) is fixed. " +
+      "(6) promoteUnderLock's local-only require is spec'd for file:// " +
+      "and hdfs:// and paths with spaces pass (next #6 + ADVICE). " +
+      "(7) storage-level A/B at sf10/16g (next #7): MEMORY_ONLY loses " +
+      "1.25-1.5x on the unsharded doors (evicted scored blocks " +
+      "recompute the decimal scoring, stage cpu-s doubles), indifferent " +
+      "sharded - MEMORY_AND_DISK stays the default. Remaining ADVICE: " +
+      "advance() latches idempotent-false after the verified footer; " +
+      "the footer scaladoc scopes at-rest detection to draining scans; " +
+      "FaultyFs phantom budgets decrement only on a phantom parent's " +
+      "listing. MACHINE-STATE + baseline: promoted from the round's final " +
+      "QUIET-window run per r18 wrong #3 (not the day's best; nothing " +
+      "else on the host), quoted median/median - carried-129 median-sum " +
+      "158.1s vs the r18 baseline's 150.9s = 1.05x, top per-query ratio " +
+      "1.38x at +0.09s absolute (noise-class), zero gate regressions, " +
+      "zero unstable. Same-day sf0.1-vs-sf1 sweep refreshed at final " +
+      "code: 283.7s vs 174.3s = 1.63x wall for 10x data (r18 1.66x), " +
+      "carried-129 sf0.1 min-sum 148.9s inside r18's 132.9-149.6 band, " +
+      "ZERO queries above 4x for the third consecutive round (top " +
+      "dedup_embedding 3.5x, its adjudicated band), every recall/sketch " +
+      "gate green at both SFs for the eighth consecutive round. The two " +
+      "new queries are full corpus-scoring passes by design (sharded " +
+      "17.5s / lazy 7.9s at sf0.1) - the headline total grew by exactly " +
+      "them; their purpose is the sf10 memory story (SCALE.md r19 " +
+      "section) and the plan-only construction contract respectively."
     val line =
       s"""{"metric":"total","value":${sec3(total)},"value_median":${sec3(totalMedian)},"unit":"sec","queries":$compactQs,"failed":$failed,"unstable":$unstable,"regressions":$regressionsJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$notes","detail":"bench.json"}"""
     // If the full per-query map outgrows the driver's ~2000-char tail window

@@ -512,11 +512,13 @@ object ScaleBench {
         // output checksum: order-independent xxhash64 sum + row count —
         // the cross-door bit-identity witness at a scale where collecting
         // 500k rows for exact compare would swamp the timing
-        def chk(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        def chk(df: org.apache.spark.sql.DataFrame): (String, Long) = {
+          // decimal(38,0) sum: 500k 64-bit hashes overflow a long sum
+          // under ANSI arithmetic; the exact decimal fold cannot
           val r = df.agg(
-            sum(xxhash64(df.columns.map(col): _*)).cast("long"),
+            sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")),
             count(lit(1))).head
-          (r.getLong(0), r.getLong(1))
+          (r.getDecimal(0).toPlainString, r.getLong(1))
         }
         var scanRows = 0L
         var scanDf: org.apache.spark.sql.DataFrame = null
