@@ -418,7 +418,10 @@ object Bench {
       "recompute the decimal scoring, stage cpu-s doubles), indifferent " +
       "sharded - MEMORY_AND_DISK stays the default. Remaining ADVICE: " +
       "advance() latches idempotent-false after the verified footer; " +
-      "the footer scaladoc scopes at-rest detection to draining scans; " +
+      "bounded scans over small regions now DRAIN-AND-VERIFY the footer " +
+      "(the documented-gap option upgraded to code: parse-only remainder, " +
+      "cellsource walls unchanged at 0.21-0.33s; only bounded scans over " +
+      ">8MiB regions keep the documented early exit); " +
       "FaultyFs phantom budgets decrement only on a phantom parent's " +
       "listing. MACHINE-STATE + baseline: promoted from the round's final " +
       "QUIET-window run per r18 wrong #3 (not the day's best; nothing " +

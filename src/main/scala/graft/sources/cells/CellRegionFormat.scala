@@ -30,16 +30,17 @@ import org.apache.spark.sql.types._
  * the clean-EOF-at-a-cell-boundary truncation blind spot the length bounds
  * alone could not see.
  *
- * SCOPE (ADVICE r18): the comparison point is EOF, so detection covers
- * scans that DRAIN the file — the full-region reads the correctness gate
- * exercises. A key-bounded scan that stops early at its `stopBound`, or a
- * pushed-agg scan over a pruned key range, never reaches the footer, and a
- * bit flip confined to its consumed prefix decodes silently there (the
- * length bounds and magic still police framing). Per-block hashing would
- * close that window at the cost of a footer per flush; at the current
- * region sizes (whole files fit the 1 MiB window several times over, and
- * the gate reads every file fully at least once per round) the one-footer
- * form is the measured-zero-cost point on that tradeoff.
+ * SCOPE (ADVICE r18, tightened r19): the comparison point is EOF, so
+ * detection covers scans that DRAIN the file. Key-bounded scans (plain
+ * and pushed-agg) that stop early at their `stopBound` now DRAIN-AND-
+ * VERIFY when the region file is ≤ [[DrainVerifyMaxBytes]] — a parse-only
+ * pass over the remainder, a few ms at that size — so at the current
+ * region sizes every read path verifies the footer. Only a bounded scan
+ * over a LARGER region keeps the early exit, and there a bit flip
+ * confined to the consumed prefix still decodes silently (the length
+ * bounds and magic still police framing); per-block hashing would close
+ * that last window at a footer per flush, not worth it until regions
+ * outgrow the threshold.
  *
  * `value_long` is the interpreter-decoded integer (cents) of the binary
  * `value` — stored typed so pushed-down aggregation ([[GraftCellsScanBuilder]]
@@ -63,6 +64,13 @@ object CellRegionFormat {
 
   /** Seed for the footer hash (any fixed constant; "GCL3" in ASCII). */
   val FooterSeed: Long = 0x47434c33L
+
+  /** Bounded scans drain-and-verify the footer when the region file is at
+    * most this long (r19, upgrading the ADVICE r18 documented gap): the
+    * residual parse cost is a few ms at this size, so a key-bounded read
+    * keeps at-rest detection; past it, the early exit wins and the gap is
+    * documented above. */
+  val DrainVerifyMaxBytes: Long = 8L << 20
 
   val Schema: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = false),
@@ -229,10 +237,12 @@ object CellRegionFormat {
     // exactly like the parquet tiers — file://, hdfs://, anything the
     // session's filesystems reach. The cursor's own 1 MiB chunk buffer does
     // the read batching, so the raw FSDataInputStream needs no wrapper.
-    private val in: java.io.InputStream = {
-      val p = new org.apache.hadoop.fs.Path(file)
-      CellRegionFormat.rawFs(p, conf).open(p)
-    }
+    private val hPath = new org.apache.hadoop.fs.Path(file)
+    private val hFs = CellRegionFormat.rawFs(hPath, conf)
+    private val in: java.io.InputStream = hFs.open(hPath)
+    /** Stat'd LAZILY — only the bounded-scan drain gate reads it, so a
+      * full scan never pays the extra filesystem round-trip. */
+    lazy val fileLength: Long = hFs.getFileStatus(hPath).getLen
     private var buf = new Array[Byte](1 << 20)
     private var limit = 0
     private var pos = 0
@@ -395,6 +405,15 @@ object CellRegionFormat {
         s"corrupt region file $file: ${limit - pos} trailing byte(s) after the integrity footer")
       footerVerified = true
     }
+
+    /** Consume the remaining cells WITHOUT materializing them and verify
+      * the integrity footer (ADVICE r18: a key-bounded scan stopping at
+      * its stop key never reaches EOF, so at-rest damage in the consumed
+      * prefix decoded silently). Parse-only cost — the readers gate the
+      * call on [[fileLength]] ≤ [[CellRegionFormat.DrainVerifyMaxBytes]],
+      * so a bounded scan over a large region keeps its early exit (that
+      * residual gap stays documented in the format scaladoc). */
+    def drainAndVerify(): Unit = { while (advance()) () }
 
     /** Unsigned-lexicographic compare of the current key against `bound`. */
     def compareKey(bound: Array[Byte]): Int = {

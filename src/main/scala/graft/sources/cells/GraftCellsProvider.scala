@@ -307,9 +307,14 @@ class GraftCellsPartitionReader(
       while (has && startBound != null && cur.compareKey(startBound) < 0) has = cur.advance()
       started = true
     }
-    // sorted file: first cell at/after stopKey ends the scan
+    // sorted file: first cell at/after stopKey ends the scan. A bound-
+    // terminated read over a small region drains the remainder so the
+    // integrity footer still verifies (ADVICE r18 → r19; `!has` means
+    // the cursor already verified it at EOF).
     if (!has || (stopBound != null && cur.compareKey(stopBound) >= 0)) {
       exhausted = true
+      if (has && cur.fileLength <= CellRegionFormat.DrainVerifyMaxBytes)
+        cur.drainAndVerify()
       return false
     }
     val values = new Array[Any](fieldIdx.length)
@@ -482,6 +487,10 @@ class GraftCellsAggPartitionReader(
       accumulate(cur, acc)
       has = cur.advance()
     }
+    // bound-terminated (has still true): drain a small region so the
+    // integrity footer verifies — same contract as the plain reader
+    if (has && cur.fileLength <= CellRegionFormat.DrainVerifyMaxBytes)
+      cur.drainAndVerify()
   }
 
   private val rows: Iterator[InternalRow] = {

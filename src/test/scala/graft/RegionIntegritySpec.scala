@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.cells.{CellRegionFormat, XxHash64Stream}
+import graft.sources.cells.{CellRegionFormat, CellRegionPartition, GraftCellsPartitionReader, XxHash64Stream}
 import graft.sources.cells.CellRegionFormat.Cell
 
 /**
@@ -159,5 +159,38 @@ class RegionIntegritySpec extends AnyFunSuite {
     w.write(cell(1))
     w.finish()
     assert(readAll(toFile(bos.toByteArray)) == 5L + 1001L)
+  }
+
+  test("a key-bounded scan over a small region drains and verifies the footer (r19)") {
+    // Flip a bit inside the LAST cell's valueLong — it parses fine as a
+    // silently wrong value, so only the footer hash can catch it — and
+    // bound the scan at cell 3: before r19 the bounded readers exited at
+    // the stop key and never reached the footer (the ADVICE r18 gap).
+    val b = regionBytes(8)
+    b(b.length - 30) = (b(b.length - 30) ^ 1).toByte
+    val f = toFile(b)
+    // cursor-level drain: the primitive the readers gate on fileLength
+    val cur = new CellRegionFormat.CellCursor(f.getAbsolutePath)
+    assert(cur.advance())
+    val e = intercept[java.io.IOException](cur.drainAndVerify())
+    assert(e.getMessage.contains("integrity hash mismatch"), e.getMessage)
+    cur.close()
+    // reader-level: the V2 plain reader with a stop bound now fails loudly
+    def reader(file: String) = new GraftCellsPartitionReader(
+      CellRegionPartition(file, None, Some(Array[Byte](0, 0, 0, 3))),
+      CellRegionFormat.Schema,
+      new graft.sources.SerializableHadoopConf(
+        new org.apache.hadoop.conf.Configuration()))
+    val bad = reader(f.getAbsolutePath)
+    val e2 = intercept[java.io.IOException] { while (bad.next()) () }
+    assert(e2.getMessage.contains("integrity hash mismatch"), e2.getMessage)
+    bad.close()
+    // a CLEAN bounded read returns exactly the bounded rows (the drain is
+    // parse-only: no extra rows, no behavior change)
+    val ok = reader(toFile(regionBytes(8)).getAbsolutePath)
+    var n = 0
+    while (ok.next()) n += 1
+    assert(n == 3)
+    ok.close()
   }
 }
