@@ -694,6 +694,12 @@ class SearchSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")): Unit
       lazyIx.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")): Unit
+      // the bucket-directory pruning the eager door gets from its
+      // constant-folded predicate comes back at RUNTIME via dynamic
+      // partition pruning: the postings scan must carry a
+      // dynamicpruningexpression fed by the query-token bucket subquery
+      assert(lazyIx.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "lazy indexed door: DPP must prune the postings bucket partitions")
       Thread.sleep(500) // listener delivery is async
       assert(jobs.get() == 0,
         s"lazy door construction/explain launched ${jobs.get()} jobs — must be plan-only")
