@@ -374,7 +374,7 @@ object Bench {
     // per-query deltas are fixture-caused, so a judge can separate fixture
     // drift from plan drift without re-deriving it. UPDATE EACH ROUND.
     val notes = "r19: +2 queries (129 -> 131), all oracle-green at every " +
-      "commit, suite 456/456 at HEAD. The round executed VERDICT r18's " +
+      "commit, suite 457/457 at HEAD. The round executed VERDICT r18's " +
       "list 1:1 plus all four ADVICE items. (1) QUERY-SHARD BATCH-BM25 " +
       "DOOR (next #1): bm25TopKAllSharded[/IndexedSharded] hash-split " +
       "the query set into K slices replaying ONE shared scored cache - " +
