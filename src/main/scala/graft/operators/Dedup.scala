@@ -32,18 +32,38 @@ object Dedup {
   // cache before the action that needs it even runs (measured: the scan
   // door re-tokenized the sf1 corpus three times, +14 s).
   private val MaxLiveCachesBase = 8
-  // Raised (never lowered) by ensureCacheBudget when one operator call
-  // legitimately holds a deeper live chain than the base bound — the
-  // K-shard batch-BM25 door keeps 2 shared + 2 per-shard caches alive
-  // across its construction+action window (r19), and FIFO eviction at the
-  // base bound would silently drop the shared scored cache mid-run,
-  // recomputing the corpus tokenize once per remaining shard (the exact
-  // r17 +14 s failure mode, ×K at probe scale). Still a bound: the
-  // session's high-water operator depth, not unbounded accumulation.
+  // Raised, SCOPED, by withCacheBudget when one operator call legitimately
+  // holds a deeper live chain than the base bound — the K-shard batch-BM25
+  // door keeps 2 shared + 2-3 per-shard caches alive across its
+  // construction+action window, and FIFO eviction at the base bound would
+  // silently drop the shared scored cache mid-run, recomputing the corpus
+  // tokenize once per remaining shard (the exact r17 +14 s failure mode,
+  // ×K at probe scale). r20 (VERDICT r19 next #5 / ADVICE): the raise was
+  // a session-lifetime ratchet — one shards=16 call left the bound at 36
+  // forever, so unrelated later operators could hold 4.5× the designed
+  // FIFO depth of stale caches. Now the raise lives exactly as long as the
+  // call that needs it: the effective bound is max(base, every ACTIVE
+  // scope), restored on scope exit. Restoration does NOT evict eagerly —
+  // the door's caches stay referenced by its not-yet-collected result, and
+  // eviction at registration time (the next persistScoped) trims back to
+  // base exactly as the base-bound contract always did.
   @volatile private var maxLiveCaches = MaxLiveCachesBase
   private val liveCaches = new java.util.ArrayDeque[DataFrame]()
-  private[graft] def ensureCacheBudget(n: Int): Unit =
-    liveCaches.synchronized { if (n > maxLiveCaches) maxLiveCaches = n }
+  private val activeBudgets = new java.util.ArrayList[Integer]()
+  private def recomputeBudget(): Unit = {
+    var m = MaxLiveCachesBase
+    activeBudgets.forEach(b => if (b > m) m = b)
+    maxLiveCaches = m
+  }
+  private[graft] def withCacheBudget[T](n: Int)(f: => T): T = {
+    liveCaches.synchronized { activeBudgets.add(Int.box(n)); recomputeBudget() }
+    try f
+    finally liveCaches.synchronized {
+      activeBudgets.remove(Int.box(n)); recomputeBudget()
+    }
+  }
+  /** The effective FIFO bound right now — exposed for the scope tests. */
+  private[graft] def cacheBudget: Int = maxLiveCaches
   private[graft] def persistScoped(df: DataFrame): DataFrame = {
     // idempotent: an already-persisted frame (iterative operators manage
     // round-by-round persistence themselves) is only TRACKED, not re-persisted

@@ -164,15 +164,30 @@ object Search {
    * slicing partitions the work without touching any query's arithmetic
    * (SearchSpec pins sharded == unsharded row-for-row; the shared oracle
    * gates `search_bm25_batch_sharded` against the same SQL as the
-   * unsharded door). Shards run sequentially in one session — the point
-   * is the ~1/K per-shard memory ceiling (and, deployed, K independent
-   * jobs), not intra-session speedup; the per-shard bounds exchange is
-   * still fanout-sized past the estimate gate.
+   * unsharded door). By default shards run sequentially in one session —
+   * the point is the ~1/K per-shard memory ceiling; the per-shard bounds
+   * exchange is still fanout-sized past the estimate gate.
+   *
+   * `concurrent = true` (r20, VERDICT r19 next #1) is the DEPLOYMENT form
+   * SCALE.md claims: the K slices run as K CONCURRENT Spark jobs sharing
+   * the one immutable scored cache — each slice's driver thread submits
+   * its own pool (`graft-bm25-shard-<i>`, fair-shared when the session
+   * runs `spark.scheduler.mode=FAIR`; plain multi-job interleaving under
+   * FIFO) and materializes its slice output inside its thread, so the
+   * walls overlap instead of summing. The shared scored cache is filled
+   * ONCE before the slices launch (one job, not a K-way race recomputing
+   * the decimal scoring). Output stays bit-identical: concurrency changes
+   * WHEN slice jobs run, never what any slice computes (SearchSpec pins
+   * concurrent == sequential == unsharded on the all-ties corpus).
+   * Per-TASK bounds-aggregate state is the sharded door's ~1/K, so the
+   * zero-spill property survives — the 32 task slots now carry a MIX of
+   * slices' tasks, each at sharded size (measured at sf10 — SCALE.md).
    */
   def bm25TopKAllSharded(docs: DataFrame, queries: DataFrame, k: Int = 10,
       shards: Int = 4,
       idCol: String = "doc_id", textCol: String = "text",
-      qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
+      qidCol: String = "query_id", queryCol: String = "query",
+      concurrent: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val (qt, terms, qCounts) = queryTermsAll(queries, qidCol, queryCol)
@@ -192,7 +207,7 @@ object Search {
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     scoreAndCutAll(matched, stats, qt, qCounts, k, idCol, qidCol,
-      shards = shards)
+      shards = shards, concurrent = concurrent)
   }
 
   /** [[bm25TopKAll]] served from the persisted index: the whole batch's
@@ -211,10 +226,13 @@ object Search {
     * [[bm25TopKAllSharded]] is to the scan door: the whole batch's pruned
     * postings read + scoring happen ONCE into the scored cache; the
     * bounds/fold/cut machinery replays per query shard at ~1/K per-pair
-    * state. Bit-identical output for every `shards` (SearchSpec pins it). */
+    * state. Bit-identical output for every `shards` (SearchSpec pins it).
+    * `concurrent = true` runs the slices as K concurrent jobs over the
+    * shared cache — the scan door's deployment form, same contract. */
   def bm25TopKAllIndexedSharded(idx: SearchIndex, queries: DataFrame,
       k: Int = 10, shards: Int = 4, idCol: String = "doc_id",
-      qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
+      qidCol: String = "query_id", queryCol: String = "query",
+      concurrent: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val (qt, terms, qCounts) = queryTermsAll(queries, qidCol, queryCol)
@@ -223,7 +241,7 @@ object Search {
       .select(col(idCol), col("token"), col("tf"), col("dl"))
     scoreAndCutAll(matched, idx.stats, qt, qCounts, k, idCol, qidCol,
       dfTable = idx.df.map(_.filter(col("token").isin(terms: _*))),
-      shards = shards)
+      shards = shards, concurrent = concurrent)
   }
 
   // ---------------------------------------------------------------------
@@ -237,8 +255,13 @@ object Search {
   // are PLAN-ONLY by construction: every driver decision is replaced by
   // its declarative equivalent, construction launches ZERO jobs
   // (SearchSpec pins it with a job listener), and the first action pays
-  // everything. The trade, stated: no vocabulary cap (nothing collects,
-  // so nothing needs capping), the bounds exchange stays at the session
+  // everything. The trade, stated: the [[MaxBatchTerms]] vocabulary cap
+  // MOVES from construction to action time — nothing collects up front,
+  // but the broadcast(vocab)/broadcast(qt) hints still materialize the
+  // term table on the driver at the first action regardless of
+  // autoBroadcastJoinThreshold, so an oversized batch fails there (a
+  // driver OOM inside the broadcast build) instead of in the eager
+  // doors' descriptive require; the bounds exchange stays at the session
   // default (a caller at probe scale sets spark.sql.shuffle.partitions
   // or uses the eager door), the survivor joins rely on AQE's runtime
   // broadcast conversion instead of the counted decision, and the
@@ -349,15 +372,25 @@ object Search {
       .orderBy(col(qidCol), col("rank"))
   }
 
-  /** Scoped persist with an A/B storage-level override for the batch
-    * doors' two corpus-sized caches (VERDICT r18 next #7's measurement
-    * lever): `GRAFT_BM25_CACHE_LEVEL=MEMORY_ONLY` (or any
-    * `StorageLevel.fromString` name) re-levels the tokenized-corpus and
-    * scored-postings caches for a probe run; unset = the session default
-    * (MEMORY_AND_DISK through persistScoped). */
+  /** Session-conf key re-leveling the batch doors' two corpus-sized caches
+    * (tokenized corpus + scored postings): any `StorageLevel.fromString`
+    * name. The storage A/B this lever exists for measured MEMORY_ONLY out
+    * (sf10/16 g: evicted scored blocks recompute the decimal scoring,
+    * 1.25–1.5× unsharded) — the default stays persistScoped's
+    * MEMORY_AND_DISK. */
+  val CacheLevelConfKey = "spark.graft.bm25.cacheLevel"
+
+  /** Scoped persist with the storage-level override for the batch doors'
+    * two corpus-sized caches. r20 (VERDICT r19 wrong #2): the lever is the
+    * [[CacheLevelConfKey]] SparkConf — per-session, UI-visible, no
+    * process-global state; the `GRAFT_BM25_CACHE_LEVEL` env var stays as
+    * the ScaleBench harness fallback (conf wins when both are set).
+    * Neither set = the session default (MEMORY_AND_DISK through
+    * persistScoped). */
   private def persistHot(df: DataFrame): DataFrame =
     graft.operators.Dedup.persistScoped(
-      sys.env.get("GRAFT_BM25_CACHE_LEVEL") match {
+      df.sparkSession.conf.getOption(CacheLevelConfKey)
+        .orElse(sys.env.get("GRAFT_BM25_CACHE_LEVEL")) match {
         case Some(l) =>
           df.persist(org.apache.spark.storage.StorageLevel.fromString(l))
         case None => df
@@ -389,7 +422,7 @@ object Search {
   private def scoreAndCutAll(matched0: DataFrame, stats: DataFrame,
       qt: DataFrame, qTermCounts: Map[String, Long], k: Int, idCol: String,
       qidCol: String, dfTable: Option[DataFrame] = None,
-      shards: Int = 1): DataFrame = {
+      shards: Int = 1, concurrent: Boolean = false): DataFrame = {
     // Score FIRST, materialize SECOND: the cache (and, for the sparse
     // form, the repartition exchange) materializes s_t as a plain double,
     // so the decimal-exact factor arithmetic runs exactly once per MATCHED
@@ -399,9 +432,15 @@ object Search {
     // 112.7 M fanout rows vs 1.16 M matched rows).
     val spark = matched0.sparkSession
     // the door's live-cache high-water mark: toked + scored (shared) plus
-    // (surv, perDoc) per shard — raise the scoped-cache FIFO bound so a
-    // deep shard run can't evict the shared scored cache mid-run
-    graft.operators.Dedup.ensureCacheBudget(4 + 2 * shards)
+    // (surv, perDoc) per shard — concurrent mode adds each slice's
+    // materialized output. The raise is SCOPED (r20, VERDICT r19 next #5):
+    // the FIFO bound returns to base when this call returns, so one deep
+    // shard run no longer quadruples every later operator's live-cache
+    // depth for the rest of the session. The caches registered inside the
+    // scope stay live until the next registrations trim back to base —
+    // exactly the base bound's eviction-at-registration contract.
+    graft.operators.Dedup.withCacheBudget(
+      4 + (if (concurrent) 3 else 2) * shards) {
     // Scored matched postings computed ONCE and cached (r17: the broadcast
     // subqueries hanging off this subtree defeated AQE's exchange reuse —
     // StageProf measured FIVE scan+score+shuffle executions per batch
@@ -437,11 +476,51 @@ object Search {
           perShard.get(s).map(qc => (qt.filter(shardCol === s), qc))
         }
       }
-    slices.map { case (qtS, qcS) =>
-        cutSlice(spark, scoredCached, qtS, qcS, k, idCol, qidCol, dfTable)
+    val sliceOuts: Seq[DataFrame] =
+      if (!concurrent || slices.size == 1)
+        slices.map { case (qtS, qcS) =>
+          cutSlice(spark, scoredCached, qtS, qcS, k, idCol, qidCol, dfTable)
+        }
+      else {
+        // K CONCURRENT slice jobs over the shared cache — the deployment
+        // form (VERDICT r19 next #1). Fill the scored cache ONCE first: a
+        // cold cache raced by K threads makes every thread's first stage
+        // recompute overlapping partitions before the block-manager locks
+        // settle; one count job fills it from a single pass.
+        scoredCached.count(): Unit
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(slices.size, 32))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val futs = slices.zipWithIndex.map { case ((qtS, qcS), i) =>
+            Future {
+              val sc = spark.sparkContext
+              // per-slice pool: under spark.scheduler.mode=FAIR each slice
+              // gets an equal task-slot share (unconfigured pools default
+              // to weight 1); under FIFO the jobs still interleave —
+              // later jobs fill whatever slots the head job leaves idle
+              sc.setLocalProperty("spark.scheduler.pool", s"graft-bm25-shard-$i")
+              try {
+                val out = graft.operators.Dedup.persistScoped(
+                  cutSlice(spark, scoredCached, qtS, qcS, k, idCol, qidCol,
+                    dfTable))
+                // run this slice's WHOLE pipeline (bounds, survivors, fold,
+                // cut) inside its own thread/pool — the union below then
+                // only reads the K small cached outputs
+                out.count(): Unit
+                out
+              } finally sc.setLocalProperty("spark.scheduler.pool", null)
+            }
+          }
+          Await.result(Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
       }
+    sliceOuts
       .reduce(_.unionByName(_))
       .orderBy(col(qidCol), col("rank"))
+    }
   }
 
   /** One query slice's bounds pass, survivor cut and exact fold over the
@@ -527,7 +606,11 @@ object Search {
     // pairs is the slice's one fanout-sized frame, and both its consumers
     // (theta's TopK and the survivor filter) execute inside surv.count()
     // below — holding it past that point only raises the door's memory
-    // high-water mark (the thing sharding exists to cut).
+    // high-water mark (the thing sharding exists to cut). The drop rides
+    // a finally (ADVICE r19): a task failure/OOM/cancellation inside
+    // surv.count() must not leak an untracked fanout-sized cache — raw
+    // persist bypasses the scoped FIFO, so nothing else would ever
+    // reclaim it for the rest of the session.
     val pairs =
       scoredBase.join(broadcast(qt), Seq("token"))
         .groupBy(col(qidCol), col(idCol))
@@ -537,32 +620,34 @@ object Search {
           (col("apx") * (lit(1.0) - col("eps"))).as("lo"),
           (col("apx") * (lit(1.0) + col("eps"))).as("hi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // θ_q = the k-th largest lo per query (TopK partial-trims, so its
-    // exchange carries O(queries·k) rows; fewer than k pairs ⇒ −∞).
-    // Every pair the exact cut could select survives `hi ≥ θ_q`: true ≤
-    // hi, and the k-th true score dominates the k-th lo elementwise —
-    // ties included, which is why the filter is ≥.
-    val theta = pairs.groupBy(col(qidCol))
-      .agg(graft.functions.TopK.topKDouble(k)(col("lo"), col(idCol)).as("tk"))
-      .select(col(qidCol),
-        when(size(col("tk.entries")) < k, lit(Double.NegativeInfinity))
-          .otherwise(element_at(col("tk.entries"), k).getField("score"))
-          .as("theta"))
-    // surv is ~queries·(k + ties) rows — persisted scoped because three
-    // consumers read it (the guard count, the fold's pair join, and
-    // through them the cut)
-    val surv = graft.operators.Dedup.persistScoped(
-      pairs.join(broadcast(theta), Seq(qidCol))
-        .filter(col("hi") >= col("theta"))
-        .select(col(qidCol), col(idCol)))
-    // Survivor frames ride driver broadcasts ONLY while they are provably
-    // small (ADVICE r16: the tie/near-tie set is unbounded — a degenerate
-    // corpus where O(docs) documents sit within 2ε of every query's k-th
-    // score makes survivors O(queries·docs), and a forced broadcast there
-    // would exhaust driver memory where a shuffle degrades gracefully).
-    // `surv` is persisted, so the count is one cheap cached pass.
-    val nSurvivors = surv.count()
-    pairs.unpersist(blocking = false)
+    val (surv, nSurvivors) =
+      try {
+        // θ_q = the k-th largest lo per query (TopK partial-trims, so its
+        // exchange carries O(queries·k) rows; fewer than k pairs ⇒ −∞).
+        // Every pair the exact cut could select survives `hi ≥ θ_q`: true ≤
+        // hi, and the k-th true score dominates the k-th lo elementwise —
+        // ties included, which is why the filter is ≥.
+        val theta = pairs.groupBy(col(qidCol))
+          .agg(graft.functions.TopK.topKDouble(k)(col("lo"), col(idCol)).as("tk"))
+          .select(col(qidCol),
+            when(size(col("tk.entries")) < k, lit(Double.NegativeInfinity))
+              .otherwise(element_at(col("tk.entries"), k).getField("score"))
+              .as("theta"))
+        // surv is ~queries·(k + ties) rows — persisted scoped because three
+        // consumers read it (the guard count, the fold's pair join, and
+        // through them the cut)
+        val sv = graft.operators.Dedup.persistScoped(
+          pairs.join(broadcast(theta), Seq(qidCol))
+            .filter(col("hi") >= col("theta"))
+            .select(col(qidCol), col(idCol)))
+        // Survivor frames ride driver broadcasts ONLY while they are provably
+        // small (ADVICE r16: the tie/near-tie set is unbounded — a degenerate
+        // corpus where O(docs) documents sit within 2ε of every query's k-th
+        // score makes survivors O(queries·docs), and a forced broadcast there
+        // would exhaust driver memory where a shuffle degrades gracefully).
+        // `sv` is persisted, so the count is one cheap cached pass.
+        (sv, sv.count())
+      } finally pairs.unpersist(blocking = false)
     def bc(df: DataFrame): DataFrame =
       if (nSurvivors <= MaxBroadcastSurvivors) broadcast(df) else df
     // GRAFT_SEARCH_PROF=1: print the pass's scale terms — the bounds

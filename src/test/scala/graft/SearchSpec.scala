@@ -662,6 +662,78 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopKAllSharded(docs, qs, k = 5, shards = 0))
   }
 
+  test("CONCURRENT sharded doors == unsharded bit-for-bit; empty slices; budget restored") {
+    // VERDICT r19 next #1: the deployment form — K slices as K concurrent
+    // Spark jobs over the one shared scored cache. Concurrency must change
+    // WHEN slice jobs run, never what any slice computes: same all-ties
+    // adversarial corpus as the sequential pin, shards past the live query
+    // count (empty slices), a blank query riding along. And the scoped
+    // cache budget (VERDICT r19 next #5) must be back at base after every
+    // door returns — the raise lives exactly as long as the call.
+    val ties = (1L to 40L).map(i => (i, "alpha beta gamma"))
+    val near = (41L to 60L).map(i => (i, "alpha beta"))
+    val far = (61L to 70L).map(i => (i, "delta"))
+    val docs = (ties ++ near ++ far).toDF("doc_id", "text").repartition(5)
+    val qs = Seq((1L, "alpha beta"), (2L, "alpha delta"), (3L, "gamma"),
+      (4L, "beta"), (5L, "delta gamma"), (6L, "   ")).toDF("query_id", "query")
+    def bits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4))).toSeq
+    val base = graft.operators.Dedup.cacheBudget
+    val unsharded = bits(Search.bm25TopKAll(docs, qs, k = 5))
+    graft.operators.Dedup.clearCaches()
+    for (shards <- Seq(3, 16)) { // 16 > live queries ⇒ empty slices
+      assert(bits(Search.bm25TopKAllSharded(docs, qs, k = 5, shards = shards,
+        concurrent = true)) == unsharded,
+        s"concurrent scan door diverges at shards=$shards")
+      assert(graft.operators.Dedup.cacheBudget == base,
+        s"cache budget not restored after concurrent shards=$shards")
+      graft.operators.Dedup.clearCaches()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-concix").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(docs), dir)
+    val ix = Search.readSearchIndex(spark, dir)
+    assert(bits(Search.bm25TopKAllIndexedSharded(ix, qs, k = 5, shards = 3,
+      concurrent = true)) == unsharded, "concurrent indexed door diverges")
+    assert(graft.operators.Dedup.cacheBudget == base,
+      "cache budget not restored after the concurrent indexed door")
+    graft.operators.Dedup.clearCaches()
+    // the SEQUENTIAL door restores the budget too (the r19 ratchet is gone)
+    assert(bits(Search.bm25TopKAllSharded(docs, qs, k = 5, shards = 16))
+      == unsharded)
+    assert(graft.operators.Dedup.cacheBudget == base,
+      "cache budget not restored after the sequential sharded door")
+    graft.operators.Dedup.clearCaches()
+  }
+
+  test("spark.graft.bm25.cacheLevel conf re-levels the batch doors' hot caches") {
+    // VERDICT r19 wrong #2: the storage-level lever is a SparkConf key —
+    // per-session, UI-visible — with the env var only as harness fallback.
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "a c")).toDF("query_id", "query")
+    graft.operators.Dedup.clearCaches()
+    def levels(): Set[org.apache.spark.storage.StorageLevel] =
+      spark.sparkContext.getPersistentRDDs.values
+        .map(_.getStorageLevel).toSet
+    spark.conf.set(Search.CacheLevelConfKey, "MEMORY_ONLY")
+    try {
+      val out = Search.bm25TopKAll(docs, qs, k = 3)
+      assert(levels().contains(org.apache.spark.storage.StorageLevel.MEMORY_ONLY),
+        s"conf-set MEMORY_ONLY must reach the hot caches, got ${levels()}")
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.unset(Search.CacheLevelConfKey)
+      graft.operators.Dedup.clearCaches()
+    }
+    // unset ⇒ back to the scoped default (MEMORY_AND_DISK), no MEMORY_ONLY
+    val out2 = Search.bm25TopKAll(docs, qs, k = 3)
+    assert(out2.count() > 0)
+    assert(!levels().contains(org.apache.spark.storage.StorageLevel.MEMORY_ONLY),
+      "with the conf unset no hot cache may ride MEMORY_ONLY")
+    graft.operators.Dedup.clearCaches()
+  }
+
   test("lazy doors: construction + explain launch ZERO jobs; output bit-identical to eager") {
     // VERDICT r18 next #3: the eager doors run tokenize+score+bounds at
     // CONSTRUCTION (vocabulary collect, fanout gate, survivor count). The
@@ -700,7 +772,9 @@ class SearchSpec extends AnyFunSuite {
       // dynamicpruningexpression fed by the query-token bucket subquery
       assert(lazyIx.queryExecution.executedPlan.toString.contains("dynamicpruning"),
         "lazy indexed door: DPP must prune the postings bucket partitions")
-      Thread.sleep(500) // listener delivery is async
+      // deterministic drain of the async listener queue (ADVICE r19: a
+      // fixed sleep could under-wait and let a construction job slip by)
+      org.apache.spark.GraftListenerSync.waitUntilEmpty(spark.sparkContext)
       assert(jobs.get() == 0,
         s"lazy door construction/explain launched ${jobs.get()} jobs — must be plan-only")
 
@@ -709,6 +783,7 @@ class SearchSpec extends AnyFunSuite {
           java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4))).toSeq
       val lazyScanRows = bits(lazyScan)
       val lazyIxRows = bits(lazyIx)
+      org.apache.spark.GraftListenerSync.waitUntilEmpty(spark.sparkContext)
       assert(jobs.get() > 0, "the action must execute the deferred pipeline")
       graft.operators.Dedup.clearCaches()
       val eager = bits(Search.bm25TopKAll(docs, qs, k = 5))
