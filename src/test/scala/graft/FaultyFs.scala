@@ -150,6 +150,12 @@ object FaultyFs {
   @volatile var renameDelayMs: Long = 0L
 
   def arm(point: String): Unit = { killPathFilter = null; killAt.set(point) }
+  /** True while an armed kill has not fired yet — a spec that expects the
+    * kill to have fired asserts `!armed` (the arm is one-shot, so a
+    * consumed arm IS the witness, robust to layers that swallow the
+    * [[Killed]] from their cause/suppressed chains — parquet's close path
+    * does). */
+  def armed: Boolean = killAt.get() != null
   /** One-shot kill scoped to paths containing `pathContains`. */
   def arm(point: String, pathContains: String): Unit = {
     killPathFilter = pathContains

@@ -28,9 +28,12 @@ import graft.streaming.StreamingOps
  * `create:torn` / `rename:before` (nothing durable: the OLD snapshot must
  * keep serving and the documented replay must complete) and
  * `rename:after-put` / `rename:after-delete` (the entry IS durable: every
- * reader sees the NEW version even though the writer died) — then a
- * reader behind a LAGGING listing resolving the previous committed
- * version before catching up.
+ * reader sees the NEW version even though the writer died) — then (r20,
+ * VERDICT r19 next #7) a writer killed MID-PARQUET on a DATA file under
+ * the next version directory (the orphaned partial batch must be
+ * invisible and reclaimed by the replay) — then a reader behind a
+ * LAGGING listing resolving the previous committed version before
+ * catching up.
  *
  * Kill points are PATH-SCOPED to the LATEST pointer log: the lifecycles
  * do plenty of unrelated parquet IO on the same scheme, and an unscoped
@@ -203,6 +206,39 @@ class StoreFaultMatrixSpec extends AnyFunSuite {
       assert(lc.serve(root) == committed,
         s"${lc.name}: replay of a committed round must change nothing")
     }
+    // DATA-PLANE kill (VERDICT r19 next #7): the writer dies MID-PARQUET —
+    // a torn create on a DATA file under the NEXT version directory, not
+    // the pointer. The matrix above kills at the pointer because every
+    // loop writes data first and flips last; this case pins the reasoning
+    // that leans on: in local mode a task failure is terminal (no
+    // retries), so the armed torn create kills the whole round exactly
+    // like a writer crashing mid-write (driver-side data files — the pack
+    // state string — die in the create itself). Post-conditions: the
+    // orphaned partial version is INVISIBLE to readers (the pointer never
+    // moved; serve is byte-identical), and the documented replay reclaims
+    // it — the retry OVERWRITES its own orphan and commits, the same
+    // self-heal contract every store's writer documents.
+    locally {
+      bid += 1
+      val before = lc.serve(root)
+      FaultyFs.arm("create:torn", s"/index/v$bid")
+      val e = intercept[Throwable](lc.round(root, out, bid))
+      // the Killed may be swallowed from the cause/suppressed chains by
+      // intermediate layers (parquet's close path replaces it with the
+      // torn stream's "Stream Closed") — the one-shot arm being CONSUMED
+      // is the robust witness that OUR kill, not an unrelated failure,
+      // took the writer down
+      assert(!FaultyFs.armed,
+        s"${lc.name}: the round failed before the mid-data kill fired: $e")
+      FaultyFs.reset()
+      assert(pointerOf(root) != s"v$bid",
+        s"${lc.name}: a mid-data crash must never advance the pointer")
+      assert(lc.serve(root) == before,
+        s"${lc.name}: pointed-at snapshot changed after a mid-data crash")
+      lc.round(root, out, bid) // the replay overwrites the orphan, commits
+      assert(pointerOf(root) == s"v$bid",
+        s"${lc.name}: replay after the mid-data kill did not complete")
+    }
     // a reader behind a LAGGING listing resolves the PREVIOUS committed
     // version — never a torn state — then catches up
     val prev = lc.serve(root)
@@ -221,17 +257,18 @@ class StoreFaultMatrixSpec extends AnyFunSuite {
   test("crawl store (dedup index + LR model + BPE model + search tier): kill-point matrix") {
     val (root, out) = runMatrix(crawlLifecycle)
     // the search tier rides its own CURRENT commit inside each round with
-    // the TAG as its replay-idempotency witness — after six rounds (three
-    // of them killed at the pointer and replayed) the store must serve
-    // BIT-EQUAL to a scan over base ∪ every accepted batch: a replayed
-    // round that double-appended, or a torn commit, breaks this equality
+    // the TAG as its replay-idempotency witness — after seven rounds (four
+    // of them killed and replayed: three at the pointer, one mid-data) the
+    // store must serve BIT-EQUAL to a scan over base ∪ every accepted
+    // batch: a replayed round that double-appended, or a torn commit,
+    // breaks this equality
     val base = docs((1L, txt("basea")), (2L, txt("baseb")), (3L, txt("basec")))
     val corpus = StoreIO.list(out, "batch=").foldLeft(base) { (acc, b) =>
       acc.unionByName(spark.read.parquet(s"$out/$b")
         .select(col("doc_id"), col("clean_text").as("text")))
     }
     val ix = Search.readSearchIndex(spark, s"$root/search_index")
-    for (q <- Seq("basea0 baseb1", "r1a0", "r6b5"))
+    for (q <- Seq("basea0 baseb1", "r1a0", "r6b5", "r7a0"))
       assert(Search.bm25TopKIndexed(ix, q, k = 5).collect().toSeq ==
         Search.bm25TopK(corpus, q, k = 5).collect().toSeq,
         s"faulty crawl store: serve != scan for '$q'")
@@ -247,11 +284,11 @@ class StoreFaultMatrixSpec extends AnyFunSuite {
 
   test("pack-state store: kill-point matrix") {
     val (root, out) = runMatrix(packLifecycle)
-    // the pack manifests are the store's data plane: after six rounds the
-    // concatenated per-batch manifests must chain bins exactly (the
+    // the pack manifests are the store's data plane: after seven rounds
+    // the concatenated per-batch manifests must chain bins exactly (the
     // byte-identical-replay contract) — every batch exists and the state
     // the pointer serves reflects the LAST committed round
-    assert(StoreIO.list(out, "batch=").size == 6)
+    assert(StoreIO.list(out, "batch=").size == 7)
     assert(StoreIO.readString(s"$root/${pointerOf(root)}").trim.split(' ').length == 2)
   }
 }
