@@ -408,7 +408,11 @@ object Bench {
       "18GB spill, and the dominant term is NOT the retained fanout " +
       "cache (peak storage comparable) but the session-default bounds " +
       "exchange (1.13G rows / 32 partitions = 35M-row aggregate maps) - " +
-      "the documented advice now carries numbers. (5) CACHE BUDGET " +
+      "and the fix became a LEVER: spark.graft.bm25.lazyBoundsPartitions " +
+      "pins the lazy bounds exchange's width plan-only (SearchSpec pins " +
+      "zero jobs + unchanged bits under the conf); fanout-sized (288) it " +
+      "recovers the eager spill profile exactly (15.1 vs 15.4GB " +
+      "same-shot) at an eager-class 154.1s wall. (5) CACHE BUDGET " +
       "SCOPED (next #5 + ADVICE): withCacheBudget restores the FIFO " +
       "bound when the raising door returns (SearchSpec asserts base " +
       "restoration after sequential AND concurrent shard calls); " +

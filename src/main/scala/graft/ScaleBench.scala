@@ -660,9 +660,21 @@ object ScaleBench {
           sampler.join()
           (r, peakMem.get(), peakDisk.get())
         }
+        // third row: the lazy door with its plan-only bounds-width conf
+        // set fanout-sized (the r20 lever; default 288 ≈ sf10's 1.13 G
+        // fanout / 4 M rows-per-partition — override via env for other
+        // corpora). The graded question: does the conf recover the eager
+        // door's spill profile without giving up plan-only construction?
+        val lazyParts =
+          sys.env.getOrElse("GRAFT_SCALE_BM25_LAZY_PARTS", "288")
         for ((form, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
           "eager" -> (() => Search.bm25TopKAll(docsX, queriesX, k = 5)),
-          "lazy" -> (() => Search.bm25TopKAllLazy(docsX, queriesX, k = 5)))) {
+          "lazy" -> (() => Search.bm25TopKAllLazy(docsX, queriesX, k = 5)),
+          "lazy+parts" -> (() => {
+            spark.conf.set(Search.LazyBoundsPartitionsConfKey, lazyParts)
+            try Search.bm25TopKAllLazy(docsX, queriesX, k = 5)
+            finally spark.conf.unset(Search.LazyBoundsPartitionsConfKey)
+          }))) {
           graft.operators.Dedup.clearCaches()
           Thread.sleep(300) // settle listener + unpersist
           val spill0 = spillBytes.get()

@@ -326,17 +326,38 @@ object Search {
       .filter(col("token") =!= "")
       .distinct()
 
+  /** Conf lever for the LAZY doors' bounds-exchange width (r20): the
+    * eager doors size that exchange from a measured fanout estimate, but
+    * estimating requires driver actions the lazy contract forbids — so
+    * the lazy doors default to the session `spark.sql.shuffle.partitions`
+    * and pay for it at probe scale (measured at sf10/16 g: 1.13 G fanout
+    * rows over 32 default partitions = 35 M-row aggregate maps per task,
+    * 204 GB of sort-spill and 1.43× the eager wall — SCALE.md r20). A
+    * caller who knows the batch is big sets this to
+    * fanout / [[FanoutRowsPerPartition]] without touching the
+    * session-global shuffle width; the read is a driver-side conf lookup,
+    * so construction stays plan-only (zero jobs). */
+  val LazyBoundsPartitionsConfKey = "spark.graft.bm25.lazyBoundsPartitions"
+
   /** The lazy twin of [[cutSlice]]: identical arithmetic (same bounds
     * algebra, same theta, same survivor filter, same exact fold and cut)
     * with the two driver actions replaced — the bounds exchange keeps the
-    * session partitioning (no fanout estimate) and the survivor joins
-    * carry no broadcast hint (AQE's runtime size check replaces the
-    * counted [[MaxBroadcastSurvivors]] decision, with the same
-    * degrade-to-shuffle safety on adversarial tie sets). */
+    * session partitioning (no fanout estimate; see
+    * [[LazyBoundsPartitionsConfKey]] for the plan-only override) and the
+    * survivor joins carry no broadcast hint (AQE's runtime size check
+    * replaces the counted [[MaxBroadcastSurvivors]] decision, with the
+    * same degrade-to-shuffle safety on adversarial tie sets). */
   private def cutLazy(scored0: DataFrame, qt: DataFrame, k: Int,
       idCol: String, qidCol: String): DataFrame = {
     val scored = persistHot(scored0.select(col(idCol), col("token"), col("s_t")))
-    def scoredBase = scored.repartition(col(idCol))
+    val boundsParts = scored0.sparkSession.conf
+      .getOption(LazyBoundsPartitionsConfKey).map(_.toInt)
+    boundsParts.foreach(n => require(n >= 1,
+      s"$LazyBoundsPartitionsConfKey must be >= 1, got $n"))
+    def scoredBase = boundsParts match {
+      case Some(n) => scored.repartition(n, col(idCol))
+      case None => scored.repartition(col(idCol))
+    }
     val qEps = qt.groupBy(col(qidCol))
       .agg((count(lit(1)).cast("double") * lit(1e-13)).as("eps"))
     val pairs = graft.operators.Dedup.persistScoped(

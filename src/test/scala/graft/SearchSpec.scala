@@ -734,6 +734,51 @@ class SearchSpec extends AnyFunSuite {
     graft.operators.Dedup.clearCaches()
   }
 
+  test("lazy doors: lazyBoundsPartitions conf sizes the bounds exchange, plan-only, bits unchanged") {
+    // r20: the lazy doors' documented probe-scale weakness is the bounds
+    // exchange at the session default (no fanout estimate — estimating
+    // needs driver actions). The conf lever must (a) pin the exchange
+    // width, (b) stay plan-only (a conf read is not a job), (c) change
+    // no output bit.
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c"), (4L, "b d"))
+      .toDF("doc_id", "text").repartition(3)
+    val qs = Seq((1L, "a c"), (2L, "b")).toDF("query_id", "query")
+    graft.operators.Dedup.clearCaches()
+    def bits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4))).toSeq
+    val default = bits(Search.bm25TopKAllLazy(docs, qs, k = 3))
+    graft.operators.Dedup.clearCaches()
+    spark.conf.set(Search.LazyBoundsPartitionsConfKey, "7")
+    try {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val lz = Search.bm25TopKAllLazy(docs, qs, k = 3)
+        val p = lz.queryExecution.executedPlan.toString
+        // the pinned-width doc repartition: hashpartitioning(doc_id, 7)
+        assert(p.contains("REPARTITION_BY_NUM") ||
+            p.linesIterator.exists(l =>
+              l.contains("hashpartitioning(doc_id#") && l.contains(", 7)")),
+          s"expected a 7-wide pinned bounds repartition:\n$p")
+        org.apache.spark.GraftListenerSync.waitUntilEmpty(spark.sparkContext)
+        assert(jobs.get() == 0,
+          s"the conf lever must not break the plan-only contract (${jobs.get()} jobs)")
+        assert(bits(lz) == default, "conf-sized lazy door changed output bits")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set(Search.LazyBoundsPartitionsConfKey, "0")
+      intercept[IllegalArgumentException](Search.bm25TopKAllLazy(docs, qs, k = 3))
+    } finally {
+      spark.conf.unset(Search.LazyBoundsPartitionsConfKey)
+      graft.operators.Dedup.clearCaches()
+    }
+  }
+
   test("lazy doors: construction + explain launch ZERO jobs; output bit-identical to eager") {
     // VERDICT r18 next #3: the eager doors run tokenize+score+bounds at
     // CONSTRUCTION (vocabulary collect, fanout gate, survivor count). The
