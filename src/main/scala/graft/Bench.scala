@@ -18,6 +18,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r20 (guide §4/§7.2): typed-udaf aggregates (TopK theta/cut,
+      // bottom-k sampling, SpaceSaving) run through ObjectHashAggregateExec,
+      // whose default sort-based fallback trips at 128 DISTINCT GROUPS per
+      // task — a batch door's theta pass (one group per query) fell back to
+      // sorting its ENTIRE fanout-sized input. Measured at sf0.1:
+      // 26.2 → 12.0 CPU-s on the theta stage alone. The raise is
+      // scale-safe, not a local[32] tune: every graft udaf buffer is O(k)
+      // entries by design (bounded partial aggregation is the point of
+      // TopK), so 1M groups per task is ≤ ~300 MB of buffers — and group
+      // counts per task are queries/strata/buckets, orders of magnitude
+      // below this at any registered scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1657,7 +1657,16 @@ object SparkEntry {
     * rules — 100 queries at the gate sf, each guaranteed at least one hit
     * (its own source doc). */
   private def bm25BatchQueries(s: SparkSession, d: String): DataFrame =
-    graft.sources.Tables.documents(s, d).filter(col("doc_id") % 5 === 1)
+    // parallelism ensured BELOW the tokenize projection (r20): the batch
+    // doors apply Parallelism.ensure to this frame, but the repartition
+    // then lands ABOVE the projection — the full-text tokenize ran as one
+    // map task on the compact single-file corpus (StageProf: 2.5 CPU-s
+    // single-task at sf0.1, on the critical path of all seven batch
+    // doors). Rebalancing the raw scan first moves the same exchange below
+    // the projection, so the tokenize rides every core. Same rows, same
+    // values — only the physical distribution changes.
+    graft.operators.Parallelism.ensure(graft.sources.Tables.documents(s, d))
+      .filter(col("doc_id") % 5 === 1)
       .select(col("doc_id").as("query_id"),
         array_join(
           slice(graft.functions.TextFunctions.tokens(col("text")), 1, 3), " ")

@@ -53,6 +53,24 @@ object Parallelism {
       val broadcastThreshold =
         df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
       def shufflePartitioned(p: LogicalPlan): Boolean = p match {
+        // A CACHED frame hides its provenance behind a logical leaf, so the
+        // pre-r20 walk fell through to tier 3 — and tier 3's `.rdd` on a
+        // cached frame EXECUTES the whole cache-fill subtree as real jobs at
+        // plan-construction time (measured in the crawl pipelines: every
+        // `ensure` meeting a persistScoped frame re-ran the upstream
+        // probe→cut→scrub chain; the discarded grown-index build alone paid
+        // it three times per query). Read the cached PHYSICAL plan instead:
+        // any shuffle exchange below the cache (or an AQE-planned subtree,
+        // which implies one) means the cached data already carries shuffle
+        // partitioning and the rebalance is never needed. A cached NARROW
+        // few-file scan still falls through to tier 3, where the `.rdd`
+        // planning pass is the cheap leaf-only case tier 3 exists for.
+        case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          imr.cachedPlan.exists {
+            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+            case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => true
+            case _ => false
+          }
         case j: Join =>
           val leftSmall = broadcastThreshold >= 0 &&
             j.left.stats.sizeInBytes <= broadcastThreshold

@@ -378,9 +378,13 @@ object Search {
       pairs.join(broadcast(theta), Seq(qidCol))
         .filter(col("hi") >= col("theta"))
         .select(col(qidCol), col(idCol)))
+    // same r20 fold-reads-the-cache trade as [[cutSlice]]: the doc-clustered
+    // repartition is the BOUNDS pass's requirement; re-running it for the
+    // fold re-shuffled the whole scored frame, where the fold aggregate's
+    // own exchange carries only survivor-bounded partial buffers
     val perDoc = graft.operators.Dedup.persistScoped(
       exactFold(
-        scoredBase.join(surv, Seq(idCol))
+        scored.join(surv, Seq(idCol))
           .join(broadcast(qt), Seq(qidCol, "token"), "leftsemi"),
         idCol, qidCol))
     val cut = perDoc.groupBy(col(qidCol))
@@ -678,7 +682,7 @@ object Search {
     // extra count jobs over cached frames; zero cost when unset.
     if (sys.env.get("GRAFT_SEARCH_PROF").contains("1")) {
       val fanout = scoredBase.join(broadcast(qt), Seq("token")).count()
-      val foldIn = scoredBase.join(bc(surv), Seq(idCol))
+      val foldIn = scoredCached.join(bc(surv), Seq(idCol))
         .join(broadcast(qt), Seq(qidCol, "token"), "leftsemi").count()
       println(s"[searchprof] fanout_rows=$fanout survivors=$nSurvivors " +
         s"fold_input_rows=$foldIn")
@@ -692,9 +696,21 @@ object Search {
     // pair semi-join could cut it: ~10⁹ intermediate rows at sf1's 10k
     // queries (StageProf: 546 of the door's 730 CPU-seconds), vs ~1.5 M
     // through the pair-first order for the identical output set.
+    //
+    // r20: the fold reads the scored CACHE directly, not the doc-clustered
+    // `scoredBase` — re-establishing hash(doc) here re-executed the FULL
+    // matched-corpus exchange a second time per slice (the shuffle is not
+    // reused across actions: pairs materialize in surv.count()'s job, the
+    // fold in the caller's). The survivor join needs no partitioning while
+    // `surv` broadcasts, and the fold aggregate's own partial/final split
+    // exchanges only its SURVIVOR-BOUNDED input (O(queries·(k+ties)·terms)
+    // partial buffers — constant in corpus size), so the trade is one
+    // bounded exchange for one corpus-sized one at every scale. When
+    // survivors exceed [[MaxBroadcastSurvivors]] the join degrades to a
+    // shuffle join exactly as before (both sides exchange on doc id).
     val perDoc = graft.operators.Dedup.persistScoped(
       exactFold(
-        scoredBase.join(bc(surv), Seq(idCol))
+        scoredCached.join(bc(surv), Seq(idCol))
           .join(broadcast(qt), Seq(qidCol, "token"), "leftsemi"),
         idCol, qidCol))
     val cut = perDoc.groupBy(col(qidCol))

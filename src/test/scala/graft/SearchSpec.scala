@@ -236,25 +236,60 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
-  test("batch plan: fanout never crosses an exchange — doc-clustered repartition, no (qid, doc) shuffle") {
-    // r16 scale contract: the ONLY corpus-shaped exchange in either batch
-    // door is the scalar repartition of the matched postings by document
-    // id (REPARTITION_BY_NUM — pinned, so AQE cannot coalesce it to one
-    // partition under the fanout multiplier). hash(doc) satisfies the
-    // clustering of the bounds aggregate and the survivor fold, so the
-    // (query, doc, term) fanout — the r15 sweep's ~116 M-row exchange at
-    // sf1 — stays narrow end-to-end.
+  test("batch plan: fanout never crosses an exchange — the only (qid, doc) shuffle is the survivor-bounded fold") {
+    // r16 scale contract, r20 form. The (query, doc, term) FANOUT — the
+    // r15 sweep's ~116 M-row exchange at sf1 — must stay narrow: the
+    // bounds aggregate rides the doc-clustered repartition of the scored
+    // postings (hash(doc) satisfies its (qid, doc) clustering), so no
+    // fanout-sized rows ever cross an exchange. r20 moved the EXACT FOLD
+    // off that repartition (re-establishing hash(doc) for the fold
+    // re-shuffled the whole matched corpus a second time per slice): the
+    // fold now reads the scored cache through the survivor broadcast join
+    // and pays its own partial/final split — the ONE (qid, doc) exchange
+    // allowed in either plan, and it carries only survivor-bounded
+    // collect_list partials (O(queries·(k+ties)·terms), constant in corpus
+    // size). Assert exactly that: every hashpartitioning(query_id, doc_id)
+    // exchange's child is the fold's partial_collect_list aggregate —
+    // a partial_sum child there would mean the BOUNDS fanout started
+    // shuffling again (the r15 regression this test pins against).
     for (name <- Seq("search_bm25_batch", "search_bm25_batch_indexed")) {
       val p = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
-      assert(p.contains("REPARTITION_BY_NUM"),
-        s"$name must pin the doc repartition:\n$p")
-      val fanoutExchange = p.linesIterator.filter(l =>
-        l.contains("Exchange hashpartitioning(query_id#") && l.contains("doc_id#"))
-      assert(fanoutExchange.isEmpty,
-        s"$name must not shuffle the (query, doc) fanout:\n${fanoutExchange.mkString("\n")}")
+      val lines = p.linesIterator.toVector
+      val qidDocExchanges = lines.zipWithIndex.filter { case (l, _) =>
+        l.contains("Exchange hashpartitioning(query_id#") && l.contains("doc_id#")
+      }
+      assert(qidDocExchanges.nonEmpty,
+        s"$name: expected the fold's survivor-bounded (qid, doc) exchange:\n$p")
+      qidDocExchanges.foreach { case (l, i) =>
+        val child = lines.drop(i + 1).take(2).mkString(" ")
+        assert(child.contains("partial_collect_list"),
+          s"$name: a (qid, doc) exchange must only carry the fold's " +
+            s"survivor-bounded collect_list partials, found:\n$l\n$child")
+      }
       graft.operators.Dedup.clearCaches()
     }
+    // The bounds pass's narrowness is asserted on the LAZY door, whose one
+    // plan exposes the whole pipeline (the eager doors execute bounds
+    // behind the survivor cache at construction): the doc repartition is
+    // pinned and no (qid, doc) exchange carries the bounds partial_sum.
+    val docs = (1L to 60L).map(i => (i, s"alpha beta tok$i")).toDF("doc_id", "text")
+      .repartition(5)
+    val qs = Seq((1L, "alpha beta"), (2L, "tok7")).toDF("query_id", "query")
+    graft.operators.Dedup.clearCaches()
+    val lp = graft.operators.Search.bm25TopKAllLazy(docs, qs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(lp.contains("REPARTITION"),
+      s"lazy door must doc-repartition the scored postings for the bounds pass:\n$lp")
+    val lazyLines = lp.linesIterator.toVector
+    lazyLines.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("Exchange hashpartitioning(query_id#") && l.contains("doc_id#")) {
+        val child = lazyLines.drop(i + 1).take(2).mkString(" ")
+        assert(child.contains("partial_collect_list"),
+          s"lazy door: the bounds fanout must not shuffle on (qid, doc):\n$l\n$child")
+      }
+    }
+    graft.operators.Dedup.clearCaches()
   }
 
   test("bm25TopKAllIndexed == batch scan form bit-for-bit through a persisted index") {

@@ -10,9 +10,15 @@ object StageProf {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("search_bm25_batch_indexed")
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    // extra session confs for A/B runs: GRAFT_PROF_CONFS="k1=v1,k2=v2"
+    val extra = sys.env.get("GRAFT_PROF_CONFS").toSeq
+      .flatMap(_.split(',')).map(_.split('=')).collect { case Array(k, v) => (k, v) }
+    val b0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", false).getOrCreate()
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString) // match Bench's session (r20)
+      .config("spark.ui.enabled", false)
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
