@@ -33,11 +33,9 @@ object ScaleBench {
       // job in the lone default pool schedules exactly as FIFO does.
       .config("spark.scheduler.mode",
         sys.env.getOrElse("GRAFT_SCALE_SCHED", "FAIR"))
-      // same udaf hash-aggregate headroom as Bench (r20): the default
-      // 128-group sort fallback made every TopK/bottom-k pass sort its
-      // whole input; buffers are O(k) so 1M hash groups is ≤ ~300 MB/task
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 20).toString)
+      // udaf hash-aggregate headroom (the r20 128-group sort-fallback fix)
+      // now rides the library: every typed-UDAF Column factory applies
+      // graft.functions.AggConf set-if-unset, so harness mains inherit it
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

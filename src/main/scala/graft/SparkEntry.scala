@@ -391,13 +391,15 @@ object SparkEntry {
     // argument: inputs are integer-valued doubles, partial sums stay < 2^53,
     // so accumulation order cannot perturb a bit — the one circumstance where
     // a double-buffer UDAF is hash-stable across partitionings
-    "ts_wavg_udaf_daily" -> ((s, d) =>
+    "ts_wavg_udaf_daily" -> { (s, d) =>
+      graft.functions.AggConf.ensureHashAggHeadroom() // direct udaf() site
       TsAgg.aggregate(
         lineitemCents(s, d),
         specLineDaily,
         Seq((udaf(graft.functions.Aggregators.WeightedAvgAggregator)
           .apply(col("price_cents").cast("double"), col("qty").cast("double")) / lit(100.0))
-          .as("wavg_value")))),
+          .as("wavg_value")))
+    },
     // weekly order totals in cents over the orders table (second relational
     // time-series source; 604800s buckets)
     "ts_orders_weekly" -> ((s, d) =>

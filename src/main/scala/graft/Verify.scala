@@ -16,10 +16,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // same udaf hash-aggregate headroom as Bench (r20) — results are
-      // mode-independent; this only keeps verify walls comparable
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 20).toString)
+      // udaf hash-aggregate headroom (r20) is inherited from the library:
+      // graft.functions.AggConf sets it set-if-unset at UDAF construction
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -142,6 +142,8 @@ object SpaceSaving {
     def outputEncoder: Encoder[SSBuf] = Encoders.product[SSBuf]
   }
 
-  def topKByWeight(k: Int, m: Int)(id: Column, weight: Column): Column =
+  def topKByWeight(k: Int, m: Int)(id: Column, weight: Column): Column = {
+    AggConf.ensureHashAggHeadroom() // O(m) buffers — same bound as TopK
     udaf(SpaceSavingTopK(k, m)).apply(id, weight)
+  }
 }

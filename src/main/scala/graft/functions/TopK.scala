@@ -68,12 +68,19 @@ object TopK {
     def outputEncoder: Encoder[BufD] = Encoders.product[BufD]
   }
 
-  /** Column form: `top_k_long(score, id)` → struct(entries: array<struct>). */
-  def topKLong(k: Int)(score: Column, id: Column): Column =
+  /** Column form: `top_k_long(score, id)` → struct(entries: array<struct>).
+    * Construction also raises the session's ObjectHashAggregate fallback
+    * threshold set-if-unset ([[AggConf]]) — the O(k) buffer bound is what
+    * makes that safe. */
+  def topKLong(k: Int)(score: Column, id: Column): Column = {
+    AggConf.ensureHashAggHeadroom()
     udaf(TopKLong(k)).apply(score, id)
+  }
 
-  def topKDouble(k: Int)(score: Column, id: Column): Column =
+  def topKDouble(k: Int)(score: Column, id: Column): Column = {
+    AggConf.ensureHashAggHeadroom()
     udaf(TopKDouble(k)).apply(score, id)
+  }
 
   case class ScoredS(score: String, id: Long)
   case class BufS(entries: Seq[ScoredS])
@@ -106,6 +113,8 @@ object TopK {
     def outputEncoder: Encoder[BufS] = Encoders.product[BufS]
   }
 
-  def bottomKString(k: Int)(score: Column, id: Column): Column =
+  def bottomKString(k: Int)(score: Column, id: Column): Column = {
+    AggConf.ensureHashAggHeadroom()
     udaf(BottomKString(k)).apply(score, id)
+  }
 }

@@ -15,8 +15,7 @@ object StageProf {
       .flatMap(_.split(',')).map(_.split('=')).collect { case Array(k, v) => (k, v) }
     val b0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 20).toString) // match Bench's session (r20)
+      // udaf hash-agg headroom inherited from graft.functions.AggConf (r21)
       .config("spark.ui.enabled", false)
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
