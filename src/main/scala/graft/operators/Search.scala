@@ -421,6 +421,16 @@ object Search {
         case None => df
       })
 
+  /** The [[CacheLevelConfKey]]/env storage level as a value — the eager
+    * doors' scored-postings checkpoint applies the same lever
+    * ([[persistHot]]'s contract) through `localCheckpoint`'s level arg. */
+  private def hotLevel(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.storage.StorageLevel =
+    spark.conf.getOption(CacheLevelConfKey)
+      .orElse(sys.env.get("GRAFT_BM25_CACHE_LEVEL"))
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** The batch scorer — r16 bound pruning, r17 single-scan caching and
     * the pair-first survivor fold. The r15 form pushed the WHOLE
     * (query, doc, term) fanout through a collect_list exchange (~116 M
@@ -477,9 +487,30 @@ object Search {
     // HashPartitioning from the planner — InMemoryRelation + AQE report
     // unknown partitioning — re-inserting the (qid, doc) exchanges the
     // doc-clustering removes.)
-    val scoredCached = persistHot(
-      scoreTerms(matched0, stats, dfTable)
-        .select(col(idCol), col("token"), col("s_t")))
+    //
+    // r21 (VERDICT r20 next #5): at K > 1 the cache is an EAGER
+    // localCheckpoint, not a persist — same data, same execution boundary,
+    // but the LINEAGE is CUT at the leaf. A persisted frame keeps the whole
+    // tokenize+score plan below its cache leaf, and EVERY slice's
+    // pairs/bounds/fold/cut subplan replays that subtree TEXT: at K=4 the
+    // _conc door's physical plan was 27,656 lines and every driver action
+    // re-analyzed it — planning cost and driver memory growing with K and
+    // loop depth. The doors are documented NOT LAZY (construction already
+    // runs jobs up through the survivor count), so materializing here only
+    // moves WHEN the scoring executes; no join decision reads the leaf's
+    // stats (every join around it carries an explicit broadcast hint or
+    // the counted bc() decision), and the CacheLevelConfKey lever rides the
+    // checkpoint's level arg. The UNSHARDED doors (K = 1) keep the plain
+    // persist: their plans replay the subtree ~once (no K-fold blow-up),
+    // and the cached-subtree text is the documented introspection surface
+    // (SearchSpec's pruned-scan / no-tokenize plan contracts read it). On
+    // a real cluster with executor loss, swap in reliable checkpoint (same
+    // note as packSequences / nearDupClusters).
+    val scoredPlain = scoreTerms(matched0, stats, dfTable)
+      .select(col(idCol), col("token"), col("s_t"))
+    val scoredCached =
+      if (shards == 1) persistHot(scoredPlain)
+      else scoredPlain.localCheckpoint(true, hotLevel(spark))
     // Hash-slice the query set (r19): each slice replays the shared scored
     // cache through its own bounds/fold/cut, so per-pair state — aggregate
     // hash maps, the survivor broadcast, fold buffers — is ~1/shards of
@@ -501,18 +532,30 @@ object Search {
           perShard.get(s).map(qc => (qt.filter(shardCol === s), qc))
         }
       }
+    // r21: at K > 1 every slice's OUTPUT is eagerly checkpointed as well —
+    // the union frame otherwise carries each slice's full fold/cut plan
+    // text (and, in concurrent mode, the cached slice plan nested inside
+    // an InMemoryRelation), which kept the K=4 doors' final plans at
+    // 15-17k lines even with the scored leaf cut. Slice outputs are
+    // queries·k rows, so the checkpoint is tiny; concurrent mode already
+    // materialized each slice inside its thread (out.count()), and the
+    // sequential door is documented eager — this only moves the fold/cut
+    // execution from the caller's first action to construction.
     val sliceOuts: Seq[DataFrame] =
       if (!concurrent || slices.size == 1)
         slices.map { case (qtS, qcS) =>
-          cutSlice(spark, scoredCached, qtS, qcS, k, idCol, qidCol, dfTable)
+          val out = cutSlice(spark, scoredCached, qtS, qcS, k, idCol, qidCol,
+            dfTable)
+          if (shards == 1) out else out.localCheckpoint(true, hotLevel(spark))
         }
       else {
         // K CONCURRENT slice jobs over the shared cache — the deployment
-        // form (VERDICT r19 next #1). Fill the scored cache ONCE first: a
-        // cold cache raced by K threads makes every thread's first stage
+        // form (VERDICT r19 next #1). The cache is already FILLED (the
+        // eager checkpoint above materialized it in one job — r21; the
+        // pre-r21 form ran an explicit count() here for the same reason:
+        // a cold cache raced by K threads makes every thread's first stage
         // recompute overlapping partitions before the block-manager locks
-        // settle; one count job fills it from a single pass.
-        scoredCached.count(): Unit
+        // settle).
         import scala.concurrent.{Await, ExecutionContext, Future}
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(slices.size, 32))
@@ -526,16 +569,16 @@ object Search {
               // to weight 1); under FIFO the jobs still interleave —
               // later jobs fill whatever slots the head job leaves idle
               sc.setLocalProperty("spark.scheduler.pool", s"graft-bm25-shard-$i")
-              try {
-                val out = graft.operators.Dedup.persistScoped(
-                  cutSlice(spark, scoredCached, qtS, qcS, k, idCol, qidCol,
-                    dfTable))
+              try
                 // run this slice's WHOLE pipeline (bounds, survivors, fold,
                 // cut) inside its own thread/pool — the union below then
-                // only reads the K small cached outputs
-                out.count(): Unit
-                out
-              } finally sc.setLocalProperty("spark.scheduler.pool", null)
+                // only reads the K small checkpointed outputs (r21: the
+                // eager checkpoint replaces the pre-r21 persistScoped +
+                // count(), materializing the same rows while CUTTING the
+                // slice's plan text out of the union frame)
+                cutSlice(spark, scoredCached, qtS, qcS, k, idCol, qidCol,
+                  dfTable).localCheckpoint(true, hotLevel(spark))
+              finally sc.setLocalProperty("spark.scheduler.pool", null)
             }
           }
           Await.result(Future.sequence(futs),
