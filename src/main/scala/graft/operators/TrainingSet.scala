@@ -1065,12 +1065,22 @@ object TrainingSet {
       case None => preGated
       case Some(m) =>
         // the gate reads its input TWICE (the scoring side and the
-        // survivor side of the semi join) — without a scoped persist the
+        // survivor side of the semi join) — without materialization the
         // whole probe→cut→scrub→gate chain above would execute twice, and
         // the bench measured exactly that: the LM-gated pipeline ran ~2×
         // the ungated one (6.6 s vs 3.7 s at sf0.1) when this frame
-        // recomputed
-        val g = Dedup.persistScoped(preGated)
+        // recomputed.
+        // r21 (VERDICT r20 next #5): EAGER localCheckpoint instead of the
+        // r9 scoped persist — same rows, same execution boundary (the
+        // chain ran exactly once either way), but the LINEAGE is CUT: a
+        // persisted g kept the whole probe→cut→scrub chain below its
+        // cache leaf TWICE in every downstream plan (the 9,122-line
+        // pipeline_crawl_lm_gate physical plan), re-analyzed per action
+        // and shipped inside every task binary (~2 MiB broadcasts,
+        // deserialized by all 32 tasks of each of the gate's ~15 tiny
+        // stages). g is delta-sized, so the checkpoint is small; on a
+        // real cluster with executor loss, swap in reliable checkpoint.
+        val g = preGated.localCheckpoint(true)
         g.join(
           Corpus.lmScoreModel(g, m, lmKeep._1, lmKeep._2, idCol, "clean_text")
             .filter(col("keep")).select(col(idCol)),
