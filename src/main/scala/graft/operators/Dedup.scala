@@ -381,9 +381,13 @@ object Dedup {
     val candOpt: Option[DataFrame] =
       if (!winnowPrefilter) None
       else {
-        val fps = TextAnalysis.winnowFps(src, 3, 4, idCol, textCol)
-          .select(col(idCol).as("id"), explode(array_distinct(col("fps"))).as("f"))
-          .repartition(col("f"))
+        // persisted: BOTH self-join sides read this frame, and without the
+        // cache each side re-ran the full tokenize+winnow+explode pass
+        // (r21, StageProf at sf0.1: two identical 235k-row map stages)
+        val fps = persistScoped(
+          TextAnalysis.winnowFps(src, 3, 4, idCol, textCol)
+            .select(col(idCol).as("id"), explode(array_distinct(col("fps"))).as("f"))
+            .repartition(col("f")))
         val fa = fps.select(col("f"), col("id").as("id_a"))
         val fb = fps.select(col("f"), col("id").as("id_b"))
         Some(persistScoped(
@@ -407,7 +411,14 @@ object Dedup {
       case Some(cand) =>
         val candDocs = cand.select(col("id_a").as("id"))
           .union(cand.select(col("id_b").as("id"))).distinct()
-        pruned.join(candDocs, Seq("id"), "left_semi")
+        // persisted: the gram self-join's two sides otherwise EACH re-read
+        // the grams cache and re-run this semi join + the h re-exchange
+        // (the cache sits below grams' repartition, so InMemoryRelation
+        // hides the HashPartitioning and EnsureRequirements re-exchanges
+        // both sides regardless — feed those exchanges from one cached
+        // frame instead of two recomputes; r21 StageProf: two identical
+        // 225k-row 64-task stages)
+        persistScoped(pruned.join(candDocs, Seq("id"), "left_semi"))
     }
     val a = restricted.select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
     val b = restricted.select(col("h"), col("id").as("id_b"), col("pos").as("pb"))
