@@ -299,7 +299,10 @@ object Search {
     * predicate becomes a broadcast semi-join on (bucket, token) — Spark's
     * dynamic partition pruning recovers the directory pruning at RUNTIME
     * from the same join when it fires; either way no postings row outside
-    * the batch vocabulary survives the join. */
+    * the batch vocabulary survives the join. The bounds-exchange width is
+    * AUTO-DERIVED from the index's file-level size (r21, VERDICT r20 next
+    * #6 — still plan-only; [[autoLazyBoundsPartitions]]); the
+    * [[LazyBoundsPartitionsConfKey]] conf stays as the explicit override. */
   def bm25TopKAllIndexedLazy(idx: SearchIndex, queries: DataFrame,
       k: Int = 10, idCol: String = "doc_id",
       qidCol: String = "query_id", queryCol: String = "query"): DataFrame = {
@@ -312,8 +315,38 @@ object Search {
       .select(col(idCol), col("token"), col("tf"), col("dl"))
     val dft = idx.df.map(
       _.join(broadcast(qt.select(col("token")).distinct()), Seq("token"), "leftsemi"))
-    cutLazy(scoreTerms(matched, idx.stats, dft), qt, k, idCol, qidCol)
+    cutLazy(scoreTerms(matched, idx.stats, dft), qt, k, idCol, qidCol,
+      autoBoundsParts = autoLazyBoundsPartitions(idx))
   }
+
+  /** PLAN-ONLY width estimate for the indexed-lazy door's bounds exchange
+    * (r21, VERDICT r20 next #6): the sf10 probe measured the lazy door's
+    * dominant cost as the session-default-width bounds exchange (1.13 G
+    * fanout rows over 32 partitions = 35 M-row aggregate maps per task,
+    * 204 GB of sort-spill, 1.43× the eager wall), and the r20 fix was a
+    * MANUAL conf. The index's postings FILE BYTES are driver-side metadata
+    * (the optimizer's logical stats read the already-listed file index —
+    * no jobs, so the zero-jobs construction pin holds): at ~16 B per
+    * parquet-compressed posting row, one partition per
+    * [[LazyBoundsBytesPerPartition]] of postings bytes tracks the eager
+    * door's one-per-[[FanoutRowsPerPartition]]-rows sizing. The estimate
+    * only ever WIDENS the exchange past the session default (cutLazy takes
+    * max with it) and is clamped at 4096 like the eager door's; the
+    * [[LazyBoundsPartitionsConfKey]] conf overrides it entirely. It is a
+    * corpus-side bound, not the exact fanout Σ_t df(t)·queries(t) — a
+    * batch whose q_n ≫ 1 can still out-fan it, which is what the conf
+    * remains for. */
+  private[graft] def autoLazyBoundsPartitions(idx: SearchIndex): Option[Int] = {
+    val bytes = idx.postings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = bytes / LazyBoundsBytesPerPartition
+    if (target <= 1) None
+    else Some(math.min(4096L, target.toLong).toInt)
+  }
+
+  /** [[autoLazyBoundsPartitions]]'s sizing unit: ~16 B/posting row ×
+    * [[FanoutRowsPerPartition]] (4 M rows) = 64 MB of postings bytes per
+    * bounds partition. */
+  val LazyBoundsBytesPerPartition: Long = 64L * 1024 * 1024
 
   /** [[queryTermsAll]] minus the driver collect: just the distinct
     * `(qid, token)` table (same normalization, same blank-query contract —
@@ -348,12 +381,19 @@ object Search {
     * replaces the counted [[MaxBroadcastSurvivors]] decision, with the
     * same degrade-to-shuffle safety on adversarial tie sets). */
   private def cutLazy(scored0: DataFrame, qt: DataFrame, k: Int,
-      idCol: String, qidCol: String): DataFrame = {
+      idCol: String, qidCol: String,
+      autoBoundsParts: Option[Int] = None): DataFrame = {
     val scored = persistHot(scored0.select(col(idCol), col("token"), col("s_t")))
-    val boundsParts = scored0.sparkSession.conf
+    val confParts = scored0.sparkSession.conf
       .getOption(LazyBoundsPartitionsConfKey).map(_.toInt)
-    boundsParts.foreach(n => require(n >= 1,
+    confParts.foreach(n => require(n >= 1,
       s"$LazyBoundsPartitionsConfKey must be >= 1, got $n"))
+    // conf wins outright; the auto estimate (indexed door only) may only
+    // WIDEN past the session default — mirroring the eager door's
+    // max(numShufflePartitions, fanout-sized) rule
+    val sessionParts = scored0.sparkSession.sessionState.conf.numShufflePartitions
+    val boundsParts: Option[Int] = confParts.orElse(
+      autoBoundsParts.map(a => math.max(sessionParts, a)).filter(_ > sessionParts))
     def scoredBase = boundsParts match {
       case Some(n) => scored.repartition(n, col(idCol))
       case None => scored.repartition(col(idCol))

@@ -814,6 +814,56 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed-lazy bounds width: auto-derived from index size, widen-only, conf wins") {
+    // r21 (VERDICT r20 next #6): the indexed-lazy door derives its bounds
+    // exchange width from the postings' FILE-LEVEL logical stats — still
+    // plan-only (the zero-jobs test above runs the same path under a job
+    // listener). Pins: (a) the estimate is bytes/64MB clamped at 4096,
+    // (b) a small index yields None (session default keeps ruling),
+    // (c) through the door, auto only WIDENS past the session default and
+    // the explicit conf overrides it outright.
+    def fakeIdx(rows: Long) = Search.SearchIndex(
+      // spark.range carries exact plan-only stats: 8 bytes/row, no jobs
+      spark.range(rows).toDF("doc_id"), spark.range(1).toDF("n_docs"))
+    // 8 B/row: 64 MB / 8 B = 8M rows per partition
+    assert(Search.autoLazyBoundsPartitions(fakeIdx(8L * 1024 * 1024)).isEmpty,
+      "one-partition-sized index must fall back to the session default")
+    assert(Search.autoLazyBoundsPartitions(fakeIdx(96L * 1024 * 1024))
+      .contains(12))
+    assert(Search.autoLazyBoundsPartitions(fakeIdx(1L << 40)).contains(4096),
+      "the width must clamp at 4096 like the eager door's estimate")
+
+    // through the door: a tiny REAL index → auto None → the bounds
+    // repartition keeps the session-default (unnumbered) form; an explicit
+    // conf pins the width regardless of the estimate
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c"), (4L, "b d"))
+      .toDF("doc_id", "text").repartition(2)
+    val qs = Seq((1L, "a c"), (2L, "b")).toDF("query_id", "query")
+    val dir = java.nio.file.Files.createTempDirectory("graft-autolazy").toString
+    Search.writeSearchIndex(Search.buildSearchIndex(docs), dir)
+    val ix = Search.readSearchIndex(spark, dir)
+    assert(Search.autoLazyBoundsPartitions(ix).isEmpty)
+    graft.operators.Dedup.clearCaches()
+    def bits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4))).toSeq
+    val default = bits(Search.bm25TopKAllIndexedLazy(ix, qs, k = 3))
+    graft.operators.Dedup.clearCaches()
+    spark.conf.set(Search.LazyBoundsPartitionsConfKey, "5")
+    try {
+      val lz = Search.bm25TopKAllIndexedLazy(ix, qs, k = 3)
+      val p = lz.queryExecution.executedPlan.toString
+      assert(p.contains("REPARTITION_BY_NUM") ||
+          p.linesIterator.exists(l =>
+            l.contains("hashpartitioning(doc_id#") && l.contains(", 5)")),
+        s"conf must out-rank the auto estimate:\n$p")
+      assert(bits(lz) == default, "width change must not change output bits")
+    } finally {
+      spark.conf.unset(Search.LazyBoundsPartitionsConfKey)
+      graft.operators.Dedup.clearCaches()
+    }
+  }
+
   test("lazy doors: construction + explain launch ZERO jobs; output bit-identical to eager") {
     // VERDICT r18 next #3: the eager doors run tokenize+score+bounds at
     // CONSTRUCTION (vocabulary collect, fanout gate, survivor count). The
