@@ -322,14 +322,16 @@ object Bench {
     // regressed-at-unchanged-plan queries read as UNSTABLE (their number
     // carries an error bar a judge must see), not failed — the answer is
     // still correct, the wall-clock claim is what's in question
-    val unstable = (results.collect { case r if r.unstable => r.name } ++ regressedNames)
-      .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val regressionsJson = regressionsFound.map { r =>
+    val unstableNamesAll =
+      (results.collect { case r if r.unstable => r.name } ++ regressedNames).distinct
+    val unstable = unstableNamesAll.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def regressionsJsonOf(rs: Seq[BenchGate.Regression]): String = rs.map { r =>
       val ratio = String.format(java.util.Locale.ROOT, "%.2f", Double.box(r.ratio))
       val med = String.format(java.util.Locale.ROOT, "%.3f", Double.box(r.median))
       val base = String.format(java.util.Locale.ROOT, "%.3f", Double.box(r.baselineMedian))
       s""""${r.name}":{"ratio":$ratio,"median":$med,"baseline":$base}"""
     }.mkString("{", ",", "}")
+    val regressionsJson = regressionsJsonOf(regressionsFound)
     val recallJson = recall
       .map { case (n, v) => "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
@@ -411,19 +413,33 @@ object Bench {
       if (line.length <= TailWindow) line
       else {
         val bySlowest = results.filter(_.ok).sortBy(-_.min)
-        def fallbackLine(n: Int, noteStr: String): String = {
-          val slowestJson = bySlowest.take(n)
+        val regrByRatio = regressionsFound.sortBy(-_.ratio)
+        // every stdout list is TRUNCATABLE except `failed` (failures are
+        // critical and normally empty): a noisy-machine run can flag 15+
+        // regressions/unstables (~1.6 KB of JSON on their own — the r21
+        // final run measured exactly that), so the fallback must shrink
+        // them too or the line outgrows the window the fallback exists
+        // for. n_unstable / n_regressions carry the true counts when the
+        // lists are cut; bench.json always holds everything.
+        def fallbackLine(nSlow: Int, nRegr: Int, nUnst: Int,
+            noteStr: String): String = {
+          val slowestJson = bySlowest.take(nSlow)
             .map(r => "\"" + r.name + "\":" + sec2(r.min)).mkString("{", ",", "}")
-          s"""{"metric":"total","value":${sec3(total)},"value_median":${sec3(totalMedian)},"unit":"sec","n_queries":${results.size},"queries_slowest":$slowestJson,"failed":$failed,"unstable":$unstable,"regressions":$regressionsJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$noteStr","detail":"bench.json holds the full per-query map (one Bench run regenerates it)"}"""
+          val unstJson = unstableNamesAll.take(nUnst)
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
+          val regrJson = regressionsJsonOf(regrByRatio.take(nRegr))
+          s"""{"metric":"total","value":${sec3(total)},"value_median":${sec3(totalMedian)},"unit":"sec","n_queries":${results.size},"queries_slowest":$slowestJson,"failed":$failed,"n_unstable":${unstableNamesAll.size},"unstable":$unstJson,"n_regressions":${regressionsFound.size},"regressions":$regrJson,"recall":$recallJson,"sketch":$sketchJson,"sf":"$sfDir","notes":"$noteStr","detail":"bench.json holds the full per-query map (one Bench run regenerates it)"}"""
         }
-        var n = math.min(bySlowest.size, 60)
-        var cand = fallbackLine(n, notes)
-        while (cand.length > TailWindow && n > 15) {
-          n -= 5; cand = fallbackLine(n, notes)
-        }
-        // last resort (a blown-up failed/regressions list): trim the notes
-        // rather than lose the JSON line to the window again
-        if (cand.length > TailWindow) cand = fallbackLine(15, notes.take(80))
+        // widest-that-fits: shrink the slowest map first, then the noise
+        // lists, then the notes — never below 15/4/6 with an 80-char note
+        val candidates =
+          (60 to 20 by -5).map(n => (n, Int.MaxValue, Int.MaxValue, notes)) ++
+          Seq((15, Int.MaxValue, Int.MaxValue, notes),
+            (15, 8, 12, notes), (15, 4, 6, notes), (15, 4, 6, notes.take(80)))
+        val cand = candidates.iterator
+          .map { case (a, b, c, nt) => fallbackLine(a, b, c, nt) }
+          .find(_.length <= TailWindow)
+          .getOrElse(fallbackLine(15, 4, 6, notes.take(80)))
         cand
       }
     println(stdoutLine)
